@@ -1,0 +1,440 @@
+"""Layer A — the reference's stream-processing surface re-expressed in
+Spark (SURVEY.md §2 Layer A).
+
+The reference is a Kafka Streams sessionization demo (driver metadata,
+BASELINE.json:5-7; the reference tree is empty in this environment —
+SURVEY.md §0 — so semantics are anchored on the public Kafka Streams
+API: KStream filter/mapValues/selectKey, SessionWindows, KTable joins).
+
+Each operator has a *batch* form here (oracle-checkable against DuckDB)
+and, for the core sessionization, a Structured Streaming twin in
+``demo_segmenter_spark.streaming`` using ``session_window`` +
+``withWatermark``. Batch/stream twin equivalence is asserted in tests
+(SURVEY.md §5.4) — the replacement for the reference's
+TopologyTestDriver idiom.
+
+Scale notes (100 TB):
+- Sessionization shuffles once on ``user_id`` (the Kafka "repartition
+  topic" equivalent) and every later per-session step reuses that
+  partitioning — window + groupBy(user_id, session_id) plan to a single
+  Exchange.
+- The dimension join broadcasts ``customer`` (small dim); at real scale
+  a large user-profile table would instead be bucketed on the key.
+- All expressions are built-ins → whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.registry import query
+from demo_segmenter_spark.sources import load_table
+
+GAP_HOURS = 8  # SURVEY.md §1.2: 8h gap → ~2.1 events/session on fixture
+GAP_US = GAP_HOURS * 3600 * 1_000_000
+LATE_HORIZON_DAYS = 7
+
+# ---------------------------------------------------------------------------
+# Shared sessionization core (batch rewrite of SessionWindows):
+#   lag(ts) per user → gap flag → running sum = session_id.
+# The DuckDB oracle uses the identical window-function formulation.
+# ---------------------------------------------------------------------------
+
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(user_w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > GAP_US), 1).otherwise(0)
+    running = user_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(running))
+        .drop("is_new")
+    )
+
+
+# Shared CTE prefix for every sessionization oracle. Mirrors the Spark
+# plan exactly; epoch_us == unix_micros so µs precision matches.
+SESSION_CTE = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+), sessions AS (
+    SELECT user_id, session_id,
+           min(ts) AS s_start, max(ts) AS s_end,
+           count(*) AS n_events,
+           sum(value) AS sum_value,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+    FROM sess
+    GROUP BY user_id, session_id
+)
+"""
+
+
+def session_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session summary — the reference's "segment" output [REF?]."""
+    return sessionized_events(spark, sf_dir).groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias(
+            "event_types"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: sessionize → enrich with customer dim → per-segment stats.
+# This is entry() (SURVEY.md §7 Milestone 1).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_flagship_segments",
+    oracle=SESSION_CTE
+    + """
+SELECT c_mktsegment,
+       count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       round(avg((epoch_us(s_end) - epoch_us(s_start)) / 1000000.0), 2) AS avg_duration_sec,
+       round(avg(n_events), 2) AS avg_events,
+       round(sum(sum_value), 2) AS total_value,
+       round(avg(CASE WHEN n_purchases > 0 THEN 1.0 ELSE 0.0 END), 4) AS purchase_rate
+FROM sessions
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def a_flagship_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: gap-sessionization (8h) of `events`, broadcast-joined to
+    the `customer` dim, rolled up to per-market-segment session stats.
+    Exercises scan → window → agg → broadcast join → agg."""
+    sess = sessionized_events(spark, sf_dir)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        F.max("ts").alias("s_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        per_session.join(
+            F.broadcast(customer), per_session.user_id == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.avg(
+                    (F.unix_micros("s_end") - F.unix_micros("s_start")) / 1_000_000.0
+                ),
+                2,
+            ).alias("avg_duration_sec"),
+            F.round(F.avg("n_events"), 2).alias("avg_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.round(
+                F.avg(F.when(F.col("n_purchases") > 0, 1.0).otherwise(0.0)), 4
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The rest of the Kafka-Streams-shaped surface, one operator per query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_source_scan",
+    oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+""",
+)
+def a_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source ingest: consume the keyed, timestamped event log
+    (Kafka consumer equivalent [REF?]; here a parquet scan whose
+    streaming twin is a file-stream source)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@query(
+    "a_select_key",
+    oracle="""
+SELECT user_id % 10 AS shard_key,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def a_select_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """selectKey / re-key: derive a new grouping key then aggregate on
+    it — the shuffle is Spark's equivalent of a Kafka repartition
+    topic (PK: KStream.selectKey)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("shard_key", F.col("user_id") % 10)
+        .groupBy("shard_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "a_filter_events",
+    oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+WHERE event_type <> 'error' AND value > 10.0
+""",
+)
+def a_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream filter (PK: KStream.filter): drop error/low-value records.
+    Predicate reaches the parquet scan (PushedFilters)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") != "error") & (F.col("value") > 10.0))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+@query(
+    "a_map_enrich",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value,
+       round(value * 0.92, 2) AS value_eur,
+       upper(event_type) AS event_type_uc
+FROM events
+""",
+)
+def a_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record map (PK: KStream.mapValues): parse the JSON payload,
+    derive unit-converted and normalized fields. Uses real JSON parsing
+    (`from_json`) on the Spark side; the oracle mirrors it with a
+    regexp so the check does not depend on DuckDB's JSON extension."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_value"),
+        F.round(F.col("value") * 0.92, 2).alias("value_eur"),
+        F.upper("event_type").alias("event_type_uc"),
+    )
+
+
+@query(
+    "a_sessionize",
+    oracle=SESSION_CTE
+    + """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, session_id
+FROM sess
+""",
+)
+def a_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core operator: assign each event to a gap-based session
+    (SessionWindows.with(8h) equivalent [REF?]). Batch rewrite:
+    lag → gap flag → running sum, one shuffle on user_id."""
+    return sessionized_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "session_id"
+    )
+
+
+@query(
+    "a_session_agg",
+    oracle=SESSION_CTE
+    + """
+SELECT s.user_id, s.session_id,
+       epoch_us(s.s_start) AS session_start_us,
+       epoch_us(s.s_end) AS session_end_us,
+       s.n_events,
+       round(s.sum_value, 2) AS sum_value,
+       CAST(s.n_purchases AS BIGINT) AS n_purchases,
+       ev.event_types
+FROM sessions s
+JOIN (
+    SELECT user_id, session_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS event_types
+    FROM sess
+    GROUP BY user_id, session_id
+) ev USING (user_id, session_id)
+""",
+)
+def a_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregate — the reference's emitted "segment":
+    start/end/duration, counts, value sum, sorted event-type list
+    (sorted so the collect_list order is deterministic)."""
+    return session_aggregates(spark, sf_dir)
+
+
+@query(
+    "a_tumbling_window",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def a_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregate (PK: TimeWindows.of(1d)) via Spark's
+    native `window()`; epoch-aligned so it equals date_trunc('day')."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "a_sliding_window",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) - INTERVAL 1 DAY AS lo, max(ts) AS hi
+    FROM events
+), wins AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS w_start
+    FROM bounds
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM wins
+JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 24 HOUR
+GROUP BY w_start
+""",
+)
+def a_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping window (PK: TimeWindows.advanceBy): 24h windows
+    every 6h. Spark emits only non-empty windows; the oracle mirrors
+    that with a generate_series inner join."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "a_stream_table_join",
+    oracle="""
+SELECT event_id, user_id, event_type, c_name, c_mktsegment, c_acctbal
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+""",
+)
+def a_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–table enrichment (PK: KStream.join(KTable)): events
+    left-joined to the customer dim. Broadcast on the dim side — the
+    streaming twin is a stream-static join with the same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "a_stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+    SELECT event_id, user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def a_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream dedup (PK idiom; Spark streaming twin is
+    dropDuplicatesWithinWatermark): keep the earliest event per
+    (user_id, event_type), total-order tiebreak on event_id."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+@query(
+    "a_late_data",
+    oracle=f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE ts > (SELECT max(ts) - INTERVAL {LATE_HORIZON_DAYS} DAY FROM events)
+""",
+)
+def a_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data policy (PK: SessionWindows.grace): batch
+    twin of a {LATE_HORIZON_DAYS}-day watermark — keep only events newer
+    than max(ts) - horizon. The streaming twin uses withWatermark."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.select(
+        (F.max("ts") - F.expr(f"INTERVAL {LATE_HORIZON_DAYS} DAYS")).alias("h")
+    )
+    return (
+        ev.join(F.broadcast(horizon))
+        .filter(F.col("ts") > F.col("h"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    )

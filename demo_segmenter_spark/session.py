@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Used by tests and bench.py; the driver's verify passes its own session
+into `__spark_entry__.entry`, so nothing here assumes it owns the only
+session. Settings are chosen for local[N] testing but are the same ones
+we would ship on a 1000-executor cluster (AQE on, Arrow on, UTC):
+only `shuffle.partitions` is environment-sized — on a real cluster it
+would be ~2-3× total cores or left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "demo-segmenter-spark",
+    cpus: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "16g",
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(4, int(cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

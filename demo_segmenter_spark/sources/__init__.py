@@ -1,0 +1,1 @@
+from demo_segmenter_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401

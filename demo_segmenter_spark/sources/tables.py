@@ -1,0 +1,64 @@
+"""Parquet table loaders for the driver's sf_dir layout (TESTDATA.md).
+
+The reference ingests from Kafka topics (SURVEY.md §1.1 [REF?]); here
+the batch source of record is one parquet file per table under
+``{sf_dir}/{name}.parquet``. The streaming twin lives in
+``demo_segmenter_spark.streaming.sources``.
+
+Scale note (100 TB): a production deployment would point these loaders
+at a partitioned parquet/iceberg layout; `spark.read.parquet` already
+gives us predicate pushdown, column pruning and row-group skipping, and
+the per-table helpers below never force materialization, so plans stay
+lazily composable and Catalyst sees the whole tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
+    conf and truncate to a µs TimestampType — the same ns→µs truncation
+    DuckDB applies on read, so oracle comparisons agree (SURVEY.md §1.2).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    if dict(raw.dtypes).get("ts") == "timestamp":  # future-proof: already µs
+        return raw
+    cols = [
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")  # integer div: ns→µs
+        if c == "ts"
+        else F.col(c)
+        for c in raw.columns
+    ]
+    return raw.select(*cols)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
