@@ -28,6 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from demo_segmenter_spark.functions.compat import (
+    cents,
+    money_sum,
+    rnd,
+    sql_cents,
+    sql_money_sum,
+    sql_rnd,
+)
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table
 
@@ -74,7 +82,7 @@ WITH flagged AS (
     SELECT user_id, session_id,
            min(ts) AS s_start, max(ts) AS s_end,
            count(*) AS n_events,
-           sum(value) AS sum_value,
+           sum({sql_cents("value")}) AS sum_cents,
            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
     FROM sess
     GROUP BY user_id, session_id
@@ -88,7 +96,7 @@ def session_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.unix_micros(F.max("ts")).alias("session_end_us"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "n_purchases"
         ),
@@ -111,14 +119,23 @@ def session_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment,
        count(*) AS n_sessions,
        count(DISTINCT user_id) AS n_users,
-       round(avg((epoch_us(s_end) - epoch_us(s_start)) / 1000000.0), 2) AS avg_duration_sec,
-       round(avg(n_events), 2) AS avg_events,
-       round(sum(sum_value), 2) AS total_value,
-       round(avg(CASE WHEN n_purchases > 0 THEN 1.0 ELSE 0.0 END), 4) AS purchase_rate
+       {dur} AS avg_duration_sec,
+       {events} AS avg_events,
+       {total} AS total_value,
+       {rate} AS purchase_rate
 FROM sessions
 JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
-""",
+""".format(
+        dur=sql_rnd(
+            "sum(epoch_us(s_end) - epoch_us(s_start)) / 1000000.0 / count(*)", 2
+        ),
+        events=sql_rnd("sum(n_events) / count(*)", 2),
+        total=sql_rnd("sum(sum_cents) / 100.0", 2),
+        rate=sql_rnd(
+            "sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) / count(*)", 4
+        ),
+    ),
 )
 def a_flagship_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: gap-sessionization (8h) of `events`, broadcast-joined to
@@ -126,15 +143,15 @@ def a_flagship_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises scan → window → agg → broadcast join → agg."""
     sess = sessionized_events(spark, sf_dir)
     per_session = sess.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("s_start"),
-        F.max("ts").alias("s_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
         F.count("*").alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "n_purchases"
         ),
     )
     customer = load_table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
     return (
         per_session.join(
             F.broadcast(customer), per_session.user_id == customer.c_custkey
@@ -143,16 +160,13 @@ def a_flagship_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sessions"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(
-                F.avg(
-                    (F.unix_micros("s_end") - F.unix_micros("s_start")) / 1_000_000.0
-                ),
-                2,
-            ).alias("avg_duration_sec"),
-            F.round(F.avg("n_events"), 2).alias("avg_events"),
-            F.round(F.sum("sum_value"), 2).alias("total_value"),
-            F.round(
-                F.avg(F.when(F.col("n_purchases") > 0, 1.0).otherwise(0.0)), 4
+            # integer sums first, one double division at the end: the
+            # same IEEE op sequence as the oracle → bit-stable.
+            rnd(F.sum("dur_us") / 1_000_000.0 / n, 2).alias("avg_duration_sec"),
+            rnd(F.sum("n_events") / n, 2).alias("avg_events"),
+            rnd(F.sum("sum_cents") / 100.0, 2).alias("total_value"),
+            rnd(
+                F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0)) / n, 4
             ).alias("purchase_rate"),
         )
     )
@@ -238,7 +252,7 @@ def a_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value,
-       round(value * 0.92, 2) AS value_eur,
+       round(value * 0.92 + 1e-06, 2) AS value_eur,
        upper(event_type) AS event_type_uc
 FROM events
 """,
@@ -253,7 +267,7 @@ def a_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k_value"),
-        F.round(F.col("value") * 0.92, 2).alias("value_eur"),
+        rnd(F.col("value") * 0.92, 2).alias("value_eur"),
         F.upper("event_type").alias("event_type_uc"),
     )
 
@@ -283,7 +297,7 @@ SELECT s.user_id, s.session_id,
        epoch_us(s.s_start) AS session_start_us,
        epoch_us(s.s_end) AS session_end_us,
        s.n_events,
-       round(s.sum_value, 2) AS sum_value,
+       round(s.sum_cents / 100.0 + 1e-06, 2) AS sum_value,
        CAST(s.n_purchases AS BIGINT) AS n_purchases,
        ev.event_types
 FROM sessions s
@@ -304,12 +318,12 @@ def a_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_tumbling_window",
-    oracle="""
+    oracle=f"""
 SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
        event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS sum_value
+       {sql_money_sum("value")} AS sum_value
 FROM events
 GROUP BY date_trunc('day', ts), event_type
 """,
@@ -323,7 +337,7 @@ def a_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
@@ -337,7 +351,7 @@ def a_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_sliding_window",
-    oracle="""
+    oracle=f"""
 WITH bounds AS (
     SELECT date_trunc('day', min(ts)) - INTERVAL 1 DAY AS lo, max(ts) AS hi
     FROM events
@@ -347,7 +361,7 @@ WITH bounds AS (
 )
 SELECT epoch_us(w_start) AS window_start_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       {sql_money_sum("value")} AS sum_value
 FROM wins
 JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 24 HOUR
 GROUP BY w_start
@@ -362,7 +376,7 @@ def a_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_start_us"),

@@ -3,6 +3,762 @@ metric (SURVEY.md §2 Layer B). Provenance: driver contract
 (BASELINE.json:2), not the reference (a Kafka Streams demo has no
 optimizer-visible relational surface — SURVEY.md §2 exhaustiveness
 note).
+
+Cross-engine typing discipline (see registry docstring):
+- integer-valued computed columns are BIGINT on both sides (Spark
+  ``.cast("long")`` where a builtin returns int32; DuckDB
+  ``CAST(... AS BIGINT)`` where a builtin returns HUGEINT/INTEGER);
+- double aggregates rounded to 2dp (4dp for rates/ratios) on both;
+- every ranking/limit has a unique-key total order.
+
+Scale notes (100 TB) are given per operator; the common themes:
+dimension joins broadcast; fact-fact joins shuffle on the join key and
+rely on AQE for skew; aggregations are partial+final (map-side combine)
+automatically via HashAggregateExec; filters/projections are pushed to
+the parquet scan (asserted in tests/test_plans.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.functions.compat import (
+    cents,
+    money_avg,
+    money_sum,
+    rnd,
+    sql_cents,
+    sql_money_avg,
+    sql_money_sum,
+    sql_rnd,
+)
+from demo_segmenter_spark.registry import query
+from demo_segmenter_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+""",
+)
+def b_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + projection. Column pruning: the scan's ReadSchema
+    must contain only these 4 of 11 columns (asserted in test_plans)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "b_filter_pred",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 30
+  AND l_returnflag IN ('A', 'R')
+  AND (l_discount >= 0.05 OR l_tax < 0.02)
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+""",
+)
+def b_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates with BETWEEN, IN, comparison —
+    all pushable to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") >= 0.05) | (F.col("l_tax") < 0.02))
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_join_inner",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice")} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (orders ⋈ lineitem on orderkey). At scale both
+    sides shuffle on the key (SMJ/shuffled-hash chosen by Catalyst+AQE);
+    co-locating via bucketing on orderkey would remove the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "b_join_broadcast",
+    oracle=f"""
+SELECT p_brand,
+       count(*) AS n_items,
+       {sql_money_sum("l_quantity")} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def b_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join with an explicit broadcast hint: `part` is the
+    small side, so the 100 TB fact table never shuffles — the plan must
+    show BroadcastHashJoin (asserted in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "b_join_outer",
+    oracle=f"""
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_big_orders,
+       {sql_rnd(f'coalesce(sum({sql_cents("o_totalprice")}) / 100.0, 0.0)', 2)} AS big_order_value
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def b_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with genuinely unmatched rows (orders filtered to
+    >400k), then count(col) semantics over the null-extended side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            rnd(
+                F.coalesce(F.sum(cents(F.col("o_totalprice"))) / 100.0, F.lit(0.0)), 2
+            ).alias("big_order_value"),
+        )
+    )
+
+
+@query(
+    "b_join_semi",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+""",
+)
+def b_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one 300k+ order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "b_join_anti",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+""",
+)
+def b_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 300k+ order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "b_join_theta",
+    oracle="""
+SELECT c_custkey, s_suppkey,
+       round(c_acctbal - s_acctbal + 1e-06, 2) AS bal_gap
+FROM customer JOIN supplier
+  ON abs(c_acctbal - s_acctbal) < 25 AND c_nationkey <> s_nationkey
+""",
+)
+def b_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi band) join: customer×supplier with |Δacctbal|<25
+    in different nations. Plans to BroadcastNestedLoopJoin with the tiny
+    side broadcast — the only viable strategy for pure inequality
+    conditions; at scale you'd band-bucket acctbal to make it equi."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cond = (F.abs(c.c_acctbal - s.s_acctbal) < 25) & (c.c_nationkey != s.s_nationkey)
+    return c.join(F.broadcast(s), cond).select(
+        "c_custkey",
+        "s_suppkey",
+        rnd(c.c_acctbal - s.s_acctbal, 2).alias("bal_gap"),
+    )
+
+
+@query(
+    "b_join_asof",
+    oracle="""
+SELECT event_id, user_id, asof_orderkey, asof_totalprice
+FROM (
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_totalprice,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""",
+)
+def b_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order of the same user with
+    o_orderdate <= ts (ties broken by o_orderkey desc).
+
+    Spark has no native as-of exec; implemented with the scalable
+    union-tag + running last_value rewrite (SURVEY.md §4c): tag orders
+    kind=0 and events kind=1, union, sort within user by (ts, kind,
+    o_orderkey) and carry the last non-null order forward. One shuffle
+    on user_id + one sort — no O(events × orders) pairwise join, which
+    is the difference between this and the naive rewrite at 100 TB.
+    The oracle is the naive-but-obviously-correct window formulation.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    u = o.unionByName(e.withColumns({"o_orderkey": F.lit(None).cast("long"),
+                                     "o_totalprice": F.lit(None).cast("double")}),
+                      allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .filter((F.col("kind") == 1) & F.col("asof_orderkey").isNotNull())
+        .select("event_id", "user_id", "asof_orderkey", "asof_totalprice")
+    )
+
+
+@query(
+    "b_join_interval",
+    oracle="""
+SELECT a.o_custkey AS c_key, count(*) AS n_close_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+GROUP BY a.o_custkey
+""",
+)
+def b_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range self-join: pairs of orders by the same customer
+    within 7 days of each other. Equi on custkey carries the shuffle;
+    the range predicate is applied as a post-join filter, so the plan
+    stays a hash/merge join rather than a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey").alias("c_key"),
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+    )
+    return (
+        a.join(
+            b,
+            (a.c_key == b.b_cust)
+            & (a.a_key < b.b_key)
+            & (
+                F.abs(F.datediff(b.b_date, a.a_date)) <= 7
+            ),
+        )
+        .groupBy("c_key")
+        .agg(F.count("*").alias("n_close_pairs"))
+    )
+
+
+@query(
+    "b_multiway_star",
+    oracle=f"""
+SELECT n_name,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def b_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (TPC-H Q5 shape): region→nation→customer→orders→
+    lineitem, revenue per nation for ASIA 1996-97. Dims broadcast; the
+    two fact tables shuffle on orderkey; the region filter prunes the
+    nation/customer side before it ever touches the facts."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_agg_basic",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_money_sum("l_quantity")} AS sum_qty,
+       {sql_money_sum("l_extendedprice")} AS sum_base_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {sql_money_avg("l_quantity")} AS avg_qty,
+       {sql_money_avg("l_extendedprice")} AS avg_price,
+       {sql_money_avg("l_discount", 4)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def b_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: hash aggregate with partial+final
+    phases (map-side combine) — the canonical scale-out aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        money_avg(F.col("l_quantity")).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+        money_avg(F.col("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "b_agg_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def b_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT): Catalyst plans multi-distinct via expand +
+    two-phase aggregate. (Approx HLL++ twin: b_agg_approx, rows-only.)"""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@query("b_agg_approx")
+def b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (rows-only oracle: sketch results are
+    engine-specific): HLL++ distinct count + approximate percentiles.
+    At 100 TB these replace exact distinct/percentile entirely —
+    constant memory per group vs a shuffle of all distinct values.
+    Sanity bounds are asserted in-query via an inner join to the exact
+    counts (rel_err column must stay small)."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        approx.join(exact, "o_orderpriority")
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers"),
+                4,
+            ),
+        )
+    )
+
+
+@query(
+    "b_agg_cube_rollup",
+    oracle=f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def b_agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (status → priority → grand total); null group
+    markers coalesced to 'ALL' on both sides so the hash can't diverge
+    on null rendering."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "b_agg_stats",
+    oracle=f"""
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum({sql_cents("l_quantity")}) AS s1,
+           sum({sql_cents("l_quantity")} * {sql_cents("l_quantity")}) AS s2,
+           min(l_extendedprice) AS min_p,
+           max(l_extendedprice) AS max_p,
+           median(l_extendedprice) AS med_p,
+           quantile_cont(l_extendedprice, 0.9) AS p90_p
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {sql_rnd("sqrt((s2 * 1.0 - (s1 * 1.0) * s1 / n) / (n - 1)) / 100.0", 4)} AS sd_qty,
+       {sql_rnd("(s2 * 1.0 - (s1 * 1.0) * s1 / n) / (n - 1) / 10000.0", 4)} AS var_qty,
+       {sql_rnd("min_p", 2)} AS min_price,
+       {sql_rnd("max_p", 2)} AS max_price,
+       {sql_rnd("med_p", 2)} AS median_price,
+       {sql_rnd("p90_p", 2)} AS p90_price
+FROM s
+""",
+)
+def b_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance computed from
+    exact integer-cents moment sums (Σc, Σc² as BIGINT) so the result
+    double is bit-identical to the oracle's — built-in stddev_samp uses
+    an engine-specific summation order that cannot hash-match. Median /
+    p90 interpolate the same two order statistics on both engines
+    (Spark `percentile` == DuckDB `quantile_cont`)."""
+    c = cents(F.col("l_quantity"))
+    n = F.count(F.lit(1))
+    s1 = F.sum(c)
+    s2 = F.sum(c * c)
+    var_cents = (s2 * 1.0 - (s1 * 1.0) * s1 / n) / (n - 1)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(F.sqrt(var_cents) / 100.0, 4).alias("sd_qty"),
+            rnd(var_cents / 10000.0, 4).alias("var_qty"),
+            rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+            rnd(F.max("l_extendedprice"), 2).alias("max_price"),
+            rnd(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+            rnd(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "b_grouped_filter",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment, count(*) AS n_customers,
+       {sql_money_avg("c_acctbal")} AS avg_bal
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) >= 2 AND sum({sql_cents("c_acctbal")}) > 0
+""",
+)
+def b_grouped_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation filter on both count and avg."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_avg(F.col("c_acctbal")).alias("avg_bal"),
+            F.sum(cents(F.col("c_acctbal"))).alias("_sum_cents"),
+        )
+        .filter((F.col("n_customers") >= 2) & (F.col("_sum_cents") > 0))
+        .drop("_sum_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_window_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(row_number() OVER w2 AS BIGINT) AS rn,
+       CAST(rank() OVER w1 AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+FROM customer
+WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+       w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def b_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family. row_number/ntile use the total order (custkey
+    tiebreak); rank/dense_rank use the value order so ties share ranks."""
+    w1 = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w2).cast("long").alias("rn"),
+        F.rank().over(w1).cast("long").alias("rnk"),
+        F.dense_rank().over(w1).cast("long").alias("drnk"),
+        F.ntile(4).over(w2).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "b_window_analytic",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER (w ROWS UNBOUNDED PRECEDING) AS first_value_seen,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       round(cume_dist() OVER (PARTITION BY user_id ORDER BY value), 6) AS value_cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def b_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family: lag/lead/first_value/cume_dist over the per-user
+    event timeline (the raw material of sessionization)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wval = Window.partitionBy("user_id").orderBy("value")
+    us = F.unix_micros("ts")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wrun).alias("first_value_seen"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.round(F.cume_dist().over(wval), 6).alias("value_cume"),
+    )
+
+
+@query(
+    "b_window_frame",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       {sql_rnd(f'sum({sql_cents("o_totalprice")}) OVER w_run / 100.0', 2)} AS running_spend,
+       {sql_rnd(f'sum({sql_cents("o_totalprice")}) OVER w_roll / 100.0 / count(*) OVER w_roll', 2)} AS rolling3_avg
+FROM orders
+WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING),
+       w_roll AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def b_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frames: running cumulative sum + 3-row rolling average
+    per customer order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_roll = w.rowsBetween(-2, Window.currentRow)
+    c = cents(F.col("o_totalprice"))
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(F.sum(c).over(w_run) / 100.0, 2).alias("running_spend"),
+        rnd(
+            F.sum(c).over(w_roll) / 100.0 / F.count(F.lit(1)).over(w_roll), 2
+        ).alias("rolling3_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_sort_limit",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 25
+""",
+)
+def b_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit → TakeOrderedAndProject (per-partition top-25
+    then merge on the driver: no full global sort materialized, which is
+    what makes top-k viable on 100 TB). Total order via key tiebreaks."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "b_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM customer JOIN orders ON c_custkey = o_custkey
+)
+WHERE rn <= 3
+""",
+)
+def b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number ≤ k. Spark 3.5+ pushes the
+    rank filter into the window exec (WindowGroupLimit) so each group
+    keeps only k rows through the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "b_set_ops",
+    oracle="""
+(SELECT o_custkey AS custkey FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+ INTERSECT
+ SELECT o_custkey FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+""",
+)
+def b_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra: (1996 buyers ∩ 1997 buyers) − 450k+ spenders.
+    INTERSECT/EXCEPT plan to left-semi/left-anti joins over distinct."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(y0: str, y1: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    big = o.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        buyers("1996-01-01", "1997-01-01")
+        .intersect(buyers("1997-01-01", "1998-01-01"))
+        .exceptAll(big.distinct())
+    )
