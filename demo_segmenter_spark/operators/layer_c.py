@@ -1,6 +1,802 @@
 """Layer C — LLM-data-pipeline operators (SURVEY.md §2 Layer C).
 Provenance: driver north star (BASELINE.json:6): dedup, similarity
 search, multimodal columns, text analysis — designed for 100 TB scale.
+
+Scale design notes, per family:
+- **Dedup**: exact dedup is a hash-groupBy (one shuffle on the content
+  hash). Near-dup never compares all pairs — candidates are generated
+  by blocking (shingle buckets / MinHash bands / same-label) so the
+  join key carries the shuffle and AQE handles skewed buckets.
+- **Similarity**: exact kNN broadcasts the (small) query set over the
+  candidate scan — no shuffle at all; the IVF variant shows the real
+  100 TB path (cluster-assign once, search within cluster).
+- **Text analysis**: pure built-in expressions (split/explode/ln)
+  inside whole-stage codegen; nothing crosses into Python.
+- **Multimodal**: bytes stay in Arrow batches end-to-end
+  (mapInPandas); see functions/multimodal.py.
 """
 
 from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.functions.compat import EPS, rnd, sql_rnd
+from demo_segmenter_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features_batches,
+)
+from demo_segmenter_spark.functions.vectors import as_double, dot
+from demo_segmenter_spark.registry import query
+from demo_segmenter_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_dedup_exact",
+    oracle="""
+SELECT doc_id, content_md5, lang, n_chars
+FROM (
+    SELECT doc_id, md5(text) AS content_md5, lang, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+""",
+)
+def c_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup, deterministic keep-first (lowest
+    doc_id) per md5(text). One shuffle on the hash; at 100 TB the hash
+    groupBy is the canonical first dedup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        docs.withColumn("content_md5", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_md5", "lang", "n_chars")
+    )
+
+
+def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles as an array column (pure codegen)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array_distinct(F.array(F.col(text_col))))
+
+
+# Shared DuckDB CTE: distinct 3-token shingles per doc within blocks.
+_SHINGLE_CTE = """
+WITH toks AS (
+    SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, lang, source, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, lang, source,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "c_dedup_ngram",
+    oracle=_SHINGLE_CTE
+    + f"""
+, pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""",
+)
+def c_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via exact 3-token-shingle Jaccard >= 0.5,
+    blocked by (lang, source). The blocked shingle join IS the scale
+    strategy: candidates come from shared shingles within a block, so
+    the shuffle key is (shingle, lang, source) and no all-pairs
+    comparison ever happens. (Fixture has a planted pair at j≈0.97;
+    background soup pairs sit below 0.03 — measured this session.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", "source", F.explode(_shingles()).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+@query("c_dedup_minhash")
+def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (pyspark.ml, fixed seed): shingles →
+    HashingTF binary vectors → MinHashLSH approxSimilarityJoin at
+    Jaccard distance <= 0.6. Rows-only oracle (LSH is model-based);
+    the exact-Jaccard twin c_dedup_ngram is the hash-checked one.
+    100 TB path: banding turns dedup into an equi-join on band hashes;
+    numHashTables trades recall for join fan-out."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            rnd(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("c_dedup_simhash")
+def c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
+    votes (pure codegen — 64 conditional sums), then hamming-distance
+    <= 8 pairs within (lang, source) blocks via bit_count(xor).
+    Rows-only oracle (xxhash64 is Spark-specific). 100 TB path: group
+    on a fingerprint prefix to block, compare within buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id", "lang", "source").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        "lang",
+        "source",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(63)  # bit 63 omitted: keeps fp positive
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: embeddings flattened to (vec_id, i, x) + L2 norms.
+_EMB_CTE = """
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+)
+"""
+
+KNN_QUERIES = 50  # vec_id < 50 are the query set
+KNN_K = 5
+
+
+@query(
+    "c_sim_knn",
+    oracle=_EMB_CTE
+    + f"""
+, dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           {sql_rnd("dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM dots
+    JOIN norms na ON query_id = na.vec_id
+    JOIN norms nb ON neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def c_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: the 50 query vectors broadcast
+    over the candidate scan (no shuffle of the big side — at 100 TB the
+    candidates stream through executors once), dot product as a
+    codegen'd fold, per-query top-k via rank-limited window. Ranking
+    uses the ROUNDED similarity + neighbor_id so order is total and
+    engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        vec.alias("v"),
+        F.sqrt(dot(vec, vec)).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = rnd(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
+@query("c_sim_ivf")
+def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN — the 100 TB scale path: assign every
+    vector to its nearest of 16 fixed centroids (here: vec_id < 16,
+    deterministic), then search only within the query's cluster.
+    Turns O(N·Q) into O(N + Q·N/16): the cluster id is a shuffle key,
+    not a comparison loop. Rows-only oracle (approximate by design);
+    recall vs c_sim_knn is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    )
+    cents = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_to_cent = rnd(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cent_id", sim_to_cent.alias("cent_sim"))
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cluster_id"))
+    )
+    q = assigned.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cluster_id").alias("q_cluster"),
+    )
+    cos = rnd(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cluster_id") == F.col("q_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query("c_sim_dedup_semantic")
+def c_sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) dedup: flag vectors whose cosine to
+    an EARLIER vector of the same label exceeds 0.35 (fixture cosine
+    max ≈ 0.48, p99 ≈ 0.29 — measured). Blocking on label keeps the
+    pair space linear-ish; at 100 TB the block key would be an LSH/IVF
+    bucket instead. Emits (dropped vec, kept duplicate-of, cos)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", "label", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = rnd(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "dup_of")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("dup_of"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "label", "dup_of", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_text_tokenize",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def c_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode: the multiset of (doc_id, token) rows."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@query(
+    "c_text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS BIGINT) AS chars_match
+FROM documents
+""",
+)
+def c_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics, cross-checked against the
+    stored n_chars column."""
+    toks = F.split("text", " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.when(F.length("text") == F.col("n_chars"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("chars_match"),
+    )
+
+
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+@query(
+    "c_text_quality",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN {_STOPWORDS_SQL})) AS BIGINT) AS n_stop,
+           length(text) AS n_ch
+    FROM documents
+)
+SELECT doc_id, lang,
+       {sql_rnd("n_stop * 1.0 / n_tokens", 4)} AS stopword_ratio,
+       {sql_rnd("(n_ch - n_tokens + 1) * 1.0 / n_tokens", 2)} AS avg_token_len,
+       {sql_rnd(
+           "0.3 * least(n_ch / 500.0, 1.0)"
+           " + 0.4 * (1.0 - n_stop * 1.0 / n_tokens)"
+           " + 0.3 * least(((n_ch - n_tokens + 1) * 1.0 / n_tokens) / 8.0, 1.0)",
+           4,
+       )} AS quality_score
+FROM t
+""",
+)
+def c_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / stopword-ratio / token-length
+    blend in [0,1] — the standard cheap pre-filter before expensive
+    model-based scoring in a training-data pipeline."""
+    toks = F.split("text", " ")
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.length("text").alias("n_ch"),
+    )
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    avg_len = (F.col("n_ch") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens")
+    score = (
+        0.3 * F.least(F.col("n_ch") / 500.0, F.lit(1.0))
+        + 0.4 * (1.0 - stop_ratio)
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        rnd(stop_ratio, 4).alias("stopword_ratio"),
+        rnd(avg_len, 2).alias("avg_token_len"),
+        rnd(score, 4).alias("quality_score"),
+    )
+
+
+@query(
+    "c_text_tfidf",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+), df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT lang, tf.token AS token,
+           {sql_rnd("sum(tf * ln(n_docs * 1.0 / df))", 4)} AS tfidf
+    FROM tf
+    CROSS JOIN n
+    JOIN df ON tf.token = df.token
+    GROUP BY lang, tf.token, n_docs, df
+)
+SELECT lang, token, tfidf, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY tfidf DESC, token) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def c_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual TF-IDF (tf · ln(N/df)) summed per (lang, token); top-5
+    terms per lang. Ranking is on the ROUNDED score + token tiebreak so
+    it is a cross-engine total order. Explode + two hash aggregates +
+    a broadcast of the tiny df table — no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the oracle inlines it the same way
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .groupBy("lang", "token")
+        .agg(
+            rnd(
+                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) * 1.0 / F.col("df"))),
+                4,
+            ).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "tfidf", "rank")
+    )
+
+
+@query(
+    "c_text_lang_route",
+    oracle="""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+""",
+)
+def c_text_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language routing: filter one language and summarize per source —
+    the shape of a partitioned-by-lang pipeline write."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "c_text_langid",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), profile AS (
+    SELECT lang AS plang, token
+    FROM (
+        SELECT lang, token, count(DISTINCT doc_id) AS docfreq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(DISTINCT doc_id) DESC, token) AS rn
+        FROM tok GROUP BY lang, token
+    )
+    WHERE rn <= 20
+), overlap AS (
+    SELECT t.doc_id, t.lang, p.plang, count(*) AS n_common
+    FROM tok t JOIN profile p ON t.token = p.token
+    GROUP BY t.doc_id, t.lang, p.plang
+), pred AS (
+    SELECT doc_id, lang, plang AS pred_lang
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_common DESC, plang) AS rn
+        FROM overlap
+    )
+    WHERE rn = 1
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+""",
+)
+def c_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-profile language ID: build a top-20-token profile per
+    language (by document frequency), predict each doc's language as
+    the profile with the largest distinct-token overlap, emit the
+    confusion matrix. Fully declarative n-gram-style heuristic — on
+    this fixture all languages share one vocabulary (measured), so the
+    matrix mostly shows ties resolved alphabetically; on real data the
+    same plan separates languages."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    byfreq = tok.groupBy("lang", "token").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("docfreq").desc(), "token")
+    profile = (
+        byfreq.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("plang"), "token")
+    )
+    overlap = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("n_common"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.col("n_common").desc(), "plang")
+    pred = (
+        overlap.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("plang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "c_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+           AS n_lex_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+)
+def c_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish lexer regex
+    (words|numbers|symbols), and the chars/4 BPE estimate used for
+    quick budget math in training pipelines."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+        )
+        .cast("long")
+        .alias("n_lex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "c_doc_fingerprint",
+    oracle="""
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+    FROM documents
+)
+GROUP BY doc_id
+""",
+)
+def c_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min md5 over all
+    8-char shingles (md5 is the cross-engine-stable hash). One codegen
+    expression per row — sequence → transform → array_min — no explode,
+    no shuffle."""
+    from demo_segmenter_spark.functions.text import char_shingle_min_md5
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", char_shingle_min_md5(F.col("text"), 8).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_multimodal_ingest",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       hex(substr(text, 1, 4)) AS header_hex
+FROM documents
+""",
+)
+def c_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column ingest: materialize an opaque binary column
+    (here utf-8 bytes of text — no binary fixture exists) plus typed
+    metadata: byte length, content hash, magic-bytes hex header. The
+    schema/plumbing is exactly what `spark.read.format(\"binaryFile\")`
+    produces for real images."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_bin", F.encode("text", "utf-8")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("content_bin").cast("long").alias("n_bytes"),
+        F.md5("content_bin").alias("content_md5"),
+        F.hex(F.substring("text", 1, 4)).alias("header_hex"),
+    )
+
+
+@query("c_multimodal_features")
+def c_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction via mapInPandas: binary column in,
+    typed feature rows out, Arrow-batched (no per-row Python). The
+    decode step is a deterministic stub (codecs absent here — see
+    functions/multimodal.py); the Spark plumbing is real. Rows-only
+    oracle."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("content_bin", F.encode("text", "utf-8"))
+        .select("doc_id", "content_bin")
+    )
+    return docs.mapInPandas(extract_features_batches, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "c_udf_surface",
+    oracle=_EMB_CTE
+    + f"""
+, per AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm,
+           sum(CASE WHEN i = 1 THEN x END) AS x0
+    FROM ex GROUP BY vec_id
+)
+SELECT label,
+       count(*) AS n,
+       {sql_rnd("avg(nrm)", 4)} AS avg_norm,
+       {sql_rnd("avg(x0)", 4)} AS avg_x0
+FROM per JOIN embeddings USING (vec_id)
+GROUP BY label
+""",
+)
+def c_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDF surface done right: applyInPandas (grouped-map,
+    Arrow-batched) computing per-label embedding stats with numpy —
+    and hash-checked against a pure-SQL oracle, proving the Pandas
+    path is numerically faithful. This is the pattern for anything
+    Spark built-ins can't express at 100 TB: group → Arrow batch →
+    vectorized numpy → typed rows back."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        nrm = np.sqrt((m * m).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "avg_norm": [round(float(nrm.mean()) + EPS[4], 4)],
+                "avg_x0": [round(float(m[:, 0].mean()) + EPS[4], 4)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        stats, schema="label int, n bigint, avg_norm double, avg_x0 double"
+    )
