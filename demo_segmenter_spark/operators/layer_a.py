@@ -452,3 +452,69 @@ def a_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("h"))
         .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
     )
+
+
+@query(
+    "a_sessionize_stream",
+    oracle=SESSION_CTE
+    + """
+SELECT user_id,
+       epoch_us(s_start) AS session_start_us,
+       epoch_us(s_end) AS session_last_us,
+       n_events,
+       round(sum_cents / 100.0 + 1e-06, 2) AS sum_value
+FROM sessions
+""",
+)
+def a_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_sessionize/a_session_agg: Spark's native
+    `session_window` + watermark over a file stream, run to completion
+    (Trigger.AvailableNow, complete mode, memory sink) — and checked
+    against the SAME DuckDB oracle as the batch rewrite. This is the
+    reference's actual topology (Kafka Streams SessionWindows [REF?])
+    expressed in Structured Streaming; twin equivalence is also
+    asserted in tests (SURVEY.md §5.4)."""
+    from demo_segmenter_spark.streaming.sessionize import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
+@query(
+    "a_stream_dedup_stream",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+""",
+)
+def a_stream_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup twin: dropDuplicatesWithinWatermark on the
+    event_id key over the event stream. event_id is unique in the
+    fixture, so the deduped stream equals the input — which is exactly
+    what makes the oracle deterministic (streaming dedup keeps an
+    arrival-order-dependent row for true duplicates). State is evicted
+    past the watermark — the 100 TB knob that bounds dedup state."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

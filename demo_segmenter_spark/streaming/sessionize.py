@@ -1,0 +1,70 @@
+"""Streaming sessionization — the reference's core semantics
+(Kafka Streams SessionWindows [REF?, SURVEY.md §2 Layer A]) on Spark's
+native `session_window` + watermark, run to completion over the fixture
+via Trigger.AvailableNow into a memory sink.
+
+Twin-equivalence contract (SURVEY.md §5.4): with the whole fixture in
+one micro-batch and a zero watermark delay, update-mode output equals
+the batch lag/cumsum rewrite in operators/layer_a.py exactly —
+asserted both in tests and by the driver's DuckDB oracle (the streaming
+query registers with the SAME oracle CTE as the batch one).
+
+Semantics note: Spark emits session_window.end = last_event + gap
+(half-open window), so the last-event time is end - gap; Kafka Streams'
+session end is the last-event timestamp itself. We emit last-event time
+to match the reference's notion. Divergence would need two events at
+exactly gap distance (µs precision — not present in data).
+
+Scale notes (100 TB streaming): state lives in the state store keyed by
+(user, session); watermark bounds state size by evicting closed
+sessions; `spark.sql.streaming.statefulOperator.stateRebalancing` and
+RocksDB provider are the production knobs. The plan below is exactly
+what a Kafka-sourced deployment would run.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.functions.compat import cents, rnd
+from demo_segmenter_spark.operators.layer_a import GAP_HOURS, GAP_US
+from demo_segmenter_spark.streaming.sources import stream_events
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_hours: int = GAP_HOURS,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Run the session_window aggregation over the events stream to
+    completion (AvailableNow) and return the final session table."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    agg = ev.groupBy(
+        F.session_window("ts", f"{gap_hours} hours").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        (F.unix_micros("w.end") - gap_hours * 3600 * 1_000_000).alias(
+            "session_last_us"
+        ),
+        "n_events",
+        rnd(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,61 @@
+"""Streaming sources: the parquet fixtures replayed as micro-batch
+streams (the Kafka-topic twin of sources/tables.py — SURVEY.md §1.1).
+
+At 100 TB / production this is `spark.readStream.format("kafka")` (or a
+file stream over an arriving-partitions directory); the query topology
+downstream is identical — that is the point of Structured Streaming's
+unified batch/stream model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """Spark's file-stream source requires a *directory*; the fixture is
+    one file per table. Build a /tmp symlink dir per (sf_dir, table) —
+    read-only on the fixture, idempotent, race-safe."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/dss_stream/{tag}/{name}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{name}.parquet"
+    if not os.path.lexists(link):
+        try:
+            os.symlink(f"{sf_dir}/{name}.parquet", link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream; same ns→µs normalization as the
+    batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        _stream_dir(sf_dir, "events")
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
