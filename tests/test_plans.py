@@ -1,0 +1,71 @@
+"""Scale-contract assertions on physical plans (SURVEY.md §4): these
+fail when a change would regress the 100 TB story even though results
+stay correct at test scale."""
+
+from __future__ import annotations
+
+from demo_segmenter_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_scan_project_prunes_columns(spark):
+    schemas = read_schemas(q("b_scan_project", spark))
+    assert schemas, "no ReadSchema found"
+    # 4 of 11 lineitem columns, nothing else
+    assert schemas[0].count(":") == 4, schemas[0]
+    assert "l_comment" not in schemas[0] and "l_shipdate" not in schemas[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    pushed = pushed_filters(q("b_filter_pred", spark))
+    joined = " ".join(pushed)
+    assert "l_quantity" in joined and "l_returnflag" in joined, pushed
+
+
+def test_dimension_join_broadcasts(spark):
+    assert has_broadcast_hash_join(q("b_join_broadcast", spark))
+    assert has_broadcast_hash_join(q("a_stream_table_join", spark))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = explain_str(q("b_multiway_star", spark))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark):
+    assert has_take_ordered(q("b_sort_limit", spark))
+
+
+def test_sessionize_single_user_shuffle(spark):
+    # lag + running-sum + per-session agg must reuse ONE hash exchange
+    # on user_id (plus the final small segment agg) — if this grows,
+    # the sessionization pipeline re-shuffles at 100 TB.
+    df = q("a_sessionize", spark)
+    assert count_exchanges(df) <= 1, explain_str(df)[:3000]
+
+
+def test_flagship_shuffle_budget(spark):
+    df = q("a_flagship_segments", spark)
+    # user_id exchange + final mktsegment agg exchange; customer must
+    # arrive via BroadcastExchange, not a shuffle.
+    assert count_exchanges(df) <= 3, explain_str(df)[:3000]
+    assert has_broadcast_hash_join(df)
+
+
+def test_knn_broadcasts_queries_not_candidates(spark):
+    plan = explain_str(q("c_sim_knn", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
