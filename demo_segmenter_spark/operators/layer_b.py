@@ -762,3 +762,272 @@ def b_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(buyers("1997-01-01", "1998-01-01"))
         .exceptAll(big.distinct())
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface + subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_scalar_string",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lc,
+       upper(p_brand) AS brand_uc,
+       trim(substr(p_name, 1, 12)) AS name_prefix,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       string_split(p_name, ' ')[1] AS first_word,
+       p_brand || '/' || p_type AS brand_type,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS lev_to_b13
+FROM part
+""",
+)
+def b_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, substring/trim, split + element
+    access, concat, regexp_extract, length, levenshtein — all
+    codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.trim(F.substring("p_name", 1, 12)).alias("name_prefix"),
+        F.size(words).cast("long").alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("lev_to_b13"),
+    )
+
+
+@query(
+    "b_scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(dayofmonth(o_orderdate) AS BIGINT) AS o_day,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+           AS days_since_95,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec,
+       epoch_us(o_orderdate + INTERVAL 90 DAY) AS due_us,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+FROM orders
+""",
+)
+def b_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: extract fields, truncation, differences,
+    epoch conversion, interval arithmetic, formatting."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start_us"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("long")
+        .alias("days_since_95"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("unix_sec"),
+        F.unix_micros(
+            F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 90 DAYS")
+        ).alias("due_us"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query(
+    "b_scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * l_discount + 1e-06, 2) AS discount_amt,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(ln(l_extendedprice + 1.0) + 1e-08, 4) AS price_ln,
+       round(sqrt(l_quantity) + 1e-08, 4) AS qty_sqrt,
+       round(pow(l_quantity, 2) + 1e-06, 2) AS qty_sq,
+       CAST(CASE WHEN l_discount > 0.05 THEN 1
+                 WHEN l_discount < 0.05 THEN -1 ELSE 0 END AS BIGINT) AS disc_sign
+FROM lineitem
+""",
+)
+def b_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: rounding, abs, ceil/floor, ln/sqrt/pow,
+    three-way sign (spelled as CASE so both engines agree on type)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        rnd(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+        rnd(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        rnd(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.when(F.col("l_discount") > 0.05, 1)
+        .when(F.col("l_discount") < 0.05, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("disc_sign"),
+    )
+
+
+@query(
+    "b_scalar_cond",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2500 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment_renamed,
+       CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS BIGINT) AS in_debt,
+       greatest(c_acctbal, 0.0) AS bal_clamped,
+       least(CAST(c_nationkey AS BIGINT), 9) AS nation_capped
+FROM customer
+""",
+)
+def b_scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: CASE WHEN ladders, nullif/coalesce,
+    greatest/least clamps."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")
+        ).alias("segment_renamed"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).cast("long").alias("in_debt"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("c_nationkey").cast("long"), F.lit(9)).alias("nation_capped"),
+    )
+
+
+@query(
+    "b_scalar_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE) + 1e-08, 4) AS first_elem,
+       round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
+           AS elem_sum,
+       round((SELECT max(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
+           AS elem_max,
+       round((SELECT sum(CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)
+              FROM unnest(embedding) AS t(x)) + 1e-08, 4) AS pos_sum,
+       CAST((SELECT count(*) FROM unnest(embedding) AS t(x) WHERE x > 0) AS BIGINT)
+           AS n_pos
+FROM embeddings
+""",
+)
+def b_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar + higher-order surface on array<float>: size,
+    element access, HOF aggregate/filter/transform — the Spark side
+    never leaves codegen; the oracle uses correlated unnest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        rnd(F.element_at(v, 1), 4).alias("first_elem"),
+        rnd(fold(v), 4).alias("elem_sum"),
+        rnd(F.array_max(v), 4).alias("elem_max"),
+        rnd(fold(F.transform(v, lambda x: F.when(x > 0, x).otherwise(0.0))), 4).alias(
+            "pos_sum"
+        ),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "b_scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value,
+       CAST(CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_k
+FROM events
+""",
+)
+def b_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface via get_json_object (Jackson path
+    evaluation JVM-side). Oracle mirrors with a regexp so the check
+    does not depend on DuckDB's JSON extension being loadable."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("long").alias("k_value"),
+        F.when(k.isNotNull(), 1).otherwise(0).cast("long").alias("has_k"),
+    )
+
+
+@query(
+    "b_scalar_map",
+    oracle="""
+SELECT event_id,
+       'k' AS map_key,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS map_value,
+       CAST(1 AS BIGINT) AS map_size
+FROM events
+""",
+)
+def b_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map surface: from_json to map<string,bigint>, explode to
+    key/value rows, map_keys/size. The oracle leans on the fixture's
+    single-key JSON shape ({"k": n}) to stay SQL-expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(m).alias("map_key", "map_value"), F.size(m).alias("sz")
+    ).select(
+        "event_id", "map_key", "map_value", F.col("sz").cast("long").alias("map_size")
+    )
+
+
+@query(
+    "b_subquery",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       round((SELECT avg(x.c_acctbal) FROM customer x
+              WHERE x.c_nationkey = customer.c_nationkey) + 1e-06, 2) AS nation_avg
+FROM customer
+WHERE c_acctbal > (SELECT avg(x.c_acctbal) FROM customer x
+                   WHERE x.c_nationkey = customer.c_nationkey)
+""",
+)
+def b_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance), written as actual SQL so Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery → aggregate + join) is exercised
+    rather than hand-rewritten."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               round((SELECT avg(x.c_acctbal) FROM customer_v x
+                      WHERE x.c_nationkey = c.c_nationkey) + 1e-06, 2) AS nation_avg
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(x.c_acctbal) FROM customer_v x
+                           WHERE x.c_nationkey = c.c_nationkey)
+        """
+    )
