@@ -518,3 +518,23 @@ def a_stream_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_papi_sessionize",
+    oracle=SESSION_CTE
+    + """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, session_id
+FROM sess
+""",
+)
+def a_papi_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAPI-style custom stateful processor (Kafka Streams Processor
+    API equivalent [REF?]): imperative per-user session assignment via
+    applyInPandasWithState (GroupState + Arrow), hash-checked against
+    the same oracle as the declarative rewrite — three independent
+    implementations of the core semantics now agree (batch window,
+    session_window stream, custom state machine)."""
+    from demo_segmenter_spark.streaming.papi import papi_sessionize
+
+    return papi_sessionize(spark, sf_dir)

@@ -804,3 +804,38 @@ def c_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         stats, schema="label int, n bigint, avg_norm double, avg_x0 double"
     )
+
+
+@query(
+    "c_udtf_bigrams",
+    oracle="""
+SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, CAST(i AS BIGINT) AS pos
+FROM (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+""",
+)
+def c_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark >= 3.5 @udtf): one text row in, many
+    (bigram, pos) rows out, via a LATERAL join — hash-checked against a
+    pure-SQL twin. UDTFs are the table-function escape hatch; note the
+    hot-path guidance still applies (this is the demonstration row —
+    c_text_tokenize does the same class of work fully JVM-side)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string, pos bigint")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1], i + 1)
+
+    spark.udtf.register("bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram, b.pos
+        FROM documents_v d, LATERAL bigrams(d.text) b
+        """
+    )

@@ -1,0 +1,99 @@
+"""PAPI-style custom stateful processor (SURVEY.md §2 Layer A, the
+"Stateful processor" row): the Kafka Streams Processor API equivalent —
+arbitrary per-key state with explicit update logic — via
+``applyInPandasWithState`` (GroupState + Arrow batches).
+
+(Spark 4 also offers ``transformWithStateInPandas``; it needs the
+protobuf python package for its state-server protocol, which is broken
+in this container — ImportError on google.protobuf.descriptor — so the
+GroupState API is the deliberate choice here. Same state semantics.)
+
+The processor re-implements gap sessionization imperatively (per-user
+state = last-seen timestamp + session counter) to prove the custom-state
+path produces identical results to both the declarative batch rewrite
+and the native session_window twin — asserted by the driver's oracle
+and tests. In production this is the escape hatch for semantics
+session_window can't express (punctuation-driven emits, cross-window
+state machines).
+
+Scale notes: state is partitioned by the grouping key exactly like a
+Kafka Streams task's RocksDB store; Arrow batches cross the Python
+boundary per key-group; the state store checkpoints per micro-batch and
+GroupStateTimeout handles eviction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from demo_segmenter_spark.operators.layer_a import GAP_US
+from demo_segmenter_spark.streaming.sources import stream_events
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("session_id", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("sid", LongType())]
+)
+
+
+def _assign_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user state machine: new session when gap > GAP_US."""
+    last_us, sid = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        sids = []
+        for us in pdf["ts_us"]:
+            if last_us is None or us - last_us > GAP_US:
+                sid += 1
+            last_us = int(us)
+            sids.append(sid)
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "event_id": pdf["event_id"].astype("int64").values,
+                "ts_us": pdf["ts_us"].astype("int64").values,
+                "session_id": pd.Series(sids, dtype="int64").values,
+            }
+        )
+    state.update((last_us, sid))
+
+
+def papi_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the custom processor over the event stream to completion."""
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _assign_sessions,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"papi_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
