@@ -1031,3 +1031,33 @@ def b_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE x.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "b_pivot",
+    oracle=f"""
+SELECT o_orderpriority,
+       {sql_money_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F_total,
+       {sql_money_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O_total,
+       {sql_money_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order totals per priority, one column per status. Spark's
+    `pivot` with an explicit value list plans to conditional aggregates
+    (no extra pass to discover values — important at scale); the oracle
+    is the equivalent CASE-WHEN formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(money_sum(F.when(F.lit(True), F.col("o_totalprice"))))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("F_total"),
+        F.col("O").alias("O_total"),
+        F.col("P").alias("P_total"),
+    )

@@ -839,3 +839,31 @@ def c_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v d, LATERAL bigrams(d.text) b
         """
     )
+
+
+@query(
+    "c_lang_partitioned_sink",
+    oracle="""
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def c_lang_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sink surface: write documents partitioned by lang (the
+    standard pipeline layout for per-language routing at 100 TB —
+    partition pruning makes downstream lang filters free), then read
+    the written dataset back and summarize it. The oracle checks the
+    round trip preserved every row."""
+    import hashlib
+    import shutil
+
+    out = f"/tmp/dss_sink/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}/docs_by_lang"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
