@@ -538,3 +538,52 @@ def a_papi_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_sessionize
 
     return papi_sessionize(spark, sf_dir)
+
+
+@query(
+    "a_tumbling_window_stream",
+    oracle=f"""
+SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def a_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_tumbling_window (PK: TimeWindows.of(1d) as a
+    windowed KTable): the same `window()` aggregation over the event
+    stream, run to completion (AvailableNow, complete mode) and checked
+    against the SAME DuckDB oracle as the batch form. At 100 TB this is
+    the per-day rollup a Kafka-sourced deployment materializes
+    continuously; watermark+append mode would bound state — complete
+    mode here because the fixture replay ends (final results only)."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

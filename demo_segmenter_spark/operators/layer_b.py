@@ -1061,3 +1061,64 @@ def b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("O_total"),
         F.col("P").alias("P_total"),
     )
+
+
+@query(
+    "b_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns to long (measure, val) rows —
+    the inverse of b_pivot. Spark's `unpivot` plans to a single Expand
+    node (one scan, rows duplicated 4x in-operator), NOT the 4-scan
+    UNION ALL the oracle spells out — strictly better at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "b_agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n_rows,
+       {sql_money_sum("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (all 4 grouping sets over flag×status) with GROUPING()
+    markers disambiguating roll-up nulls from data nulls. Catalyst plans
+    cube via a single Expand (4 replicas) + one hash aggregate — same
+    one-pass shape ROLLUP gets; at 100 TB the Expand multiplies shuffle
+    volume by #sets, which is why you cube low-cardinality dims only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_rows", "sum_price",
+        )
+    )

@@ -867,3 +867,54 @@ def c_lang_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query("c_sim_lsh")
+def c_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the second scale path next to c_sim_ivf:
+    L2-normalize so Euclidean distance is monotone in cosine
+    (d² = 2 − 2·cos), hash with seeded random hyperplane projections
+    (BucketedRandomProjectionLSH), then approxSimilarityJoin generates
+    candidates via an equi-join on (table, bucket) — never an all-pairs
+    scan. Exact cosine re-rank of candidates, top-3 per query.
+    Rows-only oracle (approximate by design); recall vs the exact
+    c_sim_knn is asserted in tests/test_ann.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double(F.col("embedding"))
+    nrm = F.sqrt(dot(vec, vec))
+    base = (
+        emb.select(
+            "vec_id",
+            F.transform(vec, lambda x: x / nrm).alias("unit"),
+        )
+        .withColumn("features", array_to_vector("unit"))
+        .persist()
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=0.75, numHashTables=6, seed=42,
+    )
+    model = lsh.fit(base)
+    q = base.filter(F.col("vec_id") < KNN_QUERIES)
+    # distance 1.35 <=> cosine >= 0.089: generous enough for the
+    # fixture's same-label neighborhood (cos up to ~0.48).
+    cands = model.approxSimilarityJoin(q, base, 1.35, distCol="l2")
+    cos = rnd(
+        dot(F.col("datasetA.unit"), F.col("datasetB.unit")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
