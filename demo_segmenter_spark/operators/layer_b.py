@@ -1122,3 +1122,76 @@ def b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows", "sum_price",
         )
     )
+
+
+@query(
+    "b_join_bucketed",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice")} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def b_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join — the 100 TB answer to
+    b_join_inner's shuffle: both sides are written `bucketBy(8,
+    orderkey)` once, then every subsequent join on the bucket key is
+    shuffle-free (SortMergeJoin with zero Exchange on either side —
+    asserted in tests/test_plans.py). At 100 TB you pay one write-side
+    shuffle when landing the table, then amortize it over every
+    downstream join/agg on that key."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"bucketed_{tag}"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/dss_bucketed/{tag}'"
+    )
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            # bucketing metadata lives in the session catalog; a stale
+            # location from an earlier session must go before re-landing
+            shutil.rmtree(f"/tmp/dss_bucketed/{tag}/{name}", ignore_errors=True)
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}")
+            )
+    o = spark.table(f"{db}.orders")
+    li = spark.table(f"{db}.lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "b_join_skew_salted",
+    oracle="""
+SELECT event_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+""",
+)
+def b_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted equi-join (functions/skew.py): the left side
+    scatters each hot key over 8 salt buckets, the right side is
+    replicated 8x, and the shuffle key becomes (key, salt) — the manual
+    fix for the one case AQE's skew splitting can't touch (a hot key on
+    BOTH sides / stateful aggregation downstream). Row-identical to the
+    plain join, which is exactly what the oracle hash checks."""
+    from demo_segmenter_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, cust, "user_id").select("event_id", "c_mktsegment")

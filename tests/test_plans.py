@@ -69,3 +69,18 @@ def test_flagship_shuffle_budget(spark):
 def test_knn_broadcasts_queries_not_candidates(spark):
     plan = explain_str(q("c_sim_knn", spark))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # Both sides bucketed+sorted on the join key: the SMJ must read
+    # buckets directly — zero ShuffleExchange anywhere in the join
+    # subtree (the only exchange allowed is the final small groupBy agg).
+    df = q("b_join_bucketed", spark)
+    assert count_exchanges(df) <= 1, explain_str(df)[:3000]
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    # unpivot must plan to one scan + Expand, not a 4-way union of scans
+    df = q("b_unpivot", spark)
+    assert len(read_schemas(df)) == 1
+    assert "Expand" in explain_str(df)
