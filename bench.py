@@ -74,6 +74,9 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # queries that persist() intermediates must not leak cache
+            # into later measurements (GC pressure skews the tail)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -68,3 +68,56 @@ def extract_features_batches(
                 "channel_mean": [m[2] for m in meta],
             }
         )
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Real resize — requires PIL, unavailable here by design."""
+    if not DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "the plumbing twin is frame/feature extraction below"
+        )
+    raise NotImplementedError("wire PIL resize here when codecs exist")
+
+
+FRAME_BYTES = 256  # fake "frame" size inside a binary blob
+FRAME_STRIDE = 4  # keep every 4th frame (temporal sampling)
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_md5 string"
+
+
+def sample_frames_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: video-style frame sampling over an opaque
+    binary column. Each blob is treated as a sequence of FRAME_BYTES
+    chunks ("frames"); every FRAME_STRIDE-th frame is emitted with its
+    md5 — a deterministic stand-in for ffmpeg keyframe extraction with
+    the identical Spark-side shape (binary in via Arrow, 1→many rows
+    out). Real codecs slot into the loop body unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "frame_idx": [],
+            "frame_len": [],
+            "frame_md5": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content_bin"]):
+            data = bytes(blob)
+            n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                chunk = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                "frame_len": pd.Series(out["frame_len"], dtype="int64"),
+                "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+            }
+        )

@@ -1195,3 +1195,51 @@ def b_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     return salted_join(ev, cust, "user_id").select("event_id", "c_mktsegment")
+
+
+@query(
+    "b_window_range",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       {sql_rnd("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)", 2)} AS sum_30d
+FROM orders
+""",
+)
+def b_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs b_window_frame's ROWS): per-customer
+    rolling 30-day order-value sum. Spark's rangeBetween takes numeric
+    offsets, so the order key is epoch seconds — the same trick needed
+    for any interval frame at scale. All rows of equal orderdate are
+    frame-peers (that's the RANGE semantic the oracle mirrors), so the
+    output needs no tiebreaker to hash-match."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
+
+
+@query(
+    "b_sample",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey * 31 + l_linenumber) % 20 = 7
+""",
+)
+def b_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling: keep rows whose key-hash lands
+    in 1 of 20 residue classes — the reproducible ~5% sample every
+    training-data pipeline needs (TABLESAMPLE/`df.sample` is
+    partition-layout-dependent and can't be replayed across engines or
+    re-runs; key-modulo sampling is stable, joins cleanly with other
+    samples of the same key space, and pushes down to the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 20 == 7
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -29,7 +29,7 @@ from demo_segmenter_spark.functions.multimodal import (
 )
 from demo_segmenter_spark.functions.vectors import as_double, dot
 from demo_segmenter_spark.registry import query
-from demo_segmenter_spark.sources import load_table
+from demo_segmenter_spark.sources import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -120,13 +120,20 @@ def c_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle key is (shingle, lang, source) and no all-pairs
     comparison ever happens. (Fixture has a planted pair at j≈0.97;
     background soup pairs sit below 0.03 — measured this session.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # The shingle table feeds three plan branches (self-join a/b +
     # sizes); persist it once instead of recomputing the explode 3x —
     # measured 13s -> 4.5s at sf0.1. At 100 TB this is a materialized
     # intermediate table, same idea.
+    # join key is the 64-bit shingle hash, not the string: same exact
+    # Jaccard (collisions vanishingly rare at 2^64), ~5x narrower
+    # shuffle rows for the self-join — at 100 TB the difference between
+    # shuffling shingle text and shuffling a long is the job.
     sh = docs.select(
-        "doc_id", "lang", "source", F.explode(_shingles()).alias("s")
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
     ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -165,7 +172,7 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     numHashTables trades recall for join fan-out."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", _shingles().alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
@@ -191,7 +198,7 @@ def c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 8 pairs within (lang, source) blocks via bit_count(xor).
     Rows-only oracle (xxhash64 is Spark-specific). 100 TB path: group
     on a fingerprint prefix to block, compare within buckets."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -288,7 +295,7 @@ def c_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd fold, per-query top-k via rank-limited window. Ranking
     uses the ROUNDED similarity + neighbor_id so order is total and
     engine-independent."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
         "vec_id",
@@ -324,7 +331,7 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Turns O(N·Q) into O(N + Q·N/16): the cluster id is a shuffle key,
     not a comparison loop. Rows-only oracle (approximate by design);
     recall vs c_sim_knn is asserted in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
         "vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
@@ -379,7 +386,7 @@ def c_sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     max ≈ 0.48, p99 ≈ 0.29 — measured). Blocking on label keeps the
     pair space linear-ish; at 100 TB the block key would be an LSH/IVF
     bucket instead. Emits (dropped vec, kept duplicate-of, cos)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
         "vec_id", "label", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
@@ -709,7 +716,7 @@ def c_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle."""
     from demo_segmenter_spark.functions.text import char_shingle_min_md5
 
-    return load_table(spark, sf_dir, "documents").select(
+    return spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", char_shingle_min_md5(F.col("text"), 8).alias("fingerprint")
     )
 
@@ -754,7 +761,7 @@ def c_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/multimodal.py); the Spark plumbing is real. Rows-only
     oracle."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .withColumn("content_bin", F.encode("text", "utf-8"))
         .select("doc_id", "content_bin")
     )
@@ -882,7 +889,7 @@ def c_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     nrm = F.sqrt(dot(vec, vec))
     base = (
@@ -918,3 +925,41 @@ def c_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "c_multimodal_frames",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS frame_idx
+    FROM documents
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(length(substr(d.text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_len,
+       md5(substr(d.text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+FROM f JOIN documents d USING (doc_id)
+WHERE frame_idx % 4 = 0
+""",
+)
+def c_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column
+    (functions/multimodal.py): blobs chunk into 256-byte "frames",
+    every 4th is emitted with length + md5 via Arrow-batched
+    mapInPandas — the exact plumbing (schema, 1→many batch shape,
+    partition parallelism) ffmpeg keyframe extraction would use, made
+    deterministic so the DuckDB oracle can hash-check the Python UDF
+    path end-to-end. Text is ASCII in the fixture, so byte chunks ==
+    char chunks and md5 agrees across engines."""
+    from demo_segmenter_spark.functions.multimodal import (
+        FRAME_SCHEMA,
+        sample_frames_batches,
+    )
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .withColumn("content_bin", F.encode("text", "utf-8"))
+        .select("doc_id", "content_bin")
+    )
+    return docs.mapInPandas(sample_frames_batches, schema=FRAME_SCHEMA)

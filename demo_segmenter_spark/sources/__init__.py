@@ -1,1 +1,6 @@
-from demo_segmenter_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401
+from demo_segmenter_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    spread,
+)

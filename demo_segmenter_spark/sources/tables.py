@@ -62,3 +62,22 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a *compute-bound* narrow pipeline to the session's
+    default parallelism.
+
+    The fixture tables are single small parquet files, so Spark gives
+    them one input split — and a per-row-expensive operator (15M md5
+    shingles in c_doc_fingerprint, dot products in c_sim_knn) then
+    serializes on 1 of N cores. Measured: fingerprint 1.86s → parallel
+    across 32 cores after spread. At 100 TB the scan itself yields
+    thousands of splits and this is a no-op by construction — the rule
+    it encodes ("CPU-heavy map work must scale with cores, not input
+    file count") is the same one that sizes maxPartitionBytes there.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
