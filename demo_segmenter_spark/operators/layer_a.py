@@ -587,3 +587,57 @@ def a_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_sliding_window_stream",
+    oracle=f"""
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) - INTERVAL 1 DAY AS lo, max(ts) AS hi
+    FROM events
+), wins AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS w_start
+    FROM bounds
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM wins
+JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 24 HOUR
+GROUP BY w_start
+""",
+)
+def a_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_sliding_window (PK: TimeWindows.advanceBy):
+    24h-every-6h hopping windows over the event stream, run to
+    completion and checked against the SAME oracle as the batch form.
+    Each event lands in 4 windows — in streaming that is 4 state rows
+    per event per key, which is why hop ratio (size/slide) is the state
+    knob at 100 TB."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1243,3 +1243,93 @@ def b_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(
         (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 20 == 7
     ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/dss_roundtrip/{tag}/{fmt}"
+
+
+@query(
+    "b_source_csv",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_customers, {sql_money_sum("c_acctbal")} AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def b_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round trip: write `customer` as headered CSV,
+    read it back with an explicit schema (never infer on a 100 TB lake —
+    inference is a full extra scan), aggregate. The oracle over the
+    original parquet proves the text round trip is lossless for
+    int/string/double. CSV scans can't push predicates or prune columns
+    like parquet — which is the point of keeping this surface separate."""
+    out = _roundtrip_dir(sf_dir, "csv")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(cust.schema).option("header", True).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        money_sum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@query(
+    "b_source_json",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value,
+       count(DISTINCT json_extract(props, '$.k')) AS n_distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def b_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round trip on `events` — including the
+    JSON-in-string `props` column (nested quoting is where JSON codecs
+    break). Timestamps stay out of the projection: JSON serializes them
+    as strings, and this query's contract is value fidelity of the
+    numeric/string/nested columns."""
+    out = _roundtrip_dir(sf_dir, "json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+        F.countDistinct(F.get_json_object("props", "$.k")).alias("n_distinct_k"),
+    )
+
+
+@query(
+    "b_source_orc",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice")} AS sum_price,
+       epoch_us(max(l_shipdate)) AS max_ship_us
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def b_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip on `lineitem` including a µs
+    timestamp column — ORC is the other columnar lake format Spark
+    reads natively (predicate pushdown + column pruning apply the same
+    way as parquet)."""
+    out = _roundtrip_dir(sf_dir, "orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(out)
+    # explicit schema: Spark 4 infers TIMESTAMP_NTZ from bare ORC reads
+    back = spark.read.schema(li.schema).orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias("max_ship_us"),
+    )
