@@ -1333,3 +1333,37 @@ def b_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("l_extendedprice")).alias("sum_price"),
         F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias("max_ship_us"),
     )
+
+
+@query(
+    "b_agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def b_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of cube/rollup): per-
+    status totals, per-priority totals, and the grand total in ONE pass
+    (single Expand + hash aggregate — not three scans unioned)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {_spark_money_sum_sql("o_totalprice")} AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _spark_money_sum_sql(expr: str) -> str:
+    """Spark-SQL twin of compat.money_sum (same cents discipline)."""
+    return (
+        f"round(sum(cast(round({expr} * 100 + 1e-4, 0) as bigint)) / 100.0"
+        " + 1e-6, 2)"
+    )

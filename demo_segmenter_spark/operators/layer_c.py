@@ -963,3 +963,109 @@ def c_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_bin")
     )
     return docs.mapInPandas(sample_frames_batches, schema=FRAME_SCHEMA)
+
+
+@query(
+    "c_pipeline_corpus",
+    oracle="""
+WITH q AS (
+    SELECT doc_id, lang, source, text,
+           len(string_split(text, ' ')) AS n_toks
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 30
+), ex AS (
+    SELECT doc_id, lang, source, text, n_toks
+    FROM (
+        SELECT q.*,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+    )
+    WHERE rn = 1
+), toks AS (
+    SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM ex
+), idx AS (
+    SELECT doc_id, lang, source, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, lang, source,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b
+      ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), neardup AS (
+    SELECT DISTINCT doc_b
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(avg(n_toks) + 1e-06, 2) AS avg_tokens
+FROM ex
+WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
+GROUP BY lang
+""",
+)
+def c_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline — the Layer C flagship:
+    quality gate (>= 30 tokens) → exact dedup (keep lowest doc_id per
+    content hash) → near-dup removal (exact 3-shingle Jaccard >= 0.5
+    within (lang, source) blocks, drop the later doc) → per-language
+    corpus stats. Every stage is the hash-checked operator it reuses
+    (c_text_quality / c_dedup_exact / c_dedup_ngram); chained they form
+    the standard 100 TB corpus-prep DAG: narrow filter first (cheapest),
+    hash dedup second (one shuffle), shingle join last (most expensive,
+    smallest input by then) — filter-ordering IS the optimization."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = docs.withColumn("n_toks", F.size(F.split("text", " "))).filter(
+        F.col("n_toks") >= 30
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    sh = ex.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    neardup = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.5).select("doc_b")
+    ).distinct()
+    kept = ex.join(
+        neardup, ex.doc_id == neardup.doc_b, "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        rnd(F.avg("n_toks"), 2).alias("avg_tokens"),
+    )
