@@ -39,6 +39,7 @@ HEADLINE = [
     "c_sim_knn",
     "c_text_tfidf",
     "c_doc_fingerprint",
+    "c_pipeline_corpus",
 ]
 
 
