@@ -1367,3 +1367,55 @@ def _spark_money_sum_sql(expr: str) -> str:
         f"round(sum(cast(round({expr} * 100 + 1e-4, 0) as bigint)) / 100.0"
         " + 1e-6, 2)"
     )
+
+
+@query(
+    "b_upsert",
+    oracle="""
+SELECT o_orderkey, src, round(o_totalprice + 1e-06, 2) AS o_totalprice
+FROM (
+    SELECT o_orderkey, src, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+    FROM (
+        SELECT o_orderkey, round(o_totalprice * 1.1 + 1e-06, 2) AS o_totalprice,
+               'update' AS src, 0 AS pri
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice + 1e-06, 2), 'base', 1
+        FROM orders
+    )
+)
+WHERE rn = 1
+""",
+)
+def b_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert / MERGE INTO emulation (last-writer-wins): a
+    simulated change batch (10% of keys, price bumped 10%) merged into
+    the base table via union + priority row_number — the portable
+    pattern when the table format has no native MERGE. One shuffle on
+    the merge key; at 100 TB the same rewrite is what Delta/Iceberg
+    compile MERGE into (join on key + copy-on-write), and partitioning
+    the base by the merge-key bucket keeps the rewrite local."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            rnd(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit("update").alias("src"),
+            F.lit(0).alias("pri"),
+        )
+    )
+    base = o.select(
+        "o_orderkey",
+        rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.lit("base").alias("src"),
+        F.lit(1).alias("pri"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("pri")
+    return (
+        updates.unionAll(base)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "src", "o_totalprice")
+    )

@@ -1069,3 +1069,62 @@ def c_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("total_tokens"),
         rnd(F.avg("n_toks"), 2).alias("avg_tokens"),
     )
+
+
+@query(
+    "c_embed_quantize",
+    oracle=_EMB_CTE
+    + """
+, stats AS (
+    SELECT vec_id, min(x) AS mn, max(x) AS mx FROM ex GROUP BY vec_id
+), codes AS (
+    SELECT e.vec_id, x, mn, (mx - mn) / 255.0 AS scale,
+           CAST(round((x - mn) / ((mx - mn) / 255.0) + 1e-8) AS BIGINT) AS c
+    FROM ex e JOIN stats USING (vec_id)
+)
+SELECT vec_id,
+       sum(c) AS code_sum,
+       round(sum(abs(x - (mn + c * scale))) / 64.0 + 1e-10, 6) AS mean_abs_err
+FROM codes
+GROUP BY vec_id
+""",
+)
+def c_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the standard embedding-
+    store compression step (4x smaller than float32, 16x than the
+    double working type): min/max range per vector, 0..255 codes, and
+    the reconstruction error that tells you whether recall will
+    survive. Pure higher-order functions (array_min/max, transform,
+    zip_with, aggregate) — zero Python, zero shuffle: a 100 TB
+    embedding table quantizes in one narrow pass. The formula is kept
+    operation-for-operation identical to the oracle so IEEE arithmetic
+    agrees bit-for-bit."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"))
+    mn, mx = F.array_min("v"), F.array_max("v")
+    scale = (mx - mn) / 255.0
+    with_stats = base.select(
+        "vec_id", "v", mn.alias("mn"), scale.alias("scale")
+    )
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.round((x - F.col("mn")) / F.col("scale") + 1e-8, 0).cast("long"),
+    )
+    errs = F.zip_with(
+        F.col("v"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - (F.col("mn") + c * F.col("scale"))),
+    )
+    return (
+        with_stats.withColumn("codes", codes)
+        .select(
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("code_sum"),
+            F.round(
+                F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / 64.0 + 1e-10, 6
+            ).alias("mean_abs_err"),
+        )
+    )

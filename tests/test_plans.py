@@ -84,3 +84,22 @@ def test_unpivot_is_single_scan_expand(spark):
     df = q("b_unpivot", spark)
     assert len(read_schemas(df)) == 1
     assert "Expand" in explain_str(df)
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    # lang-partitioned layout must make a lang filter a partition-pruning
+    # scan (PartitionFilters), not a full read — the 100 TB routing story.
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources import load_table
+
+    out = f"/tmp/dss_sink/{hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]}/docs_by_lang"
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], (
+        plan[:2000]
+    )
