@@ -641,3 +641,119 @@ def a_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream windowed join (PK: KStream.join(KStream, JoinWindows)) —
+# the Kafka Streams two-stream join surface: attribute each purchase to
+# the clicks by the same user in the preceding window.
+# ---------------------------------------------------------------------------
+
+ATTRIB_HOURS = 12  # measured: 45 click->purchase pairs @sf0.001 (this session)
+
+_STREAM_JOIN_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {ATTRIB_HOURS} HOURS
+"""
+
+
+@query("a_stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def a_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the KStream-KStream windowed join (PK:
+    KStream.join(KStream, JoinWindows.of(12h))): purchases joined to
+    same-user clicks within the preceding 12 hours. Equi-key on user_id
+    carries the shuffle; the time band is a post-join residual predicate,
+    so this plans as a sort-merge join on the key — NOT a nested-loop —
+    which is exactly how it must plan at 100 TB. The streaming twin is
+    a_stream_stream_join_stream."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+        )
+    )
+
+
+@query("a_stream_stream_join_stream", oracle=_STREAM_JOIN_ORACLE)
+def a_stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_stream_stream_join: Structured Streaming's
+    native stream-stream inner join with watermarks on BOTH sides and an
+    event-time band in the join condition — the two things that let the
+    state store evict buffered rows (each side keeps only a 12h+1h span
+    per user). This IS the Kafka Streams JoinWindows semantics: KStreams
+    buffers both sides in windowed state stores and emits on match;
+    Spark's state store plays the same role with watermark-driven
+    cleanup. Checked against the SAME DuckDB oracle as the batch twin."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

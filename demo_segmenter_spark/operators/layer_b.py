@@ -1419,3 +1419,57 @@ def b_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "src", "o_totalprice")
     )
+
+
+@query(
+    "b_pipeline_tpch_q3",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def b_pipeline_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed classic (TPC-H Q3 shape, shipping priority): selective
+    filters on all three tables, customer→orders→lineitem join, grouped
+    revenue, top-10. The plan to want at 100 TB and asserted in
+    tests/test_plans.py: filtered `customer` broadcasts (it is the
+    small side after the segment filter), orders⋈lineitem shuffles on
+    orderkey, both date filters push to the parquet scans, and the
+    ORDER BY..LIMIT plans as TakeOrderedAndProject (no global sort).
+    Revenue ties broken by l_orderkey → total order for the hash gate."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -1128,3 +1128,278 @@ def c_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus preparation: chunking, scrubbing, repetition quality,
+# stratified sampling, deterministic shuffle-sharding, sequence packing.
+# These are the operators between "deduped corpus" and "tokenizer input"
+# in an LLM data pipeline (driver north star, BASELINE.json:6).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "c_chunking",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), st AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(t[start:start+{CHUNK_TOKENS - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[start:start+{CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+FROM st
+""",
+)
+def c_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (context-window prep):
+    every document becomes ceil(n/stride) chunks of {CHUNK_TOKENS}
+    tokens advancing by {CHUNK_STRIDE}. Pure codegen — split/sequence/
+    slice/explode never leave the JVM, and the fan-out (explode) happens
+    AFTER the narrow per-row compute, so the operator is shuffle-free:
+    at 100 TB chunking is a map-only stage that preserves the input
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias(
+                "chunk_id"
+            ),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "c_text_scrub",
+    oracle="""
+WITH s AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[a-z]{9,}', '<LONG>', 'g'),
+               ' +', ' ', 'g')) AS scrubbed
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_raw_chars,
+       CAST(len(scrubbed) AS BIGINT) AS n_scrub_chars,
+       md5(scrubbed) AS scrub_md5
+FROM s
+""",
+)
+def c_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization/scrubbing: lowercase, mask
+    overlong tokens (the stand-in for PII/URL redaction — the fixture
+    soup has no digits, measured this session), collapse whitespace,
+    trim. All regexp_replace (Java regex here, RE2 in the oracle — the
+    pattern subset used is dialect-identical). Map-only, shuffle-free,
+    codegen; the md5 proves byte-identical output across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[a-z]{9,}", "<LONG>"),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw_chars"),
+        F.length(scrub).cast("long").alias("n_scrub_chars"),
+        F.md5(scrub).alias("scrub_md5"),
+    )
+
+
+@query(
+    "c_quality_repetition",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), m AS (
+    SELECT doc_id,
+           len(tk) AS n_tok,
+           len(list_distinct(tk)) AS n_uniq,
+           len(tk) - 1 AS n_bi,
+           len(list_distinct(list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1]))) AS n_uniq_bi
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(1.0 - n_uniq * 1.0 / n_tok + 1e-08, 4) AS tok_rep,
+       round(1.0 - n_uniq_bi * 1.0 / n_bi + 1e-08, 4) AS bigram_rep,
+       CAST(CASE WHEN 1.0 - n_uniq_bi * 1.0 / n_bi <= 0.2 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM m
+""",
+)
+def c_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: duplicate-token fraction
+    and duplicate-bigram fraction per document, with a keep flag at
+    bigram_rep <= 0.2. Computed entirely with array built-ins
+    (split/array_distinct/transform) — no explode, no shuffle: at
+    100 TB this is a map-only scan whose cost is bounded by tokens per
+    row, the cheapest possible shape for a corpus-wide quality pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n_tok = F.size(tk)
+    n_uniq = F.size(F.array_distinct(tk))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat(F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)),
+    )
+    n_bi = n_tok - 1
+    n_uniq_bi = F.size(F.array_distinct(bigrams))
+    tok_rep = 1.0 - n_uniq * 1.0 / n_tok
+    bi_rep = 1.0 - n_uniq_bi * 1.0 / n_bi
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        rnd(tok_rep, 4).alias("tok_rep"),
+        rnd(bi_rep, 4).alias("bigram_rep"),
+        F.when(bi_rep <= 0.2, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+@query(
+    "c_sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 50
+                          WHEN lang IN ('de', 'fr') THEN 25
+                          ELSE 10 END
+""",
+)
+def c_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic sampling with per-language rates (en 50%,
+    de/fr 25%, rest 10%) — the language-rebalancing step of corpus
+    assembly. Key-modulo (not df.sample) so the sample is reproducible
+    across engines/runs/partitionings and consistent between tables
+    sharing the key space (same argument as b_sample). The predicate is
+    scan-pushable: at 100 TB the sample never reads excluded row
+    groups' data pages."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang").isin("de", "fr"), 25)
+        .otherwise(10)
+    )
+    return docs.filter(F.col("doc_id") % 100 < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "c_train_shuffle",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(ascii(substring(shuffle_key, 1, 1)) % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY ascii(substring(shuffle_key, 1, 1)) % 8
+            ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM keyed
+""",
+)
+def c_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    seeded hash key (md5 of seed:doc_id), a shard from the key's first
+    hex char, and a position from ranking within the shard. Unlike
+    orderBy(rand()) this is replayable (same seed → same epoch order)
+    and parallel — the window partitions by shard, so no single-
+    partition global sort exists anywhere in the plan. At 100 TB: 8
+    shards become O(thousands) of output files; written shard-at-a-time
+    this is the standard pre-tokenization shuffle materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    shard = (F.ascii(F.substring(F.col("shuffle_key"), 1, 1)) % 8).cast("long")
+    keyed = docs.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", shard
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed sequence
+
+
+@query(
+    "c_pack_sequences",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+    FROM documents
+), binned AS (
+    SELECT doc_id, lang, n_tok,
+           CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok)
+                // {PACK_CAPACITY} AS BIGINT) AS bin
+    FROM sized
+)
+SELECT lang, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned
+GROUP BY lang, bin
+""",
+)
+def c_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic doc_id order,
+    per language) to contiguous ~{PACK_CAPACITY}-token training bins by
+    running token count — the streaming bin-packing rule where a doc
+    starts in the bin its cumulative offset falls in. One window + one
+    groupBy, both partitioned by lang, so the plan is a single exchange
+    reused by both operators. At 100 TB the lang partition becomes
+    (lang, shard-range) to bound any one partition's size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+    binned = sized.withColumn(
+        "bin",
+        F.expr(f"CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+               f"ROWS UNBOUNDED PRECEDING) - n_tok) DIV {PACK_CAPACITY} AS BIGINT)"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
