@@ -757,3 +757,74 @@ def a_stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_branch",
+    oracle=f"""
+SELECT CASE WHEN event_type = 'purchase' THEN 'buys'
+            WHEN event_type = 'error' THEN 'errors'
+            ELSE 'rest' END AS branch,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+GROUP BY 1
+""",
+)
+def a_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream.split()/branch() (PK): route the stream into disjoint
+    branches by predicate. In Spark the router is a CASE expression and
+    the branches are one tagged relation — Catalyst evaluates all
+    predicates in a single pass over the data, where Kafka Streams
+    walks each record through the predicate chain. Per-branch summary
+    proves the routing is a partition of the input (branch counts sum
+    to the source count). At 100 TB routing-to-sinks becomes a single
+    partitioned write (see c_lang_partitioned_sink), not N scans."""
+    ev = load_table(spark, sf_dir, "events")
+    branch = (
+        F.when(F.col("event_type") == "purchase", "buys")
+        .when(F.col("event_type") == "error", "errors")
+        .otherwise("rest")
+    )
+    return (
+        ev.withColumn("branch", branch)
+        .groupBy("branch")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "a_ktable_latest",
+    oracle="""
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def a_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable materialization (PK: changelog compaction — latest value
+    per key). Batch form: max-timestamp row per user with event_id as
+    the total-order tiebreaker. Spark 3.5+ plans row_number<=1 as
+    WindowGroupLimit (per-partition top-1 before the shuffle), so the
+    'compaction' is map-side — the same reason KTable caching bounds
+    its changelog. Streaming form would be the same query in update
+    mode, or dropDuplicates on key with reversed time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )

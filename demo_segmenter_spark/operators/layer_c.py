@@ -1403,3 +1403,48 @@ def c_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "c_embed_centroids",
+    oracle=f"""
+SELECT label,
+       CAST(dim AS BIGINT) AS dim,
+       ({sql_rnd("sum(CAST(round(CAST(v AS DOUBLE) * 10000 + 1e-04) AS BIGINT))"
+                 " / 10000.0 / count(*)", 4)} + 0.0) AS centroid
+FROM (
+    SELECT label,
+           unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+)
+GROUP BY label, dim
+""",
+)
+def c_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space (the M-step of k-means
+    / the class-prototype computation): posexplode the vector, average
+    per (label, dimension). The explode fans out 64× but the aggregate
+    is partial+final (map-side combine), so the shuffle carries only
+    10 labels × 64 dims × n_partitions rows — at 100 TB this is THE
+    pattern for computing centroids without ever materializing the
+    fan-out. Hash-checked against DuckDB's unnest/generate_subscripts;
+    elements are quantized to an exact 1e-4 integer grid before summing
+    (compat.py integer-cents argument: bigint sums are summation-order-
+    independent, so the two engines — and any 100 TB partitioning —
+    agree bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.round(F.col("v").cast("double") * 10000 + F.lit(EPS[0])).cast("long")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (-0.0 vs 0.0 stringify
+            # differently and break the order-insensitive value hash)
+            (rnd(F.sum(scaled) / 10000.0 / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+                "centroid"
+            )
+        )
+    )

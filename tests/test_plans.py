@@ -103,3 +103,48 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], (
         plan[:2000]
     )
+
+
+def test_tpch_q3_plan_shape(spark):
+    # Filtered customer dim broadcasts; the ORDER BY..LIMIT 10 must be
+    # TakeOrderedAndProject (per-partition top-k), never a global sort.
+    df = q("b_pipeline_tpch_q3", spark)
+    assert has_broadcast_hash_join(df)
+    assert has_take_ordered(df)
+
+
+def test_stream_stream_join_is_merge_not_nested_loop(spark):
+    # The time band is a residual on an equi-key join: must plan as a
+    # key-partitioned join (SMJ/SHJ), NOT BroadcastNestedLoop — at
+    # 100 TB a nested-loop over two event streams is quadratic death.
+    plan = explain_str(q("a_stream_stream_join", spark))
+    assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_chunking_is_shuffle_free(spark):
+    # Chunking is map-only: split/sequence/explode/slice preserve the
+    # input partitioning — zero exchanges anywhere.
+    df = q("c_chunking", spark)
+    assert count_exchanges(df) == 0, explain_str(df)[:3000]
+
+
+def test_scrub_and_repetition_are_shuffle_free(spark):
+    for name in ("c_text_scrub", "c_quality_repetition"):
+        df = q(name, spark)
+        assert count_exchanges(df) == 0, name
+
+
+def test_stratified_sample_pushes_residue_filter(spark):
+    # doc_id % 100 < rate must reach the scan as a data filter (partial
+    # pushdown: at minimum the scan carries the IsNotNull + the filter
+    # stays adjacent to the scan, no shuffle).
+    df = q("c_sample_stratified", spark)
+    assert count_exchanges(df) == 0, explain_str(df)[:3000]
+
+
+def test_pack_sequences_single_exchange(spark):
+    # window(lang) and groupBy(lang, bin): the groupBy key extends the
+    # window key, so Catalyst must reuse the lang exchange (+1 small
+    # final agg at most).
+    df = q("c_pack_sequences", spark)
+    assert count_exchanges(df) <= 2, explain_str(df)[:3000]
