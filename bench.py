@@ -34,12 +34,16 @@ HEADLINE = [
     "b_join_asof",
     "b_topk_per_group",
     "b_window_frame",
+    "b_pipeline_tpch_q3",
+    "a_stream_stream_join",
     "c_dedup_exact",
     "c_dedup_ngram",
     "c_sim_knn",
     "c_text_tfidf",
     "c_doc_fingerprint",
     "c_pipeline_corpus",
+    "c_chunking",
+    "c_dedup_cluster",
 ]
 
 
