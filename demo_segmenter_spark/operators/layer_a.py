@@ -828,3 +828,39 @@ def a_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
     )
+
+
+@query(
+    "a_stream_table_join_stream",
+    oracle="""
+SELECT event_id, user_id, event_type, c_name, c_mktsegment, c_acctbal
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+""",
+)
+def a_stream_table_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_stream_table_join (PK: KStream.join(KTable)
+    / GlobalKTable): Spark's stream-static join — the static dim is
+    (re)read and broadcast per micro-batch, no state store involved,
+    which is exactly the GlobalKTable enrichment pattern. Same oracle
+    as the batch twin. At 100 TB the static side is a slowly-changing
+    dim table; per-batch re-resolution is what picks up dim updates."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment", "c_acctbal")
+    name = f"stjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

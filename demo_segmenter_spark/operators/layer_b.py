@@ -1473,3 +1473,106 @@ def b_pipeline_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "b_scalar_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+""",
+)
+def b_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: parse_json -> VARIANT, typed access
+    via variant_get with a JSON path. Variant stores the parsed binary
+    form once, so repeated path accesses don't re-parse the string —
+    the Spark-4 answer to schema-on-read semi-structured columns (vs
+    get_json_object's per-call Jackson parse in b_scalar_json). At
+    100 TB variant shredding in parquet readers keeps pushdown
+    available; the oracle is plain json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "b_sql_cte",
+    oracle=f"""
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n_orders,
+           {sql_money_sum("o_totalprice")} AS spend
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT c_mktsegment, c_name, spend, n_orders,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY spend DESC, c_custkey) AS rn
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, c_name, spend, n_orders
+FROM ranked WHERE rn <= 3
+""",
+)
+def b_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the same engine surface through spark.sql()
+    over registered temp views — CTEs, a join, a window, top-3 per
+    segment. Proves the catalog/view route works alongside the
+    DataFrame route (same Catalyst plan underneath; SQL text and
+    DataFrame chains are interchangeable front-ends)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(f"""
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100 + 1e-04) AS BIGINT)) / 100.0
+                 + 1e-06, 2) AS spend
+    FROM v_orders GROUP BY o_custkey
+), ranked AS (
+    SELECT c_mktsegment, c_name, spend, n_orders,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY spend DESC, c_custkey) AS rn
+    FROM per_cust JOIN v_customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, c_name, spend, n_orders
+FROM ranked WHERE rn <= 3
+""")
+
+
+@query(
+    "b_scd2_intervals",
+    oracle="""
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)), 0)
+           AS valid_to_us,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM events
+""",
+)
+def b_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals built from a change stream: each
+    per-user event becomes a [valid_from, valid_to) row via lead(),
+    with the open row flagged current — the standard dimension-
+    versioning build (one window, one shuffle on the key). At 100 TB
+    this runs incrementally per partition-of-change-date and the
+    open-interval rows are the MERGE target (b_upsert shows that
+    half)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(F.unix_micros(nxt), F.lit(0)).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )

@@ -1542,3 +1542,56 @@ def c_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_canonical"),
         )
     )
+
+
+@query(
+    "c_quality_unigram_lp",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), freq AS (
+    SELECT t, count(*) AS cnt FROM tok GROUP BY t
+), total AS (
+    SELECT sum(cnt) AS tot FROM freq
+), scored AS (
+    SELECT tok.doc_id,
+           CAST(round(ln(cnt * 1.0 / tot) * 1000000 + 1e-04) AS BIGINT)
+               AS lp_micro
+    FROM tok JOIN freq USING (t) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lp_micro) / 1000000.0 / count(*) + 1e-06, 2) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def c_quality_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the classic perplexity
+    filter, LM = the corpus itself): per-doc mean token log-likelihood
+    under the global unigram distribution. Two-pass: token frequencies
+    (one agg), then exploded tokens hash-join the frequency table —
+    broadcast here; at 100 TB vocab outgrows broadcast and this becomes
+    a shuffle join on the token, which the explode already keys.
+    Cross-engine float discipline: ln() last-ulp differences between
+    libm and the JVM are absorbed by quantizing each token's logprob to
+    integer micro-nats before the (order-independent) BIGINT sum."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("tot"))
+    lp_micro = F.round(
+        F.ln(F.col("cnt") * 1.0 / F.col("tot")) * 1_000_000 + F.lit(EPS[0])
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .join(F.broadcast(total))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            rnd(F.sum("lp_micro") / 1_000_000.0 / F.count(F.lit(1)), 2).alias(
+                "avg_logprob"
+            ),
+        )
+    )
