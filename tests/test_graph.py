@@ -37,3 +37,58 @@ def test_star_graph(spark):
     labels = _components(spark, edges)
     assert set(labels.values()) == {1}
     assert len(labels) == 20
+
+
+def _union_find_truth(edges):
+    """Independent reference: path-compressed union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component: min-root after full pathing
+    labels = {}
+    for v in list(parent):
+        r = find(v)
+        labels.setdefault(r, r)
+        labels[v] = r
+    # roots may not be minimal ids under arbitrary union order; normalize
+    comp = {}
+    for v, r in labels.items():
+        comp.setdefault(r, []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def test_random_graphs_match_union_find(spark):
+    # Deterministic pseudo-random edge lists across densities — an
+    # independent-implementation check (same idea as the sessionization
+    # property test): Spark's distributed CC must agree with a
+    # path-compressed union-find on every graph.
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 2 * n)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _components(spark, edges)
+        want = _union_find_truth(edges)
+        assert got == want, f"trial {trial}: {got} != {want}"
