@@ -33,8 +33,13 @@ EPS = {0: 1e-4, 1: 1e-5, 2: 1e-6, 4: 1e-8, 6: 1e-10}
 
 
 def rnd(col: Column, n: int = 2) -> Column:
-    """Tie-stable round: round(x + eps, n)."""
-    return F.round(col + F.lit(EPS[n]), n)
+    """Tie-stable round: round(x + eps, n). The trailing ``+ 0.0``
+    normalizes IEEE negative zero: Spark's BigDecimal-based round can
+    never emit -0.0 but DuckDB's std::round does (any negative value
+    rounding to zero), and the two stringify differently in the value
+    hash — found via the sf0.1 full-oracle sweep (b_scalar_array
+    first_elem, c_embed_centroids)."""
+    return F.round(col + F.lit(EPS[n]), n) + F.lit(0.0)
 
 
 def cents(col: Column) -> Column:
@@ -57,7 +62,7 @@ def money_avg(col: Column, n: int = 2) -> Column:
 
 
 def sql_rnd(expr: str, n: int = 2) -> str:
-    return f"round(({expr}) + {EPS[n]!r}, {n})"
+    return f"(round(({expr}) + {EPS[n]!r}, {n}) + 0.0)"
 
 
 def sql_cents(expr: str) -> str:

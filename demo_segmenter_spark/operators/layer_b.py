@@ -926,13 +926,13 @@ def b_scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
-       round(CAST(embedding[1] AS DOUBLE) + 1e-08, 4) AS first_elem,
-       round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
-           AS elem_sum,
-       round((SELECT max(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
-           AS elem_max,
-       round((SELECT sum(CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)
-              FROM unnest(embedding) AS t(x)) + 1e-08, 4) AS pos_sum,
+       (round(CAST(embedding[1] AS DOUBLE) + 1e-08, 4) + 0.0) AS first_elem,
+       (round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
+           + 0.0) AS elem_sum,
+       (round((SELECT max(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) + 1e-08, 4)
+           + 0.0) AS elem_max,
+       (round((SELECT sum(CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)
+              FROM unnest(embedding) AS t(x)) + 1e-08, 4) + 0.0) AS pos_sum,
        CAST((SELECT count(*) FROM unnest(embedding) AS t(x) WHERE x > 0) AS BIGINT)
            AS n_pos
 FROM embeddings
