@@ -49,9 +49,17 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle exchanges only (BroadcastExchange excluded) in the final
-    (AQE-resolved if triggered) plan."""
-    plan = explain_str(df)
-    return len(re.findall(r"Exchange hashpartitioning", plan)) + len(
-        re.findall(r"Exchange rangepartitioning", plan)
+    """Shuffle exchanges only (BroadcastExchange excluded).
+
+    Counted on the SIMPLE-mode plan: formatted mode prints the node as
+    bare ``Exchange (n)`` with the partitioning on a separate Arguments
+    line, so the pattern below never matched there and every shuffle
+    budget silently asserted 0 <= N (caught in a round-1 audit).
+    SinglePartition exchanges count too — a global funnel is the worst
+    shuffle of all at scale."""
+    plan = explain_str(df, mode="simple")
+    return (
+        len(re.findall(r"Exchange hashpartitioning", plan))
+        + len(re.findall(r"Exchange rangepartitioning", plan))
+        + len(re.findall(r"Exchange SinglePartition", plan))
     )
