@@ -864,3 +864,41 @@ def a_stream_table_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_session_agg_native",
+    oracle=SESSION_CTE
+    + """
+SELECT user_id,
+       epoch_us(s_start) AS session_start_us,
+       epoch_us(s_end) AS session_last_us,
+       n_events,
+       round(sum_cents / 100.0 + 1e-06, 2) AS sum_value
+FROM sessions
+""",
+)
+def a_session_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-native session_window: Spark's built-in gap-session
+    grouping works in batch aggregation too (not just streaming) — the
+    fourth independent implementation of the core semantics (after the
+    lag/cumsum rewrite, the streaming session_window twin, and the
+    PAPI state machine), all hash-matching one oracle. Plans to a
+    single user_id exchange + SessionWindowing aggregate; at 100 TB
+    this is the one-liner backfill for the streaming job's history."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{GAP_HOURS} hours").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select(
+            "user_id", "session_start_us", "session_last_us",
+            "n_events", "sum_value",
+        )
+    )

@@ -148,3 +148,33 @@ def test_pack_sequences_single_exchange(spark):
     # final agg at most).
     df = q("c_pack_sequences", spark)
     assert count_exchanges(df) <= 2, explain_str(df)[:3000]
+
+
+def test_shuffle_budgets_table(spark):
+    # Designed shuffle budget per query (real counts — the counter was
+    # vacuous in formatted mode until the round-1 audit). A budget bump
+    # needs a scale justification in the operator's docstring.
+    budgets = {
+        "a_sessionize": 1,
+        "a_session_agg": 1,
+        "a_session_agg_native": 1,
+        "a_flagship_segments": 2,
+        "a_ktable_latest": 1,
+        "b_agg_basic": 1,
+        "b_multiway_star": 1,
+        "b_join_asof": 1,
+        "b_pipeline_tpch_q3": 2,
+        "b_scd2_intervals": 1,
+        "b_sql_cte": 2,
+        "b_topk_per_group": 1,
+        "c_train_shuffle": 1,
+        "c_text_tfidf": 5,
+        "c_quality_unigram_lp": 4,
+        "c_dedup_ngram": 3,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        n = count_exchanges(q(name, spark))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
