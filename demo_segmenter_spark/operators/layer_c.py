@@ -1595,3 +1595,149 @@ def c_quality_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "c_text_bm25",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), qry AS (
+    SELECT t, df FROM df ORDER BY df DESC, t LIMIT 3
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT) AS s_micro
+    FROM tf
+    JOIN qry ON tf.t = qry.t
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+)
+SELECT doc_id,
+       round(sum(s_micro) / 1000000.0 + 1e-06, 2) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+)
+def c_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1={BM25_K1}, b={BM25_B}): score every
+    document against a deterministic query (the 3 highest-df corpus
+    tokens, df-desc/token tiebreak), return the top-10. The join graph
+    is the inverted-index shape: tf rows join the (tiny, broadcast)
+    query-term list first — at 100 TB that join IS the posting-list
+    lookup, and df/avgdl are corpus-level broadcast scalars. Same
+    integer micro-unit quantization as c_quality_unigram_lp so libm vs
+    JVM ln() ulps can't break the hash; ORDER BY has a doc_id
+    tiebreak for the deterministic top-k cut."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    qry = df_.orderBy(F.col("df").desc(), "t").limit(3)
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    s_micro = F.round(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1_000_000 + F.lit(EPS[0])
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(qry), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("s_micro") / 1_000_000.0, 2).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "c_decontaminate",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] AS s
+    FROM idx
+), eval_sh AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+    SELECT doc_id, count(*) AS n_shared
+    FROM sh
+    WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM eval_sh)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(h.n_shared, 0) AS n_shared,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 50 <> 0
+""",
+)
+def c_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the benchmark-leakage gate every
+    LLM corpus needs: any training doc sharing a 5-token shingle with
+    the held-out eval set (deterministically doc_id % 50 == 0 here) is
+    flagged for removal. The eval shingle set is small by construction
+    → broadcast semi-join against the training shingles, so the scan
+    side never shuffles: at 100 TB this is a map-side bloom/semi join,
+    the only shape that works when the training side is the whole
+    corpus. Shingles are hashed (xxhash64) before the join — same
+    narrow-shuffle argument as c_dedup_ngram."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(k=5), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    ).distinct()
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "lang")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(F.col("n_shared").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
