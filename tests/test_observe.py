@@ -20,7 +20,10 @@ def test_observe_quality_counters_single_pass(spark):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
         F.sum((F.col("value") < 0).cast("long")).alias("negative_values"),
-        F.countDistinct("user_id").alias("n_users"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (they'd need a shuffle); the HLL sketch is the production
+        # pattern — exact on 15 keys.
+        F.approx_count_distinct("user_id").alias("n_users"),
     )
     # The "real" job: daily per-type counts.
     daily = (
