@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Regenerate SURVEY.md §2.1 (implementation status) from registry.py.
+Run after adding/renaming queries: python scripts/gen_survey_status.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+FOOTER = (
+    "Mapping of §2 rows without their own Q-name: PAPI stateful processor → "
+    "`a_papi_sessionize`; the core sessionization has FOUR independent "
+    "hash-matching implementations (lag/cumsum rewrite, streaming "
+    "session_window, batch-native session_window `a_session_agg_native`, PAPI "
+    "state machine); KStream DSL completion: `a_branch`, `a_ktable_latest`, "
+    "`a_stream_stream_join[_stream]`, `a_stream_table_join_stream` "
+    "(GlobalKTable); sinks → `streaming/sinks.py` (exactly-once restart + "
+    "incremental-arrival tests), `c_lang_partitioned_sink`, "
+    "`b_source_csv/json/orc`; custom ingest → `sources/python_source.py` "
+    "(Spark 4 Python Data Source); streaming twins carry the `_stream` "
+    "suffix; real multi-batch watermark-drop test in tests/test_late_data.py; "
+    "RocksDB state-store parity in tests/test_state_store.py; scale paths: "
+    "`b_join_bucketed`, `b_join_skew_salted`, `c_sim_lsh`/`c_sim_ivf`, "
+    "`b_sample`/`c_sample_stratified`, `b_upsert` + `b_scd2_intervals` "
+    "(CDC/SCD2), `c_embed_quantize`, `c_embed_centroids`, "
+    "`c_multimodal_frames`; modern-API surface: `b_scalar_variant` (Spark 4 "
+    "VariantType), `b_sql_cte` (spark.sql entry path), `c_udtf_bigrams`; "
+    "corpus prep: `c_chunking`, `c_text_scrub`, `c_quality_repetition`, "
+    "`c_quality_unigram_lp`, `c_text_bm25` (retrieval scoring), "
+    "`c_decontaminate` (train/eval leakage gate), `c_train_shuffle`, "
+    "`c_pack_sequences`, `c_dedup_cluster` (connected components, "
+    "functions/graph.py); composed pipelines: `b_pipeline_tpch_q3`, "
+    "`c_pipeline_corpus`. Shuffle budgets are enforced per-query in "
+    "tests/test_plans.py::test_shuffle_budgets_table."
+)
+
+
+def main() -> None:
+    load_all_operators()
+    survey = __file__.rsplit("/", 2)[0] + "/SURVEY.md"
+    text = open(survey).read()
+    head = text.split("### §2.1 Implementation status")[0]
+    lines = [
+        "### §2.1 Implementation status (auto-generated: scripts/gen_survey_status.py)",
+        "",
+        "| Q-name | oracle | notes |",
+        "| --- | --- | --- |",
+    ]
+    for name, spec in sorted(REGISTRY.items()):
+        first = (spec.doc.splitlines() or [""])[0].strip()
+        kind = "DuckDB hash" if spec.oracle else "rows-only"
+        lines.append(f"| `{name}` | {kind} | {first} |")
+    n_hash = sum(1 for s in REGISTRY.values() if s.oracle)
+    lines += [
+        "",
+        f"{len(REGISTRY)} queries registered; {n_hash} hash-checked. " + FOOTER,
+    ]
+    open(survey, "w").write(head + "\n".join(lines) + "\n")
+    print(f"SURVEY.md §2.1 regenerated: {len(REGISTRY)} queries, {n_hash} hash-checked")
+
+
+if __name__ == "__main__":
+    main()

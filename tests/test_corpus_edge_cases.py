@@ -1,0 +1,78 @@
+"""Synthetic edge cases for the corpus-prep operators — shapes the
+fixture can't produce: single-token docs, docs shorter than the chunk
+window, docs longer than the packing capacity, all-identical corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunking_short_doc_single_partial_chunk(spark):
+    from demo_segmenter_spark.operators.layer_c import CHUNK_STRIDE, CHUNK_TOKENS
+
+    toks = F.split(F.col("text"), " ")
+    df = _docs(spark, ["a b c", "x"]).select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))).alias(
+            "start"
+        ),
+    )
+    rows = df.select(
+        "doc_id", F.size(F.slice("t", F.col("start"), CHUNK_TOKENS)).alias("n")
+    ).collect()
+    got = {(r["doc_id"], r["n"]) for r in rows}
+    # One chunk per doc, sized at the doc's token count (clamped slice).
+    assert got == {(0, 3), (1, 1)}
+
+
+def test_pack_oversized_doc_gets_own_bins(spark):
+    # A doc longer than capacity lands in the bin where its offset
+    # starts, and pushes later docs into later bins (contiguous rule).
+    cap = 10
+    sized = spark.createDataFrame(
+        [(1, 4), (2, 25), (3, 4)], "doc_id long, n_tok long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin", F.expr(f"CAST((sum(n_tok) OVER (ORDER BY doc_id "
+                      f"ROWS UNBOUNDED PRECEDING) - n_tok) DIV {cap} AS BIGINT)")
+    ).collect()
+    bins = {r["doc_id"]: r["bin"] for r in binned}
+    assert bins == {1: 0, 2: 0, 3: 2}  # doc 3 starts at offset 29 -> bin 2
+
+
+def test_repetition_degenerate_all_same_token(spark):
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    uniq = F.size(F.array_distinct(tk))
+    df = _docs(spark, ["w w w w w", "a b c d e"]).select(
+        "doc_id", (1.0 - uniq * 1.0 / n).alias("tok_rep")
+    )
+    got = {r["doc_id"]: round(r["tok_rep"], 3) for r in df.collect()}
+    assert got[0] == 0.8  # 1 unique of 5
+    assert got[1] == 0.0
+
+
+def test_exact_dedup_all_identical_keeps_one(spark):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, ["same text here"] * 5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
