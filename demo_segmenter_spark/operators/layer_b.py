@@ -1576,3 +1576,51 @@ def b_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.unix_micros(nxt), F.lit(0)).alias("valid_to_us"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+@query(
+    "b_null_semantics",
+    oracle="""
+WITH n AS (
+    SELECT l_returnflag,
+           nullif(l_discount, 0.0) AS disc,
+           nullif(l_tax, 0.0) AS tax
+    FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(disc) AS n_disc_nonnull,
+       CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disc_null,
+       CAST(sum(CASE WHEN (disc IS NOT DISTINCT FROM tax) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null_safe_eq,
+       (round(avg(disc) + 1e-06, 4) + 0.0) AS avg_disc_nonnull
+FROM n
+GROUP BY l_returnflag
+""",
+)
+def b_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics surface (the fixture itself is NULL-free, so
+    nulls are synthesized via nullif): count(*) vs count(col) null
+    skipping, explicit null counting, null-safe equality (<=> / IS NOT
+    DISTINCT FROM — NULL<=>NULL is true where = yields NULL), and
+    avg() ignoring nulls. These engine-default behaviors are exactly
+    where silent corruption hides in a 100 TB pipeline with optional
+    columns — pinned here against the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.select(
+        "l_returnflag",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax"),
+    )
+    return n.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("disc").alias("n_disc_nonnull"),
+        F.sum(F.when(F.col("disc").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_disc_null"),
+        F.sum(F.col("disc").eqNullSafe(F.col("tax")).cast("long"))
+        .cast("long")
+        .alias("n_null_safe_eq"),
+        rnd(F.avg("disc"), 4).alias("avg_disc_nonnull"),
+    )
