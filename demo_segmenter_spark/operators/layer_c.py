@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from demo_segmenter_spark.functions.compat import EPS, rnd, sql_rnd
+from demo_segmenter_spark.functions.compat import EPS, rnd, sql_money_sum, sql_rnd
 from demo_segmenter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features_batches,
@@ -1739,5 +1739,51 @@ def c_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
             F.when(F.col("n_shared").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
+
+
+@query(
+    "c_udf_grouped_agg",
+    oracle=f"""
+SELECT event_type,
+       {sql_money_sum("value")} AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def c_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the vectorized Python aggregate path
+    (one Arrow batch per group per partition, partial results combined
+    by Spark like any aggregate). The UDF reproduces compat.py's
+    integer-cents discipline inside numpy (quantize, then integer sum)
+    so it hash-matches the pure-SQL oracle exactly — the template for
+    any custom Python aggregation that still has to be auditable.
+    Built-ins beat this 10x when they exist; the point is the path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int(np.rint(v.to_numpy(dtype=np.float64) * 100 + 1e-4).sum())
+
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg() —
+    # the count is a second pandas aggregate for that reason.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            cents_sum(F.col("value")).alias("cents"),
+            n_rows(F.col("value")).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            rnd(F.col("cents") / 100.0, 2).alias("total_value"),
+            "n_events",
         )
     )
