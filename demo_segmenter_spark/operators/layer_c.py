@@ -1787,3 +1787,77 @@ def c_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "c_pipeline_retrieval",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), st AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    FROM toks
+), chunks AS (
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           t[start:start+{CHUNK_TOKENS - 1}] AS ct
+    FROM st
+), qry AS (
+    SELECT t AS qt FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) GROUP BY t ORDER BY count(*) DESC, t LIMIT 3
+), scored AS (
+    SELECT doc_id, chunk_id,
+           CAST((SELECT count(*) FROM unnest(ct) AS u(x)
+                 WHERE x IN (SELECT qt FROM qry)) AS BIGINT) AS hits,
+           CAST(len(ct) AS BIGINT) AS n_tokens
+    FROM chunks
+)
+SELECT doc_id, chunk_id, hits, n_tokens
+FROM scored
+ORDER BY hits DESC, doc_id, chunk_id
+LIMIT 5
+""",
+)
+def c_pipeline_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval — the RAG-shaped composed pipeline:
+    chunk every document ({CHUNK_TOKENS}-token windows, stride
+    {CHUNK_STRIDE}, same rule as c_chunking) → score each chunk by
+    query-term hits (query = the 3 most frequent corpus tokens,
+    deterministic) → top-5 chunks. Chunking stays map-only; scoring is
+    a broadcast of 3 query terms evaluated with array HOFs inside
+    codegen — no explode, no shuffle until the final top-k, which
+    plans as TakeOrderedAndProject. At 100 TB this is the lexical
+    first-stage retriever in front of c_sim_knn's vector re-ranker."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    qry = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(3)
+        .agg(F.collect_list("t").alias("qts"))
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    chunks = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))).alias(
+            "start"
+        ),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias("chunk_id"),
+        chunk.alias("ct"),
+    )
+    scored = chunks.join(F.broadcast(qry)).select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.filter(F.col("ct"), lambda x: F.array_contains(F.col("qts"), x)))
+        .cast("long")
+        .alias("hits"),
+        F.size("ct").cast("long").alias("n_tokens"),
+    )
+    return scored.orderBy(F.col("hits").desc(), "doc_id", "chunk_id").limit(5)
