@@ -171,6 +171,11 @@ def test_shuffle_budgets_table(spark):
         "c_text_tfidf": 5,
         "c_quality_unigram_lp": 4,
         "c_dedup_ngram": 3,
+        "c_text_bm25": 6,
+        "c_pipeline_retrieval": 1,
+        "b_null_semantics": 1,
+        "c_udf_grouped_agg": 1,
+        "c_decontaminate": 3,
     }
     over = {}
     for name, budget in budgets.items():
