@@ -1861,3 +1861,114 @@ def c_pipeline_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ct").cast("long").alias("n_tokens"),
     )
     return scored.orderBy(F.col("hits").desc(), "doc_id", "chunk_id").limit(5)
+
+
+@query(
+    "c_pipeline_rerank",
+    oracle=f"""
+WITH qry AS (
+    SELECT t AS qt FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) GROUP BY t ORDER BY count(*) DESC, t LIMIT 3
+), hits AS (
+    SELECT doc_id,
+           CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(x)
+                 WHERE x IN (SELECT qt FROM qry)) AS BIGINT) AS hits
+    FROM documents
+), cand AS (
+    SELECT doc_id, hits FROM hits ORDER BY hits DESC, doc_id LIMIT 20
+), qv AS (
+    SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+), ex AS (
+    SELECT c.doc_id, c.hits, e.embedding AS v, q,
+           unnest(generate_series(1, len(e.embedding))) AS i
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.doc_id
+    CROSS JOIN qv
+), sums AS (
+    SELECT doc_id, hits,
+           sum(CAST(round(CAST(v[i] AS DOUBLE) * CAST(q[i] AS DOUBLE) * 1000000
+                          + 1e-04) AS BIGINT)) AS dp,
+           sum(CAST(round(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) * 1000000
+                          + 1e-04) AS BIGINT)) AS vv,
+           sum(CAST(round(CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE) * 1000000
+                          + 1e-04) AS BIGINT)) AS qq
+    FROM ex
+    GROUP BY doc_id, hits
+)
+SELECT doc_id, hits,
+       {sql_rnd("dp / (sqrt(vv * 1.0) * sqrt(qq * 1.0))", 4)} AS cos_sim
+FROM sums
+ORDER BY cos_sim DESC, doc_id
+LIMIT 5
+""",
+)
+def c_pipeline_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production RAG shape: cheap lexical
+    first stage (query-term hits over the full corpus, top-20
+    candidates) then vector re-rank of ONLY those candidates (cosine
+    to the vec_id=0 query embedding), top-5. The candidate set and the
+    query vector both broadcast, so the rerank never shuffles the
+    corpus — at 100 TB stage 1 prunes 5000x before any vector math
+    runs, which is the whole economics of rerank pipelines. (Fixture
+    note: embeddings cover a prefix of doc_ids at sf0.1 — 2000 of
+    5000 — the inner join keeps the covered candidates; production
+    would have one embedding per doc.) All dot products quantized to
+    integer micro-units; both engines then run bit-identical
+    arithmetic."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    qry = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(3)
+        .agg(F.collect_list("t").alias("qts"))
+    )
+    cand = (
+        docs.join(F.broadcast(qry))
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.array_contains(F.col("qts"), x)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .orderBy(F.col("hits").desc(), "doc_id")
+        .limit(20)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    def micro_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.round(
+                    x.cast("double") * y.cast("double") * 1_000_000 + F.lit(EPS[0])
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    joined = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "hits",
+            micro_dot(F.col("embedding"), F.col("q")).alias("dp"),
+            micro_dot(F.col("embedding"), F.col("embedding")).alias("vv"),
+            micro_dot(F.col("q"), F.col("q")).alias("qq"),
+        )
+    )
+    cos = F.col("dp") / (
+        F.sqrt(F.col("vv") * 1.0) * F.sqrt(F.col("qq") * 1.0)
+    )
+    return (
+        joined.select("doc_id", "hits", rnd(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(5)
+    )
