@@ -1624,3 +1624,41 @@ def b_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_safe_eq"),
         rnd(F.avg("disc"), 4).alias("avg_disc_nonnull"),
     )
+
+
+@query(
+    "b_agg_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 13
+                 ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       (round(min(o_totalprice) + 1e-06, 2) + 0.0) AS lo,
+       (round(max(o_totalprice) + 1e-06, 2) + 0.0) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def b_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the one-pass data-
+    profiling shape (value distribution without a sort). Bucketing is
+    a pure scalar inside codegen, so the whole histogram is one
+    partial+final aggregate: at 100 TB this is how you profile a
+    column without sampling. min/max per bucket double as bucket-edge
+    sanity. (DuckDB 1.0 has no width_bucket — the oracle mirrors its
+    floor-division semantics explicitly, including the under/overflow
+    buckets 0 and n+1.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12))
+            .cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rnd(F.min("o_totalprice"), 2).alias("lo"),
+            rnd(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -1972,3 +1972,46 @@ def c_pipeline_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "doc_id")
         .limit(5)
     )
+
+
+@query(
+    "c_text_entropy",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), dl AS (
+    SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+), terms AS (
+    SELECT tf.doc_id,
+           CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1000000 + 1e-04)
+                AS BIGINT) AS h_micro
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+)
+SELECT doc_id,
+       (round(sum(h_micro) / 1000000.0 + 1e-08, 4) + 0.0) AS entropy
+FROM terms
+GROUP BY doc_id
+""",
+)
+def c_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    gibberish/boilerplate quality signal (low entropy = repeated
+    tokens, high = diverse vocabulary; pairs with c_quality_repetition
+    as corpus filters). Two keyed aggregations sharing the doc_id
+    exchange. Per-term -p·ln(p) contributions quantized to integer
+    micro-nats before summing (compat.py discipline: ln ulps and sum
+    order can never break the hash)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    h_micro = F.round(-p * F.ln(p) * 1_000_000 + F.lit(EPS[0])).cast("long")
+    return (
+        tf.join(dl, "doc_id")
+        .select("doc_id", h_micro.alias("h_micro"))
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("h_micro") / 1_000_000.0, 4).alias("entropy"))
+    )
