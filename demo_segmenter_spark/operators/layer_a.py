@@ -902,3 +902,242 @@ def a_session_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics surface over the event log: funnel, cohort retention,
+# transition matrix, gap-fill. These are the queries a sessionization
+# engine's users run NEXT, once events are keyed and ordered.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "a_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(v.t1) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(c.t1) AS t1
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase,
+       (SELECT {avg_sec} FROM p) AS avg_convert_sec
+""".format(avg_sec=sql_rnd("sum(t3 - t1) / 1000000.0 / count(*)", 2)),
+)
+def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage keeps users
+    whose stage event happens strictly AFTER their previous stage's
+    first event. Single-pass plan: three stacked unordered windows over
+    the SAME user_id partitioning compute the stage timestamps as
+    conditional mins (t2's predicate references t1, t3's references t2),
+    so the whole funnel costs ONE user_id exchange + one tiny global
+    agg — vs the naive 3-aggregate/2-join version that shuffles five
+    times. `count(tN)` counts non-null = users reaching stage N.
+    avg_convert_sec uses integer-µs sums with one final double division
+    (compat.py discipline). The oracle keeps the join formulation —
+    independent derivation, same answer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    uw = Window.partitionBy("user_id")
+    ty, us = F.col("event_type"), F.col("us")
+    s = ev.withColumn("t1", F.min(F.when(ty == "view", us)).over(uw))
+    s = s.withColumn(
+        "t2", F.min(F.when((ty == "click") & (us > F.col("t1")), us)).over(uw)
+    )
+    s = s.withColumn(
+        "t3", F.min(F.when((ty == "purchase") & (us > F.col("t2")), us)).over(uw)
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        rnd(
+            F.sum(F.col("t3") - F.col("t1")) / 1_000_000.0 / F.count("t3"), 2
+        ).alias("avg_convert_sec"),
+    )
+
+
+@query(
+    "a_retention_cohorts",
+    oracle=f"""
+WITH coh AS (
+    SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+    FROM events GROUP BY user_id
+), sizes AS (
+    SELECT cohort_us, count(*) AS cohort_size FROM coh GROUP BY cohort_us
+), act AS (
+    SELECT c.cohort_us,
+           (epoch_us(date_trunc('week', e.ts)) - c.cohort_us) // {WEEK_US}
+               AS week_offset,
+           e.user_id
+    FROM events e JOIN coh c ON e.user_id = c.user_id
+), ret AS (
+    SELECT cohort_us, week_offset, count(DISTINCT user_id) AS n_active
+    FROM act GROUP BY cohort_us, week_offset
+)
+SELECT r.cohort_us, r.week_offset, r.n_active, s.cohort_size,
+       {sql_rnd('r.n_active / s.cohort_size', 4)} AS retention
+FROM ret r JOIN sizes s ON r.cohort_us = s.cohort_us
+""",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the ISO week of their
+    first event, activity counted per calendar-week offset, retention =
+    active / cohort size. Single-pass plan: cohort_us comes from an
+    unordered min(ts) window over user_id (no self-join back to a
+    per-user aggregate), and cohort_size is recovered from the matrix
+    itself — every user's first event lands at offset 0, so
+    n_active(offset=0) IS the cohort population (window max over the
+    few-row cohort partition). One user_id exchange + the countDistinct
+    expand; no join. week_offset is exact integer arithmetic — both
+    operands are week-truncated UTC timestamps, so the µs difference is
+    an exact multiple of WEEK_US and the double division below cannot
+    round. The oracle keeps the join formulation — independent
+    derivation, same answer."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    uw = Window.partitionBy("user_id")
+    cohort_us = F.unix_micros(F.date_trunc("week", F.min("ts").over(uw)))
+    act = ev.select(
+        "user_id",
+        cohort_us.alias("cohort_us"),
+        (
+            (F.unix_micros(F.date_trunc("week", F.col("ts"))) - cohort_us)
+            / F.lit(WEEK_US)
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    ret = act.groupBy("cohort_us", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    cw = Window.partitionBy("cohort_us")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(cw)
+    return ret.select(
+        "cohort_us",
+        "week_offset",
+        "n_active",
+        cohort_size.alias("cohort_size"),
+        rnd(F.col("n_active") / cohort_size, 4).alias("retention"),
+    )
+
+
+@query(
+    "a_transitions",
+    oracle=f"""
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+           event_type AS next_type
+    FROM events
+), t AS (
+    SELECT prev_type, next_type, count(*) AS n_trans
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       {sql_rnd('n_trans / (sum(n_trans) OVER (PARTITION BY prev_type))', 4)}
+           AS p
+FROM t
+""",
+)
+def a_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (lag over the user timeline -> pair counts -> row-normalized
+    probabilities). The lag window shuffles once on user_id; the pair
+    aggregation reduces to |types|^2 rows, so the normalizing window
+    runs on a trivially small relation regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    user_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(user_w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    norm_w = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        rnd(F.col("n_trans") / F.sum("n_trans").over(norm_w), 4).alias("p"),
+    )
+
+
+@query(
+    "a_gapfill_locf",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, sum({sql_cents('value')}) AS cents
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(d) AS lo, max(d) AS hi FROM daily
+), days AS (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+), grid AS (
+    SELECT u.user_id, days.d
+    FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days
+)
+SELECT g.user_id, CAST(g.d AS VARCHAR) AS day,
+       {sql_rnd('''last_value(da.cents IGNORE NULLS) OVER
+           (PARTITION BY g.user_id ORDER BY g.d
+            ROWS UNBOUNDED PRECEDING) / 100.0''', 2)} AS locf_value,
+       CAST(CASE WHEN da.cents IS NULL THEN 1 ELSE 0 END AS INT) AS is_filled
+FROM grid g LEFT JOIN daily da ON g.user_id = da.user_id AND g.d = da.d
+""",
+)
+def a_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward: build
+    the dense user x day grid (date sequence exploded from a single-row
+    bounds aggregate, broadcast against distinct users), left-join the
+    sparse daily sums, and fill holes with `last(ignorenulls)` over the
+    per-user timeline. Days before a user's first observation stay NULL
+    (nothing to carry). The grid cross-join broadcasts the small side
+    (calendar days), so at 100 TB the cost is one user_id exchange for
+    the window — the same key the daily agg already shuffled on."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.sum(cents(F.col("value"))).alias("cents")
+    )
+    days = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    users = daily.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    locf_w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").cast("string").alias("day"),
+            rnd(
+                F.last("cents", ignorenulls=True).over(locf_w) / 100.0, 2
+            ).alias("locf_value"),
+            F.col("cents").isNull().cast("int").alias("is_filled"),
+        )
+    )

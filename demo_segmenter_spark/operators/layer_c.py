@@ -1999,19 +1999,22 @@ def c_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution Shannon entropy per document — the classic
     gibberish/boilerplate quality signal (low entropy = repeated
     tokens, high = diverse vocabulary; pairs with c_quality_repetition
-    as corpus filters). Two keyed aggregations sharing the doc_id
-    exchange. Per-term -p·ln(p) contributions quantized to integer
-    micro-nats before summing (compat.py discipline: ln ulps and sum
-    order can never break the hash)."""
+    as corpus filters). The doc length comes from a sum window over
+    doc_id on the term-frequency relation — no self-join, so the plan
+    is one (doc_id, t) exchange, one doc_id exchange, and a final agg
+    that reuses the window's partitioning. Per-term -p·ln(p)
+    contributions quantized to integer micro-nats before summing
+    (compat.py discipline: ln ulps and sum order can never break the
+    hash). The oracle keeps the join formulation — independent
+    derivation, same answer."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
-    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c") * 1.0 / F.col("n")
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") * 1.0 / n
     h_micro = F.round(-p * F.ln(p) * 1_000_000 + F.lit(EPS[0])).cast("long")
     return (
-        tf.join(dl, "doc_id")
-        .select("doc_id", h_micro.alias("h_micro"))
+        tf.select("doc_id", h_micro.alias("h_micro"))
         .groupBy("doc_id")
         .agg(rnd(F.sum("h_micro") / 1_000_000.0, 4).alias("entropy"))
     )

@@ -56,8 +56,13 @@ def count_exchanges(df: DataFrame) -> int:
     line, so the pattern below never matched there and every shuffle
     budget silently asserted 0 <= N (caught in a round-1 audit).
     SinglePartition exchanges count too — a global funnel is the worst
-    shuffle of all at scale."""
-    plan = explain_str(df, mode="simple")
+    shuffle of all at scale.
+
+    Once the DataFrame has been executed, AQE's simple-mode explain
+    appends an ``== Initial Plan ==`` section after the final plan —
+    counting the whole string then double-counts every exchange, so
+    everything from that marker on is dropped."""
+    plan = explain_str(df, mode="simple").split("== Initial Plan ==")[0]
     return (
         len(re.findall(r"Exchange hashpartitioning", plan))
         + len(re.findall(r"Exchange rangepartitioning", plan))

@@ -176,6 +176,12 @@ def test_shuffle_budgets_table(spark):
         "b_null_semantics": 1,
         "c_udf_grouped_agg": 1,
         "c_decontaminate": 3,
+        "b_agg_histogram": 1,
+        "c_text_entropy": 2,
+        "a_funnel": 2,
+        "a_retention_cohorts": 3,
+        "a_transitions": 3,
+        "a_gapfill_locf": 3,
     }
     over = {}
     for name, budget in budgets.items():
