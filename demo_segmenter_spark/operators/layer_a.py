@@ -1141,3 +1141,50 @@ def a_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").isNull().cast("int").alias("is_filled"),
         )
     )
+
+
+@query(
+    "a_anomaly_zscore",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, event_type, value, {sql_cents('value')} AS c FROM events
+), st AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+    FROM ev GROUP BY event_type
+), scored AS (
+    SELECT event_id, ev.event_type AS event_type, value,
+           (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+    FROM ev JOIN st ON ev.event_type = st.event_type
+)
+SELECT event_id, event_type, value, {sql_rnd('z', 4)} AS z
+FROM scored WHERE z > 3.0
+""",
+)
+def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging: one tiny moments aggregate
+    (n, sum, sum-of-squares over integer cents) broadcast back onto the
+    stream, z computed from the exact integer moments with a FIXED IEEE
+    op sequence — so both engines score bit-identically and the z > 3
+    cut cannot flip on a ulp. Deliberately NOT a window over
+    event_type: |types| is tiny, so a window partition would put the
+    whole 100 TB stream through a handful of reducers; the broadcast
+    keeps the scan fully parallel. (At extreme scale sum(c*c) wants
+    DECIMAL(38) — bigint holds to ~1e18 micro-cents^2.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", cents(F.col("value")).alias("c")
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    mu = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col("c").cast("double") - mu) / F.sqrt(var)
+    return j.where(z > 3.0).select(
+        "event_id", "event_type", "value", rnd(z, 4).alias("z")
+    )

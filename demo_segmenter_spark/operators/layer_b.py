@@ -1336,6 +1336,40 @@ def b_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_source_xml",
+    oracle=f"""
+SELECT n_regionkey, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def b_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round trip (built into Spark since 4.0 — the
+    spark-xml merge): write `nation` as row-tagged XML, read it back
+    with an explicit schema (XML inference is an extra full scan, same
+    rule as CSV/JSON at lake scale), aggregate with a sorted string_agg
+    so the hash pins row-level fidelity. XML scans are record-at-a-time
+    like JSON — no pushdown, no pruning — which is why this stays an
+    ingest-edge format feeding parquet, never the lake format."""
+    out = _roundtrip_dir(sf_dir, "xml")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    back = (
+        spark.read.schema(nat.schema)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+@query(
     "b_agg_grouping_sets",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
@@ -1661,4 +1695,44 @@ def b_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.min("o_totalprice"), 2).alias("lo"),
             rnd(F.max("o_totalprice"), 2).alias("hi"),
         )
+    )
+
+
+@query("b_agg_sketch_merge")
+def b_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (rows-only oracle: DataSketches HLL
+    binaries are engine-specific): per-nation customer sketches built
+    in one pass, then UNIONED to region level with hll_union_agg —
+    the two-level pattern that makes 100 TB distinct-counting cheap:
+    partial sketches are tiny, re-aggregatable to any coarser grain,
+    and storable for incremental refresh (unlike exact distinct, which
+    re-shuffles raw keys per grain). rel_err against the exact count
+    (nations partition customers, so summing per-nation exacts is the
+    per-region truth) is asserted in tests."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count("*").alias("n_exact"),
+    )
+    per_region = (
+        per_nation.join(
+            F.broadcast(nat), per_nation.c_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            ),
+            F.sum("n_exact").alias("exact_customers"),
+        )
+    )
+    rel_err = F.abs(
+        F.col("approx_customers") - F.col("exact_customers")
+    ) / F.col("exact_customers")
+    return per_region.select(
+        "n_regionkey",
+        "approx_customers",
+        "exact_customers",
+        rnd(rel_err, 4).alias("rel_err"),
     )

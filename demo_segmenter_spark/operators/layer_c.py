@@ -22,7 +22,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from demo_segmenter_spark.functions.compat import EPS, rnd, sql_money_sum, sql_rnd
+from demo_segmenter_spark.functions.compat import (
+    EPS,
+    cents,
+    rnd,
+    sql_cents,
+    sql_money_sum,
+    sql_rnd,
+)
 from demo_segmenter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features_batches,
@@ -2017,4 +2024,60 @@ def c_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.select("doc_id", h_micro.alias("h_micro"))
         .groupBy("doc_id")
         .agg(rnd(F.sum("h_micro") / 1_000_000.0, 4).alias("entropy"))
+    )
+
+
+@query(
+    "c_sample_weighted",
+    oracle=f"""
+WITH w AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           {sql_cents('o_totalprice')} AS wc,
+           CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u
+    FROM orders
+), tot AS (
+    SELECT CAST(sum(wc) AS DOUBLE) AS tw FROM w
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       {sql_rnd('1.0 / least(1.0, CAST(wc AS DOUBLE) * 1000.0 / tw)', 4)}
+           AS ht_weight
+FROM w, tot
+WHERE u < least(1.0, CAST(wc AS DOUBLE) * 1000.0 / tw)
+""",
+)
+def c_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Poisson sampling (expected-size ~1000,
+    inclusion probability proportional to order value, Horvitz-Thompson
+    weight output for unbiased downstream estimates). The uniform
+    draw is the first 8 md5 hex digits of the key over 2^32 — an exact
+    dyadic rational both engines compute bit-identically, so the
+    u < p cut is reproducible across engines, runs, and partitionings
+    (no RNG state, no seed plumbing). One scalar-total aggregate
+    broadcast back; the scan stays embarrassingly parallel — unlike
+    exact-size reservoir/A-ES sampling, which needs a global top-k
+    boundary. The corpus-curation use: value-weighted subsampling of a
+    100 TB pool in a single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        cents(F.col("o_totalprice")).alias("wc"),
+        (h / F.lit(4294967296.0)).alias("u"),
+    )
+    tot = w.agg(F.sum("wc").cast("double").alias("tw"))
+    p = F.least(F.lit(1.0), F.col("wc").cast("double") * 1000.0 / F.col("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .where(F.col("u") < p)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            rnd(F.lit(1.0) / p, 4).alias("ht_weight"),
+        )
     )

@@ -182,6 +182,10 @@ def test_shuffle_budgets_table(spark):
         "a_retention_cohorts": 3,
         "a_transitions": 3,
         "a_gapfill_locf": 3,
+        "b_source_xml": 1,
+        "a_anomaly_zscore": 1,
+        "c_sample_weighted": 1,
+        "b_agg_sketch_merge": 2,
     }
     over = {}
     for name, budget in budgets.items():

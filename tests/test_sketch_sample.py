@@ -1,0 +1,47 @@
+"""In-query-invariant tests for the rows-only / sampling queries whose
+oracles can't pin exact values (sketch estimates, probabilistic
+sampling): assert the invariants the docstrings promise."""
+
+from __future__ import annotations
+
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def test_sketch_merge_rel_err_bounded(spark):
+    rows = REGISTRY["b_agg_sketch_merge"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no regions"
+    for r in rows:
+        assert r.exact_customers > 0
+        assert r.rel_err < 0.05, (r.n_regionkey, r.rel_err)
+
+
+def test_weighted_sample_invariants(spark):
+    df = REGISTRY["c_sample_weighted"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows, "empty sample"
+    # HT weights are reciprocals of inclusion probabilities <= 1
+    assert all(r.ht_weight >= 1.0 for r in rows)
+    # deterministic: same rows on a second run (no RNG state anywhere)
+    again = {r.o_orderkey for r in REGISTRY["c_sample_weighted"].fn(spark, SF_SMOKE).collect()}
+    assert {r.o_orderkey for r in rows} == again
+    # value-weighted: sampled orders skew rich relative to the pool
+    from demo_segmenter_spark.sources import load_table
+    import pyspark.sql.functions as F
+    pool_avg = load_table(spark, SF_SMOKE, "orders").agg(
+        F.avg("o_totalprice")
+    ).first()[0]
+    sample_avg = sum(r.o_totalprice for r in rows) / len(rows)
+    assert sample_avg > pool_avg
+
+
+def test_anomaly_zscore_flags_are_outliers(spark):
+    rows = REGISTRY["a_anomaly_zscore"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no outliers flagged"
+    assert all(r.z > 3.0 for r in rows)
+    # outliers are a small fraction of the stream
+    from demo_segmenter_spark.sources import load_table
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert len(rows) < 0.05 * total
