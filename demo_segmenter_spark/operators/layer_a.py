@@ -1188,3 +1188,65 @@ def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(z > 3.0).select(
         "event_id", "event_type", "value", rnd(z, 4).alias("z")
     )
+
+
+@query(
+    "a_anomaly_zscore_stream",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, event_type, value, {sql_cents('value')} AS c FROM events
+), st AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+    FROM ev GROUP BY event_type
+), scored AS (
+    SELECT event_id, ev.event_type AS event_type, value,
+           (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+    FROM ev JOIN st ON ev.event_type = st.event_type
+)
+SELECT event_id, event_type, value, {sql_rnd('z', 4)} AS z
+FROM scored WHERE z > 3.0
+""",
+)
+def a_anomaly_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_anomaly_zscore: the per-type moments are
+    computed BATCH-side from history (the production shape — fit on
+    yesterday, score the live stream) and broadcast into a stream-static
+    join; the z cut is stateless per record, so the stream needs no
+    watermark and emits in append mode. Same oracle as the batch twin:
+    on this fixture the scoring history IS the replayed stream, so the
+    outputs coincide row-for-row."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    hist = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    st = hist.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "event_type", "value", cents(F.col("value")).alias("c")
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    mu = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col("c").cast("double") - mu) / F.sqrt(var)
+    scored = j.where(z > 3.0).select(
+        "event_id", "event_type", "value", rnd(z, 4).alias("z")
+    )
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

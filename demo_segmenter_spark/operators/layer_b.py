@@ -1736,3 +1736,32 @@ def b_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_customers",
         rnd(rel_err, 4).alias("rel_err"),
     )
+
+
+@query(
+    "b_agg_top_k",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders GROUP BY o_orderpriority
+ORDER BY n DESC, o_orderpriority
+""",
+)
+def b_agg_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch (Spark
+    4): one pass, bounded memory, mergeable partials — the 100 TB
+    replacement for a full GROUP BY when only the head of the
+    distribution matters. The sketch is EXACT whenever distinct values
+    fit maxItemsTracked (5 priorities << 10000 tracked), which is what
+    makes this hash-checkable against the exact GROUP BY; beyond
+    capacity the counts become estimates with documented error. Output
+    re-sorted by (count desc, item) so the sketch's internal tie order
+    never reaches the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("o_orderpriority"), F.col("e.count").alias("n")
+        )
+        .orderBy(F.col("n").desc(), "o_orderpriority")
+    )

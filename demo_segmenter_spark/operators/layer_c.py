@@ -2081,3 +2081,55 @@ def c_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.lit(1.0) / p, 4).alias("ht_weight"),
         )
     )
+
+
+@query(
+    "c_multimodal_binaryfile",
+    oracle="""
+SELECT concat('doc_', doc_id, '.bin') AS fname,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 100
+""",
+)
+def c_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal ingest edge: `spark.read.format("binaryFile")`
+    over a directory of opaque blobs — (path, length, content) rows,
+    one file per asset, partition-parallel reads. The fixture blobs are
+    materialized once per sf_dir (utf-8 bytes of the first 100
+    documents — no image fixtures exist here); the oracle recomputes
+    byte length and md5 from the source table, proving blob fidelity
+    end to end. At 100 TB this scan feeds the mapInPandas decode stage
+    (c_multimodal_features); binaryFile's pathGlobFilter +
+    recursiveFileLookup are the lake-layout knobs."""
+    import os
+
+    blob_dir = _blob_dir(sf_dir)
+    if not os.path.isdir(blob_dir) or not os.listdir(blob_dir):
+        os.makedirs(blob_dir, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(f"{blob_dir}/doc_{r.doc_id}.bin", "wb") as f:
+                f.write(r.text.encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(blob_dir)
+    )
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def _blob_dir(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/dss_blobs/{tag}"

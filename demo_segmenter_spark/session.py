@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Semi-join pushdown for selective non-broadcast joins: the
+        # build side's keys become a bloom filter applied at the probe
+        # side's scan. Irrelevant at local fixture sizes (thresholds
+        # keep it off) but the right default for the 100 TB cluster;
+        # tests/test_plans.py pins that the rewrite actually fires.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -186,6 +186,8 @@ def test_shuffle_budgets_table(spark):
         "a_anomaly_zscore": 1,
         "c_sample_weighted": 1,
         "b_agg_sketch_merge": 2,
+        "c_multimodal_binaryfile": 0,
+        "b_agg_top_k": 1,
     }
     over = {}
     for name, budget in budgets.items():
@@ -193,3 +195,35 @@ def test_shuffle_budgets_table(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_bloom_filter_semi_join_pushdown(spark):
+    # The session enables runtime bloom filters (session.py); size
+    # thresholds keep them off at fixture scale, so force-lower the
+    # thresholds here to pin that the rewrite itself works end to end.
+    from demo_segmenter_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and the filtered result is still correct
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
