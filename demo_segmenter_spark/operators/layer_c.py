@@ -2133,3 +2133,53 @@ def _blob_dir(sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return f"/tmp/dss_blobs/{tag}"
+
+
+@query(
+    "c_dedup_fuzzy",
+    oracle="""
+WITH k AS (
+    SELECT doc_id, substr(text, 1, 80) AS head,
+           substr(text, 1, 16) AS block, n_chars
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM k a JOIN k b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 40
+WHERE levenshtein(a.head, b.head) <= 20
+""",
+)
+def c_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs with BLOCKING-KEY candidate
+    generation — the third dedup family next to MinHash-LSH and
+    SimHash: equality on a cheap block key (16-char prefix) plus a
+    length band prunes the O(n^2) pair space to within-block pairs
+    BEFORE any expensive comparison runs; levenshtein is then computed
+    only on candidates, and only over an 80-char head so per-pair cost
+    is bounded. The blocking join is a plain equi-join -> hash
+    partitioned, fully parallel; hot blocks (boilerplate prefixes) are
+    the skew risk at 100 TB — salt the block key or cap block size.
+    Exact integer edit distances hash-check cross-engine."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    k = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("head"),
+        F.substring("text", 1, 16).alias("block"),
+        "n_chars",
+    )
+    a = k.alias("a")
+    b = k.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+    )
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return pairs.where(dist <= 20).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        dist.alias("edit_dist"),
+    )
