@@ -41,6 +41,15 @@ from pyspark.sql import functions as F
 
 MAX_ROUNDS = 64  # safety net; fixpoint check exits far earlier
 
+# Contracted graphs at or below this many (directed) edges are finished
+# with a single union-find on the driver instead of Pregel rounds: the
+# whole point of the contraction is that the boundary graph is orders
+# of magnitude smaller than the input (Kiveris et al. finish small
+# residual graphs on one machine for the same reason). 1M edges is
+# ~16 MB — trivial to collect, and each avoided fixpoint round is a
+# full job of scheduler+shuffle latency.
+DRIVER_FINISH_EDGES = 1_000_000
+
 
 def _local_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
     """Path-compressed union-find over one partition's edges."""
@@ -69,9 +78,13 @@ def _local_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, driver_finish_edges: int = DRIVER_FINISH_EDGES
+) -> DataFrame:
     """``pairs``: two integer columns (a, b), one row per undirected
-    edge. Returns (v, label) with label = min vertex id reachable."""
+    edge. Returns (v, label) with label = min vertex id reachable.
+    ``driver_finish_edges`` gates the single-machine finish of the
+    contracted graph (tests pass 0 to force the distributed path)."""
     a_col, b_col = pairs.columns[:2]
     edges0 = pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
@@ -104,7 +117,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     ).unionAll(contracted.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
     cedges = cedges.localCheckpoint(eager=True)
 
-    # Phase 3: fixpoint iteration on the (small) contracted graph.
+    # Phase 3: label the (small) contracted graph. Below the driver
+    # threshold: one union-find pass over the collected edges — zero
+    # distributed rounds. Above it: fixpoint min-label propagation.
+    n_cedges = cedges.count()
+    if 0 < n_cedges <= driver_finish_edges:
+        resolved = _local_union_find(cedges.toPandas())
+        return _resolve(local, pairs.sparkSession.createDataFrame(
+            resolved, schema="v long, label long"
+        ))
+
     labels = (
         cedges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     )
@@ -129,7 +151,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
 
-    # Phase 4: resolve vertices through local -> global labels.
+    return _resolve(local, labels)
+
+
+def _resolve(local: DataFrame, labels: DataFrame) -> DataFrame:
+    """Phase 4: resolve vertices through local -> global labels."""
     glob = labels.select(F.col("v").alias("label"), F.col("label").alias("glabel"))
     return (
         local.join(glob, "label", "left")
