@@ -75,6 +75,41 @@ def main() -> None:
         f"in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M rows/s)"
     )
 
+    cc_stress(spark)
+
+
+def cc_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
+    """Connected-components at synthetic scale with a KNOWN answer:
+    n vertices in chains of length `chain`, vertex ids scrambled by a
+    coprime multiplier so chain neighbors land in different partitions
+    — worst case for the local union-find phase (almost nothing
+    contracts), which forces the distributed fixpoint path over a
+    contracted graph about the size of the input. Ground truth:
+    exactly n/chain components covering all n vertices."""
+    from demo_segmenter_spark.functions.graph import connected_components
+
+    p = 999_983  # prime, coprime with n
+    assert n % chain == 0
+    t0 = time.time()
+    base = spark.range(n)
+    edges = base.filter((F.col("id") % chain) != chain - 1).select(
+        ((F.col("id") * p) % n).alias("a"),
+        (((F.col("id") + 1) * p) % n).alias("b"),
+    )
+    labels = connected_components(edges)
+    agg = labels.agg(
+        F.count("*").alias("n_v"), F.countDistinct("label").alias("n_comp")
+    ).first()
+    dt = time.time() - t0
+    n_edges = n // chain * (chain - 1)
+    assert agg.n_v == n, (agg.n_v, n)
+    assert agg.n_comp == n // chain, (agg.n_comp, n // chain)
+    print(
+        f"connected components: {n_edges} scrambled chain edges -> "
+        f"{agg.n_comp} components in {dt:.1f}s "
+        f"({n_edges / dt / 1e6:.2f}M edges/s, distributed fixpoint path)"
+    )
+
 
 if __name__ == "__main__":
     main()
