@@ -1765,3 +1765,70 @@ def b_agg_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "o_orderpriority")
     )
+
+
+@query(
+    "b_sql_lateral",
+    oracle="""
+SELECT n_name, l.c_custkey, l.c_acctbal
+FROM nation, LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) l
+""",
+)
+def b_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark >= 3.4 lateral joins): top-3
+    customers per nation expressed as a per-row subquery instead of the
+    window rewrite (b_topk_per_group is the window form of the same
+    question — two front-ends, one answer). Catalyst decorrelates the
+    LIMIT-per-group into a join + window plan rather than executing
+    row-at-a-time, which is exactly why the construct survives scale."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+SELECT n_name, l.c_custkey, l.c_acctbal
+FROM v_nation, LATERAL (
+    SELECT c_custkey, c_acctbal FROM v_customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) l
+""")
+
+
+@query(
+    "b_sql_recursive",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+    SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM months
+    WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+)
+SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY strftime(m, '%Y-%m')
+""",
+)
+def b_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): generate the continuous month
+    spine between the first and last order date by recursion, then
+    left-join monthly order counts — the gap-free time-spine idiom
+    (empty months surface as 0, which a plain GROUP BY can never
+    show). The recursion is bounded (~80 iterations) and each step is
+    a one-row frame, so the driver-side loop cost is nil; the join +
+    count is ordinary distributed work. DuckDB runs the identical
+    WITH RECURSIVE."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+WITH RECURSIVE months(m) AS (
+    SELECT date_trunc('month', (SELECT min(o_orderdate) FROM v_orders))
+    UNION ALL
+    SELECT m + INTERVAL '1' MONTH FROM months
+    WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM v_orders))
+)
+SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN v_orders ON date_trunc('month', o_orderdate) = m
+GROUP BY date_format(m, 'yyyy-MM')
+""")

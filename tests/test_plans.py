@@ -191,6 +191,8 @@ def test_shuffle_budgets_table(spark):
         # 0 at fixture scale (broadcast); at 100 TB the blocking join
         # hash-shuffles both sides on the block key — allow 2.
         "c_dedup_fuzzy": 2,
+        "b_sql_lateral": 1,
+        "b_sql_recursive": 2,
     }
     over = {}
     for name, budget in budgets.items():
