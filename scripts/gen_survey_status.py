@@ -34,7 +34,15 @@ FOOTER = (
     "`c_decontaminate` (train/eval leakage gate), `c_train_shuffle`, "
     "`c_pack_sequences`, `c_dedup_cluster` (connected components, "
     "functions/graph.py); composed pipelines: `b_pipeline_tpch_q3`, "
-    "`c_pipeline_corpus`. Shuffle budgets are enforced per-query in "
+    "`c_pipeline_corpus`. Beyond-§2 additions: event analytics "
+    "(`a_funnel`, `a_retention_cohorts`, `a_transitions`, "
+    "`a_gapfill_locf`, `a_anomaly_zscore[_stream]`); profiling/sketches "
+    "(`b_agg_histogram`, `b_agg_top_k`, `b_agg_sketch_merge`); "
+    "deterministic weighted sampling `c_sample_weighted`; fuzzy blocked "
+    "dedup `c_dedup_fuzzy`; text entropy `c_text_entropy`; XML + "
+    "binaryFile sources (`b_source_xml`, `c_multimodal_binaryfile`); "
+    "modern SQL (`b_sql_lateral`, `b_sql_recursive` — Spark 4 WITH "
+    "RECURSIVE). Shuffle budgets are enforced per-query in "
     "tests/test_plans.py::test_shuffle_budgets_table."
 )
 
