@@ -83,3 +83,90 @@ class SyntheticEventsSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side (Spark 4 DataSourceWriter): a JSON-lines directory sink
+# with MANIFEST-COMMIT atomicity — executors write uniquely-named data
+# files and return commit messages; only the driver's commit() makes
+# them visible by writing the manifest. A failed/aborted write leaves
+# data files orphaned but NEVER manifested, so readers (which resolve
+# the manifest, not the directory listing) see all-or-nothing — the
+# same protocol every lake table format builds on.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires option 'path'")
+        self.fail = options.get("simulate_failure", "false") == "true"
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"{self.path}/part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                if self.fail:
+                    raise RuntimeError("simulated task failure")
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(file=fname, rows=n)
+
+    def commit(self, messages):
+        import json
+
+        manifest = {
+            "files": sorted(m.file for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(f"{self.path}/_MANIFEST.json", "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class JsonlDirSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlDirWriter(self.options)
+
+
+def manifest_files(path: str) -> list[str]:
+    """Resolve the committed file set (what a reader must use)."""
+    import json
+    import os
+
+    mf = f"{path}/_MANIFEST.json"
+    if not os.path.exists(mf):
+        return []
+    with open(mf) as f:
+        return json.load(f)["files"]
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirSink)

@@ -20,8 +20,9 @@ FOOTER = (
     "`a_stream_stream_join[_stream]`, `a_stream_table_join_stream` "
     "(GlobalKTable); sinks → `streaming/sinks.py` (exactly-once restart + "
     "incremental-arrival tests), `c_lang_partitioned_sink`, "
-    "`b_source_csv/json/orc`; custom ingest → `sources/python_source.py` "
-    "(Spark 4 Python Data Source); streaming twins carry the `_stream` "
+    "`b_source_csv/json/orc`; custom connectors → `sources/python_source.py` "
+    "(Spark 4 Python Data Source: partition-parallel reader AND "
+    "manifest-commit atomic writer); streaming twins carry the `_stream` "
     "suffix; real multi-batch watermark-drop test in tests/test_late_data.py; "
     "RocksDB state-store parity in tests/test_state_store.py; scale paths: "
     "`b_join_bucketed`, `b_join_skew_salted`, `c_sim_lsh`/`c_sim_ivf`, "

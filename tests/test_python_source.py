@@ -45,3 +45,54 @@ def test_composes_with_engine_operators(spark):
     rows = {r["event_type"]: r["n"] for r in agg.collect()}
     assert sum(rows.values()) == 1000
     assert set(rows) <= {"click", "view", "purchase", "signup", "error"}
+
+
+def _sink_dir(tag):
+    import hashlib
+    import os
+    import shutil
+
+    d = f"/tmp/dss_pysink/{hashlib.md5(tag.encode()).hexdigest()[:8]}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def test_python_sink_round_trip(spark):
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    d = _sink_dir("roundtrip")
+    src = _read(spark, 400, 4)
+    src.write.format("jsonl_dir").option("path", d).mode("append").save()
+    files = manifest_files(d)
+    assert files, "no manifest written"
+    back = spark.read.schema(src.schema).json(files)
+    assert back.count() == 400
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_python_sink_failure_leaves_no_manifest(spark):
+    import pytest as _pytest
+
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    d = _sink_dir("failure")
+    src = _read(spark, 100, 2)
+    with _pytest.raises(Exception):
+        (
+            src.write.format("jsonl_dir")
+            .option("path", d)
+            .option("simulate_failure", "true")
+            .mode("append")
+            .save()
+        )
+    # atomicity: the failed write is invisible to manifest readers
+    assert manifest_files(d) == []
