@@ -913,9 +913,7 @@ def a_session_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEEK_US = 7 * 86400 * 1_000_000
 
 
-@query(
-    "a_funnel",
-    oracle="""
+FUNNEL_ORACLE = """
 WITH v AS (
     SELECT user_id, min(epoch_us(ts)) AS t1
     FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -934,8 +932,10 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_view_click,
        (SELECT count(*) FROM p) AS n_view_click_purchase,
        (SELECT {avg_sec} FROM p) AS avg_convert_sec
-""".format(avg_sec=sql_rnd("sum(t3 - t1) / 1000000.0 / count(*)", 2)),
-)
+""".format(avg_sec=sql_rnd("sum(t3 - t1) / 1000000.0 / count(*)", 2))
+
+
+@query("a_funnel", oracle=FUNNEL_ORACLE)
 def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: each stage keeps users
     whose stage event happens strictly AFTER their previous stage's
@@ -1250,3 +1250,33 @@ def a_anomaly_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query("a_funnel_stream", oracle=FUNNEL_ORACLE)
+def a_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_funnel via the PAPI escape hatch
+    (streaming/papi.py::_advance_funnel): the sequential stage
+    predicate (click only after first view, purchase only after that
+    click) is a per-key state machine no built-in window can express.
+    The processor emits monotone per-user stage timestamps in update
+    mode; max-aggregating them resolves multi-batch re-emissions, and
+    the final single-row rollup matches the batch oracle exactly."""
+    from demo_segmenter_spark.streaming.papi import papi_funnel
+
+    per_user = (
+        papi_funnel(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        rnd(
+            F.sum(F.col("t3") - F.col("t1")) / 1_000_000.0 / F.count("t3"), 2
+        ).alias("avg_convert_sec"),
+    )

@@ -97,3 +97,88 @@ def papi_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Second custom processor: per-user funnel state machine (view -> click
+# -> purchase). Unlike sessionization, the transition predicate is
+# SEQUENTIAL (a click only counts after the first view, a purchase only
+# after that click) — a shape session_window cannot express, which is
+# precisely the PAPI escape hatch's job. Stage timestamps are monotone
+# (set once, never overwritten), so the update-mode re-emissions across
+# micro-batches resolve with a trivial max-aggregate downstream.
+# Ordering contract: per-user event-time order within a batch is
+# restored by the sort; across batches the file replay preserves it —
+# the same per-key ordering assumption Kafka Streams makes.
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+
+def _advance_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ty, us in zip(pdf["event_type"], pdf["ts_us"]):
+            us = int(us)
+            if t1 is None:
+                if ty == "view":
+                    t1 = us
+            elif t2 is None:
+                if ty == "click" and us > t1:
+                    t2 = us
+            elif t3 is None:
+                if ty == "purchase" and us > t2:
+                    t3 = us
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {"user_id": [int(key[0])], "t1": [t1], "t2": [t2], "t3": [t3]}
+    )
+
+
+def papi_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the funnel processor to completion; one (user_id, t1, t2,
+    t3) row per user per micro-batch (update mode) — aggregate with
+    max() downstream to resolve re-emissions."""
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
