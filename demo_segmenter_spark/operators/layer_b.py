@@ -1832,3 +1832,41 @@ SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders
 FROM months LEFT JOIN v_orders ON date_trunc('month', o_orderdate) = m
 GROUP BY date_format(m, 'yyyy-MM')
 """)
+
+
+@query(
+    "b_scalar_try",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 3)
+       END AS safe_div,
+       TRY_CAST(o_orderpriority AS INT) AS bad_int,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderpriority AS TIMESTAMP) IS NULL AS bad_ts_null,
+       CAST(NULL AS BIGINT) AS overflowed
+FROM orders
+""",
+)
+def b_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar surface (Spark 4 defaults ANSI on,
+    where 1/0 and bad casts THROW): try_divide / try_cast /
+    try_to_timestamp / try_add turn per-row errors into NULLs — the
+    only sane contract for a 100 TB batch job, where one malformed row
+    must not kill hour N of the run. The oracle mirrors results, not
+    mechanisms: DuckDB has TRY_CAST but no try_add, so the guaranteed
+    bigint overflow is CAST(NULL AS BIGINT) there. prio_num pins that
+    the try_* family still succeeds on well-formed input."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_orderkey").cast("double"), F.col("o_orderkey") % 3
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.try_to_timestamp(F.col("o_orderpriority")).isNull().alias("bad_ts_null"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey") + 1).alias(
+            "overflowed"
+        ),
+    )
