@@ -913,6 +913,26 @@ def a_session_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEEK_US = 7 * 86400 * 1_000_000
 
 
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Funnel core: (user_id, event_type, us) -> one (user_id, t1, t2,
+    t3) row per user, tN = first timestamp reaching stage N, each stage
+    strictly after the previous stage's first event. Three stacked
+    unordered windows over one user_id partitioning (property-tested
+    against a pure-Python reference in tests/test_analytics_property.py)."""
+    uw = Window.partitionBy("user_id")
+    ty, us = F.col("event_type"), F.col("us")
+    s = ev.withColumn("t1", F.min(F.when(ty == "view", us)).over(uw))
+    s = s.withColumn(
+        "t2", F.min(F.when((ty == "click") & (us > F.col("t1")), us)).over(uw)
+    )
+    s = s.withColumn(
+        "t3", F.min(F.when((ty == "purchase") & (us > F.col("t2")), us)).over(uw)
+    )
+    return s.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+
+
 FUNNEL_ORACLE = """
 WITH v AS (
     SELECT user_id, min(epoch_us(ts)) AS t1
@@ -951,18 +971,7 @@ def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    uw = Window.partitionBy("user_id")
-    ty, us = F.col("event_type"), F.col("us")
-    s = ev.withColumn("t1", F.min(F.when(ty == "view", us)).over(uw))
-    s = s.withColumn(
-        "t2", F.min(F.when((ty == "click") & (us > F.col("t1")), us)).over(uw)
-    )
-    s = s.withColumn(
-        "t3", F.min(F.when((ty == "purchase") & (us > F.col("t2")), us)).over(uw)
-    )
-    per_user = s.groupBy("user_id").agg(
-        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
-    )
+    per_user = funnel_stages(ev)
     return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
@@ -1120,6 +1129,13 @@ def a_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", "d").agg(
         F.sum(cents(F.col("value"))).alias("cents")
     )
+    return locf_grid(daily)
+
+
+def locf_grid(daily: DataFrame) -> DataFrame:
+    """Gap-fill core: (user_id, d date, cents) sparse daily sums -> the
+    dense user x day grid with LOCF-filled values (property-tested
+    against a pure-Python reference in tests/test_analytics_property.py)."""
     days = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
         F.explode(F.sequence("lo", "hi")).alias("d")
     )
