@@ -1870,3 +1870,37 @@ def b_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflowed"
         ),
     )
+
+
+@query(
+    "b_agg_corr",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd('corr(l_extendedprice, l_quantity)', 4)} AS price_qty_corr,
+       {sql_rnd('covar_samp(l_extendedprice, l_quantity)', 2)} AS price_qty_cov,
+       {sql_rnd('regr_slope(l_extendedprice, l_quantity)', 2)} AS slope,
+       {sql_rnd('regr_intercept(l_extendedprice, l_quantity)', 2)} AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def b_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — corr / covar_samp /
+    regr_slope / regr_intercept per group: the in-engine regression
+    family that replaces a driver-side scikit fit for simple trends.
+    All four are one-pass co-moment aggregates (partial+final merges,
+    same cost as avg) — exactly what survives 100 TB where a
+    collect-and-fit cannot. Both engines accumulate co-moments in
+    floating point, so results agree to ~1e-12 relative; rounding to
+    4/2 decimals puts the hash far from that noise floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        rnd(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_cov"
+        ),
+        rnd(F.expr("regr_slope(l_extendedprice, l_quantity)"), 2).alias("slope"),
+        rnd(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2).alias(
+            "intercept"
+        ),
+    )

@@ -193,6 +193,7 @@ def test_shuffle_budgets_table(spark):
         "c_dedup_fuzzy": 2,
         "b_sql_lateral": 1,
         "b_sql_recursive": 2,
+        "b_agg_corr": 1,
     }
     over = {}
     for name, budget in budgets.items():
