@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Full-inventory oracle sweep at an arbitrary scale factor (default
+sf0.1) — the round-closing gate from SURVEY.md §7: every registered
+query runs on Spark AND its DuckDB oracle at a LARGER sf than the
+per-query tests, catching scale-only divergence (float accumulation,
+tie ordering, fixed-round under-iteration) that sf0.001 cannot.
+
+Usage: python scripts/full_oracle_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import duckdb
+
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from demo_segmenter_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    load_all_operators()
+    spark = get_spark(app_name="full_sweep", cpus="16", driver_memory="24g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tests.test_oracle import _normalize
+
+    ddb = duckdb.connect()
+    for t in TABLES:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad, ok, rows_only = [], 0, 0
+    t_start = time.time()
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            if spec.oracle is None:
+                rows_only += 1
+                continue
+            rel = ddb.execute(spec.oracle)
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+            a = _normalize(srows, sdf.columns)
+            b = _normalize(drows, dcols)
+            if a == b:
+                ok += 1
+            else:
+                bad.append((name, len(srows), len(drows)))
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            bad.append((name, "ERROR", str(e)[:160]))
+    print(
+        f"sweep {sf_dir} done in {time.time() - t_start:.0f}s: "
+        f"{ok} hash-match, {rows_only} rows-only, {len(bad)} BAD"
+    )
+    for entry in bad:
+        print("BAD:", entry)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
