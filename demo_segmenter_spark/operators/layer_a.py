@@ -1296,3 +1296,47 @@ def a_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t3") - F.col("t1")) / 1_000_000.0 / F.count("t3"), 2
         ).alias("avg_convert_sec"),
     )
+
+
+@query(
+    "a_window_dau",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo, max(ts) AS hi
+    FROM events
+), wins AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w_start
+    FROM bounds
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events
+FROM wins
+JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 7 DAY
+GROUP BY w_start
+""",
+)
+def a_window_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users, stepped daily (the WAU engagement
+    metric). Sliding DISTINCT is the expensive window shape: unlike
+    the sum in a_sliding_window, distinct counts cannot be composed
+    from daily partials, so the exact form expands each event into 7
+    windows (Expand + one shuffle on the window key) and deduplicates
+    inside the aggregate. At 100 TB you pay that once — or swap the
+    exact countDistinct for the per-day HLL sketches of
+    b_agg_sketch_merge and union 7 of them per step, trading <1% error
+    for an 7x smaller shuffle; this query pins the exact baseline the
+    sketch path must approximate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "active_users",
+            "n_events",
+        )
+    )
