@@ -234,3 +234,11 @@ def test_bloom_filter_semi_join_pushdown(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aggregates_have_map_side_partials(spark):
+    # Partial (map-side) aggregation must precede the exchange for the
+    # big hash aggregates — without it every raw row crosses the wire.
+    for name in ("b_agg_basic", "a_window_dau", "b_agg_corr"):
+        plan = explain_str(q(name, spark), mode="simple")
+        assert "partial_" in plan, f"{name}: no partial aggregate\n{plan[:1500]}"
