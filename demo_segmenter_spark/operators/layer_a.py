@@ -1340,3 +1340,104 @@ def a_window_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "a_pipeline_kpi",
+    oracle=SESSION_CTE
+    + f""", v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    GROUP BY e.user_id
+), ev2 AS (
+    SELECT event_id, event_type, {sql_cents('value')} AS cts FROM events
+), st AS (
+    SELECT event_type, count(*) AS n, sum(cts) AS s, sum(cts * cts) AS ss
+    FROM ev2 GROUP BY event_type
+), scored AS (
+    SELECT event_id,
+           (CAST(cts AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+    FROM ev2 JOIN st ON ev2.event_type = st.event_type
+), bounds AS (
+    SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo, max(ts) AS hi
+    FROM events
+), wins AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w_start
+    FROM bounds
+), dau AS (
+    SELECT w_start, count(DISTINCT user_id) AS au
+    FROM wins JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 7 DAY
+    GROUP BY w_start
+)
+SELECT 'n_sessions' AS metric,
+       CAST((SELECT count(*) FROM sessions) AS DOUBLE) AS value
+UNION ALL
+SELECT 'wau_peak', CAST((SELECT max(au) FROM dau) AS DOUBLE)
+UNION ALL
+SELECT 'funnel_rate',
+       {sql_rnd('(SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v)', 4)}
+UNION ALL
+SELECT 'n_anomalies',
+       CAST((SELECT count(*) FROM scored WHERE z > 3.0) AS DOUBLE)
+""",
+)
+def a_pipeline_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed daily-KPI pipeline — the one-job report a product team
+    schedules over the event log: session volume (8h gap), peak weekly
+    active users, view->click->purchase conversion, and anomaly count,
+    emitted as (metric, value) rows. Each branch is an already-proven
+    operator (a_sessionize / a_window_dau / a_funnel / a_anomaly_zscore)
+    reduced to a single-row aggregate; the union of four tiny results
+    costs nothing beyond the branches, and Spark runs the branches'
+    stages concurrently within one job. The 100 TB note: all four
+    branches scan `events` once EACH — a production job would cache the
+    narrow projection or fuse branches over one scan; kept separate
+    here so each branch's plan stays independently auditable."""
+    ev = load_table(spark, sf_dir, "events")
+    n_sessions = (
+        sessionized_events(spark, sf_dir)
+        .select("user_id", "session_id")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("n_sessions").alias("metric"), "value")
+    )
+    wau_peak = (
+        ev.groupBy(F.window("ts", "7 days", "1 day"))
+        .agg(F.countDistinct("user_id").alias("au"))
+        .agg(F.max("au").cast("double").alias("value"))
+        .select(F.lit("wau_peak").alias("metric"), "value")
+    )
+    per_user = funnel_stages(
+        ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    funnel_rate = per_user.agg(
+        rnd(F.count("t3") * 1.0 / F.count("t1"), 4).alias("value")
+    ).select(F.lit("funnel_rate").alias("metric"), "value")
+    ev2 = ev.select("event_id", "event_type", cents(F.col("value")).alias("cts"))
+    st = ev2.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cts").alias("s"),
+        F.sum(F.col("cts") * F.col("cts")).alias("ss"),
+    )
+    n_, s_, ss_ = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    z = (F.col("cts").cast("double") - s_ / n_) / F.sqrt(
+        (ss_ - s_ * s_ / n_) / (n_ - 1)
+    )
+    n_anomalies = (
+        ev2.join(F.broadcast(st), "event_type")
+        .where(z > 3.0)
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("n_anomalies").alias("metric"), "value")
+    )
+    return n_sessions.unionAll(wau_peak).unionAll(funnel_rate).unionAll(n_anomalies)
