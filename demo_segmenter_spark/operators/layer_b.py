@@ -1904,3 +1904,39 @@ def b_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "b_agg_listagg",
+    oracle="""
+WITH ranked AS (
+    SELECT c_nationkey, c_name,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+)
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names
+FROM ranked WHERE rn <= 5 GROUP BY c_nationkey
+""",
+)
+def b_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (new in
+    Spark 4; DuckDB spells it string_agg(x, d ORDER BY k)): the top-5
+    richest customers per nation concatenated in rank order. The
+    explicit WITHIN GROUP ordering is what makes the result
+    deterministic and hash-checkable — an unordered collect would
+    depend on partitioning. Rank tiebreaks on c_custkey (total order
+    discipline)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+WITH ranked AS (
+    SELECT c_nationkey, c_name,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM v_customer
+)
+SELECT c_nationkey,
+       listagg(c_name, ',') WITHIN GROUP (ORDER BY rn) AS top_names
+FROM ranked WHERE rn <= 5 GROUP BY c_nationkey
+""")

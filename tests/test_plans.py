@@ -195,6 +195,7 @@ def test_shuffle_budgets_table(spark):
         "b_sql_recursive": 2,
         "b_agg_corr": 1,
         "a_window_dau": 2,
+        "b_agg_listagg": 1,
     }
     over = {}
     for name, budget in budgets.items():
