@@ -2183,3 +2183,67 @@ def c_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         dist.alias("edit_dist"),
     )
+
+
+@query(
+    "c_quality_gate",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS dup,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN {_STOPWORDS_SQL})) * 1.0
+                 / len(string_split(text, ' ')) AS sr
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN nt < 20 THEN 'too_short'
+            WHEN dup > 0.6 THEN 'repetitive'
+            WHEN sr < 0.01 THEN 'low_stopword'
+       END AS drop_reason,
+       CAST(CASE WHEN nt >= 20 AND dup <= 0.6 AND sr >= 0.01
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM t
+""",
+)
+def c_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus quality gate with ATTRIBUTED drops — the rubric
+    shape every production filter pipeline converges on (keep flag plus
+    the FIRST failing rule by fixed priority, so drop volumes are
+    monitorable per reason). Composes three map-only signals — token
+    count, duplicate-token fraction (c_quality_repetition's signal),
+    stopword ratio (c_text_quality's) — via array built-ins: no
+    explode, no shuffle, cost bounded per row; at 100 TB this is one
+    codegen'd scan. All rule comparisons are exact-rational doubles
+    computed with the same op order in both engines, so the gate
+    decisions are reproducible bit-for-bit."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("nt"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+        ).alias("dup"),
+        (
+            F.size(
+                F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+            )
+            * 1.0
+            / F.size(toks)
+        ).alias("sr"),
+    )
+    nt, dup, sr = F.col("nt"), F.col("dup"), F.col("sr")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.when(nt < 20, "too_short")
+        .when(dup > 0.6, "repetitive")
+        .when(sr < 0.01, "low_stopword")
+        .alias("drop_reason"),
+        ((nt >= 20) & (dup <= 0.6) & (sr >= 0.01)).cast("int").alias("keep"),
+    )

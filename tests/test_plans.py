@@ -196,6 +196,7 @@ def test_shuffle_budgets_table(spark):
         "b_agg_corr": 1,
         "a_window_dau": 2,
         "b_agg_listagg": 1,
+        "c_quality_gate": 0,
     }
     over = {}
     for name, budget in budgets.items():
