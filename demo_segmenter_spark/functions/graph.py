@@ -131,8 +131,10 @@ def connected_components(
         cedges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     )
     prev_sum = None
+    converged = False
     for _ in range(MAX_ROUNDS):
         if labels.rdd.isEmpty():
+            converged = True
             break
         neighbor = cedges.join(labels, cedges["a"] == labels["v"]).select(
             F.col("b").alias("v"), "label"
@@ -148,9 +150,19 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
+    if not converged:
+        # Exhausting the round budget without the monotone potential
+        # stabilizing would silently return split components — fail
+        # loudly instead (pointer jumping makes this unreachable in
+        # practice: depth halves per round, so 64 rounds covers 2^64).
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {MAX_ROUNDS} rounds "
+            f"(last sum(label)={prev_sum})"
+        )
     return _resolve(local, labels)
 
 

@@ -41,6 +41,12 @@ from demo_segmenter_spark.sources import load_table
 
 GAP_HOURS = 8  # SURVEY.md §1.2: 8h gap → ~2.1 events/session on fixture
 GAP_US = GAP_HOURS * 3600 * 1_000_000
+# session_window gap. Spark's session merge is INCLUSIVE at the
+# boundary (verified empirically, pinned in tests/test_session_ties.py:
+# an event at exactly prev_ts+GAP merges into the SAME session), so the
+# native form already matches the lag/cumsum predicate `diff > GAP_US`
+# and the PAPI state machine on exact-gap ties — no +1µs fudge needed.
+GAP_INTERVAL = f"{GAP_HOURS} hours"
 LATE_HORIZON_DAYS = 7
 
 # ---------------------------------------------------------------------------
@@ -885,11 +891,18 @@ def a_session_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/cumsum rewrite, the streaming session_window twin, and the
     PAPI state machine), all hash-matching one oracle. Plans to a
     single user_id exchange + SessionWindowing aggregate; at 100 TB
-    this is the one-liner backfill for the streaming job's history."""
+    this is the one-liner backfill for the streaming job's history.
+
+    Boundary semantics: Spark's session merge is inclusive — an event
+    at exactly prev_ts+GAP lands in the SAME session (verified
+    empirically; pinned in tests/test_session_ties.py), identical to
+    the lag/cumsum rewrite's `diff > GAP_US` new-session predicate. All
+    four implementations share exact-tie behavior, not just agreement
+    on the tie-free fixture."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.session_window("ts", f"{GAP_HOURS} hours").alias("w"), "user_id"
+            F.session_window("ts", GAP_INTERVAL).alias("w"), "user_id"
         )
         .agg(
             F.count("*").alias("n_events"),

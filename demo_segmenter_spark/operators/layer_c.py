@@ -70,7 +70,13 @@ def c_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-token shingles as an array column (pure codegen)."""
+    """Distinct k-token shingles as an array column (pure codegen).
+
+    Docs with fewer than k tokens yield an EMPTY array — matching the
+    DuckDB oracle CTEs, whose generate_series(1, greatest(len-k+1, 0))
+    emits no shingles for short docs. (A full-text pseudo-shingle
+    fallback would make short-doc pairs visible only on the Spark
+    side, e.g. in c_decontaminate.)"""
     toks = F.split(F.col(text_col), " ")
     return F.when(
         F.size(toks) >= k,
@@ -80,7 +86,7 @@ def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
                 lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
             )
         ),
-    ).otherwise(F.array_distinct(F.array(F.col(text_col))))
+    ).otherwise(F.slice(toks, 1, 0))
 
 
 # Shared DuckDB CTE: distinct 3-token shingles per doc within blocks.
@@ -2103,19 +2109,34 @@ def c_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_multimodal_features); binaryFile's pathGlobFilter +
     recursiveFileLookup are the lake-layout knobs."""
     import os
+    import shutil
 
     blob_dir = _blob_dir(sf_dir)
-    if not os.path.isdir(blob_dir) or not os.listdir(blob_dir):
-        os.makedirs(blob_dir, exist_ok=True)
+    expected = {f"doc_{i}.bin" for i in range(100)}
+    have = (
+        {f for f in os.listdir(blob_dir) if f.endswith(".bin")}
+        if os.path.isdir(blob_dir)
+        else set()
+    )
+    # A non-empty dir is NOT proof of a complete cache (an interrupted
+    # earlier run leaves a partial set that would silently drop rows):
+    # trust it only when the exact 100-file set is present, else rebuild
+    # atomically (write to a temp dir, rename into place).
+    if have != expected:
         rows = (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 100)
             .select("doc_id", "text")
             .collect()
         )
+        tmp_dir = f"{blob_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
         for r in rows:
-            with open(f"{blob_dir}/doc_{r.doc_id}.bin", "wb") as f:
+            with open(f"{tmp_dir}/doc_{r.doc_id}.bin", "wb") as f:
                 f.write(r.text.encode("utf-8"))
+        shutil.rmtree(blob_dir, ignore_errors=True)
+        os.rename(tmp_dir, blob_dir)
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

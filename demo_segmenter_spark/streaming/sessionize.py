@@ -12,8 +12,11 @@ query registers with the SAME oracle CTE as the batch one).
 Semantics note: Spark emits session_window.end = last_event + gap
 (half-open window), so the last-event time is end - gap; Kafka Streams'
 session end is the last-event timestamp itself. We emit last-event time
-to match the reference's notion. Divergence would need two events at
-exactly gap distance (µs precision — not present in data).
+to match the reference's notion. Spark's session merge is INCLUSIVE at
+the boundary (an event at exactly prev+GAP merges into the same
+session — verified empirically, pinned in tests/test_session_ties.py),
+identical tie behavior to the batch lag/cumsum rewrite's
+`diff > GAP_US`.
 
 Scale notes (100 TB streaming): state lives in the state store keyed by
 (user, session); watermark bounds state size by evicting closed

@@ -34,12 +34,19 @@ def main() -> None:
 
     out = f"/tmp/dss_scale/events_x{reps}"
     t0 = time.time()
+    # Replica key spacing derived from the fixture's actual maxima so
+    # replicated keys can never collide even if the fixture grows
+    # (hardcoded strides silently break the linear-scaling claim).
+    maxes = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).first()
+    user_stride, event_stride = maxes.mu + 1, maxes.me + 1
     big = (
         ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
         .select(
-            (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+            (F.col("event_id") + F.col("rep") * event_stride).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            (F.col("user_id") + F.col("rep") * user_stride).alias("user_id"),
             "event_type",
             "value",
         )
