@@ -42,12 +42,16 @@ def decode_image(data: bytes) -> tuple[int, int, float]:
 def fake_decode_image(data: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for a decoder: derives (width, height,
     channel_mean) purely from the bytes, so tests and oracles are
-    reproducible without any codec library."""
+    reproducible without any codec library. Rounding follows the
+    repo's tie-stable EPS convention (compat.EPS[6]) so the DuckDB
+    oracle of c_multimodal_features hash-matches bit for bit."""
     if not data:
         return (0, 0, 0.0)
     width = 16 + data[0] % 64
     height = 16 + data[-1] % 64
-    channel_mean = round(sum(data[:256]) / min(len(data), 256) / 255.0, 6)
+    channel_mean = round(
+        sum(data[:256]) / min(len(data), 256) / 255.0 + 1e-10, 6
+    )
     return (width, height, channel_mean)
 
 

@@ -204,24 +204,65 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_dedup_simhash")
+@query(
+    "c_dedup_simhash",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), th AS (
+    SELECT doc_id, lang, source,
+           CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+           CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+    FROM toks
+), votes AS (
+    SELECT doc_id, lang, source, i,
+           sum(CASE WHEN ((CASE WHEN i < 32 THEN (hlo >> i)
+                           ELSE (hhi >> (i - 32)) END) & 1) = 1
+                    THEN 1 ELSE -1 END) AS vote
+    FROM th, (SELECT unnest(generate_series(0, 62)) AS i) bits
+    GROUP BY doc_id, lang, source, i
+), fp AS (
+    SELECT doc_id, lang, source,
+           sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                    ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id, lang, source
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a
+JOIN fp b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+""",
+)
 def c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
-    votes (pure codegen — 64 conditional sums), then hamming-distance
-    <= 8 pairs within (lang, source) blocks via bit_count(xor).
-    Rows-only oracle (xxhash64 is Spark-specific). 100 TB path: group
-    on a fingerprint prefix to block, compare within buckets."""
+    """SimHash near-dup: 63-bit fingerprint from per-token bit votes
+    (pure codegen — 63 conditional sums), then hamming-distance <= 8
+    pairs within (lang, source) blocks via bit_count(xor). Token hash
+    is md5 split into two 32-bit halves (the proven cross-engine
+    hex→int primitive) so DuckDB recomputes the IDENTICAL fingerprint
+    — promoted from rows-only to a full hash oracle in round 2.
+    100 TB path: group on a fingerprint prefix to block, compare
+    within buckets."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    md5c = F.md5("tok")
+    toks = (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .withColumn("hhi", F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"))
+        .withColumn("hlo", F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"))
+    )
+
+    def bit(i: int) -> F.Column:
+        h = F.col("hlo") if i < 32 else F.col("hhi")
+        return F.shiftright(h, i if i < 32 else i - 32).bitwiseAND(F.lit(1))
+
     votes = toks.groupBy("doc_id", "lang", "source").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(63)
         ]
     )
     fp = votes.select(
@@ -336,14 +377,62 @@ def c_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_sim_ivf")
+@query(
+    "c_sim_ivf",
+    oracle=_EMB_CTE
+    + f"""
+, cdots AS (
+    SELECT v.vec_id AS vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dp
+    FROM ex v JOIN ex c ON v.i = c.i
+    WHERE c.vec_id < 16
+    GROUP BY v.vec_id, c.vec_id
+), csim AS (
+    SELECT cd.vec_id, cd.cent_id,
+           {sql_rnd("cd.dp / (nv.nrm * nc.nrm)", 6)} AS cent_sim
+    FROM cdots cd
+    JOIN norms nv ON cd.vec_id = nv.vec_id
+    JOIN norms nc ON cd.cent_id = nc.vec_id
+), assigned AS (
+    SELECT vec_id, cent_id AS cluster_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cent_sim DESC, cent_id) AS r
+        FROM csim
+    )
+    WHERE r = 1
+), dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT d.query_id, d.neighbor_id, ca.cluster_id,
+           {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM dots d
+    JOIN assigned qa ON d.query_id = qa.vec_id
+    JOIN assigned ca ON d.neighbor_id = ca.vec_id
+                    AND ca.cluster_id = qa.cluster_id
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, cluster_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""",
+)
 def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate kNN — the 100 TB scale path: assign every
     vector to its nearest of 16 fixed centroids (here: vec_id < 16,
     deterministic), then search only within the query's cluster.
     Turns O(N·Q) into O(N + Q·N/16): the cluster id is a shuffle key,
-    not a comparison loop. Rows-only oracle (approximate by design);
-    recall vs c_sim_knn is asserted in tests."""
+    not a comparison loop. Fully deterministic (fixed centroids,
+    rounded sims, total-order tiebreakers) — hash-oracled since round
+    2; recall vs c_sim_knn is additionally asserted in tests."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
@@ -392,13 +481,42 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_sim_dedup_semantic")
+@query(
+    "c_sim_dedup_semantic",
+    oracle=_EMB_CTE
+    + f"""
+, dots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
+    WHERE b.vec_id < a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT d.va AS vec_id, ea.label AS label, d.vb AS dup_of,
+           {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM dots d
+    JOIN embeddings ea ON d.va = ea.vec_id
+    JOIN norms na ON d.va = na.vec_id
+    JOIN norms nb ON d.vb = nb.vec_id
+)
+SELECT vec_id, label, dup_of, cos_sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, dup_of) AS r
+    FROM scored WHERE cos_sim >= 0.35
+)
+WHERE r = 1
+""",
+)
 def c_sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-cosine) dedup: flag vectors whose cosine to
     an EARLIER vector of the same label exceeds 0.35 (fixture cosine
     max ≈ 0.48, p99 ≈ 0.29 — measured). Blocking on label keeps the
     pair space linear-ish; at 100 TB the block key would be an LSH/IVF
-    bucket instead. Emits (dropped vec, kept duplicate-of, cos)."""
+    bucket instead. Emits (dropped vec, kept duplicate-of, cos).
+    Deterministic (rounded cosine + total-order tiebreak) — hash-
+    oracled since round 2."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
@@ -766,13 +884,41 @@ def c_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_multimodal_features")
+@query(
+    "c_multimodal_features",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), bytes AS (
+    SELECT doc_id, unnest(generate_series(1, least(n, 256))) AS i
+    FROM b
+), vals AS (
+    SELECT bytes.doc_id,
+           CAST(concat('0x', substr(b.hx, 2 * bytes.i - 1, 2)) AS BIGINT) AS v
+    FROM bytes JOIN b ON bytes.doc_id = b.doc_id
+), agg AS (
+    SELECT doc_id, sum(v) AS s, count(*) AS cnt FROM vals GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       CAST(16 + (CAST(concat('0x', substr(b.hx, 1, 2)) AS BIGINT) % 64)
+            AS BIGINT) AS width,
+       CAST(16 + (CAST(concat('0x', substr(b.hx, 2 * b.n - 1, 2)) AS BIGINT) % 64)
+            AS BIGINT) AS height,
+       round((agg.s / agg.cnt) / 255.0 + 1e-10, 6) AS channel_mean
+FROM b JOIN agg ON b.doc_id = agg.doc_id
+""",
+)
 def c_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas: binary column in,
     typed feature rows out, Arrow-batched (no per-row Python). The
     decode step is a deterministic stub (codecs absent here — see
-    functions/multimodal.py); the Spark plumbing is real. Rows-only
-    oracle."""
+    functions/multimodal.py) whose features the DuckDB oracle
+    recomputes byte-for-byte from hex(encode(text)) — promoted from
+    rows-only to a full hash oracle in round 2; the Spark plumbing
+    (binary column, Arrow batches, schema) is the real thing."""
     docs = (
         spread(load_table(spark, sf_dir, "documents"))
         .withColumn("content_bin", F.encode("text", "utf-8"))

@@ -28,6 +28,9 @@ TABLES = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # Optional second arg: comma-separated substrings — sweep only
+    # queries whose name contains one (targeted re-verification).
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     load_all_operators()
     spark = get_spark(app_name="full_sweep", cpus="16", driver_memory="24g")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,6 +45,8 @@ def main() -> None:
     bad, ok, rows_only = [], 0, 0
     t_start = time.time()
     for name in sorted(REGISTRY):
+        if only and not any(s in name for s in only):
+            continue
         spec = REGISTRY[name]
         try:
             sdf = spec.fn(spark, sf_dir)
