@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from demo_segmenter_spark.functions.cache import release_persisted
 from demo_segmenter_spark.registry import REGISTRY, load_all_operators
 from demo_segmenter_spark.session import get_spark
 
@@ -81,6 +82,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             # queries that persist() intermediates must not leak cache
             # into later measurements (GC pressure skews the tail)
+            release_persisted()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

@@ -1,0 +1,45 @@
+"""Tracked persist — cache hygiene for query-internal intermediates.
+
+Several query pipelines persist an intermediate that feeds multiple
+plan branches (e.g. the shingle table in c_dedup_ngram). The queries()
+contract returns LAZY DataFrames — the caller collects — so a query
+cannot unpersist its own intermediate before returning (the collect
+would recompute uncached). Instead every persist goes through
+``persist()`` below, which records a weak reference, and session
+owners (bench.py between runs, the sweep scripts, tests) call
+``release_persisted()`` after their action so a long-lived session
+never accumulates cached intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Strong references on purpose: the Python wrapper of a persisted
+# intermediate goes out of scope when the query function returns (the
+# returned lazy result references the JVM plan, not the wrapper), so a
+# weakref would be dead by release time. The wrappers are tiny and the
+# list is cleared on every release, so this never grows unboundedly.
+_PERSISTED: list[DataFrame] = []
+
+
+def persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for later bulk release."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate; returns how many were
+    released. Safe to call at any time — subsequent reuse of a
+    released DataFrame recomputes instead of failing."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    _PERSISTED.clear()
+    return n

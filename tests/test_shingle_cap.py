@@ -1,0 +1,148 @@
+"""Document-frequency cap on shingle self-joins (SHINGLE_DF_CAP).
+
+Three contracts:
+
+1. The cap is provably inert on the fixture — max per-block shingle df
+   is far below the cap at every sf (measured 5 at sf0.1), so
+   c_dedup_ngram's output is IDENTICAL to the uncapped computation.
+2. On a corpus with one deliberately hot boilerplate shingle, the cap
+   bounds the candidate pair count (no k² blowup) while a planted
+   high-Jaccard pair still surfaces.
+3. The planted fixture pair (j≈0.97) survives the cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.operators.layer_c import (
+    SHINGLE_DF_CAP,
+    _capped_shingles,
+    _shingles,
+    c_dedup_ngram,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _shingle_table(docs):
+    return docs.select(
+        "doc_id", "lang", "source", F.explode(_shingles()).alias("s")
+    )
+
+
+def test_fixture_df_below_cap(spark, ddb):
+    """Cap never fires on fixture data — pinned so fixture regeneration
+    that introduces boilerplate gets noticed here, not as a silent
+    output change."""
+    max_df = ddb.execute(
+        """
+        WITH toks AS (SELECT doc_id, lang, source,
+                             string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, lang, source, t,
+                       unnest(generate_series(1, greatest(len(t)-2,0))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, lang, source,
+                      t[i]||' '||t[i+1]||' '||t[i+2] AS s FROM idx)
+        SELECT max(cnt) FROM (
+            SELECT count(*) AS cnt FROM sh GROUP BY lang, source, s)
+        """
+    ).fetchone()[0]
+    assert max_df <= SHINGLE_DF_CAP
+
+
+def test_capped_output_identical_on_fixture(spark):
+    """Uncapped twin computed inline == the shipped capped query."""
+    from demo_segmenter_spark.sources import load_table
+
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in c_dedup_ngram(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = _shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    uncapped = {
+        (r.doc_a, r.doc_b, round(r.j, 4))
+        for r in pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .collect()
+    }
+    assert {(p[0], p[1]) for p in capped} == {(p[0], p[1]) for p in uncapped}
+    assert len(capped) >= 1  # the planted j≈0.97 pair
+
+
+@pytest.fixture()
+def hot_corpus(spark):
+    """120 docs sharing one boilerplate sentence (every shingle of it
+    has df=122 > cap) plus unique filler; docs 1000/1001 are a planted
+    near-dup pair sharing 40 rare shingles."""
+    boiler = "all rights reserved by the demo corpus banner"
+    rows = []
+    for d in range(120):
+        filler = " ".join(f"u{d}w{j}" for j in range(20))
+        rows.append((d, f"{boiler} {filler}", "en", "web"))
+    dup = " ".join(f"rare{j}" for j in range(42))
+    rows.append((1000, dup, "en", "web"))
+    rows.append((1001, dup + " tail", "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    return df
+
+
+def test_hot_shingle_bounded_candidates(spark, hot_corpus):
+    sh = _shingle_table(hot_corpus)
+    capped = _capped_shingles(sh)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    # Uncapped, the 6 boilerplate-internal shingles alone emit
+    # 6*C(120,2) ≈ 43k candidate rows; capped, only the planted pair's
+    # rare shingles (plus per-doc boundary shingles straddling
+    # boiler|filler, df=1, which join to nothing) survive.
+    assert cand < 100
+    # ... and the planted pair is still fully visible.
+    planted = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((F.col("a.doc_id") == 1000) & (F.col("b.doc_id") == 1001))
+        .count()
+    )
+    assert planted == 40
+
+
+def test_hot_shingle_uncapped_blowup_exists(spark, hot_corpus):
+    """Sanity: the hazard the cap removes is real on this corpus."""
+    sh = _shingle_table(hot_corpus)
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert cand > 40_000  # 6 boiler shingles * C(120,2) = 42,840 + planted
