@@ -1,0 +1,187 @@
+"""Multi-batch certification for the remaining streaming twins.
+
+The driver's oracle gate runs each `_stream` query over the fixture in
+ONE micro-batch (AvailableNow over a single file), which proves the
+topology but not that state survives micro-batch boundaries. Here the
+sf0.01 events are replayed in THREE ts-ordered batches
+(maxFilesPerTrigger=1) and each streaming result must equal its batch
+twin exactly:
+
+- session_window sessions SPANNING batch boundaries must merge in the
+  state store (sessions are ~8h apart; the time-ordered thirds cut
+  through thousands of open sessions);
+- the stream-stream band join must buffer clicks across batches until
+  their purchase arrives;
+- dropDuplicatesWithinWatermark must drop duplicates that arrive in a
+  LATER batch than the original (planted copies).
+
+Companion to tests/test_funnel_multibatch.py (PAPI funnel) and
+tests/test_late_data.py (watermark drops).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.operators.layer_a import GAP_INTERVAL
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from demo_segmenter_spark.sources import load_table
+from demo_segmenter_spark.functions.compat import cents, rnd
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.01"
+CHUNK_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _trickle_src(spark, n_batches=3, plant_dups=0):
+    """Write the sf0.01 events as n ts-ordered parquet files whose
+    mtimes force one-file-per-trigger replay order. plant_dups>0 copies
+    that many tail rows of chunk i into chunk i+1 (cross-batch exact
+    duplicates for the dedup test). Returns (src_dir, rows, n_dups)."""
+    base = f"/tmp/dss_stream_mb/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    n = len(rows)
+    cut = [0, n // 3, 2 * n // 3, n]
+    chunks = [rows[cut[i] : cut[i + 1]] for i in range(n_batches)]
+    if plant_dups:
+        for i in range(n_batches - 1):
+            chunks[i + 1] = chunks[i][-plant_dups:] + chunks[i + 1]
+    src = f"{base}/src"
+    os.makedirs(src)
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        d = f"{base}/b{i}"
+        spark.createDataFrame(chunk, CHUNK_SCHEMA).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{f}", f"{src}/{i}_{f}")
+                os.utime(
+                    f"{src}/{i}_{f}", (now + i * 10, now + i * 10),
+                    follow_symlinks=False,
+                )
+    return src, n, plant_dups * (n_batches - 1)
+
+
+def _run_to_memory(out, mode):
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    return name, n_batches
+
+
+def _read_stream(spark, src):
+    return (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_sessionize_stream_across_batches(spark):
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src).withWatermark("ts", "0 seconds")
+    agg = ev.groupBy(
+        F.session_window("ts", GAP_INTERVAL).alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        (F.unix_micros("w.end") - 8 * 3600 * 1_000_000).alias("session_last_us"),
+        "n_events",
+        rnd(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+    )
+    name, n_batches = _run_to_memory(out, "complete")
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_session_agg_native"].fn(spark, SF))
+    # Sessions open at a batch boundary must have merged in state:
+    # row-for-row equality with the batch twin proves it (4766
+    # sessions at sf0.01, ~2.1 events each, thirds cut mid-session).
+    assert got == want
+
+
+def test_stream_stream_join_across_batches(spark):
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 12 HOURS")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+    name, n_batches = _run_to_memory(joined, "append")
+    assert n_batches == 3
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_stream_stream_join"].fn(spark, SF))
+    # Clicks buffered in batch 1 must still match purchases arriving
+    # in batches 2-3 (the 12h band spans the batch cuts).
+    assert got == want
+
+
+def test_dedup_drops_cross_batch_duplicates(spark):
+    src, n, n_planted = _trickle_src(spark, plant_dups=25)
+    assert n_planted == 50
+    ev = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    name, n_batches = _run_to_memory(ev, "append")
+    assert n_batches == 3
+    out = spark.table(name)
+    # The 50 planted copies arrived one batch AFTER their originals,
+    # inside the watermark — state must recognize and drop every one.
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
