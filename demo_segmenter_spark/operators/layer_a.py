@@ -486,6 +486,33 @@ def a_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_sessionize_kafka_shape",
+    oracle=SESSION_CTE
+    + """
+SELECT user_id,
+       epoch_us(s_start) AS session_start_us,
+       epoch_us(s_end) AS session_last_us,
+       n_events,
+       round(sum_cents / 100.0 + 1e-06, 2) AS sum_value
+FROM sessions
+""",
+)
+def a_sessionize_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization fed by the KAFKA-SHAPED partitioned streaming
+    source (sources/kafka_shape.py, Spark 4 Python DataSource API):
+    the log is partitioned by user_id % 8 with per-partition offsets —
+    exactly a keyed Kafka topic's consumer view — and the session
+    topology is byte-identical to a_sessionize_stream's
+    (streaming/sessionize.py shares it), so this hash-match proves the
+    partitioned-offset ingest path end to end. Offset continuation
+    across restarts + replay are certified in
+    tests/test_kafka_shape.py."""
+    from demo_segmenter_spark.streaming.sessionize import sessionize_kafka_shape
+
+    return sessionize_kafka_shape(spark, sf_dir)
+
+
+@query(
     "a_stream_dedup_stream",
     oracle="""
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

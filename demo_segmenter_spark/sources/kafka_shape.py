@@ -1,0 +1,166 @@
+"""Kafka-shaped partitioned streaming source on the Spark 4 Python
+DataSource API (format "events_log").
+
+The container has no Kafka connector jars (probed each round — SURVEY
+§7.3), so the reference's ingest side (a Kafka consumer group) is
+emulated with the SAME abstractions Kafka exposes, implemented against
+an append-only directory of parquet files:
+
+- **topic** = a directory; each parquet file is an append to the log
+  (files ordered by name = broker arrival order);
+- **partition** = ``user_id % n_partitions`` — key-hash partitioning,
+  so per-user ordering holds within a partition exactly as it would
+  with Kafka's keyed producer;
+- **offset** = position within a partition's append order
+  ``(file_index, row_index)`` flattened to a long;
+- ``initialOffset / latestOffset / partitions(start, end) / read /
+  commit`` map 1:1 onto a consumer's seek/poll/commit cycle. Offsets
+  live in the checkpoint, so a restarted query resumes from the
+  committed position and never re-reads (tests/test_kafka_shape.py
+  proves continuation across two runs with log growth in between, and
+  replay-from-arbitrary-offset via direct partitions()/read() calls).
+
+Scale note: ``partitions()`` plans one InputPartition per log
+partition per batch — executors read only their slice, nothing
+funnels through the driver (the driver touches metadata only: file
+listing + per-partition counts). With a real broker the read() body
+becomes a consumer.poll loop; every offset/partition mechanism above
+is unchanged — that is the point of the emulation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LOG_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("log_partition", IntegerType()),
+        StructField("log_offset", LongType()),
+    ]
+)
+
+
+def _log_files(path: str) -> list[str]:
+    """The log's append order: parquet files sorted by name."""
+    return sorted(
+        f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+def _partition_rows(files: list[str], part_id: int, n_parts: int):
+    """Materialize one partition's rows in append order, offset-stamped.
+    Worker-side (also driver-side for counts): pyarrow scan of the
+    needed columns only."""
+    import pyarrow.parquet as pq
+
+    off = 0
+    for fpath in files:
+        t = pq.read_table(
+            fpath, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        ev = t.column("event_id").to_pylist()
+        # fixture ts is TIMESTAMP(NANOS); emit µs to match the batch
+        # loader's normalization (sources/tables.py)
+        ts = [v // 1000 for v in t.column("ts").cast("int64").to_pylist()]
+        us = t.column("user_id").to_pylist()
+        ty = t.column("event_type").to_pylist()
+        va = t.column("value").to_pylist()
+        for i in range(len(ev)):
+            if us[i] % n_parts == part_id:
+                yield (ev[i], ts[i], us[i], ty[i], va[i], part_id, off)
+                off += 1
+
+
+class _LogSlice(InputPartition):
+    def __init__(self, files, part_id, n_parts, start, end):
+        self.files = files
+        self.part_id = part_id
+        self.n_parts = n_parts
+        self.start = start
+        self.end = end
+
+
+class EventsLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("events_log source requires option 'path'")
+        self.n_parts = int(options.get("partitions", 8))
+
+    def _ends(self) -> dict:
+        """Current log-end offset per partition (a consumer's
+        endOffsets()). Counts need only user_id — cheap driver-side
+        metadata pass."""
+        import pyarrow.parquet as pq
+
+        counts = {str(p): 0 for p in range(self.n_parts)}
+        for fpath in _log_files(self.path):
+            us = pq.read_table(fpath, columns=["user_id"]).column("user_id")
+            for u in us.to_pylist():
+                counts[str(u % self.n_parts)] += 1
+        return counts
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in range(self.n_parts)}
+
+    def latestOffset(self) -> dict:
+        return self._ends()
+
+    def partitions(self, start: dict, end: dict):
+        files = _log_files(self.path)
+        return [
+            _LogSlice(files, p, self.n_parts, start.get(str(p), 0), e)
+            for p in range(self.n_parts)
+            for e in [end.get(str(p), 0)]
+            if e > start.get(str(p), 0)
+        ]
+
+    def read(self, partition: _LogSlice):
+        for row in _partition_rows(
+            partition.files, partition.part_id, partition.n_parts
+        ):
+            off = row[-1]
+            if off >= partition.end:
+                break
+            if off >= partition.start:
+                yield row
+
+    def commit(self, end: dict) -> None:
+        # Offsets are durable in the query checkpoint; a broker-backed
+        # twin would commit to the consumer group here.
+        pass
+
+
+class EventsLogSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_log"
+
+    def schema(self):
+        return LOG_SCHEMA
+
+    def streamReader(self, schema):
+        return EventsLogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EventsLogSource)

@@ -37,22 +37,18 @@ from demo_segmenter_spark.operators.layer_a import GAP_HOURS, GAP_US
 from demo_segmenter_spark.streaming.sources import stream_events
 
 
-def sessionize_stream(
-    spark: SparkSession,
-    sf_dir: str,
-    gap_hours: int = GAP_HOURS,
-    watermark: str = "0 seconds",
-) -> DataFrame:
-    """Run the session_window aggregation over the events stream to
-    completion (AvailableNow) and return the final session table."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+def sessionize_topology(ev: DataFrame, gap_hours: int = GAP_HOURS) -> DataFrame:
+    """The session aggregation over any (streaming or batch) events
+    relation with a ``ts`` timestamp — shared by the file-stream twin
+    and the Kafka-shaped events_log twin so both run the IDENTICAL
+    topology against the same oracle."""
     agg = ev.groupBy(
         F.session_window("ts", f"{gap_hours} hours").alias("w"), "user_id"
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(cents(F.col("value"))).alias("sum_cents"),
     )
-    out = agg.select(
+    return agg.select(
         "user_id",
         F.unix_micros("w.start").alias("session_start_us"),
         (F.unix_micros("w.end") - gap_hours * 3600 * 1_000_000).alias(
@@ -61,6 +57,11 @@ def sessionize_stream(
         "n_events",
         rnd(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
     )
+
+
+def run_to_session_table(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Run a complete-mode session aggregation to completion
+    (AvailableNow) into a memory sink; return the final table."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -71,3 +72,42 @@ def sessionize_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_hours: int = GAP_HOURS,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Run the session_window aggregation over the events stream to
+    completion (AvailableNow) and return the final session table."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return run_to_session_table(spark, sessionize_topology(ev, gap_hours))
+
+
+def sessionize_kafka_shape(
+    spark: SparkSession, sf_dir: str, n_partitions: int = 8
+) -> DataFrame:
+    """The same topology fed by the Kafka-shaped partitioned events_log
+    source (sources/kafka_shape.py): per-partition offsets, key-hash
+    partitioning on user_id, checkpointed consume positions."""
+    from demo_segmenter_spark.sources.kafka_shape import register
+    from demo_segmenter_spark.streaming.sources import _stream_dir
+
+    register(spark)
+    ev = (
+        spark.readStream.format("events_log")
+        .option("path", _stream_dir(sf_dir, "events"))
+        .option("partitions", str(n_partitions))
+        .load()
+        .select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    return run_to_session_table(spark, sessionize_topology(ev))

@@ -1,0 +1,129 @@
+"""Kafka-shaped events_log source (sources/kafka_shape.py): offset
+continuation across query restarts, replay, and partition semantics.
+
+The scenarios mirror what you'd demo against a real broker:
+
+1. consume the log to the end, checkpointing offsets; APPEND to the
+   log; restart the query on the same checkpoint → only the new rows
+   are processed (committed offsets are honored, nothing re-read);
+2. a fresh checkpoint replays the whole log from offset 0;
+3. partitions(start, end) + read() slice exactly [start, end) per
+   partition in stable append order (seek-to-offset replay);
+4. partitioning is user_id % n — per-user ordering within a partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+
+from demo_segmenter_spark.sources.kafka_shape import (
+    EventsLogStreamReader,
+    register,
+)
+from tests.conftest import SF_SMOKE
+
+N_PARTS = 4
+
+
+def _split_fixture(tmp_base):
+    """sf0.001 events split into two 'appends' (A, B) by row position."""
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    half = t.num_rows // 2
+    os.makedirs(tmp_base)
+    a, b = t.slice(0, half), t.slice(half)
+    pq.write_table(a, f"{tmp_base}/chunk_a.parquet")
+    return a.num_rows, b
+
+
+def _run_once(spark, log_dir, ckpt, out_dir):
+    stream = (
+        spark.readStream.format("events_log")
+        .option("path", log_dir)
+        .option("partitions", str(N_PARTS))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_offset_continuation_and_replay(spark):
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    log_dir, ckpt, out_dir = f"{base}/log", f"{base}/ckpt", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    n_a, chunk_b = _split_fixture(log_dir)
+    register(spark)
+
+    # Run 1: consume chunk A to the end, committing offsets.
+    _run_once(spark, log_dir, ckpt, out_dir)
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == n_a
+
+    # The log GROWS (a producer appends), then the query restarts on
+    # the same checkpoint: only the appended rows may be processed.
+    pq.write_table(chunk_b, f"{log_dir}/chunk_b.parquet")
+    _run_once(spark, log_dir, ckpt, out_dir)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == n_a + chunk_b.num_rows
+    # exactly-once across the restart: no event re-read
+    assert got2.select("event_id").distinct().count() == n_a + chunk_b.num_rows
+
+    # Replay: a fresh consumer group (new checkpoint) starts at 0.
+    out2 = f"{base}/out_replay"
+    _run_once(spark, log_dir, f"{base}/ckpt2", out2)
+    assert spark.read.parquet(out2).count() == n_a + chunk_b.num_rows
+
+
+def test_seek_to_offset_slices(spark):
+    """partitions(start, end)/read() == a consumer seeking to an
+    arbitrary offset — replay is exact and stable."""
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    log_dir = f"{base}/log"
+    shutil.rmtree(base, ignore_errors=True)
+    _split_fixture(log_dir)
+
+    reader = EventsLogStreamReader(
+        {"path": log_dir, "partitions": str(N_PARTS)}
+    )
+    ends = reader.latestOffset()
+    assert set(ends) == {str(p) for p in range(N_PARTS)}
+    full = {
+        p: list(map(tuple, reader.read(s)))
+        for s in reader.partitions(reader.initialOffset(), ends)
+        for p in [s.part_id]
+    }
+    # per-partition invariants: offsets contiguous from 0, key-hash
+    # partitioning, counts match latestOffset
+    for p, rows in full.items():
+        assert [r[-1] for r in rows] == list(range(len(rows)))
+        assert all(r[2] % N_PARTS == p for r in rows)
+        assert len(rows) == ends[str(p)]
+    # seek: an arbitrary [start, end) slice equals the same slice of
+    # the full replay
+    for s in reader.partitions(
+        {str(p): 3 for p in range(N_PARTS)},
+        {str(p): 8 for p in range(N_PARTS)},
+    ):
+        got = list(map(tuple, reader.read(s)))
+        assert got == full[s.part_id][3:8]
+
+
+def test_empty_range_plans_no_partitions(spark):
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    log_dir = f"{base}/log"
+    shutil.rmtree(base, ignore_errors=True)
+    _split_fixture(log_dir)
+    reader = EventsLogStreamReader(
+        {"path": log_dir, "partitions": str(N_PARTS)}
+    )
+    ends = reader.latestOffset()
+    assert reader.partitions(ends, ends) == []
