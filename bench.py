@@ -24,25 +24,35 @@ from demo_segmenter_spark.registry import REGISTRY, load_all_operators
 from demo_segmenter_spark.session import get_spark
 
 # Representative, scale-sensitive slice of SURVEY.md §2 across layers.
+# Round 2 widened the set from 20 to 26 (the expensive families that
+# were previously untimed: interval join, fuzzy dedup, retrieval +
+# rerank pipelines, KPI pipeline, BM25) so regressions there are
+# caught by the per-round driver bench.
 HEADLINE = [
     "a_flagship_segments",
     "a_session_agg",
     "a_sessionize_stream",
     "a_tumbling_window",
+    "a_pipeline_kpi",
+    "a_stream_stream_join",
     "b_agg_basic",
     "b_join_inner",
     "b_multiway_star",
     "b_join_asof",
+    "b_join_interval",
     "b_topk_per_group",
     "b_window_frame",
     "b_pipeline_tpch_q3",
-    "a_stream_stream_join",
     "c_dedup_exact",
     "c_dedup_ngram",
+    "c_dedup_fuzzy",
     "c_sim_knn",
     "c_text_tfidf",
+    "c_text_bm25",
     "c_doc_fingerprint",
     "c_pipeline_corpus",
+    "c_pipeline_retrieval",
+    "c_pipeline_rerank",
     "c_chunking",
     "c_dedup_cluster",
 ]

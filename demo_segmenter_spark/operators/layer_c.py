@@ -119,32 +119,94 @@ WITH toks AS (
 # behavior on a synthetic hot shingle.
 SHINGLE_DF_CAP = 64
 
-# Capped-shingle CTE suffix: hot shingles removed, sizes recomputed on
-# the capped universe. Appended after a CTE that defines `sh`.
+# Capped-shingle CTE suffix: hot shingles removed from the PAIR
+# universe (intersections); per-doc sizes stay full-universe, making
+# the resulting Jaccard strictly conservative (it can only drop when a
+# hot shingle is removed — and the cap never fires on the fixture).
+# Appended after a CTE that defines `sh`.
 _CAPPED_SHINGLE_SQL = f"""
 , hot AS (
     SELECT lang, source, s FROM sh
     GROUP BY lang, source, s HAVING count(*) > {SHINGLE_DF_CAP}
 ), shc AS (
     SELECT sh.* FROM sh ANTI JOIN hot USING (lang, source, s)
-), csizes AS (
-    SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
 )
 """
 
 
-def _capped_shingles(sh: DataFrame) -> DataFrame:
-    """Drop shingles whose per-block document frequency exceeds
-    SHINGLE_DF_CAP. The hot set is tiny by construction (only shingles
-    shared by >cap docs), so it broadcasts — the big shingle table
-    never shuffles for the cap itself."""
-    hot = (
-        sh.groupBy("lang", "source", "s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("lang", "source", "s")
+def _shingle_doc_table(docs: DataFrame, arr: F.Column) -> DataFrame:
+    """Explode a per-doc shingle array into (doc_id, lang, source, sz,
+    s) rows — sz is the doc's FULL shingle-set size, computed free
+    from the array before the explode and carried along so Jaccard
+    never needs a per-doc sizes join later."""
+    return docs.withColumn("arr", arr).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("arr").alias("sz"),
+        F.explode("arr").alias("s"),
     )
-    return sh.join(F.broadcast(hot), ["lang", "source", "s"], "left_anti")
+
+
+def _shingle_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, sza, doc_b, szb, inter) candidate pairs from a
+    (doc_id, lang, source, sz, s) shingle table — the grouped-pairs
+    formulation that survives 100 TB, in TWO shuffles and one pass:
+
+    1. ONE exchange keys the table by (block, shingle); document
+       frequency comes from a window count over that partitioning and
+       hot shingles (> SHINGLE_DF_CAP) are dropped BEFORE any array is
+       built. The window is the memory-safe way to get df in the same
+       shuffle: WindowExec buffers a key's rows in a spillable array
+       (a 100M-doc boilerplate shingle spills to disk), whereas
+       collect_list-then-filter would grow a single in-memory
+       aggregation buffer with no spill path, and a separate count
+       pass would scan the table twice.
+    2. groupBy (block, shingle) — the exchange is REUSED (same keys,
+       already partitioned: no second shuffle) — collects each
+       surviving shingle's sorted (doc_id, sz) list; every group ≤ cap
+       entries, so no group can emit more than C(cap, 2) pairs BY
+       CONSTRUCTION (a self-join formulation would shuffle the table
+       twice and let one hot shingle emit k² rows).
+    3. ordered pairs come out of each group's array with pure codegen
+       (flatten/transform/slice), then one groupBy (doc_a, doc_b)
+       counts shared shingles. Per-doc set sizes ride in the structs —
+       zero doc-level joins afterward.
+    """
+    keys = ["lang", "source", "s"]
+    w = Window.partitionBy(*keys)
+    groups = (
+        sh.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    d = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            d,
+            lambda x, i: F.transform(
+                F.slice(d, i + 2, F.size(d)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["sz"].alias("sza"),
+                    y["doc_id"].alias("doc_b"),
+                    y["sz"].alias("szb"),
+                ),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("sza").alias("sza"),
+            F.max("szb").alias("szb"),
+        )
+    )
 
 
 @query(
@@ -162,62 +224,36 @@ def _capped_shingles(sh: DataFrame) -> DataFrame:
 SELECT doc_a, doc_b,
        {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
 FROM pairs
-JOIN csizes sa ON doc_a = sa.doc_id
-JOIN csizes sb ON doc_b = sb.doc_id
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 """,
 )
 def c_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via exact 3-token-shingle Jaccard >= 0.5,
     blocked by (lang, source), with a document-frequency cap
-    (SHINGLE_DF_CAP) dropping boilerplate shingles before the
-    self-join. The blocked shingle join IS the scale strategy:
-    candidates come from shared discriminative shingles within a
-    block, so the shuffle key is (shingle, lang, source), no all-pairs
-    comparison ever happens, and no single hot shingle can emit more
-    than cap² pairs. (Fixture has a planted pair at j≈0.97;
-    background soup pairs sit below 0.03 — measured.)"""
+    (SHINGLE_DF_CAP) dropping boilerplate shingles from the candidate
+    universe. The grouped-shingle formulation (_shingle_pairs) IS the
+    scale strategy — TWO shuffles, no joins on doc-level tables: one
+    exchange on (shingle, block) shared by the spillable df window
+    and the group collect, pairs emitted from each group's array with
+    pure codegen, then the pair count; per-doc set sizes ride inside
+    the structs. No self-join (which shuffles the table twice), no
+    all-pairs scan, and no hot shingle can emit more than C(cap,2)
+    pairs by construction. Jaccard is
+    conservative under the cap: intersections lose hot shingles,
+    union sizes keep them (identical on the fixture, where max df=5).
+    (Planted pair at j≈0.97; background soup pairs below 0.03.)
+    Shingles travel as xxhash64 longs: same exact Jaccard (collisions
+    vanishingly rare at 2^64), ~5x narrower shuffle rows."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # The shingle table feeds several plan branches (df cap, self-join
-    # a/b, sizes); persist it once instead of recomputing the explode —
-    # measured 13s -> 4.5s at sf0.1. At 100 TB this is a materialized
-    # intermediate table, same idea.
-    # join key is the 64-bit shingle hash, not the string: same exact
-    # Jaccard (collisions vanishingly rare at 2^64), ~5x narrower
-    # shuffle rows for the self-join — at 100 TB the difference between
-    # shuffling shingle text and shuffling a long is the job.
-    sh = persist(
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
-        )
+    sh = _shingle_doc_table(
+        docs, F.transform(_shingles(), lambda s: F.xxhash64(s))
     )
-    sh = _capped_shingles(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
+    pairs = _shingle_pairs(sh)
     jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        pairs.filter(jac >= 0.5)
         .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
     )
 
@@ -1197,13 +1233,13 @@ WITH q AS (
     SELECT DISTINCT doc_id, lang, source,
            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
     FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), hot AS (
     SELECT lang, source, s FROM sh
     GROUP BY lang, source, s HAVING count(*) > {SHINGLE_DF_CAP}
 ), shc AS (
     SELECT sh.* FROM sh ANTI JOIN hot USING (lang, source, s)
-), csizes AS (
-    SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
     FROM shc a JOIN shc b
@@ -1213,8 +1249,8 @@ WITH q AS (
 ), neardup AS (
     SELECT DISTINCT doc_b
     FROM pairs
-    JOIN csizes sa ON doc_a = sa.doc_id
-    JOIN csizes sb ON doc_b = sb.doc_id
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 )
 SELECT lang,
@@ -1246,34 +1282,12 @@ def c_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    sh = persist(
-        ex.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("s"),
-        )
+    sh = _shingle_doc_table(
+        ex, F.transform(_shingles(), lambda s: F.xxhash64(s))
     )
-    sh = _capped_shingles(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    pairs = _shingle_pairs(sh)
     jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
-    neardup = (
-        pairs.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.5).select("doc_b")
-    ).distinct()
+    neardup = pairs.filter(jac >= 0.5).select("doc_b").distinct()
     kept = ex.join(
         neardup, ex.doc_id == neardup.doc_b, "left_anti"
     )

@@ -25,12 +25,12 @@ def test_release_after_persisting_queries(spark):
     release_persisted()
     spark.catalog.clearCache()
     assert _n_cached(spark) == 0
-    # The two persist-heavy pipelines.
-    for name in ("c_dedup_ngram", "c_pipeline_corpus"):
+    # Persisting pipelines (corpus persists its exact-dedup'd table).
+    for name in ("c_pipeline_corpus", "c_dedup_minhash"):
         REGISTRY[name].fn(spark, SF_SMOKE).collect()
     assert _n_cached(spark) > 0  # persists were live during the action
     released = release_persisted()
-    assert released >= 3  # ngram sh + corpus ex + corpus sh
+    assert released >= 2  # corpus ex + minhash feats
     assert _n_cached(spark) == 0  # no net cache growth
     # Second release is a safe no-op.
     assert release_persisted() == 0

@@ -170,7 +170,11 @@ def test_shuffle_budgets_table(spark):
         "c_train_shuffle": 1,
         "c_text_tfidf": 5,
         "c_quality_unigram_lp": 4,
-        "c_dedup_ngram": 3,
+        # two shuffles by design: one exchange on (block, shingle)
+        # shared by the df window and the group collect, then the
+        # (doc_a, doc_b) pair count; sizes ride in structs — no
+        # self-join, no doc-level sizes joins
+        "c_dedup_ngram": 2,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from demo_segmenter_spark.operators.layer_c import (
     SHINGLE_DF_CAP,
-    _capped_shingles,
+    _shingle_doc_table,
+    _shingle_pairs,
     _shingles,
     c_dedup_ngram,
 )
@@ -26,9 +27,7 @@ from tests.conftest import SF_SMOKE
 
 
 def _shingle_table(docs):
-    return docs.select(
-        "doc_id", "lang", "source", F.explode(_shingles()).alias("s")
-    )
+    return _shingle_doc_table(docs, _shingles())
 
 
 def test_fixture_df_below_cap(spark, ddb):
@@ -109,31 +108,18 @@ def hot_corpus(spark):
 
 
 def test_hot_shingle_bounded_candidates(spark, hot_corpus):
-    sh = _shingle_table(hot_corpus)
-    capped = _capped_shingles(sh)
-    a, b = capped.alias("a"), capped.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).count()
+    pairs = _shingle_pairs(_shingle_table(hot_corpus))
     # Uncapped, the 6 boilerplate-internal shingles alone emit
-    # 6*C(120,2) ≈ 43k candidate rows; capped, only the planted pair's
-    # rare shingles (plus per-doc boundary shingles straddling
-    # boiler|filler, df=1, which join to nothing) survive.
-    assert cand < 100
+    # 6*C(120,2) ≈ 43k candidate co-occurrences; capped, only the
+    # planted pair's rare shingles survive (boundary shingles
+    # straddling boiler|filler have df=1 and emit nothing).
+    total = pairs.agg(F.sum("inter")).first()[0]
+    assert total < 100
     # ... and the planted pair is still fully visible.
-    planted = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter((F.col("a.doc_id") == 1000) & (F.col("b.doc_id") == 1001))
-        .count()
-    )
-    assert planted == 40
+    planted = pairs.filter(
+        (F.col("doc_a") == 1000) & (F.col("doc_b") == 1001)
+    ).first()
+    assert planted is not None and planted.inter == 40
 
 
 def test_hot_shingle_uncapped_blowup_exists(spark, hot_corpus):
