@@ -74,13 +74,18 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
 
     off = 0
     for fpath in files:
+        names = pq.read_schema(fpath).names
+        ts_col = "ts_us" if "ts_us" in names else "ts"
         t = pq.read_table(
-            fpath, columns=["event_id", "ts", "user_id", "event_type", "value"]
+            fpath, columns=["event_id", ts_col, "user_id", "event_type", "value"]
         )
         ev = t.column("event_id").to_pylist()
-        # fixture ts is TIMESTAMP(NANOS); emit µs to match the batch
-        # loader's normalization (sources/tables.py)
-        ts = [v // 1000 for v in t.column("ts").cast("int64").to_pylist()]
+        if ts_col == "ts_us":  # sink-written log: already µs longs
+            ts = t.column("ts_us").to_pylist()
+        else:
+            # fixture ts is TIMESTAMP(NANOS); emit µs to match the
+            # batch loader's normalization (sources/tables.py)
+            ts = [v // 1000 for v in t.column("ts").cast("int64").to_pylist()]
         us = t.column("user_id").to_pylist()
         ty = t.column("event_type").to_pylist()
         va = t.column("value").to_pylist()
@@ -150,6 +155,70 @@ class EventsLogStreamReader(DataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------------------
+# Producer side (DataSourceStreamWriter): append micro-batches to the
+# same log layout the reader consumes — the Kafka producer twin. Two
+# invariants make it broker-grade:
+#
+# 1. **Atomic visibility per batch**: executors write `.tmp` files;
+#    only the driver's commit() renames them to `.parquet` (rename is
+#    atomic on POSIX), so a reader listing the log NEVER sees a
+#    half-written batch — abort() deletes the orphaned temps instead.
+# 2. **Append order**: committed names are `b<batchId:010d>-...`, so
+#    the reader's name-sorted file order IS commit order and offsets
+#    assigned by earlier batches never shift (Kafka's log-append
+#    guarantee).
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _AppendCommit(WriterCommitMessage):
+    tmp_file: str
+    rows: int
+
+
+class EventsLogStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("events_log sink requires option 'path'")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rows = list(iterator)
+        tmp = f"{self.path}/inflight-{uuid.uuid4().hex}.tmp"
+        cols = list(LOG_SCHEMA.fieldNames())[:5]  # producer writes data cols
+        table = pa.table(
+            {c: [getattr(r, c) for r in rows] for c in cols}
+        )
+        pq.write_table(table, tmp)
+        return _AppendCommit(tmp_file=tmp, rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None and m.rows > 0),
+            key=lambda m: m.tmp_file,
+        )):
+            os.rename(m.tmp_file, f"{self.path}/b{batchId:010d}-{i:05d}.parquet")
+        for m in messages:
+            if m is not None and m.rows == 0 and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
 class EventsLogSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -160,6 +229,9 @@ class EventsLogSource(DataSource):
 
     def streamReader(self, schema):
         return EventsLogStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return EventsLogStreamWriter(self.options)
 
 
 def register(spark) -> None:

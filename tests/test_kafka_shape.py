@@ -127,3 +127,57 @@ def test_empty_range_plans_no_partitions(spark):
     )
     ends = reader.latestOffset()
     assert reader.partitions(ends, ends) == []
+
+
+def test_sink_round_trip_atomic_append(spark):
+    """Producer twin: stream the fixture THROUGH the events_log sink
+    (atomic per-batch rename commit), then consume the produced log
+    with the events_log source — the full wire-path emulation. The
+    produced log must contain exactly the fixture rows, no in-flight
+    temp files may survive the run, and committed file names must
+    carry the batch-order prefix the reader's append order relies on."""
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    src_log, out_log = f"{base}/src", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    n_a, chunk_b = _split_fixture(src_log)
+    pq.write_table(chunk_b, f"{src_log}/chunk_b.parquet")
+    register(spark)
+
+    stream = (
+        spark.readStream.format("events_log")
+        .option("path", src_log)
+        .option("partitions", str(N_PARTS))
+        .load()
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.format("events_log")
+        .option("path", out_log)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    files = sorted(os.listdir(out_log))
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert not any(f.endswith(".tmp") for f in files)
+    assert all(f.startswith("b") and f[1:11].isdigit() for f in files)
+
+    # Consume the produced log back through the source: same rows.
+    reader = EventsLogStreamReader({"path": out_log, "partitions": "2"})
+    got = {
+        (r[0], r[1], r[2])
+        for s in reader.partitions(reader.initialOffset(), reader.latestOffset())
+        for r in reader.read(s)
+    }
+    want_t = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    want = {
+        (e, t // 1000, u)
+        for e, t, u in zip(
+            want_t.column("event_id").to_pylist(),
+            want_t.column("ts").cast("int64").to_pylist(),
+            want_t.column("user_id").to_pylist(),
+        )
+    }
+    assert got == want
