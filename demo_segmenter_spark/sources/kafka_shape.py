@@ -83,9 +83,18 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
         if ts_col == "ts_us":  # sink-written log: already µs longs
             ts = t.column("ts_us").to_pylist()
         else:
-            # fixture ts is TIMESTAMP(NANOS); emit µs to match the
-            # batch loader's normalization (sources/tables.py)
-            ts = [v // 1000 for v in t.column("ts").cast("int64").to_pylist()]
+            # fixture ts is a parquet timestamp whose unit has varied
+            # across drops (NANOS early, MICROS later); emit µs to match
+            # the batch loader's normalization (sources/tables.py)
+            col = t.column("ts")
+            raw = col.cast("int64").to_pylist()
+            unit = getattr(col.type, "unit", "us")
+            scale = {"ns": 1000, "us": 1, "ms": 10**-3, "s": 10**-6}[unit]
+            if scale >= 1:
+                ts = [v // scale for v in raw]
+            else:
+                mult = int(1 / scale)
+                ts = [v * mult for v in raw]
         us = t.column("user_id").to_pylist()
         ty = t.column("event_type").to_pylist()
         va = t.column("value").to_pylist()

@@ -40,24 +40,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    conf and truncate to a µs TimestampType — the same ns→µs truncation
-    DuckDB applies on read, so oracle comparisons agree (SURVEY.md §1.2).
+    """Normalize `events.ts` to a µs TimestampType whatever the fixture
+    drop encoded: early drops wrote parquet TIMESTAMP(NANOS) (Spark 4
+    rejects it unless legacy nanosAsLong is on — read as raw nanos, then
+    integer-truncate ns→µs exactly like DuckDB's read); later drops write
+    plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    TIMESTAMP_NTZ — under the UTC session (session.py) a cast to
+    TimestampType preserves the epoch micros DuckDB sees, so oracle
+    comparisons agree either way (SURVEY.md §1.2).
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    if dict(raw.dtypes).get("ts") == "timestamp":  # future-proof: already µs
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "timestamp":
         return raw
-    cols = [
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")  # integer div: ns→µs
-        if c == "ts"
-        else F.col(c)
-        for c in raw.columns
-    ]
-    return raw.select(*cols)
+    if ts_type == "timestamp_ntz":
+        norm = F.col("ts").cast("timestamp").alias("ts")
+    else:  # bigint: raw nanos; integer div truncates ns→µs
+        norm = F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
+    return raw.select(*[norm if c == "ts" else F.col(c) for c in raw.columns])
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -13,16 +13,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """File streams need an explicit schema, and the fixture's `ts`
+    encoding has changed across drops (TIMESTAMP(NANOS) early, plain µs
+    TIMESTAMP_NTZ later). Sniff the parquet footer (pyarrow, no Spark
+    job) and return (raw schema, ts_is_raw_nanos)."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    nanos = ts_type == "timestamp[ns]"
+    ts_field = (
+        T.StructField("ts", T.LongType())  # TIMESTAMP(NANOS) read as long
+        if nanos
+        else T.StructField("ts", T.TimestampNTZType())
+    )
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                ts_field,
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        nanos,
+    )
 
 
 def _stream_dir(sf_dir: str, name: str) -> str:
@@ -45,15 +62,20 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream; same ns→µs normalization as the
-    batch loader (sources/tables.py)."""
+    """events as an unbounded stream; same ts normalization as the batch
+    loader (sources/tables.py): raw nanos → truncate to µs, µs NTZ →
+    cast to session-TZ (UTC) TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        _stream_dir(sf_dir, "events")
+    schema, nanos = _events_raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
+    ts = (
+        F.timestamp_micros(F.expr("ts DIV 1000"))
+        if nanos
+        else F.col("ts").cast("timestamp")
     )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
