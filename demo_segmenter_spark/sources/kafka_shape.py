@@ -59,6 +59,16 @@ LOG_SCHEMA = StructType(
 )
 
 
+# Exact integer (divisor, multiplier) to µs per timestamp unit — no
+# float reciprocals; tests reuse this so source and oracle can't drift.
+US_SCALE = {
+    "ns": (1000, 1),
+    "us": (1, 1),
+    "ms": (1, 1000),
+    "s": (1, 1_000_000),
+}
+
+
 def _log_files(path: str) -> list[str]:
     """The log's append order: parquet files sorted by name."""
     return sorted(
@@ -86,15 +96,17 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
             # fixture ts is a parquet timestamp whose unit has varied
             # across drops (NANOS early, MICROS later); emit µs to match
             # the batch loader's normalization (sources/tables.py)
+            import pyarrow as pa
+
             col = t.column("ts")
+            if not pa.types.is_timestamp(col.type):
+                raise TypeError(
+                    f"{fpath}: 'ts' must be a parquet timestamp column, "
+                    f"got {col.type}"
+                )
             raw = col.cast("int64").to_pylist()
-            unit = getattr(col.type, "unit", "us")
-            scale = {"ns": 1000, "us": 1, "ms": 10**-3, "s": 10**-6}[unit]
-            if scale >= 1:
-                ts = [v // scale for v in raw]
-            else:
-                mult = int(1 / scale)
-                ts = [v * mult for v in raw]
+            div, mult = US_SCALE[col.type.unit]
+            ts = [v // div * mult for v in raw]
         us = t.column("user_id").to_pylist()
         ty = t.column("event_type").to_pylist()
         va = t.column("value").to_pylist()

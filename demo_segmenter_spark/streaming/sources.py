@@ -18,15 +18,25 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     encoding has changed across drops (TIMESTAMP(NANOS) early, plain µs
     TIMESTAMP_NTZ later). Sniff the parquet footer (pyarrow, no Spark
     job) and return (raw schema, ts_is_raw_nanos)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    nanos = ts_type == "timestamp[ns]"
-    ts_field = (
-        T.StructField("ts", T.LongType())  # TIMESTAMP(NANOS) read as long
-        if nanos
-        else T.StructField("ts", T.TimestampNTZType())
-    )
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if not pa.types.is_timestamp(ts_type):
+        raise TypeError(
+            f"events.ts: expected a parquet timestamp column, got {ts_type}"
+        )
+    # Inspect (unit, tz) structurally, not via the stringified type: with
+    # nanosAsLong any ns column (tz-adjusted or not) arrives as LongType;
+    # non-ns columns are LTZ iff the parquet logical type carries a tz
+    # (isAdjustedToUTC), else NTZ.
+    nanos = ts_type.unit == "ns"
+    if nanos:
+        ts_field = T.StructField("ts", T.LongType())  # TIMESTAMP(NANOS) read as long
+    elif ts_type.tz is not None:
+        ts_field = T.StructField("ts", T.TimestampType())
+    else:
+        ts_field = T.StructField("ts", T.TimestampNTZType())
     return (
         T.StructType(
             [

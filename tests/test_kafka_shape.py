@@ -21,6 +21,7 @@ import uuid
 import pyarrow.parquet as pq
 
 from demo_segmenter_spark.sources.kafka_shape import (
+    US_SCALE,
     EventsLogStreamReader,
     register,
 )
@@ -172,9 +173,10 @@ def test_sink_round_trip_atomic_append(spark):
         for r in reader.read(s)
     }
     want_t = pq.read_table(f"{SF_SMOKE}/events.parquet")
-    ts_div = 1000 if want_t.column("ts").type.unit == "ns" else 1  # →µs
+    # same unit→µs mapping as the source — fails loudly on an unknown unit
+    ts_div, ts_mult = US_SCALE[want_t.column("ts").type.unit]
     want = {
-        (e, t // ts_div, u)
+        (e, t // ts_div * ts_mult, u)
         for e, t, u in zip(
             want_t.column("event_id").to_pylist(),
             want_t.column("ts").cast("int64").to_pylist(),
