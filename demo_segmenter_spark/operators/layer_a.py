@@ -36,6 +36,7 @@ from demo_segmenter_spark.functions.compat import (
     sql_money_sum,
     sql_rnd,
 )
+from demo_segmenter_spark.functions.cache import persist
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table
 
@@ -1438,33 +1439,42 @@ def a_pipeline_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     active users, view->click->purchase conversion, and anomaly count,
     emitted as (metric, value) rows. Each branch is an already-proven
     operator (a_sessionize / a_window_dau / a_funnel / a_anomaly_zscore)
-    reduced to a single-row aggregate; the union of four tiny results
-    costs nothing beyond the branches, and Spark runs the branches'
-    stages concurrently within one job. The 100 TB note: all four
-    branches scan `events` once EACH — a production job would cache the
-    narrow projection or fuse branches over one scan; kept separate
-    here so each branch's plan stays independently auditable."""
-    ev = load_table(spark, sf_dir, "events")
+    reduced to a single-row aggregate. The 100 TB contract: all four
+    branches feed from ONE tracked-persist narrow projection of
+    `events` (everything but `props`), so the fact table is scanned
+    once per job, not once per branch — at 100 TB that is one pass of
+    I/O instead of four (test_plans pins scan count <= 2). Session
+    count is the count of session-START flags (sum of is_new), which
+    equals count(distinct user_id, session_id) without the distinct."""
+    base = persist(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    user_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us_c = F.unix_micros("ts")
+    prev_us = F.lag(us_c).over(user_w)
+    is_new = F.when(prev_us.isNull() | ((us_c - prev_us) > GAP_US), 1).otherwise(0)
     n_sessions = (
-        sessionized_events(spark, sf_dir)
-        .select("user_id", "session_id")
-        .distinct()
+        base.select("user_id", "ts", "event_id")
+        .withColumn("is_new", is_new)
+        .where(F.col("is_new") == 1)
         .agg(F.count("*").cast("double").alias("value"))
         .select(F.lit("n_sessions").alias("metric"), "value")
     )
     wau_peak = (
-        ev.groupBy(F.window("ts", "7 days", "1 day"))
+        base.groupBy(F.window("ts", "7 days", "1 day"))
         .agg(F.countDistinct("user_id").alias("au"))
         .agg(F.max("au").cast("double").alias("value"))
         .select(F.lit("wau_peak").alias("metric"), "value")
     )
     per_user = funnel_stages(
-        ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        base.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
     )
     funnel_rate = per_user.agg(
         rnd(F.count("t3") * 1.0 / F.count("t1"), 4).alias("value")
     ).select(F.lit("funnel_rate").alias("metric"), "value")
-    ev2 = ev.select("event_id", "event_type", cents(F.col("value")).alias("cts"))
+    ev2 = base.select("event_id", "event_type", cents(F.col("value")).alias("cts"))
     st = ev2.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cts").alias("s"),

@@ -248,3 +248,19 @@ def test_aggregates_have_map_side_partials(spark):
     for name in ("b_agg_basic", "a_window_dau", "b_agg_corr"):
         plan = explain_str(q(name, spark), mode="simple")
         assert "partial_" in plan, f"{name}: no partial aggregate\n{plan[:1500]}"
+
+
+def test_pipeline_kpi_single_events_scan(spark):
+    # The four KPI branches must share ONE tracked-persist projection of
+    # `events` — at 100 TB four scans of the fact table is four passes
+    # of I/O. The formatted plan shows exactly one parquet scan of
+    # events feeding an InMemoryRelation; allow <=2 for plan-printing
+    # slack across Spark versions.
+    from demo_segmenter_spark.functions.cache import release_persisted
+
+    try:
+        plan = explain_str(q("a_pipeline_kpi", spark))
+        assert plan.count("events.parquet") <= 2, plan[:3000]
+        assert "InMemoryRelation" in plan, plan[:3000]
+    finally:
+        release_persisted()
