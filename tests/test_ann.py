@@ -34,3 +34,26 @@ def test_lsh_bounded_k(spark):
     df = REGISTRY["c_sim_lsh"].fn(spark, SF_SMOKE)
     per_q = df.groupBy("query_id").count().collect()
     assert all(r["count"] <= 3 for r in per_q)
+
+
+def test_lsh_recall_column_visible_and_high(spark):
+    # The SQL-visible invariant: one global recall@3 value on every row,
+    # deterministic under the fixed seed, >= 0.98 at fixture scale.
+    df = REGISTRY["c_sim_lsh"].fn(spark, SF_SMOKE)
+    vals = [r["recall_at3_vs_exact"] for r in df.select("recall_at3_vs_exact").distinct().collect()]
+    assert len(vals) == 1, vals
+    assert vals[0] >= 0.98, vals
+
+
+def test_minhash_invariant_columns(spark):
+    # Every exact-path pair (shingle Jaccard sim >= 0.4) must be found
+    # by MinHashLSH: recall_vs_exact == 1.0 at fixture scale, and the
+    # per-pair exact_dist agrees with the LSH-reported vector distance
+    # (HashingTF collisions are the only slack).
+    rows = REGISTRY["c_dedup_minhash"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    recalls = {r["recall_vs_exact"] for r in rows}
+    assert recalls == {1.0}, recalls
+    for r in rows:
+        if r["exact_dist"] is not None:
+            assert abs(r["exact_dist"] - r["jaccard_dist"]) <= 0.01, r
