@@ -39,6 +39,21 @@ from demo_segmenter_spark.functions.vectors import as_double, dot
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table, spread
 
+def _ann_invariants_enabled() -> bool:
+    """The approximate queries (c_dedup_minhash, c_sim_lsh) carry
+    recall-vs-exact invariant columns computed by running their exact
+    twin INSIDE the query — that is what makes their rows-only
+    correctness check certify more than rows>0, but it dilutes bench
+    timings (the "approximate" plan also pays for the exact pass, so
+    the measured plan stops reflecting the LSH-only 100 TB story).
+    Bench runs set SPARK_GRAFT_ANN_INVARIANTS=0 to time the LSH-only
+    subplan; the result schema is identical either way (the invariant
+    columns are emitted as NULL when disabled)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ANN_INVARIANTS", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -294,6 +309,12 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
         )
     )
+    if not _ann_invariants_enabled():  # LSH-only subplan (bench mode)
+        return found.select(
+            "*",
+            F.lit(None).cast("double").alias("exact_dist"),
+            F.lit(None).cast("double").alias("recall_vs_exact"),
+        )
     # Exact twin over the SAME global (unblocked) shingle universe:
     # hashed shingles through the grouped-pairs plan, sim >= 0.4
     # (<=> dist <= 0.6). Capped-exact is conservative for hot shingles
@@ -1206,6 +1227,10 @@ def c_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+    if not _ann_invariants_enabled():  # LSH-only subplan (bench mode)
+        return approx3.withColumn(
+            "recall_at3_vs_exact", F.lit(None).cast("double")
+        )
     # Exact brute-force top-3 twin (broadcast queries, one candidate
     # scan) → global recall@3, emitted as a column on every row.
     qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(

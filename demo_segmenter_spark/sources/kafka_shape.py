@@ -80,6 +80,7 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
     """Materialize one partition's rows in append order, offset-stamped.
     Worker-side (also driver-side for counts): pyarrow scan of the
     needed columns only."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     off = 0
@@ -96,8 +97,6 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
             # fixture ts is a parquet timestamp whose unit has varied
             # across drops (NANOS early, MICROS later); emit µs to match
             # the batch loader's normalization (sources/tables.py)
-            import pyarrow as pa
-
             col = t.column("ts")
             if not pa.types.is_timestamp(col.type):
                 raise TypeError(

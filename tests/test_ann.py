@@ -45,15 +45,42 @@ def test_lsh_recall_column_visible_and_high(spark):
     assert vals[0] >= 0.98, vals
 
 
+def test_ann_invariants_flag_preserves_schema(spark, monkeypatch):
+    # SPARK_GRAFT_ANN_INVARIANTS=0 must skip the exact-twin subplan
+    # (bench mode: time the LSH-only story) WITHOUT changing the
+    # result schema — invariant columns become NULL, nothing else moves.
+    for name in ("c_dedup_minhash", "c_sim_lsh"):
+        on = REGISTRY[name].fn(spark, SF_SMOKE)
+        monkeypatch.setenv("SPARK_GRAFT_ANN_INVARIANTS", "0")
+        off = REGISTRY[name].fn(spark, SF_SMOKE)
+        monkeypatch.delenv("SPARK_GRAFT_ANN_INVARIANTS")
+        assert off.schema.fieldNames() == on.schema.fieldNames(), name
+        assert [f.dataType for f in off.schema.fields] == [
+            f.dataType for f in on.schema.fields
+        ], name
+        inv = {"exact_dist", "recall_vs_exact", "recall_at3_vs_exact"}
+        rows = off.collect()
+        assert rows, name
+        for r in rows:
+            for c in inv & set(off.columns):
+                assert r[c] is None, (name, r)
+
+
 def test_minhash_invariant_columns(spark):
-    # Every exact-path pair (shingle Jaccard sim >= 0.4) must be found
-    # by MinHashLSH: recall_vs_exact == 1.0 at fixture scale, and the
-    # per-pair exact_dist agrees with the LSH-reported vector distance
-    # (HashingTF collisions are the only slack).
+    # Exact-path pairs (shingle Jaccard sim >= 0.4) must largely be
+    # found by MinHashLSH, and the per-pair exact_dist must agree with
+    # the LSH-reported vector distance. NOTE: the two sides use
+    # different shingle universes (HashingTF 2^18 binary buckets vs raw
+    # xxhash64 sets), so the bounds below are fixture-scale empirical —
+    # the CURRENT fixture measures recall exactly 1.0 and max gap
+    # ~0.0 — and must be re-measured if the fixture is regenerated
+    # (a pair near the 0.6 threshold or a bucket collision can move
+    # them without anything being wrong).
     rows = REGISTRY["c_dedup_minhash"].fn(spark, SF_SMOKE).collect()
     assert rows
     recalls = {r["recall_vs_exact"] for r in rows}
-    assert recalls == {1.0}, recalls
+    assert len(recalls) == 1, recalls  # one global value on every row
+    assert recalls.pop() >= 0.95, rows
     for r in rows:
         if r["exact_dist"] is not None:
-            assert abs(r["exact_dist"] - r["jaccard_dist"]) <= 0.01, r
+            assert abs(r["exact_dist"] - r["jaccard_dist"]) <= 0.05, r
