@@ -4,10 +4,22 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced end-to-end with the `noop` sink (full computation,
-no driver-side collection cost). A small warm-up query amortizes JVM/
-codegen startup out of the per-query numbers, which is also how a
-long-lived production session behaves.
+Measurement protocol (BASELINE.md):
+- One UNTIMED full pass of the headline set first: janino codegen,
+  stage planning, parquet footer caches, shuffle-service init are all
+  amortized out, so the timed runs measure steady-state throughput —
+  the number that scales to a long-lived production session. (Without
+  this, the first heavy plan pays ~7 s of one-time codegen and a
+  single-run bench JSON reports phantom regressions.)
+- Best-of-N (default 2) timed runs per query, caches released between
+  runs so no query feeds on another's persisted state.
+- Machine-contention stamps (loadavg + uptime before/after) ride in the
+  JSON, so a bench captured on a loaded box is identifiable as such
+  from the artifact itself instead of by re-execution.
+- The approximate-ANN queries are timed with
+  SPARK_GRAFT_ANN_INVARIANTS=0, i.e. the LSH-only subplan — their
+  correctness-mode exact-twin invariant pass is deliberately excluded
+  so the ANN timing reflects the approximate 100 TB story.
 """
 
 from __future__ import annotations
@@ -24,10 +36,9 @@ from demo_segmenter_spark.registry import REGISTRY, load_all_operators
 from demo_segmenter_spark.session import get_spark
 
 # Representative, scale-sensitive slice of SURVEY.md §2 across layers.
-# Round 2 widened the set from 20 to 26 (the expensive families that
-# were previously untimed: interval join, fuzzy dedup, retrieval +
-# rerank pipelines, KPI pipeline, BM25) so regressions there are
-# caught by the per-round driver bench.
+# Round 2 widened the set from 20 to 26 (interval join, fuzzy dedup,
+# retrieval + rerank pipelines, KPI pipeline, BM25); round 4 adds the
+# two approximate-ANN queries (timed LSH-only, see ANN_LSH_ONLY).
 HEADLINE = [
     "a_flagship_segments",
     "a_session_agg",
@@ -46,7 +57,9 @@ HEADLINE = [
     "c_dedup_exact",
     "c_dedup_ngram",
     "c_dedup_fuzzy",
+    "c_dedup_minhash",
     "c_sim_knn",
+    "c_sim_lsh",
     "c_text_tfidf",
     "c_text_bm25",
     "c_doc_fingerprint",
@@ -56,6 +69,36 @@ HEADLINE = [
     "c_chunking",
     "c_dedup_cluster",
 ]
+
+# Queries whose correctness mode embeds an exact-twin invariant pass;
+# bench times the approximate-only subplan (schema unchanged).
+ANN_LSH_ONLY = {"c_dedup_minhash", "c_sim_lsh"}
+
+
+def _machine_stamp() -> dict:
+    stamp = {"loadavg": list(os.getloadavg())}
+    try:
+        with open("/proc/uptime") as f:
+            stamp["uptime_sec"] = float(f.read().split()[0])
+    except OSError:
+        stamp["uptime_sec"] = None
+    return stamp
+
+
+def _run_once(name: str, spark, sf_dir: str) -> None:
+    """One end-to-end execution through the noop sink (full computation,
+    no driver-side collection cost), caches released afterwards."""
+    if name in ANN_LSH_ONLY:
+        os.environ["SPARK_GRAFT_ANN_INVARIANTS"] = "0"
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        os.environ.pop("SPARK_GRAFT_ANN_INVARIANTS", None)
+        # queries that persist() intermediates must not leak cache
+        # into later measurements (GC pressure skews the tail)
+        release_persisted()
+        spark.catalog.clearCache()
 
 
 def main() -> None:
@@ -71,29 +114,23 @@ def main() -> None:
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "48g"),
     )
 
-    # Warm-up: JVM, codegen, parquet footer caches.
-    REGISTRY["b_agg_basic"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    stamp_before = _machine_stamp()
 
-    # Best-of-N (default 2): first run pays janino codegen + stage
-    # planning, later runs show steady-state throughput — the number
-    # that scales to a long-lived production session (BASELINE.md
-    # protocol). Set SPARK_GRAFT_BENCH_RUNS=1 for cold timings.
+    # Untimed warm-up: the FULL headline set once (see module docstring).
+    # SPARK_GRAFT_BENCH_WARM=0 skips it for deliberate cold timings.
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if warm:
+        for name in HEADLINE:
+            _run_once(name, spark, sf_dir)
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _run_once(name, spark, sf_dir)
             best = min(best, time.perf_counter() - t0)
-            # queries that persist() intermediates must not leak cache
-            # into later measurements (GC pressure skews the tail)
-            release_persisted()
-            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -106,6 +143,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "warmed": warm,
+                "runs": runs,
+                "machine_before": stamp_before,
+                "machine_after": _machine_stamp(),
             }
         )
     )
