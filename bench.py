@@ -96,8 +96,9 @@ def _run_once(name: str, spark, sf_dir: str) -> None:
     finally:
         os.environ.pop("SPARK_GRAFT_ANN_INVARIANTS", None)
         # queries that persist() intermediates must not leak cache
-        # into later measurements (GC pressure skews the tail)
-        release_persisted()
+        # into later measurements (GC pressure skews the tail); the
+        # spark arg also sweeps stray localCheckpoint RDD blocks
+        release_persisted(spark)
         spark.catalog.clearCache()
 
 

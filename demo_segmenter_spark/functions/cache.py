@@ -30,10 +30,20 @@ def persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_persisted() -> int:
+def release_persisted(spark=None) -> int:
     """Unpersist every tracked intermediate; returns how many were
     released. Safe to call at any time — subsequent reuse of a
-    released DataFrame recomputes instead of failing."""
+    released DataFrame recomputes instead of failing.
+
+    With ``spark`` given, ALSO sweeps the JVM's persistent-RDD map:
+    ``localCheckpoint`` blocks (e.g. the per-round checkpoints inside
+    connected_components' fixpoint loop) never pass through
+    ``persist()`` above and otherwise accumulate in a long-lived
+    session until the driver cleans them by GC — measured as
+    multi-second GC/eviction stalls in back-to-back bench runs. Only
+    session OWNERS (bench, sweep scripts, tests) may pass spark: the
+    sweep drops every cached RDD in the context, including ones the
+    tracker never saw."""
     n = 0
     for df in _PERSISTED:
         try:
@@ -42,4 +52,12 @@ def release_persisted() -> int:
         except Exception:  # noqa: BLE001 — session may be gone
             pass
     _PERSISTED.clear()
+    if spark is not None:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist()
+                n += 1
+        except Exception:  # noqa: BLE001 — py4j/session teardown races
+            pass
     return n

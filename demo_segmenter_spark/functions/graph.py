@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demo_segmenter_spark.functions.cache import persist
+
 MAX_ROUNDS = 64  # safety net; fixpoint check exits far earlier
 
 # Contracted graphs at or below this many (directed) edges are finished
@@ -49,6 +51,16 @@ MAX_ROUNDS = 64  # safety net; fixpoint check exits far earlier
 # ~16 MB — trivial to collect, and each avoided fixpoint round is a
 # full job of scheduler+shuffle latency.
 DRIVER_FINISH_EDGES = 1_000_000
+
+# Graphs at or below this many edges (established by a BOUNDED
+# limit-probe, never a full count) get their local phase coalesced to
+# ~LOCAL_EDGES_PER_GROUP edges per union-find group: a 3,670-edge
+# bench graph then runs ONE applyInPandas task instead of 32 near-empty
+# ones, which removes the scheduler-latency variance that dominated its
+# timings. Above the probe bound the natural partitioning is kept —
+# at 100 TB the local phase must stay one-group-per-input-split.
+SMALL_GRAPH_EDGES = 1_000_000
+LOCAL_EDGES_PER_GROUP = 250_000
 
 
 def _local_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -79,28 +91,45 @@ def _local_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, driver_finish_edges: int = DRIVER_FINISH_EDGES
+    pairs: DataFrame,
+    driver_finish_edges: int = DRIVER_FINISH_EDGES,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """``pairs``: two integer columns (a, b), one row per undirected
     edge. Returns (v, label) with label = min vertex id reachable.
     ``driver_finish_edges`` gates the single-machine finish of the
-    contracted graph (tests pass 0 to force the distributed path)."""
+    contracted graph; ``small_graph_edges`` gates the local-phase
+    coalesce (tests pass 0 for both to force the fully distributed,
+    fully fragmented path)."""
     a_col, b_col = pairs.columns[:2]
-    edges0 = pairs.select(
+    # Tracked persist, not localCheckpoint: checkpoint RDD blocks are
+    # invisible to release_persisted(), so a long-lived session (bench,
+    # sweep) accumulated them across calls. Lineage truncation is only
+    # load-bearing inside the fixpoint LOOP (plan doubles per round);
+    # these one-shot intermediates just need compute-once semantics.
+    edges0 = persist(pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
-    ).localCheckpoint(eager=True)
+    ))
 
     # Phase 1: per-partition union-find (group = physical partition).
-    grouped = edges0.withColumn("part", F.spark_partition_id())
+    # Small graphs (bounded probe — limit(N+1) short-circuits, no full
+    # count at scale) coalesce to few large groups: more contraction,
+    # fewer tasks, less scheduler jitter.
+    grouped_src = edges0
+    if small_graph_edges > 0:
+        n_probe = edges0.limit(small_graph_edges + 1).count()
+        if n_probe <= small_graph_edges:
+            grouped_src = edges0.coalesce(
+                max(1, -(-n_probe // LOCAL_EDGES_PER_GROUP))
+            )
+    grouped = grouped_src.withColumn("part", F.spark_partition_id())
     local = grouped.groupBy("part").applyInPandas(
         lambda pdf: _local_union_find(pdf), schema="v long, label long"
     )
     # A vertex can appear in several partitions with different local
     # labels; keeping the min per vertex preserves correctness (the
     # dropped links are re-established through the contracted edges).
-    local = (
-        local.groupBy("v").agg(F.min("label").alias("label")).localCheckpoint(eager=True)
-    )
+    local = persist(local.groupBy("v").agg(F.min("label").alias("label")))
 
     # Phase 2: contract edges through local labels.
     la = local.select(F.col("v").alias("a"), F.col("label").alias("ca"))
@@ -115,17 +144,28 @@ def connected_components(
     cedges = contracted.select(
         F.col("ca").alias("a"), F.col("cb").alias("b")
     ).unionAll(contracted.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
-    cedges = cedges.localCheckpoint(eager=True)
+    cedges = persist(cedges)
 
     # Phase 3: label the (small) contracted graph. Below the driver
     # threshold: one union-find pass over the collected edges — zero
     # distributed rounds. Above it: fixpoint min-label propagation.
-    n_cedges = cedges.count()
-    if 0 < n_cedges <= driver_finish_edges:
-        resolved = _local_union_find(cedges.toPandas())
-        return _resolve(local, pairs.sparkSession.createDataFrame(
-            resolved, schema="v long, label long"
-        ))
+    # ONE bounded job decides AND fetches: limit(N+1).collect() replaces
+    # the former count() + toPandas() pair (each a full job of
+    # scheduler+shuffle latency on a graph that is usually tiny).
+    if driver_finish_edges > 0:
+        head = cedges.limit(driver_finish_edges + 1).collect()
+        if not head:
+            # no contracted edges: local labels are already global
+            return local.select("v", "label")
+        if len(head) <= driver_finish_edges:
+            resolved = _local_union_find(
+                pd.DataFrame(
+                    {"a": [r["a"] for r in head], "b": [r["b"] for r in head]}
+                )
+            )
+            return _resolve(local, pairs.sparkSession.createDataFrame(
+                resolved, schema="v long, label long"
+            ))
 
     labels = (
         cedges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))

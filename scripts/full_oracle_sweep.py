@@ -52,7 +52,7 @@ def main() -> None:
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = sdf.collect()
-            release_persisted()
+            release_persisted(spark)
             if spec.oracle is None:
                 rows_only += 1
                 continue

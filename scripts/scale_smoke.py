@@ -110,7 +110,10 @@ def cc_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
         ((F.col("id") * p) % n).alias("a"),
         (((F.col("id") + 1) * p) % n).alias("b"),
     )
-    labels = connected_components(edges)
+    # Force the fully distributed, fully fragmented path: no local-phase
+    # coalesce (keep the scrambled edges scattered) and no driver finish
+    # (the stress is ABOUT the fixpoint loop's worst case).
+    labels = connected_components(edges, driver_finish_edges=0, small_graph_edges=0)
     agg = labels.agg(
         F.count("*").alias("n_v"), F.countDistinct("label").alias("n_comp")
     ).first()

@@ -22,7 +22,9 @@ def _n_cached(spark) -> int:
 
 
 def test_release_after_persisting_queries(spark):
-    release_persisted()
+    # The spark arg sweeps untracked blocks too (e.g. the per-round
+    # localCheckpoints a prior test's fixpoint loop left behind).
+    release_persisted(spark)
     spark.catalog.clearCache()
     assert _n_cached(spark) == 0
     # Persisting pipelines (corpus persists its exact-dedup'd table).
@@ -42,3 +44,18 @@ def test_released_dataframe_still_usable(spark):
     release_persisted()
     # Recomputes uncached instead of failing.
     assert df.count() == 100
+
+
+def test_jvm_sweep_catches_localcheckpoint_blocks(spark):
+    release_persisted(spark)
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    # localCheckpoint caches RDD blocks that bypass the tracker AND
+    # catalog.clearCache; only the JVM sweep can release them.
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    assert _n_cached(spark) > 0
+    spark.catalog.clearCache()
+    assert _n_cached(spark) > 0  # clearCache alone does NOT catch them
+    assert release_persisted(spark) >= 1
+    assert _n_cached(spark) == 0

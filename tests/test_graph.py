@@ -13,15 +13,27 @@ import pytest
 
 from demo_segmenter_spark.functions.graph import connected_components
 
-# 10**9 -> always driver finish; 0 -> always distributed fixpoint
-@pytest.fixture(params=[10**9, 0], ids=["driver", "distributed"])
+# (driver_finish_edges, small_graph_edges) pairs covering all three
+# phase-3 strategies:
+# - coalesced: the production default for small graphs — the coalesced
+#   local phase solves everything, contraction is empty, early return;
+# - driver-fragmented: local phase left fragmented (no coalesce), the
+#   contracted graph is finished by the driver-side union-find;
+# - distributed: both off — the fixpoint loop must do the work.
+@pytest.fixture(
+    params=[(10**9, 10**9), (10**9, 0), (0, 0)],
+    ids=["coalesced", "driver-fragmented", "distributed"],
+)
 def finish_threshold(request):
     return request.param
 
 
-def _components(spark, edge_list, finish_threshold=10**9):
+def _components(spark, edge_list, finish_threshold=(10**9, 10**9)):
     df = spark.createDataFrame(edge_list, "a long, b long")
-    rows = connected_components(df, driver_finish_edges=finish_threshold).collect()
+    driver_edges, small_edges = finish_threshold
+    rows = connected_components(
+        df, driver_finish_edges=driver_edges, small_graph_edges=small_edges
+    ).collect()
     return {int(r["v"]): int(r["label"]) for r in rows}
 
 
