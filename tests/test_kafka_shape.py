@@ -84,6 +84,71 @@ def test_offset_continuation_and_replay(spark):
     assert spark.read.parquet(out2).count() == n_a + chunk_b.num_rows
 
 
+def test_mid_stream_kill_restart_exactly_once(spark):
+    """Kill between micro-batches, not at drain: a LIVE query
+    (processingTime trigger) consumes appends as they land; stop() is
+    issued right after a third append with no drain barrier — the stop
+    races the in-flight batch exactly like an operator kill -9 between
+    commits. A restart on the same checkpoint must end with every row
+    exactly once: nothing the killed run committed is re-read, nothing
+    the kill interrupted is lost."""
+    import time
+
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    log_dir, ckpt, out_dir = f"{base}/log", f"{base}/ckpt", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    third = t.num_rows // 3
+    chunks = [t.slice(0, third), t.slice(third, third), t.slice(2 * third)]
+    os.makedirs(log_dir)
+    pq.write_table(chunks[0], f"{log_dir}/chunk_a.parquet")
+    register(spark)
+
+    def _count():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:  # noqa: BLE001 — no commit yet
+            return 0
+
+    def _wait_for(n, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if _count() >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"sink never reached {n} rows (at {_count()})")
+
+    stream = (
+        spark.readStream.format("events_log")
+        .option("path", log_dir)
+        .option("partitions", str(N_PARTS))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # batch 1 commits chunk A; batch 2 commits the appended chunk B.
+        _wait_for(chunks[0].num_rows)
+        pq.write_table(chunks[1], f"{log_dir}/chunk_b.parquet")
+        _wait_for(chunks[0].num_rows + chunks[1].num_rows)
+        # append chunk C and kill IMMEDIATELY — no drain.
+        pq.write_table(chunks[2], f"{log_dir}/chunk_c.parquet")
+    finally:
+        q.stop()
+
+    # Restart on the same checkpoint drains whatever the kill left.
+    _run_once(spark, log_dir, ckpt, out_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == t.num_rows  # no loss
+    assert got.select("event_id").distinct().count() == t.num_rows  # no re-read
+
+
 def test_seek_to_offset_slices(spark):
     """partitions(start, end)/read() == a consumer seeking to an
     arbitrary offset — replay is exact and stable."""
