@@ -90,6 +90,75 @@ def main() -> None:
     cc_stress(spark)
     ann_stress(spark)
     skew_stress(spark)
+    hot_shingle_stress(spark)
+
+
+def hot_shingle_stress(spark, n_docs: int = 100_000) -> None:
+    """Boilerplate-shingle blowup at scale: n_docs documents ALL share
+    one boilerplate sentence (every one of its shingles has df=n_docs —
+    the cookie-banner/license-header shape of 100 TB web text), which
+    uncapped would emit ~n_docs²/2 candidate pairs PER SHINGLE (5×10⁹
+    at 10⁵ docs — the job that OOMs or runs for hours). With
+    SHINGLE_DF_CAP active the grouped-pairs plan must instead:
+    - drop the hot shingles before any array is built (window df
+      filter, spillable);
+    - keep a planted warm shingle group at EXACTLY df=cap and emit its
+      full C(cap, 2) pairs (the bound is tight, not a silent drop);
+    - surface a planted rare near-dup pair untouched.
+    Ground truth: C(cap,2) warm pairs + 1 planted pair, nothing else."""
+    from demo_segmenter_spark.operators.layer_c import (
+        SHINGLE_DF_CAP,
+        _shingle_doc_table,
+        _shingle_pairs,
+        _shingles,
+    )
+
+    cap = SHINGLE_DF_CAP
+    boiler = "all rights reserved by the demo corpus banner notice text"
+    warm = "warm sentence shared by exactly cap documents for bound check"
+    t0 = time.time()
+    # Every doc: boilerplate + 12 tokens unique to the doc. The first
+    # `cap` docs also append the warm sentence (df == cap, kept).
+    filler = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+            for j in range(12)
+        ],
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            filler,
+            F.when(F.col("id") < cap, F.lit(" " + warm)).otherwise(F.lit("")),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+    )
+    dup = " ".join(f"rare{j}" for j in range(42))
+    planted = spark.createDataFrame(
+        [(10_000_000, dup, "en", "web"), (10_000_001, dup + " tail", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs = docs.unionAll(planted)
+
+    pairs = _shingle_pairs(_shingle_doc_table(docs, _shingles()))
+    n_pairs = pairs.count()
+    dt = time.time() - t0
+    warm_pairs = cap * (cap - 1) // 2
+    # C(cap,2) from the warm group + the planted pair; boundary
+    # shingles straddling boiler|filler are doc-unique (df=1).
+    assert n_pairs == warm_pairs + 1, (n_pairs, warm_pairs + 1)
+    got = pairs.filter(F.col("doc_a") == 10_000_000).first()
+    assert got is not None and got.inter == 40, got
+    print(
+        f"hot-shingle cap: {n_docs} docs sharing one boilerplate sentence "
+        f"-> {n_pairs} candidate pairs in {dt:.1f}s "
+        f"(uncapped lower bound ~{8 * n_docs * (n_docs - 1) // 2:,} pair "
+        f"emissions; cap bounds every shingle at C({cap},2)={warm_pairs}, "
+        f"planted near-dup pair fully visible)"
+    )
 
 
 def cc_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
