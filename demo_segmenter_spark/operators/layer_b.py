@@ -446,26 +446,35 @@ def b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific): HLL++ distinct count + approximate percentiles.
     At 100 TB these replace exact distinct/percentile entirely —
     constant memory per group vs a shuffle of all distinct values.
-    Sanity bounds are asserted in-query via an inner join to the exact
-    counts (rel_err column must stay small)."""
+    The result schema carries its OWN certification: both exact twins
+    ride along in the same single-pass aggregate and every row exposes
+    ``rel_err`` (HLL vs exact distinct) and ``median_rel_err``
+    (approx vs exact interpolated percentile), with bounds pinned in
+    tests/test_sketch_sample.py — the rows-only check then certifies
+    sketch accuracy, not just rows>0."""
     o = load_table(spark, sf_dir, "orders")
-    approx = o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
     )
-    exact = o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("exact_customers")
-    )
-    return (
-        approx.join(exact, "o_orderpriority")
-        .withColumn(
-            "rel_err",
-            F.round(
-                F.abs(F.col("approx_customers") - F.col("exact_customers"))
-                / F.col("exact_customers"),
-                4,
-            ),
-        )
+    return agg.select(
+        "o_orderpriority",
+        "approx_customers",
+        "approx_median_price",
+        "exact_customers",
+        rnd(F.col("exact_median_price"), 2).alias("exact_median_price"),
+        F.round(
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers"),
+            4,
+        ).alias("rel_err"),
+        F.round(
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            / F.col("exact_median_price"),
+            4,
+        ).alias("median_rel_err"),
     )
 
 

@@ -18,6 +18,17 @@ def test_sketch_merge_rel_err_bounded(spark):
         assert r.rel_err < 0.05, (r.n_regionkey, r.rel_err)
 
 
+def test_agg_approx_rel_err_bounded(spark):
+    # rsd=0.02 HLL and accuracy-10000 percentile on the fixture: both
+    # invariant columns must stay well inside the sketch guarantees.
+    rows = REGISTRY["b_agg_approx"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no priorities"
+    for r in rows:
+        assert r.exact_customers > 0
+        assert r.rel_err <= 0.05, (r.o_orderpriority, r.rel_err)
+        assert r.median_rel_err <= 0.05, (r.o_orderpriority, r.median_rel_err)
+
+
 def test_weighted_sample_invariants(spark):
     df = REGISTRY["c_sample_weighted"].fn(spark, SF_SMOKE)
     rows = df.collect()
