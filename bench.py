@@ -12,7 +12,11 @@ Measurement protocol (BASELINE.md):
   this, the first heavy plan pays ~7 s of one-time codegen and a
   single-run bench JSON reports phantom regressions.)
 - Best-of-N (default 2) timed runs per query, caches released between
-  runs so no query feeds on another's persisted state.
+  runs so no query feeds on another's persisted state. The N runs are
+  INTERLEAVED (full headline pass 1, then pass 2, per-query min) so a
+  transient host stall — this box shows multi-second co-tenant
+  CPU-steal bursts — lands in at most one of a query's runs instead of
+  poisoning both, which back-to-back repeats did.
 - Machine-contention stamps (loadavg + uptime before/after) ride in the
   JSON, so a bench captured on a loaded box is identifiable as such
   from the artifact itself instead of by re-execution.
@@ -125,14 +129,13 @@ def main() -> None:
             _run_once(name, spark, sf_dir)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             _run_once(name, spark, sf_dir)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in best.items()}
 
     total = round(sum(timings.values()), 3)
     print(
