@@ -76,15 +76,48 @@ def _log_files(path: str) -> list[str]:
     )
 
 
-def _partition_rows(files: list[str], part_id: int, n_parts: int):
-    """Materialize one partition's rows in append order, offset-stamped.
-    Worker-side (also driver-side for counts): pyarrow scan of the
-    needed columns only."""
+def _file_partition_counts(fpath: str, n_parts: int) -> list[int]:
+    """Rows per log partition inside one committed file (user_id scan
+    only). Committed files are immutable (atomic rename, append-only
+    log), so callers may cache the result forever."""
+    import pyarrow.parquet as pq
+
+    counts = [0] * n_parts
+    for u in pq.read_table(fpath, columns=["user_id"]).column("user_id").to_pylist():
+        counts[u % n_parts] += 1
+    return counts
+
+
+def _partition_rows(
+    files: list[str],
+    part_id: int,
+    n_parts: int,
+    bases: list[int] | None = None,
+    start: int = 0,
+    end: float = float("inf"),
+):
+    """One partition's rows with offsets in [start, end), append order.
+
+    With per-file offset ``bases`` (bases[i] = this partition's
+    cumulative offset at the start of files[i], plus a final entry for
+    the log end; planned driver-side from the immutable-file count
+    cache), files wholly before ``start`` are never OPENED and
+    iteration stops at the first file at/past ``end`` — the seek a real
+    consumer gets from the broker's offset index, which keeps a
+    long-lived query's micro-batch cost proportional to the NEW rows
+    rather than the whole log. Without bases every file is scanned and
+    offsets count from 0 (compat path; same yielded rows)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     off = 0
-    for fpath in files:
+    for i, fpath in enumerate(files):
+        if bases is not None:
+            if bases[i + 1] <= start:
+                continue  # wholly before the requested range: never opened
+            if bases[i] >= end:
+                break
+            off = bases[i]
         names = pq.read_schema(fpath).names
         ts_col = "ts_us" if "ts_us" in names else "ts"
         t = pq.read_table(
@@ -109,19 +142,25 @@ def _partition_rows(files: list[str], part_id: int, n_parts: int):
         us = t.column("user_id").to_pylist()
         ty = t.column("event_type").to_pylist()
         va = t.column("value").to_pylist()
-        for i in range(len(ev)):
-            if us[i] % n_parts == part_id:
-                yield (ev[i], ts[i], us[i], ty[i], va[i], part_id, off)
+        for j in range(len(ev)):
+            if us[j] % n_parts == part_id:
+                if off >= end:
+                    return
+                if off >= start:
+                    yield (ev[j], ts[j], us[j], ty[j], va[j], part_id, off)
                 off += 1
 
 
 class _LogSlice(InputPartition):
-    def __init__(self, files, part_id, n_parts, start, end):
+    def __init__(self, files, part_id, n_parts, start, end, bases=None):
         self.files = files
         self.part_id = part_id
         self.n_parts = n_parts
         self.start = start
         self.end = end
+        # per-file cumulative offsets for THIS partition (len(files)+1
+        # entries); lets the executor seek instead of replaying the log
+        self.bases = bases
 
 
 class EventsLogStreamReader(DataSourceStreamReader):
@@ -130,19 +169,28 @@ class EventsLogStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("events_log source requires option 'path'")
         self.n_parts = int(options.get("partitions", 8))
+        # file -> per-partition row counts. Committed files are
+        # immutable (producer commit = atomic rename, append-only log),
+        # so entries never invalidate; without this cache every
+        # latestOffset() poll re-scanned the WHOLE log — O(n²) rows
+        # over a long-lived query's lifetime. With it, each poll reads
+        # only files it has never seen (a broker's endOffsets() is the
+        # same idea: the index already knows).
+        self._counts: dict[str, list[int]] = {}
+
+    def _file_counts(self, fpath: str) -> list[int]:
+        if fpath not in self._counts:
+            self._counts[fpath] = _file_partition_counts(fpath, self.n_parts)
+        return self._counts[fpath]
 
     def _ends(self) -> dict:
         """Current log-end offset per partition (a consumer's
-        endOffsets()). Counts need only user_id — cheap driver-side
-        metadata pass."""
-        import pyarrow.parquet as pq
-
-        counts = {str(p): 0 for p in range(self.n_parts)}
+        endOffsets()); cached per immutable file."""
+        totals = [0] * self.n_parts
         for fpath in _log_files(self.path):
-            us = pq.read_table(fpath, columns=["user_id"]).column("user_id")
-            for u in us.to_pylist():
-                counts[str(u % self.n_parts)] += 1
-        return counts
+            for p, n in enumerate(self._file_counts(fpath)):
+                totals[p] += n
+        return {str(p): totals[p] for p in range(self.n_parts)}
 
     def initialOffset(self) -> dict:
         return {str(p): 0 for p in range(self.n_parts)}
@@ -152,22 +200,28 @@ class EventsLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files = _log_files(self.path)
+        # bases[p][i] = partition p's first offset in files[i]
+        per_file = [self._file_counts(f) for f in files]
+        bases = {p: [0] for p in range(self.n_parts)}
+        for counts in per_file:
+            for p in range(self.n_parts):
+                bases[p].append(bases[p][-1] + counts[p])
         return [
-            _LogSlice(files, p, self.n_parts, start.get(str(p), 0), e)
+            _LogSlice(files, p, self.n_parts, start.get(str(p), 0), e, bases[p])
             for p in range(self.n_parts)
             for e in [end.get(str(p), 0)]
             if e > start.get(str(p), 0)
         ]
 
     def read(self, partition: _LogSlice):
-        for row in _partition_rows(
-            partition.files, partition.part_id, partition.n_parts
-        ):
-            off = row[-1]
-            if off >= partition.end:
-                break
-            if off >= partition.start:
-                yield row
+        yield from _partition_rows(
+            partition.files,
+            partition.part_id,
+            partition.n_parts,
+            bases=partition.bases,
+            start=partition.start,
+            end=partition.end,
+        )
 
     def commit(self, end: dict) -> None:
         # Offsets are durable in the query checkpoint; a broker-backed

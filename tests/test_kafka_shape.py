@@ -183,6 +183,52 @@ def test_seek_to_offset_slices(spark):
         assert got == full[s.part_id][3:8]
 
 
+def test_seek_skips_unneeded_files_and_caches_counts(spark, monkeypatch, tmp_path):
+    """A slice starting inside the last log file must never OPEN the
+    earlier files (broker-index seek, not full-log replay), and
+    repeated latestOffset() polls must not re-scan files already
+    counted (immutable once committed)."""
+    import pyarrow.parquet as pqm
+
+    t = pqm.read_table(f"{SF_SMOKE}/events.parquet")
+    third = t.num_rows // 3
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    for i in range(3):
+        sl = t.slice(i * third, third) if i < 2 else t.slice(2 * third)
+        pqm.write_table(sl, f"{log_dir}/chunk_{i}.parquet")
+
+    reader = EventsLogStreamReader({"path": log_dir, "partitions": str(N_PARTS)})
+    ends = reader.latestOffset()
+
+    opened: list[str] = []
+    real_read_table, real_read_schema = pqm.read_table, pqm.read_schema
+    monkeypatch.setattr(
+        pqm, "read_table",
+        lambda f, **kw: opened.append(str(f)) or real_read_table(f, **kw),
+    )
+    monkeypatch.setattr(
+        pqm, "read_schema",
+        lambda f, **kw: opened.append(str(f)) or real_read_schema(f, **kw),
+    )
+
+    # poll again: every file already counted, nothing re-opened
+    assert reader.latestOffset() == ends
+    assert opened == []
+
+    # seek each partition to where the LAST file starts
+    start = {
+        str(p): ends[str(p)] - reader._file_counts(f"{log_dir}/chunk_2.parquet")[p]
+        for p in range(N_PARTS)
+    }
+    slices = reader.partitions(start, ends)
+    assert opened == []  # planning uses the count cache only
+    for s in slices:
+        got = list(reader.read(s))
+        assert got and all(s.start <= r[-1] < s.end for r in got)
+    assert opened and all("chunk_2" in f for f in opened)
+
+
 def test_empty_range_plans_no_partitions(spark):
     base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
     log_dir = f"{base}/log"
