@@ -91,6 +91,58 @@ def main() -> None:
     ann_stress(spark)
     skew_stress(spark)
     hot_shingle_stress(spark)
+    wire_stress(spark)
+
+
+def wire_stress(spark, replicas: int = 50, n_parts: int = 16) -> None:
+    """Kafka-shaped wire path at scale: replicate the sf0.1 events file
+    into an append-only log (replicas × ~100k records), consume the
+    whole topic through the events_log source (Arrow RecordBatch read
+    path, offset bookkeeping, key-hash partitions) into a parquet sink
+    with exactly-once checkpointing. The printed rate is END-TO-END
+    (source planning + executor reads + sink commit), the number to
+    hold against BASELINE.md's Kafka Streams single-node anchor of
+    O(10⁴–10⁵) records/s."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from demo_segmenter_spark.sources.kafka_shape import register
+
+    base = "/tmp/dss_scale/wire"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/log")
+    t = pq.read_table("/root/testdata/sf0.1/events.parquet")
+    for i in range(replicas):
+        pq.write_table(t, f"{base}/log/chunk_{i:03d}.parquet")
+    register(spark)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.format("events_log")
+        .option("path", f"{base}/log")
+        .option("partitions", str(n_parts))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    n = spark.read.parquet(f"{base}/out").count()
+    want = t.num_rows * replicas
+    assert n == want, (n, want)
+    print(
+        f"events_log wire path: {n} records through source->sink "
+        f"(availableNow, {n_parts} partitions, exactly-once checkpoint) "
+        f"in {dt:.1f}s = {n / dt / 1000:.0f}k records/s end-to-end"
+    )
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def hot_shingle_stress(spark, n_docs: int = 100_000) -> None:

@@ -23,11 +23,21 @@ import pyarrow.parquet as pq
 from demo_segmenter_spark.sources.kafka_shape import (
     US_SCALE,
     EventsLogStreamReader,
+    _partition_rows,
     register,
 )
 from tests.conftest import SF_SMOKE
 
 N_PARTS = 4
+
+
+def _read_tuples(reader, s):
+    """Flatten the reader's Arrow RecordBatches to row tuples in
+    LOG_SCHEMA column order."""
+    out = []
+    for b in reader.read(s):
+        out.extend(tuple(d.values()) for d in b.to_pylist())
+    return out
 
 
 def _split_fixture(tmp_base):
@@ -163,7 +173,7 @@ def test_seek_to_offset_slices(spark):
     ends = reader.latestOffset()
     assert set(ends) == {str(p) for p in range(N_PARTS)}
     full = {
-        p: list(map(tuple, reader.read(s)))
+        p: _read_tuples(reader, s)
         for s in reader.partitions(reader.initialOffset(), ends)
         for p in [s.part_id]
     }
@@ -179,7 +189,7 @@ def test_seek_to_offset_slices(spark):
         {str(p): 3 for p in range(N_PARTS)},
         {str(p): 8 for p in range(N_PARTS)},
     ):
-        got = list(map(tuple, reader.read(s)))
+        got = _read_tuples(reader, s)
         assert got == full[s.part_id][3:8]
 
 
@@ -224,9 +234,38 @@ def test_seek_skips_unneeded_files_and_caches_counts(spark, monkeypatch, tmp_pat
     slices = reader.partitions(start, ends)
     assert opened == []  # planning uses the count cache only
     for s in slices:
-        got = list(reader.read(s))
+        got = _read_tuples(reader, s)
         assert got and all(s.start <= r[-1] < s.end for r in got)
     assert opened and all("chunk_2" in f for f in opened)
+
+
+def test_arrow_read_matches_scalar_reference(spark):
+    """The vectorized Arrow read path must yield EXACTLY the rows and
+    offsets of the scalar _partition_rows reference — full replay and
+    arbitrary offset windows."""
+    base = f"/tmp/dss_kafka_shape/{uuid.uuid4().hex[:8]}"
+    log_dir = f"{base}/log"
+    shutil.rmtree(base, ignore_errors=True)
+    n_a, chunk_b = _split_fixture(log_dir)
+    pq.write_table(chunk_b, f"{log_dir}/chunk_b.parquet")
+
+    reader = EventsLogStreamReader({"path": log_dir, "partitions": str(N_PARTS)})
+    ends = reader.latestOffset()
+    windows = [
+        (reader.initialOffset(), ends),
+        ({str(p): 5 for p in range(N_PARTS)}, {str(p): 17 for p in range(N_PARTS)}),
+    ]
+    for start, end in windows:
+        for s in reader.partitions(start, end):
+            got = _read_tuples(reader, s)
+            ref = list(
+                _partition_rows(
+                    s.files, s.part_id, s.n_parts,
+                    bases=s.bases, start=s.start, end=s.end,
+                )
+            )
+            assert got == ref, (s.part_id, s.start, s.end)
+            assert got, "window unexpectedly empty"
 
 
 def test_empty_range_plans_no_partitions(spark):
@@ -281,7 +320,7 @@ def test_sink_round_trip_atomic_append(spark):
     got = {
         (r[0], r[1], r[2])
         for s in reader.partitions(reader.initialOffset(), reader.latestOffset())
-        for r in reader.read(s)
+        for r in _read_tuples(reader, s)
     }
     want_t = pq.read_table(f"{SF_SMOKE}/events.parquet")
     # same unit→µs mapping as the source — fails loudly on an unknown unit
