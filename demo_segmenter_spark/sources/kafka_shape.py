@@ -78,14 +78,18 @@ def _log_files(path: str) -> list[str]:
 
 def _file_partition_counts(fpath: str, n_parts: int) -> list[int]:
     """Rows per log partition inside one committed file (user_id scan
-    only). Committed files are immutable (atomic rename, append-only
-    log), so callers may cache the result forever."""
+    only, vectorized bincount). Committed files are immutable (atomic
+    rename, append-only log), so callers may cache the result
+    forever."""
+    import numpy as np
     import pyarrow.parquet as pq
 
-    counts = [0] * n_parts
-    for u in pq.read_table(fpath, columns=["user_id"]).column("user_id").to_pylist():
-        counts[u % n_parts] += 1
-    return counts
+    uid = (
+        pq.read_table(fpath, columns=["user_id"])
+        .column("user_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    return np.bincount(uid % n_parts, minlength=n_parts).tolist()
 
 
 def _partition_rows(
