@@ -190,6 +190,11 @@ def test_shuffle_budgets_table(spark):
         "a_anomaly_zscore": 1,
         "c_sample_weighted": 1,
         "b_agg_sketch_merge": 2,
+        # single aggregate since round 4: approx + exact twins +
+        # rel_err in one pass (was approx-agg JOIN exact-agg). Two
+        # exchanges because the exact COUNT(DISTINCT) twin needs the
+        # expand + regroup pair; the sketches alone would need one.
+        "b_agg_approx": 2,
         "c_multimodal_binaryfile": 0,
         "b_agg_top_k": 1,
         # 0 at fixture scale (broadcast); at 100 TB the blocking join
