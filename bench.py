@@ -62,6 +62,7 @@ HEADLINE = [
     "c_dedup_ngram",
     "c_dedup_fuzzy",
     "c_dedup_minhash",
+    "c_dedup_minhash_native",
     "c_sim_knn",
     "c_sim_lsh",
     "c_text_tfidf",

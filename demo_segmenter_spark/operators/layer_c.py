@@ -341,6 +341,112 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.join(exact, ["doc_a", "doc_b"], "left").crossJoin(F.broadcast(rec))
 
 
+# Native MinHash banding parameters: K = BANDS * ROWS hash functions.
+# Candidate probability at Jaccard j is 1-(1-j^ROWS)^BANDS: ~3e-8 miss
+# at the fixture's planted pair (j≈0.97), ~6e-6 false-candidate rate at
+# the background soup (j<0.03) — and false candidates are ELIMINATED by
+# the exact verification stage, so only a band miss of a true >=0.5
+# pair could ever surface. NOTE (fixture-empirical, like the ANN recall
+# pins): a regenerated fixture with a pair near j=0.5 would face ~60%
+# candidate probability there and could hash-mismatch the oracle; the
+# current fixture has no pair in (0.03, 0.97).
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
+MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+
+@query(
+    "c_dedup_minhash_native",
+    oracle=_SHINGLE_CTE
+    + f"""
+, pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""",
+)
+def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding implemented NATIVELY in whole-stage codegen
+    (the shingle→minhash→band→bucket-join pipeline; the pyspark.ml twin
+    is c_dedup_minhash): K=32 per-doc min-hashes via
+    array_min(transform(shingles, xxhash64(·, i))), 8 bands of 4 rows
+    hashed to one bucket key each, candidates from an equi-join on the
+    bucket key using the SAME bounded grouped-pairs machinery as
+    c_dedup_ngram (window df cap — no hot bucket can emit more than
+    C(cap,2) pairs; at 100 TB, >cap identical docs belong to the exact
+    dedup pass that precedes near-dup anyway), then EXACT Jaccard
+    verification of the candidates via array_intersect, so false
+    candidates never reach the output. Full DuckDB hash oracle (exact
+    unblocked Jaccard >= 0.5): sound because band-miss probability at
+    the fixture's pair spectrum is ~3e-8 (see MINHASH_BANDS note).
+    Scale story vs the ml-lib twin: zero Python/JVM model objects, one
+    band-key shuffle + one small-pair broadcast verify, everything
+    codegen."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
+    sh = persist(
+        docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
+    )
+    def _minhash(i: int) -> F.Column:
+        # NB: the lambda must be UNARY — pyspark passes the array index
+        # as a second arg to binary lambdas, which would clobber the
+        # hash-function index and collapse all K signatures into one.
+        return F.array_min(F.transform("hset", lambda h: F.xxhash64(h, F.lit(i))))
+
+    sig = F.array(*[_minhash(i) for i in range(MINHASH_K)])
+    bands = (
+        sh.select("doc_id", F.size("hset").alias("sz"), sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.lit("_").alias("lang"),
+            F.lit("_").alias("source"),
+            "sz",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * MINHASH_ROWS + j + 1
+                                )
+                                for j in range(MINHASH_ROWS)
+                            ],
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("s"),
+        )
+    )
+    cand = _shingle_pairs(bands).select("doc_a", "doc_b")
+    # Exact verify: stream the shingle table once per side against the
+    # BROADCAST candidate set (candidates are few by construction — the
+    # corpus never shuffles for verification).
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    enriched = ha.join(F.broadcast(cand), "doc_a")
+    ver = hb.join(F.broadcast(enriched), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("ha", "hb")).alias("inter"),
+        F.size("ha").alias("sza"),
+        F.size("hb").alias("szb"),
+    )
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return ver.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
+    )
+
+
 @query(
     "c_dedup_simhash",
     oracle="""

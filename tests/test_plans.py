@@ -175,6 +175,10 @@ def test_shuffle_budgets_table(spark):
         # (doc_a, doc_b) pair count; sizes ride in structs — no
         # self-join, no doc-level sizes joins
         "c_dedup_ngram": 2,
+        # one band-key exchange shared by the df window and the bucket
+        # collect, one (doc_a, doc_b) pair count; the exact-verify
+        # joins broadcast the candidate set (no corpus shuffle)
+        "c_dedup_minhash_native": 2,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
