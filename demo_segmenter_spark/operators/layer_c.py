@@ -355,6 +355,21 @@ MINHASH_ROWS = 4
 MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
 
 
+def _minhash_signature(col: str = "hset") -> F.Column:
+    """K min-hashes over a hashed-shingle array column, as one array.
+
+    NB: the inner lambda must be UNARY — pyspark passes the array index
+    as a second argument to binary lambdas, which would clobber the
+    hash-function index and silently collapse all K signature rows into
+    ONE hash function (caught by the oracle as a missed j=0.9 pair;
+    independence is pinned in tests/test_shingle_cap.py)."""
+
+    def _minhash(i: int) -> F.Column:
+        return F.array_min(F.transform(col, lambda h: F.xxhash64(h, F.lit(i))))
+
+    return F.array(*[_minhash(i) for i in range(MINHASH_K)])
+
+
 @query(
     "c_dedup_minhash_native",
     oracle=_SHINGLE_CTE
@@ -395,13 +410,7 @@ def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist(
         docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
     )
-    def _minhash(i: int) -> F.Column:
-        # NB: the lambda must be UNARY — pyspark passes the array index
-        # as a second arg to binary lambdas, which would clobber the
-        # hash-function index and collapse all K signatures into one.
-        return F.array_min(F.transform("hset", lambda h: F.xxhash64(h, F.lit(i))))
-
-    sig = F.array(*[_minhash(i) for i in range(MINHASH_K)])
+    sig = _minhash_signature()
     bands = (
         sh.select("doc_id", F.size("hset").alias("sz"), sig.alias("sig"))
         .select(

@@ -122,6 +122,30 @@ def test_hot_shingle_bounded_candidates(spark, hot_corpus):
     assert planted is not None and planted.inter == 40
 
 
+def test_minhash_signature_rows_are_independent(spark):
+    """Regression guard for the pyspark transform-arity pitfall: with a
+    binary lambda the array index clobbers the hash-function index and
+    every signature row becomes the SAME function. Independent hash
+    functions must produce (nearly) all-distinct minima over a
+    many-shingle set."""
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import (
+        MINHASH_K,
+        _minhash_signature,
+    )
+
+    df = spark.range(1).select(
+        F.expr("transform(sequence(1, 500), i -> xxhash64(i))").alias("hset")
+    )
+    sig = df.select(_minhash_signature().alias("sig")).first()["sig"]
+    assert len(sig) == MINHASH_K
+    # collapsed signatures have exactly 1 distinct value; independent
+    # ones collide only by chance (P ~ K^2/2 * 1/500 per pair minima
+    # coinciding — allow a little slack, require near-full diversity)
+    assert len(set(sig)) >= MINHASH_K - 2, sig
+
+
 def test_hot_shingle_uncapped_blowup_exists(spark, hot_corpus):
     """Sanity: the hazard the cap removes is real on this corpus."""
     sh = _shingle_table(hot_corpus)
