@@ -370,46 +370,12 @@ def _minhash_signature(col: str = "hset") -> F.Column:
     return F.array(*[_minhash(i) for i in range(MINHASH_K)])
 
 
-@query(
-    "c_dedup_minhash_native",
-    oracle=_SHINGLE_CTE
-    + f"""
-, pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a
-    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
-""",
-)
-def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding implemented NATIVELY in whole-stage codegen
-    (the shingle→minhash→band→bucket-join pipeline; the pyspark.ml twin
-    is c_dedup_minhash): K=32 per-doc min-hashes via
-    array_min(transform(shingles, xxhash64(·, i))), 8 bands of 4 rows
-    hashed to one bucket key each, candidates from an equi-join on the
-    bucket key using the SAME bounded grouped-pairs machinery as
-    c_dedup_ngram (window df cap — no hot bucket can emit more than
-    C(cap,2) pairs; at 100 TB, >cap identical docs belong to the exact
-    dedup pass that precedes near-dup anyway), then EXACT Jaccard
-    verification of the candidates via array_intersect, so false
-    candidates never reach the output. Full DuckDB hash oracle (exact
-    unblocked Jaccard >= 0.5): sound because band-miss probability at
-    the fixture's pair spectrum is ~3e-8 (see MINHASH_BANDS note).
-    Scale story vs the ml-lib twin: zero Python/JVM model objects, one
-    band-key shuffle + one small-pair broadcast verify, everything
-    codegen."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
-    sh = persist(
-        docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
-    )
+def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The full native banding pipeline over a (doc_id, hset) hashed-
+    shingle table: signatures → band bucket keys → bounded grouped-pairs
+    candidates → EXACT Jaccard verification of the broadcast candidate
+    set. Shared by c_dedup_minhash_native and the pure-Python property
+    test (tests/test_minhash_property.py) so the two can never drift."""
     sig = _minhash_signature()
     bands = (
         sh.select("doc_id", F.size("hset").alias("sz"), sig.alias("sig"))
@@ -451,9 +417,52 @@ def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hb").alias("szb"),
     )
     jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
-    return ver.filter(jac >= 0.5).select(
+    return ver.filter(jac >= threshold).select(
         "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
     )
+
+
+@query(
+    "c_dedup_minhash_native",
+    oracle=_SHINGLE_CTE
+    + f"""
+, pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""",
+)
+def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding implemented NATIVELY in whole-stage codegen
+    (the shingle→minhash→band→bucket-join pipeline; the pyspark.ml twin
+    is c_dedup_minhash): K=32 per-doc min-hashes via
+    array_min(transform(shingles, xxhash64(·, i))), 8 bands of 4 rows
+    hashed to one bucket key each, candidates from an equi-join on the
+    bucket key using the SAME bounded grouped-pairs machinery as
+    c_dedup_ngram (window df cap — no hot bucket can emit more than
+    C(cap,2) pairs; at 100 TB, >cap identical docs belong to the exact
+    dedup pass that precedes near-dup anyway), then EXACT Jaccard
+    verification of the candidates via array_intersect, so false
+    candidates never reach the output. Full DuckDB hash oracle (exact
+    unblocked Jaccard >= 0.5): sound because band-miss probability at
+    the fixture's pair spectrum is ~3e-8 (see MINHASH_BANDS note).
+    Scale story vs the ml-lib twin: zero Python/JVM model objects, one
+    band-key shuffle + one small-pair broadcast verify, everything
+    codegen."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
+    sh = persist(
+        docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
+    )
+    return _minhash_verified_pairs(sh, threshold=0.5)
 
 
 @query(

@@ -66,60 +66,15 @@ def test_native_minhash_matches_python_reference(spark):
             [(d, t, "en", "web") for d, t in docs.items()],
             "doc_id long, text string, lang string, source string",
         )
+        # the EXACT pipeline the query composes, over the synthetic corpus
         import demo_segmenter_spark.operators.layer_c as lc
-
-        # run the query body against the synthetic corpus by stubbing
-        # the table loader through a temp view is heavier than needed:
-        # call the internals the query composes.
         from pyspark.sql import functions as F
 
         hs = F.transform(lc._shingles(), lambda s: F.xxhash64(s))
         sh = sdf.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
-        sig = lc._minhash_signature()
-        bands = (
-            sh.select("doc_id", F.size("hset").alias("sz"), sig.alias("sig"))
-            .select(
-                "doc_id",
-                F.lit("_").alias("lang"),
-                F.lit("_").alias("source"),
-                "sz",
-                F.explode(
-                    F.array(
-                        *[
-                            F.xxhash64(
-                                F.lit(b),
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), b * lc.MINHASH_ROWS + j + 1
-                                    )
-                                    for j in range(lc.MINHASH_ROWS)
-                                ],
-                            )
-                            for b in range(lc.MINHASH_BANDS)
-                        ]
-                    )
-                ).alias("s"),
-            )
-        )
-        cand = lc._shingle_pairs(bands).select("doc_a", "doc_b")
-        ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
-        hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
-        ver = (
-            hb.join(F.broadcast(ha.join(F.broadcast(cand), "doc_a")), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("ha", "hb")).alias("inter"),
-                F.size("ha").alias("sza"),
-                F.size("hb").alias("szb"),
-            )
-        )
-        jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
         got = {
             (r.doc_a, r.doc_b): r.jaccard
-            for r in ver.filter(jac >= 0.5)
-            .select("doc_a", "doc_b", lc.rnd(jac, 4).alias("jaccard"))
-            .collect()
+            for r in lc._minhash_verified_pairs(sh, threshold=0.5).collect()
         }
 
         want = _exact_pairs(docs, 0.5)
