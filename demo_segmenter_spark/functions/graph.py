@@ -59,8 +59,13 @@ DRIVER_FINISH_EDGES = 1_000_000
 # ones, which removes the scheduler-latency variance that dominated its
 # timings. Above the probe bound the natural partitioning is kept —
 # at 100 TB the local phase must stay one-group-per-input-split.
-SMALL_GRAPH_EDGES = 1_000_000
-LOCAL_EDGES_PER_GROUP = 250_000
+# Threshold calibration (measured, 875k scrambled edges, warm):
+# coalescing to 250k-edge groups cost 5.0 s vs 4.1 s fragmented — the
+# single-threaded pandas union-find loses to 64 parallel small groups
+# well before 1M edges — so the coalesce only fires where per-group
+# work is genuinely smaller than scheduler latency.
+SMALL_GRAPH_EDGES = 100_000
+LOCAL_EDGES_PER_GROUP = 50_000
 
 
 def _local_union_find(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -225,28 +225,38 @@ def cc_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
 
     p = 999_983  # prime, coprime with n
     assert n % chain == 0
-    t0 = time.time()
     base = spark.range(n)
     edges = base.filter((F.col("id") % chain) != chain - 1).select(
         ((F.col("id") * p) % n).alias("a"),
         (((F.col("id") + 1) * p) % n).alias("b"),
     )
-    # Force the fully distributed, fully fragmented path: no local-phase
-    # coalesce (keep the scrambled edges scattered) and no driver finish
-    # (the stress is ABOUT the fixpoint loop's worst case).
-    labels = connected_components(edges, driver_finish_edges=0, small_graph_edges=0)
-    agg = labels.agg(
-        F.count("*").alias("n_v"), F.countDistinct("label").alias("n_comp")
-    ).first()
-    dt = time.time() - t0
     n_edges = n // chain * (chain - 1)
-    assert agg.n_v == n, (agg.n_v, n)
-    assert agg.n_comp == n // chain, (agg.n_comp, n // chain)
-    print(
-        f"connected components: {n_edges} scrambled chain edges -> "
-        f"{agg.n_comp} components in {dt:.1f}s "
-        f"({n_edges / dt / 1e6:.2f}M edges/s, distributed fixpoint path)"
-    )
+    # Two rows: the production hybrid (bounded-probe coalesce + driver
+    # finish of the contracted graph — what a real job runs), and the
+    # FORCED fully distributed fixpoint with full fragmentation (the
+    # worst-case path that must stay correct when the contracted graph
+    # exceeds one machine).
+    variants = [
+        ("production hybrid", {}),
+        (
+            "forced distributed fixpoint",
+            dict(driver_finish_edges=0, small_graph_edges=0),
+        ),
+    ]
+    for label, kwargs in variants:
+        t0 = time.time()
+        labels = connected_components(edges, **kwargs)
+        agg = labels.agg(
+            F.count("*").alias("n_v"), F.countDistinct("label").alias("n_comp")
+        ).first()
+        dt = time.time() - t0
+        assert agg.n_v == n, (agg.n_v, n)
+        assert agg.n_comp == n // chain, (agg.n_comp, n // chain)
+        print(
+            f"connected components ({label}): {n_edges} scrambled chain "
+            f"edges -> {agg.n_comp} components in {dt:.1f}s "
+            f"({n_edges / dt / 1e6:.2f}M edges/s)"
+        )
 
 
 def skew_stress(spark, n_events: int = 5_000_000, n_users: int = 100_000) -> None:
