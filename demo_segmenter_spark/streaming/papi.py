@@ -52,22 +52,32 @@ STATE_SCHEMA = StructType(
 def _assign_sessions(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user state machine: new session when gap > GAP_US."""
+    """Per-user state machine: new session when gap > GAP_US.
+
+    Vectorized within each Arrow batch (the same shift/cumsum core as
+    the batch rewrite — a row loop here made the Python stage the
+    bottleneck); only the carried (last_us, sid) state is scalar."""
     last_us, sid = state.get if state.exists else (None, 0)
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        sids = []
-        for us in pdf["ts_us"]:
-            if last_us is None or us - last_us > GAP_US:
-                sid += 1
-            last_us = int(us)
-            sids.append(sid)
+        us = pdf["ts_us"].astype("int64")
+        prev = us.shift(1)
+        if last_us is not None:
+            prev.iloc[0] = last_us
+        # NaN prev (no prior event ever) starts a session, like the
+        # scalar machine's `last_us is None` branch
+        is_new = prev.isna() | ((us - prev) > GAP_US)
+        sids = sid + is_new.cumsum().astype("int64")
+        sid = int(sids.iloc[-1])
+        last_us = int(us.iloc[-1])
         yield pd.DataFrame(
             {
                 "user_id": int(key[0]),
                 "event_id": pdf["event_id"].astype("int64").values,
-                "ts_us": pdf["ts_us"].astype("int64").values,
-                "session_id": pd.Series(sids, dtype="int64").values,
+                "ts_us": us.values,
+                "session_id": sids.values,
             }
         )
     state.update((last_us, sid))

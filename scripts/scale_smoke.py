@@ -92,6 +92,72 @@ def main() -> None:
     skew_stress(spark)
     hot_shingle_stress(spark)
     wire_stress(spark)
+    papi_stress(spark)
+
+
+def papi_stress(spark, replicas: int = 10) -> None:
+    """Custom-stateful-processor (PAPI) throughput: gap sessionization
+    through applyInPandasWithState over replicas × 100k events with
+    disjoint user key spaces — the streaming-state path's end-to-end
+    rate (state store + Arrow key-group batches + vectorized per-key
+    state machine). Ground truth: session count must equal replicas ×
+    the sf0.1 session count (47,821), same linearity anchor as the
+    batch sessionize row."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources import load_table
+    from demo_segmenter_spark.streaming.papi import papi_sessionize
+
+    base = "/tmp/dss_scale/papi"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    maxes = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).first()
+    big = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("event_id") + F.col("rep") * (maxes.me + 1)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * (maxes.mu + 1)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    os.makedirs(base)
+    # write µs timestamps (not INT96) so the stream source's footer
+    # sniffer takes the same path as the fixture's later drops
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        big.coalesce(1).write.parquet(f"{base}/_tmp")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+    part = next(
+        f for f in os.listdir(f"{base}/_tmp") if f.endswith(".parquet")
+    )
+    os.rename(f"{base}/_tmp/{part}", f"{base}/events.parquet")
+
+    n_rows = big.count()
+    t0 = time.time()
+    out = papi_sessionize(spark, base)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id", "session_id").alias("n_sess"),
+    ).first()
+    dt = time.time() - t0
+    assert agg.n == n_rows, (agg.n, n_rows)
+    assert agg.n_sess == replicas * 47_821, agg.n_sess
+    print(
+        f"papi stateful sessionize: {n_rows} events through "
+        f"applyInPandasWithState -> {agg.n_sess} sessions in {dt:.1f}s "
+        f"({n_rows / dt / 1e6:.2f}M rows/s, streaming state store path)"
+    )
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def wire_stress(spark, replicas: int = 50, n_parts: int = 16) -> None:
