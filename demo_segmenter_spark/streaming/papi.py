@@ -143,20 +143,28 @@ FUNNEL_STATE_SCHEMA = StructType(
 def _advance_funnel(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized per batch: in (ts, event_id) order, the sequential
+    scan's 'first view' equals min(view ts), 'first click after t1'
+    equals min(click ts strictly > t1), and likewise for purchase —
+    the strict > reproduces the scan's tie behavior exactly (an event
+    sharing t1's timestamp never advances the stage, in either
+    formulation, regardless of event_id order)."""
     t1, t2, t3 = state.get if state.exists else (None, None, None)
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ty, us in zip(pdf["event_type"], pdf["ts_us"]):
-            us = int(us)
-            if t1 is None:
-                if ty == "view":
-                    t1 = us
-            elif t2 is None:
-                if ty == "click" and us > t1:
-                    t2 = us
-            elif t3 is None:
-                if ty == "purchase" and us > t2:
-                    t3 = us
+        us = pdf["ts_us"].astype("int64")
+        ty = pdf["event_type"]
+        if t1 is None:
+            v = us[(ty == "view").values]
+            t1 = int(v.iloc[0]) if len(v) else None
+        if t1 is not None and t2 is None:
+            c = us[((ty == "click") & (us > t1)).values]
+            t2 = int(c.iloc[0]) if len(c) else None
+        if t2 is not None and t3 is None:
+            p = us[((ty == "purchase") & (us > t2)).values]
+            t3 = int(p.iloc[0]) if len(p) else None
     state.update((t1, t2, t3))
     yield pd.DataFrame(
         {"user_id": [int(key[0])], "t1": [t1], "t2": [t2], "t3": [t3]}
