@@ -93,13 +93,19 @@ def _machine_stamp() -> dict:
 def _run_once(name: str, spark, sf_dir: str) -> None:
     """One end-to-end execution through the noop sink (full computation,
     no driver-side collection cost), caches released afterwards."""
+    saved = os.environ.get("SPARK_GRAFT_ANN_INVARIANTS")
     if name in ANN_LSH_ONLY:
         os.environ["SPARK_GRAFT_ANN_INVARIANTS"] = "0"
     try:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
     finally:
-        os.environ.pop("SPARK_GRAFT_ANN_INVARIANTS", None)
+        # restore, don't pop: an operator-set value (e.g. forcing
+        # invariants ON for a full-plan bench) must survive this run
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_ANN_INVARIANTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ANN_INVARIANTS"] = saved
         # queries that persist() intermediates must not leak cache
         # into later measurements (GC pressure skews the tail); the
         # spark arg also sweeps stray localCheckpoint RDD blocks

@@ -42,8 +42,13 @@ def release_persisted(spark=None) -> int:
     session until the driver cleans them by GC — measured as
     multi-second GC/eviction stalls in back-to-back bench runs. Only
     session OWNERS (bench, sweep scripts, tests) may pass spark: the
-    sweep drops every cached RDD in the context, including ones the
-    tracker never saw."""
+    sweep drops EVERY cached RDD left in the context — including
+    DataFrames persisted by unrelated co-resident consumers of a
+    shared session, which is exactly why non-owners must not pass it.
+    Double-counting is avoided by sweeping the tracked list first:
+    a tracked DataFrame's unpersist removes its RDD from the JVM map
+    synchronously, so the map pass below only ever sees blocks the
+    tracker never owned."""
     n = 0
     for df in _PERSISTED:
         try:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,22 +63,26 @@ def _assign_sessions(
         if not len(pdf):
             continue
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        us = pdf["ts_us"].astype("int64")
-        prev = us.shift(1)
-        if last_us is not None:
-            prev.iloc[0] = last_us
-        # NaN prev (no prior event ever) starts a session, like the
-        # scalar machine's `last_us is None` branch
-        is_new = prev.isna() | ((us - prev) > GAP_US)
-        sids = sid + is_new.cumsum().astype("int64")
-        sid = int(sids.iloc[-1])
-        last_us = int(us.iloc[-1])
+        us = pdf["ts_us"].astype("int64").to_numpy()
+        # prev stays int64 end-to-end: pd.Series.shift would promote to
+        # float64 and lose exactness for timestamps >= 2^53 µs, so the
+        # gap compare is done on an int64 concat instead, with the
+        # no-prior-event case handled as an explicit first-row flag.
+        prev = np.concatenate(
+            (np.asarray([last_us if last_us is not None else 0], dtype="int64"), us[:-1])
+        )
+        is_new = (us - prev) > GAP_US
+        if last_us is None:
+            is_new[0] = True  # no prior event ever -> new session
+        sids = sid + np.cumsum(is_new.astype("int64"))
+        sid = int(sids[-1])
+        last_us = int(us[-1])
         yield pd.DataFrame(
             {
                 "user_id": int(key[0]),
                 "event_id": pdf["event_id"].astype("int64").values,
-                "ts_us": us.values,
-                "session_id": sids.values,
+                "ts_us": us,
+                "session_id": sids,
             }
         )
     state.update((last_us, sid))
