@@ -42,7 +42,9 @@ from demo_segmenter_spark.session import get_spark
 # Representative, scale-sensitive slice of SURVEY.md §2 across layers.
 # Round 2 widened the set from 20 to 26 (interval join, fuzzy dedup,
 # retrieval + rerank pipelines, KPI pipeline, BM25); round 4 adds the
-# two approximate-ANN queries (timed LSH-only, see ANN_LSH_ONLY).
+# two approximate-ANN queries (timed LSH-only, see ANN_LSH_ONLY);
+# round 5 adds c_sim_lsh_native (full plan — its exact verify IS the
+# pipeline, not an invariant pass, so there is nothing to exclude).
 HEADLINE = [
     "a_flagship_segments",
     "a_session_agg",
@@ -65,6 +67,7 @@ HEADLINE = [
     "c_dedup_minhash_native",
     "c_sim_knn",
     "c_sim_lsh",
+    "c_sim_lsh_native",
     "c_text_tfidf",
     "c_text_bm25",
     "c_doc_fingerprint",

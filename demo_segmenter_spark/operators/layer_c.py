@@ -224,6 +224,34 @@ def _shingle_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
+# Candidate sets produced by blocking/banding are "few by construction"
+# per bucket (<= C(SHINGLE_DF_CAP, 2) each), but the number of BUCKETS
+# is corpus-sized, so a corpus with very many near-dup clusters can
+# still produce a candidate set too large to broadcast. The verify
+# stages therefore probe the candidate count with a bounded
+# limit(cap+1) job (the graph.py driver-finish pattern — never a full
+# count) and fall back to ordinary shuffle joins past the cap.
+CAND_BROADCAST_CAP = 500_000  # pairs; ~8 MB of (long, long) rows
+
+
+def _cand_broadcast_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CAND_BCAST", CAND_BROADCAST_CAP))
+
+
+def _bounded_broadcast(cand: DataFrame) -> tuple[DataFrame, bool]:
+    """Persist a candidate-pair DataFrame, probe whether it is small
+    enough to broadcast (bounded probe: limit(cap+1).count(), so a
+    pathological corpus never pays a full count of a huge candidate
+    set), and return (persisted_cand, fits_broadcast). The persist
+    makes the probe's work reusable by the main plan instead of
+    recomputing the banding pipeline."""
+    cap = _cand_broadcast_cap()
+    cand = persist(cand)
+    return cand, cand.limit(cap + 1).count() <= cap
+
+
 @query(
     "c_dedup_ngram",
     oracle=_SHINGLE_CTE
@@ -342,14 +370,18 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Native MinHash banding parameters: K = BANDS * ROWS hash functions.
-# Candidate probability at Jaccard j is 1-(1-j^ROWS)^BANDS: ~3e-8 miss
-# at the fixture's planted pair (j≈0.97), ~6e-6 false-candidate rate at
-# the background soup (j<0.03) — and false candidates are ELIMINATED by
-# the exact verification stage, so only a band miss of a true >=0.5
-# pair could ever surface. NOTE (fixture-empirical, like the ANN recall
-# pins): a regenerated fixture with a pair near j=0.5 would face ~60%
-# candidate probability there and could hash-mismatch the oracle; the
-# current fixture has no pair in (0.03, 0.97).
+# Candidate probability at Jaccard j is 1-(1-j^ROWS)^BANDS. False
+# candidates are ELIMINATED by the exact verification stage, so only a
+# band miss of a true >=0.5 pair could ever surface in the oracle
+# comparison. Measured fixture spectrum (tests/test_fixture_spectrum.py
+# keeps this honest): every true >=0.5 pair sits at j >= 0.889, where
+# the analytic per-pair miss is <= 3.9e-4 and the total expected-miss
+# budget ~1e-3 — and since the xxhash64 functions are FIXED, which
+# pairs are caught is deterministic: the committed dual-scale sweeps
+# prove all of them are. A regenerated fixture with a true pair at
+# mid-range Jaccard (~0.5-0.85) would face material miss probability
+# and could hash-mismatch with no code bug; the spectrum test fails
+# loudly with the real cause before the sweep can mislead.
 MINHASH_BANDS = 8
 MINHASH_ROWS = 4
 MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
@@ -404,12 +436,19 @@ def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     cand = _shingle_pairs(bands).select("doc_a", "doc_b")
     # Exact verify: stream the shingle table once per side against the
-    # BROADCAST candidate set (candidates are few by construction — the
-    # corpus never shuffles for verification).
+    # BROADCAST candidate set (candidates are few by construction per
+    # bucket; the bounded probe guards the many-buckets corpus where
+    # the TOTAL exceeds broadcast safety — then plain shuffle joins
+    # carry the verify instead of a driver-melting broadcast).
+    cand, small = _bounded_broadcast(cand)
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
-    enriched = ha.join(F.broadcast(cand), "doc_a")
-    ver = hb.join(F.broadcast(enriched), "doc_b").select(
+    if small:
+        enriched = ha.join(F.broadcast(cand), "doc_a")
+        enriched = F.broadcast(enriched)
+    else:
+        enriched = ha.join(cand, "doc_a")
+    ver = hb.join(enriched, "doc_b").select(
         "doc_a",
         "doc_b",
         F.size(F.array_intersect("ha", "hb")).alias("inter"),
@@ -739,6 +778,170 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
+    )
+
+
+# Native random-hyperplane LSH parameters: RHP_BANDS bands of RHP_ROWS
+# sign bits each (H = 96 hyperplanes total), Rademacher ±1 components.
+# Collision prob of one sign bit at cosine c is p = 1 - acos(c)/π, so a
+# band matches with p^6 and a pair becomes a candidate with
+# 1-(1-p^6)^16: ≈0.80 at the fixture's top pair (cos≈0.51), ≈0.65 at
+# the 0.4 output threshold, ≈0.22 on the cos≈0 background. On a real
+# near-dup corpus (cos ≥ 0.9 → p ≥ 0.856) the same bands give recall
+# 0.9997 with the identical noise floor — the fixture's shallow
+# spectrum (max cos ≈ 0.51, measured) is what makes its recall look
+# modest, and that recall is MEASURED and pinned, not assumed
+# (tests/test_ann.py). Unlike c_dedup_minhash_native there is no
+# band-miss soundness assumption at all: the hyperplanes derive from
+# md5 (the proven cross-engine primitive), so the ORACLE reproduces
+# the exact same bucketing, candidates, cap and verify — the hash
+# oracle certifies the full pipeline by construction on ANY fixture.
+RHP_ROWS = 6
+RHP_BANDS = 16
+RHP_DIM = 64  # fixture embedding dimension (TESTDATA.md)
+RHP_COS_THRESHOLD = 0.4
+
+
+def _rhp_plane(h: int) -> list[float]:
+    """Hyperplane h's ±1 components, w[i] from the low md5 bit of
+    "{h}_{i}" (i 1-based to match DuckDB's generate_subscripts).
+    Computed with hashlib at PLAN BUILD time and embedded as literals —
+    hashlib.md5, Spark's F.md5 and DuckDB's md5 all agree, so the
+    oracle's plane table is bit-identical."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{h}_{i}".encode()).hexdigest()[:8], 16) % 2 == 1
+        else -1.0
+        for i in range(1, RHP_DIM + 1)
+    ]
+
+
+@query(
+    "c_sim_lsh_native",
+    oracle=_EMB_CTE
+    + f"""
+, planes AS (
+    SELECT hs.h, ii.i,
+           CASE WHEN CAST(concat('0x', substr(md5(hs.h::VARCHAR || '_' || ii.i::VARCHAR), 1, 8)) AS BIGINT) % 2 = 1
+                THEN 1.0 ELSE -1.0 END AS w
+    FROM (SELECT unnest(generate_series(0, {RHP_ROWS * RHP_BANDS - 1})) AS h) hs,
+         (SELECT unnest(generate_series(1, {RHP_DIM})) AS i) ii
+), sums AS (
+    SELECT e.vec_id, p.h, sum(p.w * e.x) AS s
+    FROM ex e JOIN planes p ON e.i = p.i
+    GROUP BY e.vec_id, p.h
+), buckets AS (
+    SELECT vec_id, h // {RHP_ROWS} AS band,
+           sum(CASE WHEN s > 0 THEN 1 << (h % {RHP_ROWS}) ELSE 0 END) AS bucket
+    FROM sums GROUP BY vec_id, h // {RHP_ROWS}
+), ok AS (
+    SELECT band, bucket FROM buckets
+    GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+), okb AS (
+    SELECT b.vec_id, b.band, b.bucket
+    FROM buckets b JOIN ok ON b.band = ok.band AND b.bucket = ok.bucket
+), cand AS (
+    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    FROM okb a JOIN okb b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), dots AS (
+    SELECT c.va, c.vb, sum(ea.x * eb.x) AS dp
+    FROM cand c
+    JOIN ex ea ON ea.vec_id = c.va
+    JOIN ex eb ON eb.vec_id = c.vb AND eb.i = ea.i
+    GROUP BY c.va, c.vb
+)
+SELECT d.va, d.vb, {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+FROM dots d
+JOIN norms na ON d.va = na.vec_id
+JOIN norms nb ON d.vb = nb.vec_id
+WHERE d.dp / (na.nrm * nb.nrm) >= {RHP_COS_THRESHOLD}
+""",
+)
+def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH implemented NATIVELY
+    in whole-stage codegen — the c_dedup_minhash_native treatment
+    applied to the embedding side (the pyspark.ml twin is c_sim_lsh):
+    96 sign-of-dot-product bits per vector via fold over the embedding
+    array against ±1 plane literals, 16 band bucket keys of 6 bits
+    each, candidate pairs from the SAME bounded grouped-pairs machinery
+    as c_dedup_ngram (per-bucket df cap — no hot bucket can emit more
+    than C(cap,2) pairs), then EXACT cosine verification of the
+    bounded-broadcast candidate set, emitting pairs with cosine >=
+    0.4. FULL DuckDB hash oracle with no spectrum assumption: the
+    md5-derived planes are recomputed identically by the oracle SQL,
+    which replays bucketing, cap and verify step for step (see the
+    RHP_ROWS note above; engine sign/threshold margins are pinned in
+    tests/test_fixture_spectrum.py). Scale story: the big side never
+    self-joins — one map-side pass computes all bucket keys (zero
+    shuffle for hashing), one band-key exchange makes candidates, one
+    bounded verify; at 100 TB, RHP_ROWS grows ~log2(n) to keep buckets
+    under the cap, exactly like any production SimHash index."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = persist(
+        emb.select("vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm"))
+    )
+
+    def s_h(h: int) -> F.Column:
+        w = F.array(*[F.lit(x) for x in _rhp_plane(h)])
+        return F.aggregate(
+            F.zip_with(F.col("v"), w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(b: int) -> F.Column:
+        return sum(
+            [
+                F.when(s_h(b * RHP_ROWS + j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(RHP_ROWS)
+            ]
+        ).cast("long")
+
+    buckets = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"), bucket(b).alias("bucket")
+                    )
+                    for b in range(RHP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    sh_like = buckets.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("_").alias("lang"),
+        F.lit("_").alias("source"),
+        F.lit(0).alias("sz"),
+        # grouping by the hash of (band, bucket) makes the SAME groups
+        # as grouping by the pair (collisions: ~1k keys vs 2^64)
+        F.xxhash64("band", "bucket").alias("s"),
+    )
+    cand = _shingle_pairs(sh_like).select(
+        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
+    )
+    cand, small = _bounded_broadcast(cand)
+    if small:
+        cand = F.broadcast(cand)
+    va = base.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    cos_u = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        va.join(cand, "va")
+        .join(vb, "vb")
+        .select("va", "vb", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") >= RHP_COS_THRESHOLD)
+        .select("va", "vb", rnd(F.col("cos_u"), 4).alias("cos_sim"))
     )
 
 

@@ -66,6 +66,52 @@ def test_ann_invariants_flag_preserves_schema(spark, monkeypatch):
                 assert r[c] is None, (name, r)
 
 
+def test_lsh_native_recall_and_exactness(spark):
+    # c_sim_lsh_native's hash oracle certifies the WHOLE pipeline by
+    # construction (the oracle replays the md5-derived bucketing), so
+    # unlike the ml-lib twins there is no soundness pin to guard here —
+    # this measures the QUALITY story: candidates that survive the
+    # exact verify are exactly the cos>=0.4 subset of candidates
+    # (precision 1.0 by construction), and the banding recalls >= 70%
+    # of the true cos>=0.4 pairs at the fixture's shallow spectrum
+    # (measured 0.7424; ~0.9997 at a real near-dup spectrum of
+    # cos>=0.9 — see the RHP_ROWS note in layer_c.py).
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = u @ u.T
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))): c[a, b]
+        for a, b in zip(*iu)
+        if c[a, b] >= 0.4
+    }
+    rows = REGISTRY["c_sim_lsh_native"].fn(spark, SF_SMOKE).collect()
+    got = {(r["va"], r["vb"]): r["cos_sim"] for r in rows}
+    assert got, "lsh_native returned no pairs"
+    assert set(got) <= set(exact), "false positive survived the exact verify"
+    assert len(got) / len(exact) >= 0.70, (len(got), len(exact))
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-3, (k, v, exact[k])
+
+
+def test_cand_broadcast_fallback_equivalent(spark, monkeypatch):
+    # SPARK_GRAFT_CAND_BCAST=1 forces the bounded probe over the cap,
+    # so the exact-verify joins take the shuffle path instead of the
+    # broadcast — results must be identical (only the physical join
+    # strategy may change).
+    for name in ("c_dedup_minhash_native", "c_sim_lsh_native"):
+        ref = {tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_CAND_BCAST", "1")
+        alt = {tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
+        monkeypatch.delenv("SPARK_GRAFT_CAND_BCAST")
+        assert ref and alt == ref, name
+
+
 def test_minhash_invariant_columns(spark):
     # Exact-path pairs (shingle Jaccard sim >= 0.4) must largely be
     # found by MinHashLSH, and the per-pair exact_dist must agree with

@@ -179,6 +179,12 @@ def test_shuffle_budgets_table(spark):
         # collect, one (doc_a, doc_b) pair count; the exact-verify
         # joins broadcast the candidate set (no corpus shuffle)
         "c_dedup_minhash_native": 2,
+        # same shape on the vector side: hyperplane hashing is pure
+        # map-side, banding reuses the grouped-pairs machinery (its 2
+        # exchanges sit inside the persisted candidate subplan), the
+        # cosine verify is broadcast joins — budget covers the spread
+        # repartition plus slack if the cache stops absorbing them
+        "c_sim_lsh_native": 3,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
