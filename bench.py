@@ -116,6 +116,66 @@ def _run_once(name: str, spark, sf_dir: str) -> None:
         spark.catalog.clearCache()
 
 
+def _streaming_throughput(spark, sf_dir: str, target_records: int = 1_000_000) -> dict:
+    """Fixed-size streaming wire-path measurement: replicate the
+    events table into an append-only log of ~target_records, consume
+    the whole topic through the events_log source (Arrow RecordBatch
+    executor reads, offset planning, key-hash partitions) into a
+    parquet sink with exactly-once checkpointing, and report the
+    end-to-end rate. Fixed size (not sf-proportional) so the anchor is
+    comparable across rounds; best-of-2 like the batch rows. Previously
+    this number lived only in BASELINE.md prose (489-517k rec/s at 5M
+    records) — as a bench key, a wire-path regression shows up as an
+    artifact diff instead of a prose claim. ~8 s of each run is fixed
+    streaming-query startup, so the 1M-record rate reads lower than
+    the 5M-record marginal rate; it is a regression tripwire, not a
+    peak-throughput claim."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from demo_segmenter_spark.sources.kafka_shape import register
+
+    base = "/tmp/dss_bench_wire"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/log")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    replicas = max(1, round(target_records / t.num_rows))
+    for i in range(replicas):
+        pq.write_table(t, f"{base}/log/chunk_{i:03d}.parquet")
+    register(spark)
+    want = t.num_rows * replicas
+
+    best = float("inf")
+    for run in range(2):
+        for d in ("out", "ckpt"):
+            shutil.rmtree(f"{base}/{d}", ignore_errors=True)
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.format("events_log")
+            .option("path", f"{base}/log")
+            .option("partitions", "16")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
+    n = spark.read.parquet(f"{base}/out").count()
+    shutil.rmtree(base, ignore_errors=True)
+    assert n == want, (n, want)
+    return {
+        "records": n,
+        "sec": round(best, 3),
+        "records_per_sec": round(n / best),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -147,6 +207,13 @@ def main() -> None:
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(t, 3) for name, t in best.items()}
 
+    # Streaming wire-path row (fixed 1M records; SPARK_GRAFT_BENCH_STREAM=0
+    # skips it). Reported under its own key — the headline total stays
+    # batch-only and comparable to prior rounds' anchors.
+    streaming = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
+        streaming = _streaming_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -155,6 +222,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
                 "cpus": int(cpus),
                 "warmed": warm,

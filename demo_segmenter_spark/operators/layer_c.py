@@ -228,28 +228,16 @@ def _shingle_pairs(sh: DataFrame) -> DataFrame:
 # per bucket (<= C(SHINGLE_DF_CAP, 2) each), but the number of BUCKETS
 # is corpus-sized, so a corpus with very many near-dup clusters can
 # still produce a candidate set too large to broadcast. The verify
-# stages therefore probe the candidate count with a bounded
-# limit(cap+1) job (the graph.py driver-finish pattern — never a full
-# count) and fall back to ordinary shuffle joins past the cap.
-CAND_BROADCAST_CAP = 500_000  # pairs; ~8 MB of (long, long) rows
-
-
-def _cand_broadcast_cap() -> int:
-    import os
-
-    return int(os.environ.get("SPARK_GRAFT_CAND_BCAST", CAND_BROADCAST_CAP))
-
-
-def _bounded_broadcast(cand: DataFrame) -> tuple[DataFrame, bool]:
-    """Persist a candidate-pair DataFrame, probe whether it is small
-    enough to broadcast (bounded probe: limit(cap+1).count(), so a
-    pathological corpus never pays a full count of a huge candidate
-    set), and return (persisted_cand, fits_broadcast). The persist
-    makes the probe's work reusable by the main plan instead of
-    recomputing the banding pipeline."""
-    cap = _cand_broadcast_cap()
-    cand = persist(cand)
-    return cand, cand.limit(cap + 1).count() <= cap
+# stages therefore never HINT a broadcast of the candidate set: the
+# joins are left plain and AQE's runtime join selection (enabled in
+# session.py) broadcasts when the materialized shuffle stage is under
+# spark.sql.adaptive.autoBroadcastJoinThreshold and keeps the shuffle
+# join otherwise — the bounded-broadcast decision made from REAL sizes
+# at the stage boundary, with no extra probe job. (A driver-side
+# count-probe variant was tried first and measured +1-2 s per query:
+# it splits the pipeline into two sequential jobs.)
+# tests/test_ann.py::test_cand_broadcast_fallback_equivalent pins that
+# the forced-shuffle path returns identical results.
 
 
 @query(
@@ -436,18 +424,14 @@ def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     cand = _shingle_pairs(bands).select("doc_a", "doc_b")
     # Exact verify: stream the shingle table once per side against the
-    # BROADCAST candidate set (candidates are few by construction per
-    # bucket; the bounded probe guards the many-buckets corpus where
-    # the TOTAL exceeds broadcast safety — then plain shuffle joins
-    # carry the verify instead of a driver-melting broadcast).
-    cand, small = _bounded_broadcast(cand)
+    # candidate set. No broadcast HINT on purpose — candidates are few
+    # by construction per bucket, but the bucket count is corpus-sized,
+    # so the broadcast-vs-shuffle call belongs to AQE's runtime size
+    # check (see the note above _shingle_pairs' callers), which guards
+    # the many-near-dup-clusters corpus a hint would driver-melt on.
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
-    if small:
-        enriched = ha.join(F.broadcast(cand), "doc_a")
-        enriched = F.broadcast(enriched)
-    else:
-        enriched = ha.join(cand, "doc_a")
+    enriched = ha.join(cand, "doc_a")
     ver = hb.join(enriched, "doc_b").select(
         "doc_a",
         "doc_b",
@@ -805,9 +789,8 @@ RHP_COS_THRESHOLD = 0.4
 def _rhp_plane(h: int) -> list[float]:
     """Hyperplane h's ±1 components, w[i] from the low md5 bit of
     "{h}_{i}" (i 1-based to match DuckDB's generate_subscripts).
-    Computed with hashlib at PLAN BUILD time and embedded as literals —
-    hashlib.md5, Spark's F.md5 and DuckDB's md5 all agree, so the
-    oracle's plane table is bit-identical."""
+    Computed with hashlib on the DRIVER — hashlib.md5 and DuckDB's md5
+    agree, so the oracle's plane table is bit-identical."""
     import hashlib
 
     return [
@@ -816,6 +799,34 @@ def _rhp_plane(h: int) -> list[float]:
         else -1.0
         for i in range(1, RHP_DIM + 1)
     ]
+
+
+def _rhp_buckets_udf():
+    """Arrow-vectorized band-bucket computation: one numpy matmul per
+    batch against the (96 x 64) ±1 plane matrix, signs packed into 16
+    six-bit bucket keys. A pandas_udf and not a fold expression ON
+    MEASUREMENT: the declarative formulation (96 aggregate/zip_with
+    higher-order folds per row) is interpreted, not codegen'd, and
+    cost ~3.4 s at sf0.1 vs ~5 ms for the matmul — the one case in
+    this repo where Arrow-batched numpy beats the built-in route.
+    Map-side either way: zero shuffle to compute bucket keys."""
+    import numpy as np
+
+    w = np.array(
+        [_rhp_plane(h) for h in range(RHP_ROWS * RHP_BANDS)]
+    )  # (H, DIM)
+    weights = 1 << np.arange(RHP_ROWS)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (x @ w.T) > 0  # (n, H); margin pinned in
+        # tests/test_fixture_spectrum.py, so sum-order float noise
+        # (numpy SIMD vs DuckDB hash-agg vs a fold) cannot flip a sign
+        bk = (bits.reshape(len(x), RHP_BANDS, RHP_ROWS) * weights).sum(axis=2)
+        return pd.Series(list(bk))
+
+    return _buckets
 
 
 @query(
@@ -861,15 +872,18 @@ WHERE d.dp / (na.nrm * nb.nrm) >= {RHP_COS_THRESHOLD}
 """,
 )
 def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SimHash-for-vectors) LSH implemented NATIVELY
-    in whole-stage codegen — the c_dedup_minhash_native treatment
-    applied to the embedding side (the pyspark.ml twin is c_sim_lsh):
-    96 sign-of-dot-product bits per vector via fold over the embedding
-    array against ±1 plane literals, 16 band bucket keys of 6 bits
-    each, candidate pairs from the SAME bounded grouped-pairs machinery
+    """Random-hyperplane (SimHash-for-vectors) LSH implemented
+    natively — the c_dedup_minhash_native treatment applied to the
+    embedding side (the pyspark.ml twin is c_sim_lsh): 96
+    sign-of-dot-product bits per vector via ONE Arrow-batched numpy
+    matmul against the md5-derived ±1 plane matrix (measured 680×
+    faster than the interpreted higher-order-fold formulation — see
+    _rhp_buckets_udf), 16 band bucket keys of 6 bits each,
+    candidate pairs from the SAME bounded grouped-pairs machinery
     as c_dedup_ngram (per-bucket df cap — no hot bucket can emit more
     than C(cap,2) pairs), then EXACT cosine verification of the
-    bounded-broadcast candidate set, emitting pairs with cosine >=
+    candidate set (AQE-sized broadcast, shuffle-join fallback past the
+    adaptive threshold), emitting pairs with cosine >=
     0.4. FULL DuckDB hash oracle with no spectrum assumption: the
     md5-derived planes are recomputed identically by the oracle SQL,
     which replays bucketing, cap and verify step for step (see the
@@ -882,38 +896,13 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = persist(
-        emb.select("vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm"))
-    )
-
-    def s_h(h: int) -> F.Column:
-        w = F.array(*[F.lit(x) for x in _rhp_plane(h)])
-        return F.aggregate(
-            F.zip_with(F.col("v"), w, lambda x, wi: x * wi),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        emb.select(
+            "vec_id", "embedding", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
         )
-
-    def bucket(b: int) -> F.Column:
-        return sum(
-            [
-                F.when(s_h(b * RHP_ROWS + j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-                for j in range(RHP_ROWS)
-            ]
-        ).cast("long")
-
+    )
     buckets = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band"), bucket(b).alias("bucket")
-                    )
-                    for b in range(RHP_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+        "vec_id", F.posexplode(_rhp_buckets_udf()("embedding")).alias("band", "bucket")
+    ).select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
     sh_like = buckets.select(
         F.col("vec_id").alias("doc_id"),
         F.lit("_").alias("lang"),
@@ -926,9 +915,6 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _shingle_pairs(sh_like).select(
         F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
     )
-    cand, small = _bounded_broadcast(cand)
-    if small:
-        cand = F.broadcast(cand)
     va = base.select(
         F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )

@@ -99,16 +99,31 @@ def test_lsh_native_recall_and_exactness(spark):
         assert abs(v - exact[k]) < 1e-3, (k, v, exact[k])
 
 
-def test_cand_broadcast_fallback_equivalent(spark, monkeypatch):
-    # SPARK_GRAFT_CAND_BCAST=1 forces the bounded probe over the cap,
-    # so the exact-verify joins take the shuffle path instead of the
-    # broadcast — results must be identical (only the physical join
-    # strategy may change).
+def test_cand_broadcast_fallback_equivalent(spark):
+    # The exact-verify joins carry no broadcast hint: AQE broadcasts
+    # the candidate set when its runtime size is under threshold and
+    # falls back to shuffle joins otherwise (the guard for a corpus
+    # whose TOTAL candidate count exceeds broadcast safety). Force the
+    # shuffle path by disabling broadcast thresholds and pin that
+    # results are identical — only the physical join strategy may
+    # change.
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {c: spark.conf.get(c, None) for c in confs}
     for name in ("c_dedup_minhash_native", "c_sim_lsh_native"):
         ref = {tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
-        monkeypatch.setenv("SPARK_GRAFT_CAND_BCAST", "1")
-        alt = {tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
-        monkeypatch.delenv("SPARK_GRAFT_CAND_BCAST")
+        try:
+            for c in confs:
+                spark.conf.set(c, "-1")
+            alt = {tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
+        finally:
+            for c, v in saved.items():
+                if v is None:
+                    spark.conf.unset(c)
+                else:
+                    spark.conf.set(c, v)
         assert ref and alt == ref, name
 
 
