@@ -91,6 +91,7 @@ def main() -> None:
     ann_stress(spark)
     skew_stress(spark)
     hot_shingle_stress(spark)
+    minhash_banding_stress(spark)
     wire_stress(spark)
     papi_stress(spark)
 
@@ -276,6 +277,93 @@ def hot_shingle_stress(spark, n_docs: int = 100_000) -> None:
         f"(uncapped lower bound ~{8 * n_docs * (n_docs - 1) // 2:,} pair "
         f"emissions; cap bounds every shingle at C({cap},2)={warm_pairs}, "
         f"planted near-dup pair fully visible)"
+    )
+
+
+def minhash_banding_stress(spark, n_docs: int = 100_000) -> None:
+    """Native MinHash banding at scale (the hot-shingle stress covers
+    the grouped-pairs cap; this covers the BANDING pipeline feeding
+    it): n_docs documents of unique text plus ONE planted near-dup
+    pair at Jaccard 38/39 ≈ 0.974 (analytic band-miss 1e-8) through
+    the full _minhash_verified_pairs path. Asserts:
+    - the planted pair is the ONLY verified output (unique docs never
+      reach Jaccard 0.5, and false band collisions are removed by the
+      exact verify);
+    - the candidate count stays bounded: random 32-bit-ish band keys
+      over unique docs collide rarely, so candidates ~ o(n_docs), not
+      the C(n,2) of an all-pairs design."""
+    from demo_segmenter_spark.operators.layer_c import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _minhash_signature,
+        _minhash_verified_pairs,
+        _shingle_pairs,
+        _shingles,
+    )
+
+    t0 = time.time()
+    filler = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"d{j}w"), F.col("id").cast("string"))
+            for j in range(40)
+        ],
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), filler.alias("text")
+    )
+    dup = " ".join(f"rare{j}" for j in range(40))
+    planted = spark.createDataFrame(
+        [(10_000_000, dup), (10_000_001, dup + " tail")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionAll(planted)
+    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
+    sh = (
+        docs.select("doc_id", hs.alias("hset"))
+        .filter(F.size("hset") > 0)
+        .repartition(64)
+        .cache()
+    )
+    verified = _minhash_verified_pairs(sh, threshold=0.5).collect()
+    dt = time.time() - t0
+    assert len(verified) == 1, verified[:5]
+    got = verified[0]
+    assert (got.doc_a, got.doc_b) == (10_000_000, 10_000_001), got
+    assert got.jaccard >= 0.97, got
+
+    # candidate boundedness: same banding the verified path ran
+    sig = _minhash_signature()
+    bands = sh.select(
+        "doc_id", F.size("hset").alias("sz"), sig.alias("sig")
+    ).select(
+        "doc_id",
+        F.lit("_").alias("lang"),
+        F.lit("_").alias("source"),
+        "sz",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col("sig"), b * MINHASH_ROWS + j + 1)
+                            for j in range(MINHASH_ROWS)
+                        ],
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    )
+    n_cand = _shingle_pairs(bands).count()
+    assert n_cand < n_docs // 10, n_cand
+    sh.unpersist()
+    print(
+        f"minhash banding: {n_docs} unique docs + 1 planted near-dup "
+        f"(j=0.974) -> {n_cand} band candidates, 1 verified pair "
+        f"(j={got.jaccard}) in {dt:.1f}s; all-pairs would be "
+        f"{n_docs * (n_docs - 1) // 2:,} comparisons"
     )
 
 
