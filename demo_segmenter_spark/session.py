@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Early fixture drops encode events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark 4 refuses without this legacy
+        # flag. Set once at session build so no query ever observes a
+        # mid-job conf flip; sources/tables.py keeps an idempotent
+        # guard for DRIVER-OWNED sessions this factory never sees.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Semi-join pushdown for selective non-broadcast joins: the
         # build side's keys become a bloom filter applied at the probe
         # side's scan. Irrelevant at local fixture sizes (thresholds

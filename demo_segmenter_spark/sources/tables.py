@@ -51,7 +51,14 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Sessions built by session.py already carry this conf (set once
+    # at build — see the builder comment); the guarded set below only
+    # fires for DRIVER-OWNED sessions passed into __spark_entry__, so
+    # a co-resident query in OUR sessions can never observe a mid-job
+    # conf flip.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
     raw = spark.read.parquet(path)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "timestamp":
