@@ -76,6 +76,9 @@ HEADLINE = [
     "c_pipeline_rerank",
     "c_chunking",
     "c_dedup_cluster",
+    # round 5: the two unrolled iterative algorithms
+    "c_sim_kmeans",
+    "b_graph_pagerank",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -1843,6 +1843,117 @@ GROUP BY date_format(m, 'yyyy-MM')
 """)
 
 
+# PageRank iteration count and damping for b_graph_pagerank. Per-
+# iteration ranks are quantized to 6 decimals on BOTH engines so the
+# next iteration's inputs are bit-identical — the same unrolled-
+# iteration determinism recipe as c_sim_kmeans.
+PAGERANK_ITERS = 3
+PAGERANK_DAMP = 0.85
+
+_PAGERANK_EDGES_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+    SELECT o * 2 AS src, p * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT p * 2 + 1 AS src, o * 2 AS dst FROM pairs
+), deg AS (
+    SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+)
+"""
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    prev = "p0" if i == 1 else f"p{i - 1}"
+    prev_pr = "1.0" if i == 1 else f"{prev}.pr"
+    prev_join = (
+        ""
+        if i == 1
+        else f" JOIN {prev} ON e.src = {prev}.node"
+    )
+    return f"""
+, p{i} AS (
+    SELECT e.dst AS node,
+           {sql_rnd(f"0.15 + {PAGERANK_DAMP} * sum({prev_pr} / d.d)", 6)} AS pr
+    FROM edges e JOIN deg d ON e.src = d.node{prev_join}
+    GROUP BY e.dst
+)"""
+
+
+@query(
+    "b_graph_pagerank",
+    oracle=_PAGERANK_EDGES_SQL
+    + "".join(_pagerank_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT node, pr, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT node, pr,
+           row_number() OVER (ORDER BY pr DESC, node) AS rank
+    FROM p{PAGERANK_ITERS}
+)
+WHERE rank <= 100
+""",
+)
+def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, PAGERANK_ITERS=3 iterations unrolled, over the
+    bipartite orders↔parts co-purchase graph (nodes 2·orderkey /
+    2·partkey+1, every lineitem edge in both directions) — the second
+    iterative-algorithm showcase next to c_sim_kmeans, hash-certified
+    by an oracle that replays every iteration: rank mass 0.15 + 0.85 ·
+    Σ pr(src)/deg(src), per-iteration ranks rounded to 6 decimals on
+    both engines so iteration n+1's inputs are identical. Top-100 by
+    (pr DESC, node) keeps the output deterministic and small. Scale
+    story: the edge list and out-degrees are built once and persisted
+    (at 100 TB: pre-partitioned by src so every iteration's
+    contribution join reuses one exchange); each iteration is the
+    canonical join-on-src + groupBy-dst — two shuffles per iteration
+    with map-side partial sums, never a driver-side loop over
+    collect()ed ranks. The iteration count is the driver loop; it is
+    unrolled here so Catalyst sees one plan and the oracle can replay
+    it."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_orderkey") * 2).alias("o"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = persist(
+        pairs.select(F.col("o").alias("src"), F.col("p").alias("dst")).unionAll(
+            pairs.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "node")
+    ed = persist(
+        edges.join(deg, edges.src == deg.node).select("src", "dst", "d")
+    )
+    pr = None  # iteration 0: every node has pr 1.0 (implicit)
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ed
+            if pr is None
+            else ed.join(pr, ed.src == pr.node).select(
+                "src", "dst", "d", "pr"
+            )
+        )
+        mass = (F.lit(1.0) if pr is None else F.col("pr")) / F.col("d")
+        pr = (
+            contrib.groupBy("dst")
+            .agg(
+                rnd(F.lit(0.15) + F.lit(PAGERANK_DAMP) * F.sum(mass), 6).alias(
+                    "pr"
+                )
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("node", "pr", "rank")
+    )
+
+
 @query(
     "b_scalar_try",
     oracle="""

@@ -765,6 +765,129 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 16  # same deterministic seeds as c_sim_ivf (vec_id < 16)
+
+
+@query(
+    "c_sim_kmeans",
+    oracle=_EMB_CTE
+    + f"""
+, u AS (
+    SELECT e.vec_id, e.i, e.x / n.nrm AS u
+    FROM ex e JOIN norms n ON e.vec_id = n.vec_id
+), c0 AS (
+    SELECT vec_id AS cent_id, i, u AS c FROM u WHERE vec_id < {KMEANS_K}
+), c0n AS (
+    SELECT cent_id, sqrt(sum(c * c)) AS cn FROM c0 GROUP BY cent_id
+), s1 AS (
+    SELECT u.vec_id, c.cent_id,
+           {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
+    FROM u JOIN c0 c ON u.i = c.i JOIN c0n n ON c.cent_id = n.cent_id
+    GROUP BY u.vec_id, c.cent_id
+), a1 AS (
+    SELECT vec_id, cent_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS r
+        FROM s1
+    ) WHERE r = 1
+), c1 AS (
+    SELECT a1.cluster_id AS cent_id, u.i,
+           {sql_rnd("avg(u.u)", 6)} AS c
+    FROM u JOIN a1 ON u.vec_id = a1.vec_id
+    GROUP BY a1.cluster_id, u.i
+), c1n AS (
+    SELECT cent_id, sqrt(sum(c * c)) AS cn FROM c1 GROUP BY cent_id
+), s2 AS (
+    SELECT u.vec_id, c.cent_id,
+           {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
+    FROM u JOIN c1 c ON u.i = c.i JOIN c1n n ON c.cent_id = n.cent_id
+    GROUP BY u.vec_id, c.cent_id
+)
+SELECT vec_id, cent_id AS cluster_id,
+       {sql_rnd("sim", 4)} AS cos_sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cent_id) AS r
+    FROM s2
+) WHERE r = 1
+""",
+)
+def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means, two Lloyd iterations UNROLLED — the iterative
+    class of algorithm (centroid refinement) expressed as a dataflow
+    and hash-certified end to end: the oracle replays both iterations
+    in SQL, so assignment ties, centroid means and re-normalization all
+    have to agree exactly, not just 'converge similarly'. This is the
+    index-BUILD step c_sim_ivf assumes done (its fixed vec_id<16 seeds
+    are this query's inits). Determinism recipe, per repo discipline:
+    similarities quantized to 6 decimals with (sim DESC, cent_id)
+    total-order tiebreaks; centroid coordinates are 6-decimal-rounded
+    means of unit vectors, so both engines feed identical centroids to
+    iteration 2. Scale story: assignment broadcasts K×dim centroid
+    rows over one corpus scan (map-side, like c_sim_ivf); the update
+    step is an explode + groupBy(cluster, dim) whose partial aggregates
+    collapse map-side to K×dim rows — per iteration ONE tiny shuffle,
+    never a corpus shuffle, which is exactly how production Lloyd runs
+    on 100 TB (the iteration count is the driver loop; here it is
+    unrolled to keep the whole plan visible to Catalyst and the
+    oracle)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    nrm = F.sqrt(dot(vec, vec))
+    base = persist(
+        emb.select(
+            "vec_id", F.transform(vec, lambda x: x / nrm).alias("u")
+        )
+    )
+
+    def assign(cents: DataFrame, out_sim: bool = False) -> DataFrame:
+        sim = rnd(
+            dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cent_id")
+        )
+        a = (
+            base.join(F.broadcast(cents))
+            .select("vec_id", "u", "cent_id", sim.alias("sim"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        if out_sim:
+            return a.select(
+                "vec_id",
+                F.col("cent_id").alias("cluster_id"),
+                rnd(F.col("sim"), 4).alias("cos_sim"),
+            )
+        return a.select("vec_id", "u", F.col("cent_id").alias("cluster_id"))
+
+    def with_norm(cents: DataFrame) -> DataFrame:
+        return cents.select(
+            "cent_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cn")
+        )
+
+    c0 = with_norm(
+        base.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("u").alias("cv")
+        )
+    )
+    a1 = assign(c0)
+    c1 = with_norm(
+        a1.select("cluster_id", F.posexplode("u").alias("i", "x"))
+        .groupBy("cluster_id", "i")
+        .agg(rnd(F.avg("x"), 6).alias("c"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select(F.col("cluster_id").alias("cent_id"), "cv")
+    )
+    return assign(c1, out_sim=True)
+
+
 # Native random-hyperplane LSH parameters: RHP_BANDS bands of RHP_ROWS
 # sign bits each (H = 96 hyperplanes total), Rademacher ±1 components.
 # Collision prob of one sign bit at cosine c is p = 1 - acos(c)/π, so a

@@ -127,6 +127,33 @@ def test_cand_broadcast_fallback_equivalent(spark):
         assert ref and alt == ref, name
 
 
+def test_kmeans_is_a_partition_and_refines(spark):
+    # Every vector assigned exactly once; no cluster dies in two
+    # iterations on the fixture; and iteration-2 centroids must FIT
+    # better than the raw seeds for most vectors (the refinement is
+    # real, not an identity pass): mean cos_sim(final) > mean
+    # cos_sim(ivf seeds) — c_sim_ivf's assignment IS iteration 0.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = REGISTRY["c_sim_kmeans"].fn(spark, SF_SMOKE).collect()
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    n = t.num_rows
+    assert len(rows) == n
+    assert len({r["cluster_id"] for r in rows}) == 16
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+    # refinement is real: the two-iteration objective (mean best-cos)
+    # beats iteration 0 (assignment to the raw vec_id<16 seeds, which
+    # is exactly c_sim_ivf's model)
+    ids = np.array(t["vec_id"])
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    seeds = u[ids < 16]
+    iter0 = float((u @ seeds.T).max(axis=1).mean())
+    final = sum(r["cos_sim"] for r in rows) / n
+    assert final > iter0, (final, iter0)
+
+
 def test_minhash_invariant_columns(spark):
     # Exact-path pairs (shingle Jaccard sim >= 0.4) must largely be
     # found by MinHashLSH, and the per-pair exact_dist must agree with

@@ -185,6 +185,17 @@ def test_shuffle_budgets_table(spark):
         # cosine verify is broadcast joins — budget covers the spread
         # repartition plus slack if the cache stops absorbing them
         "c_sim_lsh_native": 3,
+        # two unrolled Lloyd iterations: per iteration the assignment
+        # is a broadcast join (no corpus shuffle) and the centroid
+        # update collapses map-side to K x dim partials — one tiny
+        # exchange each, plus the K-row array rebuilds
+        "c_sim_kmeans": 4,
+        # iterative: the STATIC plan repeats the persisted edge/degree
+        # subtrees (they cache at first materialization, so runtime
+        # pays each once), plus 3 unrolled contribution-join +
+        # rank-groupBy rounds at 2 exchanges each and the final
+        # top-100 sort
+        "b_graph_pagerank": 18,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
