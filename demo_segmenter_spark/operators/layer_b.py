@@ -1903,14 +1903,16 @@ def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ pr(src)/deg(src), per-iteration ranks rounded to 6 decimals on
     both engines so iteration n+1's inputs are identical. Top-100 by
     (pr DESC, node) keeps the output deterministic and small. Scale
-    story: the edge list and out-degrees are built once and persisted
-    (at 100 TB: pre-partitioned by src so every iteration's
-    contribution join reuses one exchange); each iteration is the
-    canonical join-on-src + groupBy-dst — two shuffles per iteration
-    with map-side partial sums, never a driver-side loop over
-    collect()ed ranks. The iteration count is the driver loop; it is
-    unrolled here so Catalyst sees one plan and the oracle can replay
-    it."""
+    story: the rank/degree division happens per NODE before touching
+    edges, so each iteration joins the (persisted, edge-count) edge
+    list against a node-count `share` table — small enough for AQE to
+    broadcast at fixture scale, and at 100 TB still the node table,
+    not an edge-wide enrichment (the first cut joined degrees onto
+    edges per iteration and measured 4.9 s vs ~2 s for this shape).
+    One groupBy(dst) shuffle per iteration with map-side partial sums;
+    never a driver-side loop over collect()ed ranks. The iteration
+    count is the driver loop; it is unrolled here so Catalyst sees one
+    plan and the oracle can replay it."""
     from demo_segmenter_spark.functions.cache import persist
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1918,31 +1920,34 @@ def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 2).alias("o"),
         (F.col("l_partkey") * 2 + 1).alias("p"),
     ).distinct()
-    edges = persist(
-        pairs.select(F.col("o").alias("src"), F.col("p").alias("dst")).unionAll(
-            pairs.select(F.col("p").alias("src"), F.col("o").alias("dst"))
-        )
+    both = F.array(
+        F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
+        F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "node")
-    ed = persist(
-        edges.join(deg, edges.src == deg.node).select("src", "dst", "d")
+    edges = persist(
+        pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    )
+    deg = persist(
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("src", "node")
     )
     pr = None  # iteration 0: every node has pr 1.0 (implicit)
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ed
+        share = (
+            deg.select("node", (F.lit(1.0) / F.col("d")).alias("share"))
             if pr is None
-            else ed.join(pr, ed.src == pr.node).select(
-                "src", "dst", "d", "pr"
+            else pr.join(deg, "node").select(
+                "node", (F.col("pr") / F.col("d")).alias("share")
             )
         )
-        mass = (F.lit(1.0) if pr is None else F.col("pr")) / F.col("d")
         pr = (
-            contrib.groupBy("dst")
+            edges.join(share, edges.src == share.node)
+            .groupBy("dst")
             .agg(
-                rnd(F.lit(0.15) + F.lit(PAGERANK_DAMP) * F.sum(mass), 6).alias(
-                    "pr"
-                )
+                rnd(
+                    F.lit(0.15) + F.lit(PAGERANK_DAMP) * F.sum("share"), 6
+                ).alias("pr")
             )
             .withColumnRenamed("dst", "node")
         )

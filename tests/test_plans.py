@@ -192,10 +192,10 @@ def test_shuffle_budgets_table(spark):
         "c_sim_kmeans": 4,
         # iterative: the STATIC plan repeats the persisted edge/degree
         # subtrees (they cache at first materialization, so runtime
-        # pays each once), plus 3 unrolled contribution-join +
-        # rank-groupBy rounds at 2 exchanges each and the final
-        # top-100 sort
-        "b_graph_pagerank": 18,
+        # pays each once), plus 3 unrolled share-join + rank-groupBy
+        # rounds and the final top-100 sort; the share table is
+        # node-sized so AQE broadcasts the per-iteration join
+        "b_graph_pagerank": 12,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
