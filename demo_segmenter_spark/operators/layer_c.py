@@ -1002,9 +1002,10 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul against the md5-derived ±1 plane matrix (measured 680×
     faster than the interpreted higher-order-fold formulation — see
     _rhp_buckets_udf), 16 band bucket keys of 6 bits each,
-    candidate pairs from the SAME bounded grouped-pairs machinery
-    as c_dedup_ngram (per-bucket df cap — no hot bucket can emit more
-    than C(cap,2) pairs), then EXACT cosine verification of the
+    candidate pairs from a size-capped bucket SELF-JOIN (window count
+    filter first — no hot bucket can emit more than C(cap,2) pairs;
+    see the in-body note for why this beats the grouped-pairs arrays
+    here), then EXACT cosine verification of the
     candidate set (AQE-sized broadcast, shuffle-join fallback past the
     adaptive threshold), emitting pairs with cosine >=
     0.4. FULL DuckDB hash oracle with no spectrum assumption: the
@@ -1026,17 +1027,30 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = base.select(
         "vec_id", F.posexplode(_rhp_buckets_udf()("embedding")).alias("band", "bucket")
     ).select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
-    sh_like = buckets.select(
-        F.col("vec_id").alias("doc_id"),
-        F.lit("_").alias("lang"),
-        F.lit("_").alias("source"),
-        F.lit(0).alias("sz"),
-        # grouping by the hash of (band, bucket) makes the SAME groups
-        # as grouping by the pair (collisions: ~1k keys vs 2^64)
-        F.xxhash64("band", "bucket").alias("s"),
+    # Capped SELF-JOIN pair generation, not the grouped-pairs arrays
+    # c_dedup_ngram/minhash use: the bucket table is narrow (n×BANDS
+    # rows of three longs) and the window cap already bounds every
+    # bucket at C(SHINGLE_DF_CAP,2) emissions, so the fully-codegen
+    # join beats the window+collect+explode struct path (whose nested
+    # transform lambdas are interpreted) — measured 1.1 s vs 1.7 s at
+    # sf0.1's 458k candidates. Corpus-scale SHINGLE tables keep
+    # grouped-pairs: there the table is corpus×shingles wide and the
+    # one-exchange formulation matters more than lambda overhead.
+    w_cap = Window.partitionBy("band", "bucket")
+    ok = (
+        buckets.withColumn("n", F.count("*").over(w_cap))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SHINGLE_DF_CAP))
+        .drop("n")
     )
-    cand = _shingle_pairs(sh_like).select(
-        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
+    cand = (
+        ok.select(F.col("vec_id").alias("va"), "band", "bucket")
+        .join(
+            ok.select(F.col("vec_id").alias("vb"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
     )
     va = base.select(
         F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
