@@ -105,6 +105,43 @@ def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
     ).otherwise(F.slice(toks, 1, 0))
 
 
+def _hashed_shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles as 64-bit hashes, computed per Arrow
+    batch in a pandas_udf (python set-build + pd.util.hash_array's
+    fixed-key siphash — deterministic across processes; array ORDER
+    varies with the worker's str-hash seed, which is fine because
+    every consumer explodes or min-reduces the array). Chosen over
+    the declarative transform(_shingles(), xxhash64) form on an
+    interleaved full-query A/B: 2.1–2.5 s vs 2.8–3.1 s for
+    c_dedup_ngram at sf0.1 — the per-shingle concat_ws/slice lambdas
+    are interpreted, the same HOF overhead measured on the hyperplane
+    path (_rhp_buckets_udf). A variadic-xxhash64 expression variant
+    was ALSO tried and REGRESSED the pair stage (see BASELINE.md round
+    5's negative result); only this Arrow path won end to end. The
+    hash is internal-only: every oracle recomputes Jaccard over STRING
+    shingles, so engine parity is untouched (same argument as
+    c_dedup_ngram's xxhash64 note), and set-of-hashes equals
+    set-of-strings modulo 2⁻⁶⁴ collisions."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def _sh(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = t.split(" ")
+            n = len(toks)
+            if n < k:
+                out.append(np.array([], dtype="int64"))
+                continue
+            ss = {" ".join(toks[i : i + k]) for i in range(n - k + 1)}
+            out.append(
+                pd.util.hash_array(np.array(list(ss), dtype=object)).view("int64")
+            )
+        return pd.Series(out)
+
+    return _sh(text_col)
+
+
 # Shared DuckDB CTE: distinct 3-token shingles per doc within blocks.
 _SHINGLE_CTE = """
 WITH toks AS (
@@ -279,7 +316,7 @@ def c_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishingly rare at 2^64), ~5x narrower shuffle rows."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingle_doc_table(
-        docs, F.transform(_shingles(), lambda s: F.xxhash64(s))
+        docs, _hashed_shingles()
     )
     pairs = _shingle_pairs(sh)
     jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
@@ -337,7 +374,7 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (df > SHINGLE_DF_CAP); the cap never fires on the fixture.
     sh_exact = _shingle_doc_table(
         docs.withColumn("lang", F.lit("_")).withColumn("source", F.lit("_")),
-        F.transform(_shingles(), lambda s: F.xxhash64(s)),
+        _hashed_shingles(),
     )
     ex = _shingle_pairs(sh_exact)
     ex_jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
@@ -481,7 +518,7 @@ def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key shuffle + one small-pair broadcast verify, everything
     codegen."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
+    hs = _hashed_shingles()
     sh = persist(
         docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
     )
@@ -1827,7 +1864,7 @@ def c_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     sh = _shingle_doc_table(
-        ex, F.transform(_shingles(), lambda s: F.xxhash64(s))
+        ex, _hashed_shingles()
     )
     pairs = _shingle_pairs(sh)
     jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
@@ -2492,7 +2529,7 @@ def c_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.explode(
-            F.transform(_shingles(k=5), lambda s: F.xxhash64(s))
+            _hashed_shingles(k=5)
         ).alias("s"),
     ).distinct()
     eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()

@@ -295,10 +295,10 @@ def minhash_banding_stress(spark, n_docs: int = 100_000) -> None:
     from demo_segmenter_spark.operators.layer_c import (
         MINHASH_BANDS,
         MINHASH_ROWS,
+        _hashed_shingles,
         _minhash_signature,
         _minhash_verified_pairs,
         _shingle_pairs,
-        _shingles,
     )
 
     t0 = time.time()
@@ -318,7 +318,7 @@ def minhash_banding_stress(spark, n_docs: int = 100_000) -> None:
         "doc_id long, text string",
     )
     docs = docs.unionAll(planted)
-    hs = F.transform(_shingles(), lambda s: F.xxhash64(s))
+    hs = _hashed_shingles()
     sh = (
         docs.select("doc_id", hs.alias("hset"))
         .filter(F.size("hset") > 0)

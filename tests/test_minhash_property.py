@@ -70,7 +70,7 @@ def test_native_minhash_matches_python_reference(spark):
         import demo_segmenter_spark.operators.layer_c as lc
         from pyspark.sql import functions as F
 
-        hs = F.transform(lc._shingles(), lambda s: F.xxhash64(s))
+        hs = lc._hashed_shingles()  # the exact expression the query uses
         sh = sdf.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
         got = {
             (r.doc_a, r.doc_b): r.jaccard
