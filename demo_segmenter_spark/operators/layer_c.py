@@ -413,7 +413,11 @@ MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
 
 
 def _minhash_signature(col: str = "hset") -> F.Column:
-    """K min-hashes over a hashed-shingle array column, as one array.
+    """K min-hashes over a hashed-shingle array column, as one array
+    (declarative form — kept as the documented reference twin and for
+    the transform-arity regression test; the HOT path is the
+    vectorized _minhash_band_keys_udf below, since these K transform
+    lambdas are interpreted per element like every Spark HOF).
 
     NB: the inner lambda must be UNARY — pyspark passes the array index
     as a second argument to binary lambdas, which would clobber the
@@ -427,39 +431,87 @@ def _minhash_signature(col: str = "hset") -> F.Column:
     return F.array(*[_minhash(i) for i in range(MINHASH_K)])
 
 
+def _splitmix64(z):
+    """Vectorized splitmix64 finalizer over a uint64 ndarray (wrapping
+    arithmetic — numpy uint64 wraps silently, which is exactly the
+    mixer's contract). A strong 64-bit mixer is all MinHash needs from
+    its hash family; nothing external ever sees these values."""
+    import numpy as np
+
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_band_keys_udf():
+    """Arrow-vectorized minhash banding: per batch, flatten the ragged
+    hash-sets, run K=32 splitmix64 mixes over the flat array with
+    per-function seeds, take per-doc minima with minimum.reduceat, and
+    fold each band's ROWS minima into one bucket key (band-seeded
+    splitmix chain). Replaces K interpreted array_min(transform(...))
+    lambdas on the hot path — the same HOF-vs-Arrow tradeoff measured
+    on the hyperplane and shingle paths. Function independence of the
+    mixer family is pinned in tests/test_shingle_cap.py next to the
+    declarative twin's arity guard."""
+    import numpy as np
+
+    fn_seeds = _splitmix64(np.arange(1, MINHASH_K + 1, dtype=np.uint64))
+    band_seeds = _splitmix64(
+        np.arange(10_001, 10_001 + MINHASH_BANDS, dtype=np.uint64)
+    )
+
+    @F.pandas_udf("array<long>")
+    def _bk(hset: pd.Series) -> pd.Series:
+        if not len(hset):
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(v) for v in hset), dtype=np.int64, count=len(hset))
+        assert lens.min() > 0, "empty hset reached banding (filter upstream)"
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in hset])
+            .view(np.uint64)
+            if lens.sum()
+            else np.empty(0, np.uint64)
+        )
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        mins = np.empty((len(lens), MINHASH_K), dtype=np.uint64)
+        for i in range(MINHASH_K):
+            mins[:, i] = np.minimum.reduceat(_splitmix64(flat ^ fn_seeds[i]), offsets)
+        bands = mins.reshape(len(lens), MINHASH_BANDS, MINHASH_ROWS)
+        key = np.broadcast_to(band_seeds, (len(lens), MINHASH_BANDS)).copy()
+        for j in range(MINHASH_ROWS):
+            key = _splitmix64(key ^ bands[:, :, j])
+        return pd.Series(list(key.view(np.int64)))
+
+    return _bk
+
+
+def _minhash_band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, sz, s) band-bucket rows for a
+    (doc_id, hset) table — the shape _shingle_pairs consumes. Shared
+    by _minhash_verified_pairs and the scale stress so the candidate
+    bound is measured on the exact production banding."""
+    return sh.select(
+        "doc_id",
+        F.size("hset").alias("sz"),
+        _minhash_band_keys_udf()("hset").alias("bk"),
+    ).select(
+        "doc_id",
+        F.lit("_").alias("lang"),
+        F.lit("_").alias("source"),
+        "sz",
+        F.explode("bk").alias("s"),
+    )
+
+
 def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The full native banding pipeline over a (doc_id, hset) hashed-
     shingle table: signatures → band bucket keys → bounded grouped-pairs
     candidates → EXACT Jaccard verification of the broadcast candidate
     set. Shared by c_dedup_minhash_native and the pure-Python property
     test (tests/test_minhash_property.py) so the two can never drift."""
-    sig = _minhash_signature()
-    bands = (
-        sh.select("doc_id", F.size("hset").alias("sz"), sig.alias("sig"))
-        .select(
-            "doc_id",
-            F.lit("_").alias("lang"),
-            F.lit("_").alias("source"),
-            "sz",
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.element_at(
-                                    F.col("sig"), b * MINHASH_ROWS + j + 1
-                                )
-                                for j in range(MINHASH_ROWS)
-                            ],
-                        )
-                        for b in range(MINHASH_BANDS)
-                    ]
-                )
-            ).alias("s"),
-        )
-    )
-    cand = _shingle_pairs(bands).select("doc_a", "doc_b")
+    cand = _shingle_pairs(_minhash_band_table(sh)).select("doc_a", "doc_b")
     # Exact verify: stream the shingle table once per side against the
     # candidate set. No broadcast HINT on purpose — candidates are few
     # by construction per bucket, but the bucket count is corpus-sized,
@@ -501,22 +553,24 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 """,
 )
 def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding implemented NATIVELY in whole-stage codegen
-    (the shingle→minhash→band→bucket-join pipeline; the pyspark.ml twin
-    is c_dedup_minhash): K=32 per-doc min-hashes via
-    array_min(transform(shingles, xxhash64(·, i))), 8 bands of 4 rows
-    hashed to one bucket key each, candidates from an equi-join on the
-    bucket key using the SAME bounded grouped-pairs machinery as
-    c_dedup_ngram (window df cap — no hot bucket can emit more than
-    C(cap,2) pairs; at 100 TB, >cap identical docs belong to the exact
-    dedup pass that precedes near-dup anyway), then EXACT Jaccard
-    verification of the candidates via array_intersect, so false
-    candidates never reach the output. Full DuckDB hash oracle (exact
-    unblocked Jaccard >= 0.5): sound because band-miss probability at
-    the fixture's pair spectrum is ~3e-8 (see MINHASH_BANDS note).
-    Scale story vs the ml-lib twin: zero Python/JVM model objects, one
-    band-key shuffle + one small-pair broadcast verify, everything
-    codegen."""
+    """MinHash+LSH banding implemented natively (the shingle→minhash→
+    band→bucket-join pipeline; the pyspark.ml twin is c_dedup_minhash):
+    K=32 per-doc min-hashes and 8×4 band bucket keys computed in ONE
+    Arrow-vectorized pass (_minhash_band_keys_udf — splitmix64 mixes +
+    minimum.reduceat; the declarative array_min/transform form is
+    interpreted per element and kept only as the reference twin),
+    candidates from an equi-join on the bucket key using the SAME
+    bounded grouped-pairs machinery as c_dedup_ngram (window df cap —
+    no hot bucket can emit more than C(cap,2) pairs; at 100 TB, >cap
+    identical docs belong to the exact dedup pass that precedes
+    near-dup anyway), then EXACT Jaccard verification of the
+    candidates via array_intersect, so false candidates never reach
+    the output. Full DuckDB hash oracle (exact unblocked Jaccard >=
+    0.5): sound because every true >=0.5 pair sits far above the
+    banding's miss zone (see MINHASH_BANDS note + the fixture-spectrum
+    guard test). Scale story vs the ml-lib twin: zero Python/JVM model
+    objects, one band-key shuffle + one small-pair verify sized by
+    AQE."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     hs = _hashed_shingles()
     sh = persist(

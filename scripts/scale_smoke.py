@@ -293,10 +293,8 @@ def minhash_banding_stress(spark, n_docs: int = 100_000) -> None:
       over unique docs collide rarely, so candidates ~ o(n_docs), not
       the C(n,2) of an all-pairs design."""
     from demo_segmenter_spark.operators.layer_c import (
-        MINHASH_BANDS,
-        MINHASH_ROWS,
         _hashed_shingles,
-        _minhash_signature,
+        _minhash_band_table,
         _minhash_verified_pairs,
         _shingle_pairs,
     )
@@ -333,30 +331,7 @@ def minhash_banding_stress(spark, n_docs: int = 100_000) -> None:
     assert got.jaccard >= 0.97, got
 
     # candidate boundedness: same banding the verified path ran
-    sig = _minhash_signature()
-    bands = sh.select(
-        "doc_id", F.size("hset").alias("sz"), sig.alias("sig")
-    ).select(
-        "doc_id",
-        F.lit("_").alias("lang"),
-        F.lit("_").alias("source"),
-        "sz",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(F.col("sig"), b * MINHASH_ROWS + j + 1)
-                            for j in range(MINHASH_ROWS)
-                        ],
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("s"),
-    )
-    n_cand = _shingle_pairs(bands).count()
+    n_cand = _shingle_pairs(_minhash_band_table(sh)).count()
     assert n_cand < n_docs // 10, n_cand
     sh.unpersist()
     print(

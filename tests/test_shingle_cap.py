@@ -146,6 +146,47 @@ def test_minhash_signature_rows_are_independent(spark):
     assert len(set(sig)) >= MINHASH_K - 2, sig
 
 
+def test_minhash_mixer_family_is_independent():
+    """Same independence pin for the HOT-path vectorized mixer family
+    (_minhash_band_keys_udf): K splitmix64 functions over a 500-element
+    set must produce (nearly) all-distinct minima, and two docs sharing
+    no shingles must share no band key."""
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import (
+        MINHASH_K,
+        _splitmix64,
+    )
+
+    rng = np.random.default_rng(11)
+    hset = rng.integers(0, 2**63, size=500, dtype=np.int64).view(np.uint64)
+    seeds = _splitmix64(np.arange(1, MINHASH_K + 1, dtype=np.uint64))
+    mins = np.array([_splitmix64(hset ^ s).min() for s in seeds])
+    assert len(np.unique(mins)) >= MINHASH_K - 2, mins
+
+
+def test_minhash_band_keys_match_disjointness(spark):
+    """End-to-end udf sanity: disjoint docs share zero band keys;
+    identical docs share all MINHASH_BANDS keys."""
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import (
+        MINHASH_BANDS,
+        _minhash_band_keys_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, list(range(1, 101))), (2, list(range(1, 101))), (3, list(range(200, 300)))],
+        "doc_id long, hset array<long>",
+    )
+    rows = {
+        r["doc_id"]: r["bk"]
+        for r in df.select("doc_id", _minhash_band_keys_udf()("hset").alias("bk")).collect()
+    }
+    assert rows[1] == rows[2] and len(rows[1]) == MINHASH_BANDS
+    assert not set(rows[1]) & set(rows[3])
+
+
 def test_hot_shingle_uncapped_blowup_exists(spark, hot_corpus):
     """Sanity: the hazard the cap removes is real on this corpus."""
     sh = _shingle_table(hot_corpus)
