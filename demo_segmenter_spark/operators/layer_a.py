@@ -1491,3 +1491,137 @@ def a_pipeline_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("n_anomalies").alias("metric"), "value")
     )
     return n_sessions.unionAll(wau_peak).unionAll(funnel_rate).unionAll(n_anomalies)
+
+
+# ---------------------------------------------------------------------------
+# Suppressed / emit-final windowed aggregation (PK: Kafka Streams
+# suppress(Suppressed.untilWindowCloses)) — emit each window's FINAL
+# result exactly once, only after stream time passes the window end by
+# the grace period. Spark expresses this natively: watermark + append
+# output mode emits a windowed aggregate only when the watermark passes
+# the window end — the same "no intermediate updates" contract.
+# ---------------------------------------------------------------------------
+
+SUPPRESS_GRACE_HOURS = 1
+_SUPPRESS_GRACE_US = SUPPRESS_GRACE_HOURS * 3600 * 1_000_000
+
+_SUPPRESS_ORACLE = f"""
+SELECT * FROM (
+    SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           {sql_money_sum("value")} AS sum_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+)
+WHERE window_start_us + 86400000000
+      <= (SELECT epoch_us(max(ts)) - {_SUPPRESS_GRACE_US} FROM events)
+"""
+
+
+@query("a_suppress_emit_final", oracle=_SUPPRESS_ORACLE)
+def a_suppress_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of suppress(untilWindowCloses): the 1-day tumbling
+    aggregate restricted to CLOSED windows — windows whose end is at or
+    before the final watermark (max event time minus the
+    {SUPPRESS_GRACE_HOURS}h grace). The still-open tail windows are
+    withheld, exactly what the Kafka Streams operator guarantees. The
+    watermark is a 1-row broadcast, so the only shuffle is the window
+    aggregation itself; at 100 TB the closed-window filter prunes
+    whole partitions when the fact table is date-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.unix_micros(F.max("ts")) - _SUPPRESS_GRACE_US).alias("wm_us")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .join(F.broadcast(wm))
+        .filter(F.unix_micros("w.end") <= F.col("wm_us"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("a_suppress_emit_final_stream", oracle=_SUPPRESS_ORACLE)
+def a_suppress_emit_final_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING suppress(untilWindowCloses): watermark + APPEND output
+    mode on the windowed aggregate. Append mode IS the suppress
+    operator in Structured Streaming — a window's single, final row is
+    emitted only once the watermark (max seen event time minus
+    {SUPPRESS_GRACE_HOURS}h) passes the window end; open windows stay
+    in the state store and are never emitted. Run to completion with
+    AvailableNow; Spark's closing no-data micro-batch flushes every
+    window the final watermark closed, so the emitted set equals the
+    batch twin's and both hash-match the same oracle. State is evicted
+    at flush — the 100 TB contract that keeps windowed state bounded
+    by (open windows x keys), not history."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", f"{SUPPRESS_GRACE_HOURS} hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"suppress_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "a_merge",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, 'clicks' AS src_stream
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, 'purchases' AS src_stream
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def a_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream.merge: interleave two independently-derived streams into
+    one, tagging provenance. Batch form is a unionByName of the two
+    branches; the streaming form is the identical union of two
+    readStreams (Structured Streaming unions are map-side — no shuffle,
+    no state). Merge is the dual of a_branch: branch splits one topic
+    into N, merge rejoins N into one."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = [
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    ]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        *cols, F.lit("clicks").alias("src_stream")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        *cols, F.lit("purchases").alias("src_stream")
+    )
+    return clicks.unionByName(purchases)

@@ -2065,3 +2065,116 @@ SELECT c_nationkey,
        listagg(c_name, ',') WITHIN GROUP (ORDER BY rn) AS top_names
 FROM ranked WHERE rn <= 5 GROUP BY c_nationkey
 """)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation connected components (min-label / "hash-to-min"):
+# the third iterative-algorithm showcase next to b_graph_pagerank and
+# c_sim_kmeans — and unlike those, ALL-INTEGER, so the replay oracle
+# needs no quantization at all.
+# ---------------------------------------------------------------------------
+
+LABELPROP_ITERS = 3
+LABELPROP_MIN_QTY = 48  # sparsifies lineitem to ~6% so components are many
+
+_LABELPROP_EDGES_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_quantity >= {LABELPROP_MIN_QTY}
+), half AS (
+    SELECT o * 2 AS src, p * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT p * 2 + 1 AS src, o * 2 AS dst FROM pairs
+), edges AS (
+    SELECT src, dst FROM half
+    UNION ALL
+    SELECT DISTINCT src, src FROM half
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS lbl FROM half
+)
+"""
+
+
+def _labelprop_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+, l{i} AS (
+    SELECT e.dst AS node, min(p.lbl) AS lbl
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+)"""
+
+
+@query(
+    "b_graph_components",
+    oracle=_LABELPROP_EDGES_SQL
+    + "".join(_labelprop_iter_sql(i) for i in range(1, LABELPROP_ITERS + 1))
+    + f"""
+SELECT lbl AS component, count(*) AS n_nodes, min(node) AS min_node
+FROM l{LABELPROP_ITERS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, component
+LIMIT 100
+""",
+)
+def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation, LABELPROP_ITERS=3
+    rounds unrolled, over the SPARSIFIED orders<->parts co-purchase
+    graph (l_quantity >= LABELPROP_MIN_QTY keeps ~6% of lineitem so the
+    graph fractures into many components instead of one giant one).
+    Each round every node takes the minimum label among itself and its
+    neighbors — the standard "hash-to-min" CC step (k rounds resolve
+    components of diameter <= k; c_dedup_cluster holds the
+    run-to-fixpoint contraction variant, this is the bounded-round
+    relational form whose every iteration the DuckDB oracle replays
+    EXACTLY — integer labels, no quantization). The edge list carries a
+    SELF-LOOP per node so "min over itself and its neighbors" is one
+    min over incoming labels — the label table is referenced ONCE per
+    round, keeping the unrolled plan linear in rounds (the
+    least(self, min(nbr)) form references it twice and the static plan
+    doubled per round: 31 exchanges vs ~10). Output: the 100 largest
+    components by (size desc, label). Scale story: identical to
+    pagerank's — labels live in a node-count table that AQE broadcasts
+    against the persisted edge list, one groupBy(dst) shuffle per
+    round with map-side MIN partials; never a driver-side loop."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(F.col("l_quantity") >= LABELPROP_MIN_QTY)
+        .select(
+            (F.col("l_orderkey") * 2).alias("o"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
+        F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
+    )
+    half = persist(
+        pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    )
+    nodes = half.select("src").distinct()
+    edges = persist(
+        half.unionByName(nodes.select("src", F.col("src").alias("dst")))
+    )
+    lbl = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    for _ in range(LABELPROP_ITERS):
+        lbl = (
+            edges.join(
+                lbl.select(
+                    F.col("node").alias("src"), F.col("lbl").alias("src_lbl")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_lbl").alias("lbl"))
+            .withColumnRenamed("dst", "node")
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("component"))
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy(F.col("n_nodes").desc(), "component")
+        .limit(100)
+    )

@@ -196,6 +196,15 @@ def test_shuffle_budgets_table(spark):
         # rounds and the final top-100 sort; the share table is
         # node-sized so AQE broadcasts the per-iteration join
         "b_graph_pagerank": 12,
+        # linear unrolled min-label rounds (self-loop edge list keeps
+        # the label table referenced once per round); the persisted
+        # half/edges subtrees repeat in the static plan like pagerank's
+        "b_graph_components": 15,
+        # 1-row watermark broadcast + the window aggregation; the
+        # closed-window filter adds no exchange
+        "a_suppress_emit_final": 2,
+        # stream merge is map-side union — zero shuffles by contract
+        "a_merge": 0,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
