@@ -3117,3 +3117,106 @@ def c_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("drop_reason"),
         ((nt >= 20) & (dup <= 0.6) & (sr >= 0.01)).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA over the embedding corpus — the fourth iterative
+# showcase (after kmeans / pagerank / label-prop CC), on the vector
+# side: top principal direction of the (uncentered) Gram matrix,
+# computed without ever materializing a covariance matrix.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+_PCA_V0 = 0.125  # 1/sqrt(64): exact binary, unit-norm uniform init
+
+
+def _pca_iter_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""
+, s{i} AS (
+    SELECT e.i, sum(e.x * c.coef) AS s
+    FROM ex e JOIN (
+        SELECT ex.vec_id, sum(ex.x * {prev}.v) AS coef
+        FROM ex JOIN {prev} USING (i) GROUP BY ex.vec_id
+    ) c USING (vec_id)
+    GROUP BY e.i
+), v{i} AS (
+    SELECT i, {sql_rnd(f"s / sqrt((SELECT sum(s * s) FROM s{i}))", 6)} AS v
+    FROM s{i}
+)"""
+
+
+@query(
+    "c_embed_pca",
+    oracle=_EMB_CTE
+    + f"""
+, v0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM ex
+)"""
+    + "".join(_pca_iter_sql(i) for i in range(1, PCA_ITERS + 1))
+    + f"""
+SELECT i AS dim, v AS loading,
+       (SELECT {sql_rnd("sqrt(sum(s * s))", 2)} FROM s{PCA_ITERS}) AS eig_norm
+FROM v{PCA_ITERS}
+""",
+)
+def c_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by PCA_ITERS=3
+    unrolled power iterations: v <- normalize(X'(Xv)), uncentered (the
+    fixture embeddings are ~zero-mean by construction; centering would
+    add one mean-vector broadcast, same plan shape). Hash-certified by
+    a full per-iteration replay oracle — loadings are quantized to 6
+    decimals after each normalization so both engines feed identical
+    vectors into the next iteration (the c_sim_kmeans recipe), and the
+    uniform 1/sqrt(64) init is exact in binary. eig_norm = ||X'Xv||
+    after the last iteration — the dominant-eigenvalue estimate the
+    projection step would use. Scale story: the coef pass (Xv) is one
+    map-side dot per row against a 1-row broadcast of the current
+    component; the update (X'c) is a posexplode + groupBy(dim) whose
+    partial sums collapse map-side to 64 rows per task — per iteration
+    ONE tiny shuffle, never a corpus shuffle, never a driver-side loop
+    (the 64-float component travels as a broadcast row, not a
+    collect()). At 100 TB this is exactly distributed power iteration:
+    deflate and repeat for the top-k components."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = persist(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    )
+    # current component as a ONE-ROW (v: array<double>) DataFrame
+    vrow = base.limit(1).select(
+        F.array_repeat(F.lit(_PCA_V0), RHP_DIM).alias("v")
+    )
+    # Every intermediate is referenced ONCE per round (the norm rides a
+    # global window over the 64-row s instead of a separate agg +
+    # crossJoin), so the unrolled static plan stays LINEAR in rounds —
+    # the same plan-shape discipline as b_graph_components' self-loops.
+    glob = Window.partitionBy()
+    vfull = None
+    for it in range(PCA_ITERS):
+        coef = (
+            base.crossJoin(F.broadcast(vrow))
+            .select("vec_id", "x", dot(F.col("x"), F.col("v")).alias("coef"))
+        )
+        s = (
+            coef.select("coef", F.posexplode("x").alias("i", "xi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("coef") * F.col("xi")).alias("s"))
+        )
+        vfull = s.select(
+            "i",
+            "s",
+            F.sqrt(F.sum(F.col("s") * F.col("s")).over(glob)).alias("nrm"),
+        ).select("i", rnd(F.col("s") / F.col("nrm"), 6).alias("v"), "nrm")
+        if it < PCA_ITERS - 1:
+            vrow = vfull.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda t: t["v"],
+                ).alias("v")
+            )
+    return vfull.select(
+        # oracle dims are 1-based (generate_subscripts); posexplode is 0-based
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.col("v").alias("loading"),
+        rnd(F.col("nrm"), 2).alias("eig_norm"),
+    )

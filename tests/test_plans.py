@@ -200,6 +200,11 @@ def test_shuffle_budgets_table(spark):
         # the label table referenced once per round); the persisted
         # half/edges subtrees repeat in the static plan like pagerank's
         "b_graph_components": 15,
+        # 3 unrolled power iterations, each: posexplode+groupBy(dim)
+        # collapsing map-side to 64 rows, a single-partition window for
+        # the norm, and the 1-row component rebuild — all intermediates
+        # referenced once, so the static plan is linear in rounds
+        "c_embed_pca": 7,
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
