@@ -76,9 +76,11 @@ HEADLINE = [
     "c_pipeline_rerank",
     "c_chunking",
     "c_dedup_cluster",
-    # round 5: the two unrolled iterative algorithms
+    # round 5: the unrolled iterative algorithms
     "c_sim_kmeans",
     "b_graph_pagerank",
+    "b_graph_components",
+    "c_embed_pca",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

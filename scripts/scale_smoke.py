@@ -88,6 +88,7 @@ def main() -> None:
     )
 
     cc_stress(spark)
+    labelprop_stress(spark)
     ann_stress(spark)
     skew_stress(spark)
     hot_shingle_stress(spark)
@@ -386,6 +387,62 @@ def cc_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
             f"edges -> {agg.n_comp} components in {dt:.1f}s "
             f"({n_edges / dt / 1e6:.2f}M edges/s)"
         )
+
+
+def labelprop_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
+    """Min-label propagation (the b_graph_components dataflow) at
+    synthetic scale with a KNOWN answer: the same scrambled-chain graph
+    as cc_stress, run for chain-1 rounds (enough to cover the diameter)
+    with the identical self-loop + min-over-incoming shape the query
+    unrolls. Ground truth: every chain converges to its minimum vertex
+    id — exactly n/chain distinct labels over exactly n vertices, and
+    (propagation-specific, stronger than cc_stress's invariant) every
+    label must BE the min id of its own member set."""
+    p = 999_983
+    assert n % chain == 0
+    base = spark.range(n)
+    half = base.filter((F.col("id") % chain) != chain - 1).select(
+        ((F.col("id") * p) % n).alias("src"),
+        (((F.col("id") + 1) * p) % n).alias("dst"),
+    )
+    half = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = half.select("src").distinct()
+    edges = half.unionByName(
+        nodes.select("src", F.col("src").alias("dst"))
+    ).persist()
+    n_edges = edges.count()
+    t0 = time.time()
+    lbl = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    for _ in range(chain - 1):
+        lbl = (
+            edges.join(
+                lbl.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_lbl").alias("lbl"))
+            .withColumnRenamed("dst", "node")
+        ).persist()  # checkpoint each round: keeps the 7-round plan shallow
+    agg = lbl.agg(
+        F.count("*").alias("n_v"),
+        F.countDistinct("lbl").alias("n_comp"),
+        # propagation-specific invariant: a label equals the min member
+        F.sum(F.when(F.col("lbl") > F.col("node"), 1).otherwise(0)).alias("bad"),
+    ).first()
+    per_label_min = (
+        lbl.groupBy("lbl").agg(F.min("node").alias("mn"))
+        .filter(F.col("lbl") != F.col("mn")).count()
+    )
+    dt = time.time() - t0
+    assert agg.n_v == n, (agg.n_v, n)
+    assert agg.n_comp == n // chain, (agg.n_comp, n // chain)
+    assert agg.bad == 0 and per_label_min == 0, (agg.bad, per_label_min)
+    print(
+        f"label propagation: {n_edges} edges x {chain - 1} rounds -> "
+        f"{agg.n_comp} converged labels in {dt:.1f}s "
+        f"({n_edges * (chain - 1) / dt / 1e6:.2f}M edge-visits/s)"
+    )
+    spark.catalog.clearCache()
 
 
 def skew_stress(spark, n_events: int = 5_000_000, n_users: int = 100_000) -> None:
