@@ -1625,3 +1625,146 @@ def a_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         *cols, F.lit("purchases").alias("src_stream")
     )
     return clicks.unionByName(purchases)
+
+
+# ---------------------------------------------------------------------------
+# Cogroup (PK: KGroupedStream.cogroup — one aggregate fed by several
+# keyed streams) and KTable-KTable join (PK: changelog-changelog join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_cogroup",
+    oracle="""
+WITH ev AS (
+    SELECT user_id AS k, count(*) AS n_events,
+           sum(CAST(round(value * 100 + 0.0001) AS BIGINT)) AS ev_cents
+    FROM events GROUP BY user_id
+), od AS (
+    SELECT o_custkey AS k, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100 + 0.0001) AS BIGINT)) AS od_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(ev.k, od.k) AS k,
+       COALESCE(n_events, 0) AS n_events,
+       (round(COALESCE(ev_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS ev_value,
+       COALESCE(n_orders, 0) AS n_orders,
+       (round(COALESCE(od_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS od_value
+FROM ev FULL OUTER JOIN od ON ev.k = od.k
+""",
+)
+def a_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup (PK: KGroupedStream.cogroup): ONE per-key aggregate fed
+    by TWO independently-keyed streams — event activity and order
+    spend per customer key — where a key missing from either stream
+    still emits (zero-initialized), exactly Kafka Streams' cogroup
+    initializer semantics. Implemented on PySpark's dedicated cogroup
+    surface: ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``
+    — each side arrives as its own Arrow-backed pandas frame per key,
+    the merge is vectorized pandas (never per-row Python), and money
+    follows the repo's integer-cents discipline (floor(x*100+eps+0.5)
+    == Spark's HALF_UP round for the non-negative fixture values).
+    Scale story: cogroup is ONE co-partitioned shuffle of each input on
+    the key — the same two repartition topics Kafka Streams would
+    materialize — then a single pass; no join blow-up, state bounded
+    by keys in flight. At 100 TB the Python stage is the only non-
+    codegen hop; the sides are pre-aggregated per key by the groupBy,
+    so each Arrow batch is small."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("value")
+    )
+
+    def _cents(s: pd.Series) -> int:
+        # mirror functions.compat.cents for non-negative money
+        return int(np.floor(s.to_numpy() * 100 + 1e-4 + 0.5).sum())
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        k = (left["k"].iloc[0] if len(left) else right["k"].iloc[0])
+        ev_cents = _cents(left["value"]) if len(left) else 0
+        od_cents = _cents(right["value"]) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "k": [k],
+                "n_events": [len(left)],
+                "ev_value": [np.round(ev_cents / 100.0 + 1e-6, 2) + 0.0],
+                "n_orders": [len(right)],
+                "od_value": [np.round(od_cents / 100.0 + 1e-6, 2) + 0.0],
+            }
+        )
+
+    return ev.groupBy("k").cogroup(od.groupBy("k")).applyInPandas(
+        merge,
+        schema="k long, n_events long, ev_value double, "
+        "n_orders long, od_value double",
+    )
+
+
+@query(
+    "a_ktable_join",
+    oracle="""
+WITH last_ev AS (
+    SELECT user_id, event_id, event_type, ts FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+), last_od AS (
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.user_id, e.event_id AS last_event_id, e.event_type AS last_event_type,
+       epoch_us(e.ts) AS last_event_ts_us,
+       o.o_orderkey AS last_orderkey,
+       (round(CAST(round(o.o_totalprice * 100 + 0.0001) AS BIGINT) / 100.0
+              + 1e-06, 2) + 0.0) AS last_order_total
+FROM last_ev e JOIN last_od o ON e.user_id = o.o_custkey
+""",
+)
+def a_ktable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable-KTable join (PK: changelog-changelog join — the result
+    updates whenever EITHER side's latest value changes): the latest
+    event per user joined to the latest order per customer on the
+    shared key. Both sides compact map-side (WindowGroupLimit pushes
+    row_number<=1 below the exchange, the same reason KTable caching
+    bounds changelogs), then one co-partitioned join — at 100 TB both
+    changelogs shuffle once on the key and the join is 1:1 row-count
+    bounded by distinct keys."""
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    we = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    last_ev = (
+        ev.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    last_od = (
+        od.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return last_ev.join(
+        last_od, last_ev.user_id == last_od.o_custkey
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.unix_micros("ts").alias("last_event_ts_us"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        rnd(cents(F.col("o_totalprice")) / 100.0, 2).alias("last_order_total"),
+    )

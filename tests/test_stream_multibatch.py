@@ -185,3 +185,53 @@ def test_dedup_drops_cross_batch_duplicates(spark):
     # inside the watermark — state must recognize and drop every one.
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_suppress_emits_final_incrementally_across_batches(spark):
+    # suppress(untilWindowCloses) semantics under real micro-batch
+    # advancement: 1-day windows in APPEND mode with a 1h watermark
+    # over three ts-ordered batches. Each window must be emitted (a)
+    # exactly once, (b) only after the watermark passed its end, and
+    # (c) INCREMENTALLY — closed windows flush in the batch after
+    # their close, not in one final dump. The final emitted set must
+    # equal the batch twin (closed windows only).
+    from demo_segmenter_spark.functions.compat import money_sum
+
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        (p["numInputRows"], p["sink"]["numOutputRows"])
+        for p in q.recentProgress
+    ]
+    data_batches = [p for p in progress if p[0] > 0]
+    assert len(data_batches) == 3, progress
+    # (c): at least one window closed and flushed while data was still
+    # arriving (the thirds span >1 day each), and the last data batch
+    # cannot have been the only emitter.
+    emitted_early = sum(out for _, out in data_batches[1:-1])
+    assert emitted_early > 0, progress
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_suppress_emit_final"].fn(spark, SF))
+    assert got == want
