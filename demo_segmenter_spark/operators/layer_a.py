@@ -1768,3 +1768,89 @@ def a_ktable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         rnd(cents(F.col("o_totalprice")) / 100.0, 2).alias("last_order_total"),
     )
+
+
+@query(
+    "a_cogroup_stream",
+    oracle="""
+WITH ev AS (
+    SELECT user_id AS k, count(*) AS n_events,
+           sum(CAST(round(value * 100 + 0.0001) AS BIGINT)) AS ev_cents
+    FROM events GROUP BY user_id
+), od AS (
+    SELECT o_custkey AS k, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100 + 0.0001) AS BIGINT)) AS od_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(ev.k, od.k) AS k,
+       COALESCE(n_events, 0) AS n_events,
+       (round(COALESCE(ev_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS ev_value,
+       COALESCE(n_orders, 0) AS n_orders,
+       (round(COALESCE(od_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS od_value
+FROM ev FULL OUTER JOIN od ON ev.k = od.k
+""",
+)
+def a_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cogroup twin: the actual Kafka Streams cogroup
+    TOPOLOGY — two independent streams tagged and merged map-side
+    (KStream.merge of the repartitioned inputs), feeding ONE keyed
+    aggregate store (conditional sums per source tag), run to
+    completion in complete mode against the SAME full-outer oracle as
+    a_cogroup. One shuffle total on the shared key; per-key state is a
+    fixed-width row of counters regardless of stream count — exactly
+    why cogroup beats N self-joins at 100 TB."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from demo_segmenter_spark.streaming.sources import _stream_dir, stream_events
+
+    ev_s = stream_events(spark, sf_dir).select(
+        F.col("user_id").alias("k"),
+        "value",
+        F.lit("ev").alias("src"),
+    )
+    od_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    od_s = (
+        spark.readStream.schema(od_schema)
+        .parquet(_stream_dir(sf_dir, "orders"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_totalprice").alias("value"),
+            F.lit("od").alias("src"),
+        )
+    )
+    is_ev = F.col("src") == "ev"
+    agg = (
+        ev_s.unionByName(od_s)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(is_ev, 1).otherwise(0)).alias("n_events"),
+            rnd(
+                F.sum(F.when(is_ev, cents(F.col("value"))).otherwise(0)) / 100.0, 2
+            ).alias("ev_value"),
+            F.sum(F.when(~is_ev, 1).otherwise(0)).alias("n_orders"),
+            rnd(
+                F.sum(F.when(~is_ev, cents(F.col("value"))).otherwise(0)) / 100.0, 2
+            ).alias("od_value"),
+        )
+    )
+    name = f"cogroup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
