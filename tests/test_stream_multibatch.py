@@ -235,3 +235,35 @@ def test_suppress_emits_final_incrementally_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_suppress_emit_final"].fn(spark, SF))
     assert got == want
+
+
+def test_outer_join_nulls_across_batches(spark):
+    # Left-outer stream-stream join under real micro-batch advancement:
+    # unmatched purchases must emit NULL rows as the min-policy
+    # watermark passes them MID-STREAM (not only in the closing
+    # no-data batch), and the final set must equal the batch twin,
+    # which models the eviction boundary explicitly.
+    from demo_segmenter_spark.operators.layer_a import _outer_join_parts
+
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src)
+    out = _outer_join_parts(ev, streaming=True)
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        (p["numInputRows"], p["sink"]["numOutputRows"])
+        for p in q.recentProgress
+    ]
+    assert sum(1 for i, _ in progress if i > 0) == 3, progress
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_stream_stream_join_outer"].fn(spark, SF))
+    assert got == want
+    # nulls present at all (the fixture has unmatched purchases)
+    assert any(r[2] is None for r in got)
