@@ -3220,3 +3220,180 @@ def c_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("loading"),
         rnd(F.col("nrm"), 2).alias("eig_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (word-level): the tokenizer-TRAINING step of an
+# LLM data pipeline as a dataflow — count adjacent-pair frequencies,
+# pick the argmax pair, merge its non-overlapping occurrences greedily
+# left-to-right, repeat. BPE_ROUNDS rounds unrolled; every round is
+# replayed exactly by the DuckDB oracle (all-integer counts + string
+# tokens — no quantization anywhere).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 2
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"t{r - 1}"
+    return f"""
+, aug{r} AS (
+    SELECT doc_id, pos, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM {prev}
+), best{r} AS (
+    SELECT tok AS a, b, count(*) AS c
+    FROM aug{r} WHERE b IS NOT NULL
+    GROUP BY tok, b
+    ORDER BY c DESC, a, b LIMIT 1
+), o{r} AS (
+    SELECT g.doc_id, g.pos, g.tok, g.b,
+           CASE WHEN g.tok = best{r}.a AND g.b = best{r}.b
+                THEN 1 ELSE 0 END AS occ
+    FROM aug{r} g CROSS JOIN best{r}
+), c{r} AS (
+    SELECT *, sum(occ) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM o{r}
+), i{r} AS (
+    SELECT *, CASE WHEN occ = 1 THEN row_number() OVER (
+                  PARTITION BY doc_id, CASE WHEN occ = 1 THEN pos - cum END
+                  ORDER BY pos) END AS occ_idx
+    FROM c{r}
+), m{r} AS (
+    SELECT *, (occ = 1 AND occ_idx % 2 = 1) AS merged FROM i{r}
+), d{r} AS (
+    SELECT *, lag(merged) OVER (PARTITION BY doc_id ORDER BY pos)
+              AS prev_merged
+    FROM m{r}
+), t{r} AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                AS BIGINT) AS pos,
+           CASE WHEN merged THEN tok || '_' || b ELSE tok END AS tok
+    FROM d{r}
+    WHERE prev_merged IS NULL OR NOT prev_merged
+), s{r} AS (
+    SELECT {r} AS round, best{r}.a AS tok_a, best{r}.b AS tok_b,
+           CAST(best{r}.c AS BIGINT) AS pair_count,
+           CAST((SELECT sum(CASE WHEN merged THEN 1 ELSE 0 END) FROM m{r})
+                AS BIGINT) AS n_merges,
+           best{r}.a || '_' || best{r}.b AS new_token
+    FROM best{r}
+)"""
+
+
+@query(
+    "c_token_bpe",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, BPE_ROUNDS + 1))})
+ORDER BY round
+""",
+)
+def c_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training, BPE_ROUNDS=2 rounds unrolled: per round,
+    (1) adjacent-pair frequencies over the corpus, (2) argmax pair
+    with (count DESC, a, b) total-order tiebreak, (3) GREEDY
+    left-to-right merge of non-overlapping occurrences — overlap runs
+    resolve by consecutive-run grouping (run = pos - cumulative
+    occurrence count; merge the odd-indexed occurrences of each run,
+    so 'A A A' under pair (A,A) merges once, exactly like real BPE),
+    (4) re-densify positions and recount. Emits the merge table:
+    (round, pair, corpus pair_count, n_merges actually performed,
+    new_token). All-integer/string — the oracle replays every round
+    with zero numeric tolerance. Scale story: each round is ONE
+    doc_id-partitioned window chain (lead/cumsum/lag share the
+    exchange), one run-group window, one map-side-partial pair count
+    collapsing to vocab^2 partials, and a 1-row broadcast argmax —
+    never a driver loop, never a per-row UDF; real BPE training at
+    100 TB runs precisely this dataflow with rounds as the driver
+    loop (unrolled here so Catalyst sees one plan and the oracle can
+    replay it)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cumw = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    summaries = []
+    for r in range(1, BPE_ROUNDS + 1):
+        aug = persist(
+            toks.withColumn("b", F.lead("tok").over(wdoc))
+        )
+        best = persist(
+            aug.filter(F.col("b").isNotNull())
+            .groupBy("tok", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "tok", "b")
+            .limit(1)
+            .select(
+                F.col("tok").alias("ba"),
+                F.col("b").alias("bb"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        occ = F.when(
+            (F.col("tok") == F.col("ba")) & (F.col("b") == F.col("bb")), 1
+        ).otherwise(0)
+        wrun = Window.partitionBy("doc_id", "rungrp").orderBy("pos")
+        m = persist(
+            aug.crossJoin(F.broadcast(best))
+            .withColumn("occ", occ)
+            .withColumn("cum", F.sum("occ").over(cumw))
+            .withColumn(
+                "rungrp", F.when(F.col("occ") == 1, F.col("pos") - F.col("cum"))
+            )
+            .withColumn(
+                "occ_idx",
+                F.when(F.col("occ") == 1, F.row_number().over(wrun)),
+            )
+            .withColumn(
+                "merged",
+                (F.col("occ") == 1) & (F.col("occ_idx") % 2 == 1),
+            )
+            .withColumn("prev_merged", F.lag("merged").over(wdoc))
+        )
+        summaries.append(
+            m.agg(
+                F.sum(F.when(F.col("merged"), 1).otherwise(0)).alias("n_merges")
+            )
+            .crossJoin(F.broadcast(best))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("ba").alias("tok_a"),
+                F.col("bb").alias("tok_b"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+                F.col("n_merges").cast("long").alias("n_merges"),
+                F.concat_ws("_", "ba", "bb").alias("new_token"),
+            )
+        )
+        toks = (
+            m.filter(
+                F.col("prev_merged").isNull() | ~F.col("prev_merged")
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("merged"), F.concat_ws("_", "tok", "b")
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+            .select(
+                "doc_id",
+                F.row_number().over(wdoc).cast("long").alias("pos"),
+                "tok",
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

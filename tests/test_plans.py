@@ -205,6 +205,12 @@ def test_shuffle_budgets_table(spark):
         # the norm, and the 1-row component rebuild — all intermediates
         # referenced once, so the static plan is linear in rounds
         "c_embed_pca": 7,
+        # 2 unrolled BPE merge rounds, ~13 static exchanges each: the
+        # doc_id window chain (lead/cumsum/lag share one exchange at
+        # runtime), the run-group window, the pair-count partials, the
+        # 1-row argmax sort, and the re-densify — aug/best/m persist
+        # per round so runtime pays each subtree once
+        "c_token_bpe": 26,
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
