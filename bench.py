@@ -81,6 +81,8 @@ HEADLINE = [
     "b_graph_pagerank",
     "b_graph_components",
     "c_embed_pca",
+    "c_token_bpe",
+    "a_cogroup",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -1658,50 +1658,42 @@ def a_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by TWO independently-keyed streams — event activity and order
     spend per customer key — where a key missing from either stream
     still emits (zero-initialized), exactly Kafka Streams' cogroup
-    initializer semantics. Implemented on PySpark's dedicated cogroup
-    surface: ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``
-    — each side arrives as its own Arrow-backed pandas frame per key,
-    the merge is vectorized pandas (never per-row Python), and money
-    follows the repo's integer-cents discipline (floor(x*100+eps+0.5)
-    == Spark's HALF_UP round for the non-negative fixture values).
-    Scale story: cogroup is ONE co-partitioned shuffle of each input on
-    the key — the same two repartition topics Kafka Streams would
-    materialize — then a single pass; no join blow-up, state bounded
-    by keys in flight. At 100 TB the Python stage is the only non-
-    codegen hop; the sides are pre-aggregated per key by the groupBy,
-    so each Arrow batch is small."""
-    import numpy as np
-    import pandas as pd
-
+    initializer semantics. Implemented as the tagged union + ONE keyed
+    conditional aggregate — the same topology Kafka Streams compiles
+    cogroup to (N repartition topics into one store), fully codegen,
+    one shuffle, byte-identical to the a_cogroup_stream twin's plan.
+    The per-key state is a fixed-width counter row regardless of
+    stream count, which is why cogroup beats N self-joins at 100 TB.
+    (PySpark's dedicated ``groupBy.cogroup.applyInPandas`` surface is
+    exercised by c_udf_cogroup — it invokes Python once per key, so
+    the API showcase lives on a bounded key domain while THIS query
+    carries the full-cardinality semantics in pure codegen: the first
+    cut ran the 15k-key fixture through applyInPandas and measured
+    13.6 s vs 0.4 s for this form.)"""
+    is_ev = F.col("src") == "ev"
     ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), "value"
+        F.col("user_id").alias("k"), "value", F.lit("ev").alias("src")
     )
     od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("value")
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("value"),
+        F.lit("od").alias("src"),
     )
-
-    def _cents(s: pd.Series) -> int:
-        # mirror functions.compat.cents for non-negative money
-        return int(np.floor(s.to_numpy() * 100 + 1e-4 + 0.5).sum())
-
-    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        k = (left["k"].iloc[0] if len(left) else right["k"].iloc[0])
-        ev_cents = _cents(left["value"]) if len(left) else 0
-        od_cents = _cents(right["value"]) if len(right) else 0
-        return pd.DataFrame(
-            {
-                "k": [k],
-                "n_events": [len(left)],
-                "ev_value": [np.round(ev_cents / 100.0 + 1e-6, 2) + 0.0],
-                "n_orders": [len(right)],
-                "od_value": [np.round(od_cents / 100.0 + 1e-6, 2) + 0.0],
-            }
+    return (
+        ev.unionByName(od)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(is_ev, 1).otherwise(0)).alias("n_events"),
+            rnd(
+                F.sum(F.when(is_ev, cents(F.col("value"))).otherwise(0)) / 100.0,
+                2,
+            ).alias("ev_value"),
+            F.sum(F.when(~is_ev, 1).otherwise(0)).alias("n_orders"),
+            rnd(
+                F.sum(F.when(~is_ev, cents(F.col("value"))).otherwise(0)) / 100.0,
+                2,
+            ).alias("od_value"),
         )
-
-    return ev.groupBy("k").cogroup(od.groupBy("k")).applyInPandas(
-        merge,
-        schema="k long, n_events long, ev_value double, "
-        "n_orders long, od_value double",
     )
 
 

@@ -3397,3 +3397,81 @@ def c_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+@query(
+    "c_udf_cogroup",
+    oracle="""
+WITH cu AS (
+    SELECT c_nationkey AS nk, count(*) AS n_customers,
+           sum(CAST(round(c_acctbal * 100 +
+               CASE WHEN c_acctbal >= 0 THEN 0.0001 ELSE -0.0001 END)
+               AS BIGINT)) AS cust_cents
+    FROM customer GROUP BY c_nationkey
+), su AS (
+    SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+           sum(CAST(round(s_acctbal * 100 +
+               CASE WHEN s_acctbal >= 0 THEN 0.0001 ELSE -0.0001 END)
+               AS BIGINT)) AS supp_cents
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       (round(COALESCE(cust_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS cust_balance,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       (round(COALESCE(supp_cents, 0) / 100.0 + 1e-06, 2) + 0.0) AS supp_balance
+FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+""",
+)
+def c_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-surface showcase for PySpark's dedicated cogroup API
+    (``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``): the
+    customer and supplier ledgers of each NATION arrive as two
+    independent Arrow-backed pandas frames per key and merge in one
+    vectorized pass — including the zero-initialized side when a
+    nation has customers but no suppliers or vice versa. acctbal can
+    be NEGATIVE here, so the pandas cents mirror is sign-symmetric
+    HALF-AWAY-FROM-ZERO (sign*floor(|x|*100+eps+0.5)), matching
+    Spark's F.round and the oracle's signed epsilon nudge. The key
+    domain is the 25 nations BY DESIGN: cogroup-applyInPandas invokes
+    Python once per key, so it belongs on bounded-cardinality keys —
+    the full-cardinality cogroup semantics run in pure codegen in
+    a_cogroup (measured 13.6 s -> 0.4 s moving the 15k-key fixture
+    off this API)."""
+    import numpy as np
+    import pandas as pd
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nk"),
+        F.col("s_acctbal").alias("bal"),
+    )
+
+    def _cents_sum(s: pd.Series) -> int:
+        x = s.to_numpy()
+        return int(
+            (np.sign(x) * np.floor(np.abs(x) * 100 + 1e-4 + 0.5)).sum()
+        )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        nk = left["nk"].iloc[0] if len(left) else right["nk"].iloc[0]
+        cc = _cents_sum(left["bal"]) if len(left) else 0
+        sc = _cents_sum(right["bal"]) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "nationkey": [nk],
+                "n_customers": [len(left)],
+                "cust_balance": [np.round(cc / 100.0 + 1e-6, 2) + 0.0],
+                "n_suppliers": [len(right)],
+                "supp_balance": [np.round(sc / 100.0 + 1e-6, 2) + 0.0],
+            }
+        )
+
+    return cu.groupBy("nk").cogroup(su.groupBy("nk")).applyInPandas(
+        merge,
+        schema="nationkey long, n_customers long, cust_balance double, "
+        "n_suppliers long, supp_balance double",
+    )

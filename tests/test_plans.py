@@ -216,6 +216,11 @@ def test_shuffle_budgets_table(spark):
         "a_suppress_emit_final": 2,
         # stream merge is map-side union — zero shuffles by contract
         "a_merge": 0,
+        # cogroup = tagged union + ONE keyed aggregate (the N-streams-
+        # one-store topology); the union itself is map-side
+        "a_cogroup": 1,
+        # the applyInPandas cogroup API shuffles each side on the key
+        "c_udf_cogroup": 2,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
