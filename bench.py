@@ -83,6 +83,7 @@ HEADLINE = [
     "c_embed_pca",
     "c_token_bpe",
     "a_cogroup",
+    "b_graph_triangles",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

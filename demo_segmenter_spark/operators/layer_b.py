@@ -2178,3 +2178,124 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "component")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree-ordered orientation — the classic
+# "count without exploding" graph join: orient every undirected edge
+# from its (degree, id)-smaller endpoint, enumerate wedges at each
+# source, and close them against the oriented edge list. Orientation
+# bounds every node's out-degree by O(sqrt(m)), which is what keeps
+# the wedge join sub-quadratic on power-law graphs at 100 TB.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_MIN_QTY = 40  # bulk co-purchases only: full graph has avg
+# degree ~90 at sf0.1 (20k parts / 900k edges) and its wedge set is
+# tens of millions — measured 22-37 s; the >=40 subgraph keeps the
+# identical algorithm on a business-meaningful slice at ~2 s
+
+_TRIANGLE_SQL = f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_quantity >= {TRIANGLE_MIN_QTY}
+), e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+    ) GROUP BY node
+), oe AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddeg
+    FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), tri AS (
+    SELECT x.src AS a, x.dst AS b, y.dst AS c
+    FROM oe x
+    JOIN oe y ON x.src = y.src AND (x.ddeg, x.dst) < (y.ddeg, y.dst)
+    JOIN oe z ON z.src = x.dst AND z.dst = y.dst
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+)
+GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+
+
+@query("b_graph_triangles", oracle=_TRIANGLE_SQL)
+def b_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the BULK co-purchase
+    graph (parts are adjacent when some order contains both at
+    quantity >= TRIANGLE_MIN_QTY — the full graph's wedge set is
+    dense-random and tens of millions at sf0.1, see the constant's
+    note; the subgraph keeps the identical algorithm). Degree-ordered
+    orientation: each undirected edge points from its (degree, id)-
+    smaller endpoint, every triangle is then counted exactly once as a
+    wedge at its smallest vertex closed by one oriented edge — two
+    equi-joins, no direction double-counting, and the wedge fan-out at
+    any node is bounded by its oriented OUT-degree, which the
+    orientation caps at O(sqrt(m)) — the standard trick that keeps
+    triangle enumeration feasible on skewed graphs at 100 TB (a
+    hub-part with 10k co-purchases contributes wedges only from edges
+    where it is the LARGER endpoint). All-integer, total-order
+    tiebreaks everywhere — the oracle replays the identical
+    orientation and wedge ordering."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = persist(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    # explode-array instead of unionAll-of-projections: references the
+    # persisted e subtree ONCE (the union form doubled the static plan)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    oe = persist(
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+    )
+    x = oe.select(
+        F.col("src"), F.col("dst").alias("b_node"), F.col("ddeg").alias("bdeg")
+    )
+    y = oe.select(
+        F.col("src"), F.col("dst").alias("c_node"), F.col("ddeg").alias("cdeg")
+    )
+    wedges = x.join(y, "src").filter(
+        F.struct("bdeg", "b_node") < F.struct("cdeg", "c_node")
+    )
+    z = oe.select(F.col("src").alias("b_node"), F.col("dst").alias("c_node"))
+    tri = wedges.join(z, ["b_node", "c_node"]).select(
+        F.col("src").alias("a"), F.col("b_node").alias("b"), F.col("c_node").alias("c")
+    )
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

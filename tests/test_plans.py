@@ -221,6 +221,12 @@ def test_shuffle_budgets_table(spark):
         "a_cogroup": 1,
         # the applyInPandas cogroup API shuffles each side on the key
         "c_udf_cogroup": 2,
+        # oriented triangle join: the persisted e/oe subtrees repeat in
+        # the static plan (oe is read 3x: two wedge sides + the closing
+        # edge), runtime pays each once via the caches; explode-array
+        # degree/role counting keeps the count at 44 (the unionAll
+        # formulation measured 184)
+        "b_graph_triangles": 44,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
