@@ -267,3 +267,85 @@ def test_outer_join_nulls_across_batches(spark):
     assert got == want
     # nulls present at all (the fixture has unmatched purchases)
     assert any(r[2] is None for r in got)
+
+
+def test_suppress_exactly_once_across_restart(spark):
+    # Windowed-aggregation STATE RECOVERY: run the suppress topology to
+    # completion on the first two thirds of the stream (some windows
+    # close and flush to a checkpointed parquet sink), then the last
+    # third ARRIVES and the query restarts on the same checkpoint. The
+    # restarted run must recover open-window state + watermark from the
+    # checkpoint, process only the new file, and the sink must end up
+    # with each closed window EXACTLY once — equal to the batch twin
+    # over the full fixture.
+    from demo_segmenter_spark.functions.compat import money_sum
+
+    base = f"/tmp/dss_stream_mb/restart_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    n = len(rows)
+    cut = [0, n // 3, 2 * n // 3, n]
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    for i in range(3):
+        d = f"{base}/b{i}"
+        spark.createDataFrame(rows[cut[i] : cut[i + 1]], CHUNK_SCHEMA).coalesce(
+            1
+        ).write.parquet(d)
+
+    def _arrive(i):
+        d = f"{base}/b{i}"
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{f}", f"{src}/{i}_{f}")
+
+    def _run():
+        agg = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                money_sum(F.col("value")).alias("sum_value"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("window_start_us"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _arrive(0)
+    _arrive(1)
+    _run()
+    mid = spark.read.parquet(out).count()
+    assert mid > 0  # some windows closed during phase 1
+    _arrive(2)
+    _run()  # restart on the same checkpoint; only b2 is new
+    got_df = spark.read.parquet(out)
+    got = _rowset(got_df)
+    assert len(got) > mid
+    # each window emitted exactly once
+    assert (
+        got_df.groupBy("window_start_us", "event_type").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    want = _rowset(REGISTRY["a_suppress_emit_final"].fn(spark, SF))
+    assert got == want
