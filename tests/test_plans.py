@@ -214,6 +214,9 @@ def test_shuffle_budgets_table(spark):
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
+        # same shape on sessions: the user_id exchange feeds both the
+        # sessionize window and the session agg; + the 1-row watermark
+        "a_session_suppress": 2,
         # stream merge is map-side union — zero shuffles by contract
         "a_merge": 0,
         # cogroup = tagged union + ONE keyed aggregate (the N-streams-
