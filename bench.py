@@ -84,6 +84,7 @@ HEADLINE = [
     "c_token_bpe",
     "a_cogroup",
     "b_graph_triangles",
+    "b_graph_bfs",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -2299,3 +2299,124 @@ def b_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS distances (min-plus relaxation) — the frontier-expansion
+# member of the graph family (pagerank = weighted push, components =
+# min-label, triangles = oriented join, THIS = shortest distance).
+# Same linear-plan discipline: self-loops carry weight 0 so each round
+# is ONE min over incoming (dist + w) and the distance table is
+# referenced once per round.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 3
+BFS_SOURCE_MAX_PARTKEY = 10  # sources: part nodes with partkey <= 10
+
+_BFS_EDGES_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_quantity >= {LABELPROP_MIN_QTY}
+), half AS (
+    SELECT o * 2 AS src, p * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT p * 2 + 1 AS src, o * 2 AS dst FROM pairs
+), edges AS (
+    SELECT src, dst, 1 AS w FROM half
+    UNION ALL
+    SELECT DISTINCT src, src, 0 AS w FROM half
+), d0 AS (
+    SELECT DISTINCT src AS node,
+           CASE WHEN src % 2 = 1 AND src <= {2 * BFS_SOURCE_MAX_PARTKEY + 1}
+                THEN 0 END AS dist
+    FROM half
+)
+"""
+
+
+def _bfs_iter_sql(i: int) -> str:
+    prev = f"d{i - 1}"
+    return f"""
+, d{i} AS (
+    SELECT e.dst AS node, min(p.dist + e.w) AS dist
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+)"""
+
+
+@query(
+    "b_graph_bfs",
+    oracle=_BFS_EDGES_SQL
+    + "".join(_bfs_iter_sql(i) for i in range(1, BFS_ROUNDS + 1))
+    + f"""
+SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes, min(node) AS min_node
+FROM d{BFS_ROUNDS}
+WHERE dist IS NOT NULL
+GROUP BY dist
+ORDER BY dist
+""",
+)
+def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance histogram after BFS_ROUNDS=3 min-plus relaxation
+    rounds over the sparsified co-purchase graph, from the fixed
+    source set (part nodes with partkey <= BFS_SOURCE_MAX_PARTKEY).
+    Each round every node takes min over incoming (dist + w); real
+    edges carry w=1 and self-loops w=0, so "keep my own distance" is
+    part of the same single aggregate and the distance table is
+    referenced ONCE per round — the unrolled static plan stays linear
+    (the b_graph_components discipline). Unreached nodes stay NULL
+    (min skips NULLs identically on both engines) and are excluded
+    from the histogram; distances are exact integers, the oracle
+    replays every round with zero tolerance. Scale story: one
+    groupBy(dst) shuffle per round with map-side MIN partials against
+    the persisted edge list — textbook distributed frontier expansion
+    (Pregel's BFS) as pure dataflow."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(F.col("l_quantity") >= LABELPROP_MIN_QTY)
+        .select(
+            (F.col("l_orderkey") * 2).alias("o"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
+        F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
+    )
+    half = persist(
+        pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    )
+    nodes = half.select("src").distinct()
+    edges = persist(
+        half.select("src", "dst", F.lit(1).alias("w")).unionByName(
+            nodes.select("src", F.col("src").alias("dst"), F.lit(0).alias("w"))
+        )
+    )
+    is_src = (F.col("src") % 2 == 1) & (
+        F.col("src") <= 2 * BFS_SOURCE_MAX_PARTKEY + 1
+    )
+    dist = nodes.select(
+        F.col("src").alias("node"),
+        F.when(is_src, F.lit(0)).alias("dist"),
+    )
+    for _ in range(BFS_ROUNDS):
+        dist = (
+            edges.join(
+                dist.select(
+                    F.col("node").alias("src"), F.col("dist").alias("src_dist")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("src_dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("dst", "node")
+        )
+    return (
+        dist.filter(F.col("dist").isNotNull())
+        .groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("dist")
+    )

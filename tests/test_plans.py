@@ -230,6 +230,9 @@ def test_shuffle_budgets_table(spark):
         # degree/role counting keeps the count at 44 (the unionAll
         # formulation measured 184)
         "b_graph_triangles": 44,
+        # min-plus BFS: same linear unrolled shape as components
+        # (self-loops carry w=0 so dist is referenced once per round)
+        "b_graph_bfs": 16,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
