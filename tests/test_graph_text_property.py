@@ -133,3 +133,127 @@ def test_triangles_match_python_reference(spark):
             for r in REGISTRY["b_graph_triangles"].fn(spark, sf).collect()
         ]
         assert got == want, (trial, got, want)
+
+
+# --------------------- label-prop / BFS references -------------------
+
+
+def _copurchase_graph(rows, min_qty):
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for o, p, q in rows:
+        if q >= min_qty:
+            by_order[o].add(p)
+    adj = defaultdict(set)
+    for o, parts in by_order.items():
+        for p in parts:
+            adj[2 * o].add(2 * p + 1)
+            adj[2 * p + 1].add(2 * o)
+    return adj
+
+
+def test_components_match_python_reference(spark):
+    from demo_segmenter_spark.operators.layer_b import (
+        LABELPROP_ITERS,
+        LABELPROP_MIN_QTY,
+    )
+
+    rng = random.Random(5)
+    for trial in range(3):
+        rows = [
+            (o, p, rng.choice([10, 48, 50]))
+            for o in range(30)
+            for p in rng.sample(range(15), rng.randint(1, 3))
+        ]
+        adj = _copurchase_graph(rows, LABELPROP_MIN_QTY)
+        lbl = {v: v for v in adj}
+        for _ in range(LABELPROP_ITERS):
+            lbl = {
+                v: min([lbl[v]] + [lbl[u] for u in adj[v]]) for v in adj
+            }
+        comp = Counter(lbl.values())
+        want = sorted(
+            (
+                (c, n, min(v for v, l in lbl.items() if l == c))
+                for c, n in comp.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:100]
+        sf = _write_lineitem(spark, rows)
+        got = [
+            (r.component, r.n_nodes, r.min_node)
+            for r in REGISTRY["b_graph_components"].fn(spark, sf).collect()
+        ]
+        assert got == want, (trial, got[:5], want[:5])
+
+
+def test_bfs_matches_python_reference(spark):
+    from demo_segmenter_spark.operators.layer_b import (
+        BFS_ROUNDS,
+        BFS_SOURCE_MAX_PARTKEY,
+        LABELPROP_MIN_QTY,
+    )
+
+    rng = random.Random(17)
+    for trial in range(3):
+        rows = [
+            (o, p, rng.choice([10, 48, 50]))
+            for o in range(40)
+            for p in rng.sample(range(20), rng.randint(1, 3))
+        ]
+        adj = _copurchase_graph(rows, LABELPROP_MIN_QTY)
+        INF = None
+        dist = {
+            v: (0 if v % 2 == 1 and v <= 2 * BFS_SOURCE_MAX_PARTKEY + 1 else INF)
+            for v in adj
+        }
+        for _ in range(BFS_ROUNDS):
+            nd = {}
+            for v in adj:
+                cands = [dist[v]] + [
+                    dist[u] + 1 for u in adj[v] if dist[u] is not None
+                ]
+                cands = [c for c in cands if c is not None]
+                nd[v] = min(cands) if cands else None
+            dist = nd
+        hist = Counter(d for d in dist.values() if d is not None)
+        want = sorted(
+            (d, n, min(v for v, dd in dist.items() if dd == d))
+            for d, n in hist.items()
+        )
+        sf = _write_lineitem(spark, rows)
+        got = [
+            (r.dist, r.n_nodes, r.min_node)
+            for r in REGISTRY["b_graph_bfs"].fn(spark, sf).collect()
+        ]
+        assert got == want, (trial, got, want)
+
+
+# --------------------------- PCA reference ---------------------------
+
+
+def test_pca_matches_numpy_replay(spark):
+    # third independent implementation of the exact unrolled algorithm
+    # (Spark / DuckDB / numpy): 3 power iterations with 6-dp
+    # quantization after each normalization, uniform 1/8 init
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import PCA_ITERS, _PCA_V0
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    v = np.full(X.shape[1], _PCA_V0)
+    for _ in range(PCA_ITERS):
+        s = X.T @ (X @ v)
+        v = np.round(s / np.sqrt((s * s).sum()) + 1e-10, 6) + 0.0
+        nrm = np.sqrt((s * s).sum())
+    got = {
+        r.dim: (r.loading, r.eig_norm)
+        for r in REGISTRY["c_embed_pca"].fn(spark, sf).collect()
+    }
+    for j in range(X.shape[1]):
+        assert abs(got[j + 1][0] - v[j]) <= 1e-9, (j, got[j + 1][0], v[j])
+    assert abs(got[1][1] - (round(nrm + 1e-6, 2) + 0.0)) <= 1e-9
