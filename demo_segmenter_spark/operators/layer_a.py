@@ -2063,3 +2063,169 @@ def a_session_suppress_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# Full-outer variant: BOTH sides' null boundaries verified empirically
+# at sf0.001 — unmatched purchases emit at p_ts <= wm (159/160), and
+# unmatched clicks emit at c_ts + ATTRIB_HOURS <= wm (164/166, the 2
+# above the boundary withheld), wm = min(max click, max purchase) - 1h.
+# The click side expires later because a click can still match any
+# purchase up to ATTRIB_HOURS after it.
+
+_FULL_OUTER_ORACLE = f"""
+WITH wm AS (
+    SELECT least(epoch_us(max(ts) FILTER (event_type = 'click')),
+                 epoch_us(max(ts) FILTER (event_type = 'purchase')))
+           - 3600000000 AS wm_us
+    FROM events
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT event_id AS click_id, user_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.p_ts) AS purchase_ts_us, epoch_us(c.c_ts) AS click_ts_us
+FROM p JOIN c ON c.user_id = p.user_id
+ AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_HOURS} HOURS
+UNION ALL
+SELECT p.purchase_id, p.user_id, NULL, epoch_us(p.p_ts), NULL
+FROM p CROSS JOIN wm
+WHERE epoch_us(p.p_ts) <= wm.wm_us
+  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND c.c_ts <= p.p_ts
+                  AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_HOURS} HOURS)
+UNION ALL
+SELECT NULL, c.user_id, c.click_id, NULL, epoch_us(c.c_ts)
+FROM c CROSS JOIN wm
+WHERE epoch_us(c.c_ts) + {ATTRIB_HOURS} * 3600000000 <= wm.wm_us
+  AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.p_ts >= c.c_ts
+                  AND p.p_ts <= c.c_ts + INTERVAL {ATTRIB_HOURS} HOURS)
+"""
+
+
+@query("a_stream_stream_join_outer_full", oracle=_FULL_OUTER_ORACLE)
+def a_stream_stream_join_outer_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the FULL OUTER windowed stream-stream join: every
+    attribution match, plus null rows from BOTH sides once their state
+    provably cannot match — purchases at p_ts <= wm, clicks at
+    c_ts + ATTRIB_HOURS <= wm (a click's window extends forward, so
+    it expires ATTRIB_HOURS later than a purchase's — both boundaries
+    probed empirically before the oracle was written). Completes the
+    stream-stream join matrix: inner / left-outer / full-outer, all
+    hash-certified with modeled eviction."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).cast("timestamp")
+        ).alias("wm_ts")
+    ).select((F.unix_micros("wm_ts") - 3600 * 1_000_000).alias("wm_us"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")),
+        "full_outer",
+    )
+    horizon_us = ATTRIB_HOURS * 3600 * 1_000_000
+    return (
+        joined.join(F.broadcast(wm))
+        .filter(
+            (F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull())
+            | (
+                F.col("click_id").isNull()
+                & (F.unix_micros("p_ts") <= F.col("wm_us"))
+            )
+            | (
+                F.col("purchase_id").isNull()
+                & (F.unix_micros("c_ts") + horizon_us <= F.col("wm_us"))
+            )
+        )
+        .select(
+            "purchase_id",
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+            "click_id",
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+        )
+    )
+
+
+@query("a_stream_stream_join_outer_full_stream", oracle=_FULL_OUTER_ORACLE)
+def a_stream_stream_join_outer_full_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING full-outer stream-stream join: watermarks both sides,
+    APPEND mode; matches emit immediately, each side's unmatched rows
+    flush when the state store proves no future match can arrive (the
+    two asymmetric boundaries in the batch twin's docstring).
+    Hash-matches the same oracle, nulls from both sides included."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    out = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")
+            ),
+            "full_outer",
+        )
+        .select(
+            "purchase_id",
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+            "click_id",
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+        )
+    )
+    name = f"ssfull_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
