@@ -85,6 +85,7 @@ HEADLINE = [
     "a_cogroup",
     "b_graph_triangles",
     "b_graph_bfs",
+    "b_graph_kcore",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

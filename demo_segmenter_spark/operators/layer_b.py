@@ -2420,3 +2420,104 @@ def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-round k-core peeling — iterative subgraph REDUCTION (the
+# dual of the propagation family): repeatedly drop nodes of degree < K
+# and the edges they carry. Full k-core decomposition iterates to
+# fixpoint; KCORE_ROUNDS bounded rounds are unrolled here so the
+# DuckDB oracle replays every peel exactly (integer degrees, no
+# tolerance). Coreness filters are a standard curation primitive —
+# e.g. keeping only densely co-occurring vocabulary/entities.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"e{r - 1}"
+    return f"""
+, d{r} AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+    ) GROUP BY node
+), s{r} AS (
+    SELECT node FROM d{r} WHERE d >= {KCORE_K}
+), e{r} AS (
+    SELECT u, v FROM {prev}
+    WHERE u IN (SELECT node FROM s{r}) AND v IN (SELECT node FROM s{r})
+)"""
+
+
+@query(
+    "b_graph_kcore",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_quantity >= {TRIANGLE_MIN_QTY}
+), e0 AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)"""
+    + "".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))
+    + f"""
+, df AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{KCORE_ROUNDS}
+        UNION ALL SELECT v AS node FROM e{KCORE_ROUNDS}
+    ) GROUP BY node
+)
+SELECT node, CAST(d AS BIGINT) AS degree
+FROM df ORDER BY d DESC, node LIMIT 100
+""",
+)
+def b_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KCORE_ROUNDS=3 peeling rounds toward the KCORE_K-core of the bulk
+    co-purchase graph (same edge set as b_graph_triangles): each round
+    recomputes degrees over the CURRENT edge set, drops nodes with
+    degree < KCORE_K via two semi-joins, and the oracle replays every
+    peel with exact integer degrees. Output: top-100 surviving nodes
+    by post-peel degree. Scale story: per round one explode+groupBy
+    degree shuffle (map-side partials) and two semi-joins against the
+    small survivor set (AQE broadcasts it); the edge list persists per
+    round so the static repetition of prior rounds' subtrees (degree
+    pass + restriction base both read it) is paid once at runtime —
+    the same bounded-round discipline as components/BFS, on the one
+    graph pattern that SHRINKS its input each round."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = persist(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(KCORE_ROUNDS):
+        surv = degrees(edges).filter(F.col("d") >= KCORE_K).select("node")
+        edges = persist(
+            edges.join(
+                surv.withColumnRenamed("node", "u"), "u", "left_semi"
+            ).join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
+        )
+    return (
+        degrees(edges)
+        .select("node", F.col("d").cast("long").alias("degree"))
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(100)
+    )

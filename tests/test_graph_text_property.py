@@ -257,3 +257,50 @@ def test_pca_matches_numpy_replay(spark):
     for j in range(X.shape[1]):
         assert abs(got[j + 1][0] - v[j]) <= 1e-9, (j, got[j + 1][0], v[j])
     assert abs(got[1][1] - (round(nrm + 1e-6, 2) + 0.0)) <= 1e-9
+
+
+def test_kcore_matches_python_reference(spark):
+    from demo_segmenter_spark.operators.layer_b import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        TRIANGLE_MIN_QTY,
+    )
+
+    rng = random.Random(31)
+    for trial in range(3):
+        rows = [
+            (o, p, rng.choice([10, 45, 50]))
+            for o in range(40)
+            for p in rng.sample(range(14), rng.randint(1, 4))
+        ]
+        # co-purchase PART graph (u < v), qty-filtered like the query
+        from collections import defaultdict
+
+        by_order = defaultdict(set)
+        for o, p, q in rows:
+            if q >= TRIANGLE_MIN_QTY:
+                by_order[o].add(p)
+        edges = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, u in enumerate(ps):
+                for v in ps[i + 1 :]:
+                    edges.add((u, v))
+        for _ in range(KCORE_ROUNDS):
+            deg = Counter()
+            for u, v in edges:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= KCORE_K}
+            edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        want = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        sf = _write_lineitem(spark, rows)
+        got = [
+            (r.node, r.degree)
+            for r in REGISTRY["b_graph_kcore"].fn(spark, sf).collect()
+        ]
+        assert got == want, (trial, got[:5], want[:5])

@@ -233,6 +233,12 @@ def test_shuffle_budgets_table(spark):
         # min-plus BFS: same linear unrolled shape as components
         # (self-loops carry w=0 so dist is referenced once per round)
         "b_graph_bfs": 16,
+        # k-core peeling: each round's edge set is read TWICE (degree
+        # pass + restriction base) by construction — filter-by-derived-
+        # stat can't be a single reference — so the static plan
+        # compounds ~2x/round; every round's edges persist, so runtime
+        # executes each subtree once (measured 3.3 s at sf0.1)
+        "b_graph_kcore": 134,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
