@@ -2229,3 +2229,54 @@ def a_stream_stream_join_outer_full_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_ohlc",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def a_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling — the time-series candle rollup every
+    metrics/trading pipeline runs: per (hour, event_type), the value of
+    the chronologically FIRST event (open), max (high), min (low), the
+    chronologically LAST (close), and the count. Open/close use
+    Spark's ordered aggregates min_by/max_by — one hash-aggregate
+    pass, NO window-sort — over a zero-padded (epoch_us, event_id)
+    string key that makes lexicographic order equal chronological
+    order with a total tiebreak (a composite struct key would also
+    work in Spark, but the string form is what DuckDB's arg_min/
+    arg_max replays byte-identically). Scale story: this is a single
+    map-side-partial aggregation — the downsample never sorts or
+    shuffles raw events beyond the one groupBy exchange, which is why
+    OHLC at 100 TB is cheap while per-row window ranking is not."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("ord", key)
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

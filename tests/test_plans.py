@@ -217,6 +217,8 @@ def test_shuffle_budgets_table(spark):
         # same shape on sessions: the user_id exchange feeds both the
         # sessionize window and the session agg; + the 1-row watermark
         "a_session_suppress": 2,
+        # OHLC is ONE hash aggregate (ordered aggs, no window sort)
+        "a_ohlc": 1,
         # stream merge is map-side union — zero shuffles by contract
         "a_merge": 0,
         # cogroup = tagged union + ONE keyed aggregate (the N-streams-
