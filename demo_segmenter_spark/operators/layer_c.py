@@ -3475,3 +3475,120 @@ def c_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="nationkey long, n_customers long, cust_balance double, "
         "n_suppliers long, supp_balance double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide boilerplate removal — the C4/RefinedWeb "drop spans that
+# repeat across many documents" curation step: complements c_dedup_*
+# (whole-document), c_quality_repetition (within-document) and
+# c_text_scrub (per-document regex) with the CROSS-document span
+# filter none of them perform.
+# ---------------------------------------------------------------------------
+
+BOILER_CHUNK = 2  # tokens per non-overlapping span
+# Boilerplate when a span appears in >= BOILER_DF_PCT% of distinct
+# docs — RELATIVE so the filter fires at every fixture scale (measured
+# span-df: max 31/500 docs at sf0.001-0.01, 187/5000 at sf0.1; an
+# absolute cutoff is vacuous at one scale or another). The comparison
+# is pure integer (df * 100 >= pct * n_docs): no float ceil to
+# diverge between engines.
+BOILER_DF_PCT = 3
+
+
+@query(
+    "c_scrub_boilerplate",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), ch AS (
+    SELECT doc_id, (i - 1) // {BOILER_CHUNK} AS ci,
+           string_agg(tok, ' ' ORDER BY i) AS chunk
+    FROM tok GROUP BY doc_id, (i - 1) // {BOILER_CHUNK}
+), freq AS (
+    SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk
+), kept AS (
+    SELECT ch.doc_id, ch.ci, ch.chunk
+    FROM ch JOIN freq USING (chunk)
+    WHERE freq.df * 100
+          < {BOILER_DF_PCT} * (SELECT count(DISTINCT doc_id) FROM documents)
+), totals AS (
+    SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+), cleaned AS (
+    SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY ci)) AS clean_md5
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(c.n_kept, 0) AS n_kept,
+       c.clean_md5
+FROM totals t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+""",
+)
+def c_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: split every document into
+    non-overlapping BOILER_CHUNK-token spans, count each span's
+    document frequency across the corpus, drop spans appearing in >=
+    BOILER_DF_PCT% of distinct documents, and reassemble the cleaned text
+    in span order (md5 proves byte-identical reassembly on both
+    engines; a fully-boilerplate document survives as n_kept=0 with a
+    NULL digest rather than vanishing). Scale story: span df is the
+    classic explode + two groupBys with map-side partials (span
+    strings are tiny); the df table joins back span-keyed — at 100 TB
+    the frequent-span side is small enough to broadcast (Zipf), and
+    the reassembly groupBy reuses the doc_id partitioning. This is
+    the C4-style repeated-line filter as one dataflow."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        (F.col("i0") / BOILER_CHUNK).cast("long").alias("ci"),
+        "tok",
+    )
+    ch = persist(
+        tok.groupBy("doc_id", "ci").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk")
+        )
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = ch.join(
+        freq.join(F.broadcast(nd))
+        .filter(F.col("df") * 100 < BOILER_DF_PCT * F.col("n_docs"))
+        .select("chunk"),
+        "chunk",
+    )
+    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "clean_md5",
+        )
+    )

@@ -219,6 +219,9 @@ def test_shuffle_budgets_table(spark):
         "a_session_suppress": 2,
         # OHLC is ONE hash aggregate (ordered aggs, no window sort)
         "a_ohlc": 1,
+        # span df + chunk build + doc reassembly + the totals/cleaned
+        # join; the persisted chunk table repeats in the static plan
+        "c_scrub_boilerplate": 9,
         # stream merge is map-side union — zero shuffles by contract
         "a_merge": 0,
         # cogroup = tagged union + ONE keyed aggregate (the N-streams-
