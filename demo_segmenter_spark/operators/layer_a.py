@@ -1793,33 +1793,17 @@ def a_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     why cogroup beats N self-joins at 100 TB."""
     import uuid
 
-    from pyspark.sql import types as T
-
-    from demo_segmenter_spark.streaming.sources import _stream_dir, stream_events
+    from demo_segmenter_spark.streaming.sources import stream_events, stream_orders
 
     ev_s = stream_events(spark, sf_dir).select(
         F.col("user_id").alias("k"),
         "value",
         F.lit("ev").alias("src"),
     )
-    od_schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampNTZType()),
-            T.StructField("o_orderpriority", T.StringType()),
-        ]
-    )
-    od_s = (
-        spark.readStream.schema(od_schema)
-        .parquet(_stream_dir(sf_dir, "orders"))
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.col("o_totalprice").alias("value"),
-            F.lit("od").alias("src"),
-        )
+    od_s = stream_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("value"),
+        F.lit("od").alias("src"),
     )
     is_ev = F.col("src") == "ev"
     agg = (
@@ -2231,9 +2215,38 @@ def a_stream_stream_join_outer_full_stream(
     return spark.table(name)
 
 
-@query(
-    "a_ohlc",
-    oracle="""
+# OHLC chronological tiebreak key: zero-padded (epoch_us, event_id)
+# string, lexicographic == chronological. Both engines build the SAME
+# string, so the hash-certification can NOT catch a silent overflow of
+# either pad width — the picks would be wrong identically on both
+# sides. Hence the loud in-plan guard below: any event_id >= 10^12 or
+# pre-epoch timestamp (a '-' sign breaks lexicographic order) fails the
+# query with this message instead of mis-picking open/close. The
+# fixture's ids are dense smallish longs; 10^12 leaves 100× headroom.
+_OHLC_ID_BOUND = 10**12
+
+
+def _ohlc_ord_key() -> F.Column:
+    guard = F.assert_true(
+        (F.col("event_id") >= 0)
+        & (F.col("event_id") < F.lit(_OHLC_ID_BOUND))
+        & (F.unix_micros("ts") >= 0),
+        F.lit(
+            "a_ohlc ordering key overflow: need 0 <= event_id < 10^12 "
+            "and ts >= epoch — widen the lpad widths here AND in the "
+            "DuckDB oracle together"
+        ),
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    # assert_true returns NULL (or raises); the when() keeps it in the
+    # plan so every row is checked before its key is used.
+    return F.when(guard.isNull(), key)
+
+
+_OHLC_SELECT = """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        event_type,
        arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
@@ -2245,8 +2258,10 @@ SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        count(*) AS n_events
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
-""",
-)
+"""
+
+
+@query("a_ohlc", oracle=_OHLC_SELECT)
 def a_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC downsampling — the time-series candle rollup every
     metrics/trading pipeline runs: per (hour, event_type), the value of
@@ -2262,12 +2277,8 @@ def a_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles raw events beyond the one groupBy exchange, which is why
     OHLC at 100 TB is cheap while per-row window ranking is not."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
     return (
-        ev.withColumn("ord", key)
+        ev.withColumn("ord", _ohlc_ord_key())
         .groupBy(
             F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
             "event_type",
@@ -2280,3 +2291,65 @@ def a_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+_OHLC_STREAM_ORACLE = f"""
+SELECT * FROM ({_OHLC_SELECT})
+WHERE hour_us + 3600000000
+      <= (SELECT epoch_us(max(ts)) - {_SUPPRESS_GRACE_US} FROM events)
+"""
+
+
+@query("a_ohlc_stream", oracle=_OHLC_STREAM_ORACLE)
+def a_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_ohlc, probing ORDERED aggregates
+    (min_by/max_by over the guarded chronological key) inside the
+    streaming state store — the one aggregate family whose state is
+    not a plain commutative accumulator but (value, ordering-key)
+    pairs that must merge correctly across micro-batches. Runs with a
+    {SUPPRESS_GRACE_HOURS}h watermark in APPEND mode, i.e. the
+    suppress(untilWindowCloses) emission contract: each hourly candle
+    is emitted exactly once, after the watermark passes its end, so
+    the oracle is the batch OHLC restricted to CLOSED windows (the
+    same closed-window predicate the suppress family certifies; the
+    candles themselves hash-match a_ohlc's rows). Multi-batch state
+    merge is pinned in tests/test_ohlc.py — the open pick of hour H
+    must survive later batches appending to H. At 100 TB this is the
+    continuously-materialized candle rollup: state bounded by (open
+    hours x types), evicted at watermark, one shuffle."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", f"{SUPPRESS_GRACE_HOURS} hour")
+        .withColumn("ord", _ohlc_ord_key())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("hour_us"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

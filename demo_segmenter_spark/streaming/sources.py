@@ -71,6 +71,30 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     return d
 
 
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as an unbounded stream — the second changelog topic of
+    the cogroup / KTable topologies. This helper OWNS the stream-side
+    orders schema (file streams require one explicitly): it is sniffed
+    from the parquet footer via pyarrow, so a fixture type tweak
+    surfaces here — loudly, in one place — instead of silently
+    misreading per-query schema copies. orders carries no ns-encoded
+    column in any fixture drop, so no ts normalization is needed; if a
+    drop ever adds one, the assert below fails with the real cause."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    arrow = pq.read_schema(f"{sf_dir}/orders.parquet")
+    for field in arrow:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            raise TypeError(
+                f"orders.{field.name} is TIMESTAMP(NANOS); stream_orders "
+                "needs the events-style nanos normalization added"
+            )
+    schema = from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+    return spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "orders"))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream; same ts normalization as the batch
     loader (sources/tables.py): raw nanos → truncate to µs, µs NTZ →

@@ -241,8 +241,9 @@ def test_pca_matches_numpy_replay(spark):
 
     from demo_segmenter_spark.operators.layer_c import PCA_ITERS, _PCA_V0
     from demo_segmenter_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     emb = load_table(spark, sf, "embeddings").select("embedding").collect()
     X = np.array([r.embedding for r in emb], dtype=np.float64)
     v = np.full(X.shape[1], _PCA_V0)
