@@ -1763,6 +1763,116 @@ def a_ktable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_ktable_fk_join",
+    oracle=f"""
+WITH left_latest AS (
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS version,
+           l_suppkey AS fk, l_extendedprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber DESC,
+                                              l_suppkey DESC,
+                                              l_extendedprice DESC) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+), right_latest AS (
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                                     ORDER BY s_suppkey) AS rn
+        FROM supplier
+    ) WHERE rn = 1
+)
+SELECT ll.l_orderkey, ll.version, ll.fk AS supp_key,
+       r.s_name AS supp_name, r.s_nationkey AS supp_nation,
+       {sql_rnd(sql_cents("ll.l_extendedprice") + " / 100.0", 2)} AS line_price,
+       {sql_rnd(sql_cents("o.o_totalprice") + " / 100.0", 2)} AS order_total
+FROM left_latest ll
+JOIN right_latest r ON ll.fk = r.s_suppkey
+JOIN orders o ON ll.l_orderkey = o.o_orderkey
+""",
+)
+def a_ktable_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable FOREIGN-KEY join (KIP-213) — the last Kafka Streams DSL
+    operator: ``left.join(right, value -> fk, joiner)`` where the join
+    key is extracted from the LEFT table's value, not its key. Modeled
+    with the real KIP-213 topology, not a plain dim join:
+
+    1. LEFT changelog compaction: lineitem as a changelog keyed by
+       l_orderkey — multiple versions per key (one per linenumber);
+       row_number<=1 keeps each order's LATEST line, whose value
+       carries the FK (l_suppkey). This is the subscription-source
+       state store.
+    2. FK extraction + the "subscription topic" hop: the compacted
+       left rows are re-keyed on the extracted FK. In batch that hop
+       IS the FK join's own exchange — Spark shuffles the left side on
+       the fk column (at this sf AQE elides even that by broadcasting
+       the small right table; at 100 TB, where both tables are large,
+       the plan degrades gracefully to the co-partitioned
+       shuffle-join, i.e. exactly KIP-213's subscription topic
+       partitioned by the right table's PK).
+    3. RIGHT table compaction (row_number<=1 on s_suppkey — one
+       version per key here, but the changelog shape is expressed) and
+       the join on the right PK.
+    4. RE-KEY back to the left key ("subscription response topic"):
+       the result is keyed by l_orderkey again and immediately USED as
+       a KTable on that key — joined PK-to-PK against orders — proving
+       the re-keyed stream co-partitions on the left key downstream.
+
+    Full DuckDB hash oracle; money via integer cents. Scale: one
+    window shuffle per changelog + the FK exchange + the PK join; no
+    step is ever quadratic and the right side broadcasts when small —
+    the same plan Kafka Streams materializes incrementally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    # The fixture reuses l_linenumber within an order (it is NOT the
+    # TPC-H unique line id), so "latest version" needs a total order;
+    # ties beyond (linenumber, suppkey, price) are output-identical by
+    # construction — the output projects exactly those columns.
+    wl = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(),
+        F.col("l_suppkey").desc(),
+        F.col("l_extendedprice").desc(),
+    )
+    left_latest = (
+        li.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("version"),
+            F.col("l_suppkey").alias("fk"),
+            "l_extendedprice",
+        )
+    )
+    wr = Window.partitionBy("s_suppkey").orderBy("s_suppkey")
+    right_latest = (
+        sup.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("supp_name"),
+            F.col("s_nationkey").cast("long").alias("supp_nation"),
+        )
+    )
+    fk_joined = left_latest.join(
+        right_latest, left_latest.fk == right_latest.s_suppkey
+    )
+    return (
+        fk_joined.join(od, fk_joined.l_orderkey == od.o_orderkey)
+        .select(
+            "l_orderkey",
+            "version",
+            F.col("fk").alias("supp_key"),
+            "supp_name",
+            "supp_nation",
+            rnd(cents(F.col("l_extendedprice")) / 100.0, 2).alias("line_price"),
+            rnd(cents(F.col("o_totalprice")) / 100.0, 2).alias("order_total"),
+        )
+    )
+
+
+@query(
     "a_cogroup_stream",
     oracle="""
 WITH ev AS (

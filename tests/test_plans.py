@@ -160,6 +160,11 @@ def test_shuffle_budgets_table(spark):
         "a_session_agg_native": 1,
         "a_flagship_segments": 2,
         "a_ktable_latest": 1,
+        # KIP-213 FK join: one window shuffle per changelog compaction
+        # (left l_orderkey + the tiny supplier s_suppkey); the FK hop
+        # and the re-key PK join both broadcast at this sf (AQE) — at
+        # 100 TB each degrades to one co-partitioned exchange
+        "a_ktable_fk_join": 2,
         "b_agg_basic": 1,
         "b_multiway_star": 1,
         "b_join_asof": 1,
