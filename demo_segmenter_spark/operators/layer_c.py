@@ -1043,10 +1043,12 @@ def _rhp_buckets_udf():
     return _buckets
 
 
-@query(
-    "c_sim_lsh_native",
-    oracle=_EMB_CTE
-    + f"""
+# Shared DuckDB CTE suffix replaying the native RHP-LSH candidate
+# machinery step for step (planes -> band buckets -> size cap ->
+# capped self-join); appended after _EMB_CTE it yields cand(va, vb)
+# with va < vb. Used by BOTH c_sim_lsh_native and the LSH-blocked
+# c_sim_dedup_semantic, so the two queries cannot drift.
+_RHP_CAND_CTES = f"""
 , planes AS (
     SELECT hs.h, ii.i,
            CASE WHEN CAST(concat('0x', substr(md5(hs.h::VARCHAR || '_' || ii.i::VARCHAR), 1, 8)) AS BIGINT) % 2 = 1
@@ -1071,7 +1073,49 @@ def _rhp_buckets_udf():
     SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
     FROM okb a JOIN okb b
       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-), dots AS (
+)
+"""
+
+
+def _rhp_candidate_pairs(base: DataFrame) -> DataFrame:
+    """Candidate pairs (va < vb) from the certified native RHP-LSH
+    banding — the Spark half of _RHP_CAND_CTES. `base` must carry
+    (vec_id, embedding). Capped SELF-JOIN pair generation, not the
+    grouped-pairs arrays c_dedup_ngram/minhash use: the bucket table
+    is narrow (n×BANDS rows of three longs) and the window cap already
+    bounds every bucket at C(SHINGLE_DF_CAP,2) emissions, so the
+    fully-codegen join beats the window+collect+explode struct path
+    (whose nested transform lambdas are interpreted) — measured 1.1 s
+    vs 1.7 s at sf0.1's 458k candidates. Corpus-scale SHINGLE tables
+    keep grouped-pairs: there the table is corpus×shingles wide and
+    the one-exchange formulation matters more than lambda overhead."""
+    buckets = base.select(
+        "vec_id", F.posexplode(_rhp_buckets_udf()("embedding")).alias("band", "bucket")
+    ).select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
+    w_cap = Window.partitionBy("band", "bucket")
+    ok = (
+        buckets.withColumn("n", F.count("*").over(w_cap))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SHINGLE_DF_CAP))
+        .drop("n")
+    )
+    return (
+        ok.select(F.col("vec_id").alias("va"), "band", "bucket")
+        .join(
+            ok.select(F.col("vec_id").alias("vb"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+
+
+@query(
+    "c_sim_lsh_native",
+    oracle=_EMB_CTE
+    + _RHP_CAND_CTES
+    + f"""
+, dots AS (
     SELECT c.va, c.vb, sum(ea.x * eb.x) AS dp
     FROM cand c
     JOIN ex ea ON ea.vec_id = c.va
@@ -1095,8 +1139,8 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rhp_buckets_udf), 16 band bucket keys of 6 bits each,
     candidate pairs from a size-capped bucket SELF-JOIN (window count
     filter first — no hot bucket can emit more than C(cap,2) pairs;
-    see the in-body note for why this beats the grouped-pairs arrays
-    here), then EXACT cosine verification of the
+    see _rhp_candidate_pairs for why this beats the grouped-pairs
+    arrays here), then EXACT cosine verification of the
     candidate set (AQE-sized broadcast, shuffle-join fallback past the
     adaptive threshold), emitting pairs with cosine >=
     0.4. FULL DuckDB hash oracle with no spectrum assumption: the
@@ -1115,34 +1159,7 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
         )
     )
-    buckets = base.select(
-        "vec_id", F.posexplode(_rhp_buckets_udf()("embedding")).alias("band", "bucket")
-    ).select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
-    # Capped SELF-JOIN pair generation, not the grouped-pairs arrays
-    # c_dedup_ngram/minhash use: the bucket table is narrow (n×BANDS
-    # rows of three longs) and the window cap already bounds every
-    # bucket at C(SHINGLE_DF_CAP,2) emissions, so the fully-codegen
-    # join beats the window+collect+explode struct path (whose nested
-    # transform lambdas are interpreted) — measured 1.1 s vs 1.7 s at
-    # sf0.1's 458k candidates. Corpus-scale SHINGLE tables keep
-    # grouped-pairs: there the table is corpus×shingles wide and the
-    # one-exchange formulation matters more than lambda overhead.
-    w_cap = Window.partitionBy("band", "bucket")
-    ok = (
-        buckets.withColumn("n", F.count("*").over(w_cap))
-        .filter((F.col("n") >= 2) & (F.col("n") <= SHINGLE_DF_CAP))
-        .drop("n")
-    )
-    cand = (
-        ok.select(F.col("vec_id").alias("va"), "band", "bucket")
-        .join(
-            ok.select(F.col("vec_id").alias("vb"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
-    )
+    cand = _rhp_candidate_pairs(base)
     va = base.select(
         F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
@@ -1162,19 +1179,19 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c_sim_dedup_semantic",
     oracle=_EMB_CTE
+    + _RHP_CAND_CTES
     + f"""
 , dots AS (
-    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dp
-    FROM ex a JOIN ex b ON a.i = b.i
-    JOIN embeddings ea ON ea.vec_id = a.vec_id
-    JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
-    WHERE b.vec_id < a.vec_id
-    GROUP BY a.vec_id, b.vec_id
+    SELECT c.va, c.vb, sum(ea.x * eb.x) AS dp
+    FROM cand c
+    JOIN ex ea ON ea.vec_id = c.va
+    JOIN ex eb ON eb.vec_id = c.vb AND eb.i = ea.i
+    GROUP BY c.va, c.vb
 ), scored AS (
-    SELECT d.va AS vec_id, ea.label AS label, d.vb AS dup_of,
+    SELECT d.vb AS vec_id, eb.label AS label, d.va AS dup_of,
            {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
     FROM dots d
-    JOIN embeddings ea ON d.va = ea.vec_id
+    JOIN embeddings eb ON d.vb = eb.vec_id
     JOIN norms na ON d.va = na.vec_id
     JOIN norms nb ON d.vb = nb.vec_id
 )
@@ -1188,33 +1205,50 @@ WHERE r = 1
 """,
 )
 def c_sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic (embedding-cosine) dedup: flag vectors whose cosine to
-    an EARLIER vector of the same label exceeds 0.35 (fixture cosine
-    max ≈ 0.48, p99 ≈ 0.29 — measured). Blocking on label keeps the
-    pair space linear-ish; at 100 TB the block key would be an LSH/IVF
-    bucket instead. Emits (dropped vec, kept duplicate-of, cos).
-    Deterministic (rounded cosine + total-order tiebreak) — hash-
-    oracled since round 2."""
+    """Semantic (embedding-cosine) dedup, SemDeDup-style: flag vectors
+    whose exact cosine to an EARLIER candidate vector exceeds 0.35
+    (fixture cosine max ≈ 0.48, p99 ≈ 0.29 — measured). Candidate
+    pairs come from the CERTIFIED native RHP-LSH banding
+    (_rhp_candidate_pairs — the same machinery c_sim_lsh_native
+    hash-certifies), so the pair space is bounded BY CONSTRUCTION:
+    every bucket is size-capped at SHINGLE_DF_CAP before the
+    self-join, no label/block can go quadratic on a hot key — the
+    100 TB shape the previous label-blocked version only promised in
+    its docstring. The oracle replays the md5-derived planes and the
+    full banding, so the query keeps its FULL hash oracle. Emits
+    (dropped vec, its label, kept duplicate-of = the best earlier
+    candidate, cos). Deterministic: rounded cosine + total-order
+    tiebreak."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
-    base = emb.select(
-        "vec_id", "label", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    base = persist(
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            vec.alias("v"),
+            F.sqrt(dot(vec, vec)).alias("nrm"),
+        )
     )
-    a, b = base.alias("a"), base.alias("b")
-    cos = rnd(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    cand = _rhp_candidate_pairs(base)
+    va = base.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
+    vb = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("label"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = rnd(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "dup_of")
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
+        cand.join(va, "va")
+        .join(vb, "vb")
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.label").alias("label"),
-            F.col("b.vec_id").alias("dup_of"),
+            F.col("vb").alias("vec_id"),
+            "label",
+            F.col("va").alias("dup_of"),
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)

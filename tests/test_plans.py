@@ -190,6 +190,11 @@ def test_shuffle_budgets_table(spark):
         # cosine verify is broadcast joins — budget covers the spread
         # repartition plus slack if the cache stops absorbing them
         "c_sim_lsh_native": 3,
+        # SemDeDup on the SAME certified RHP machinery: the band-key
+        # exchange + capped self-join inside _rhp_candidate_pairs, the
+        # best-dup window on vec_id, plus the spread repartition — the
+        # exact-cosine joins broadcast the bounded candidate set
+        "c_sim_dedup_semantic": 4,
         # two unrolled Lloyd iterations: per iteration the assignment
         # is a broadcast join (no corpus shuffle) and the centroid
         # update collapses map-side to K x dim partials — one tiny
