@@ -3164,19 +3164,70 @@ PCA_ITERS = 3
 _PCA_V0 = 0.125  # 1/sqrt(64): exact binary, unit-norm uniform init
 
 
-def _pca_iter_sql(i: int) -> str:
-    prev = f"v{i - 1}"
+def _power_iterations(base: DataFrame) -> DataFrame:
+    """PCA_ITERS unrolled power iterations v <- normalize(X'(Xv)) over
+    `base` = (vec_id, x: array<double>); returns the 64-row component
+    table (i, v, nrm) with v quantized to 6 decimals after each
+    normalization so Spark and the DuckDB replay (_pca_iter_sql) feed
+    identical vectors into the next round. Shared by c_embed_pca and
+    the post-deflation rerun in c_embed_pca_deflate. Every
+    intermediate is referenced ONCE per round (the norm rides a global
+    window over the 64-row s instead of a separate agg + crossJoin),
+    so the unrolled static plan stays LINEAR in rounds — the same
+    plan-shape discipline as b_graph_components' self-loops."""
+    # current component as a ONE-ROW (v: array<double>) DataFrame
+    vrow = base.limit(1).select(
+        F.array_repeat(F.lit(_PCA_V0), RHP_DIM).alias("v")
+    )
+    glob = Window.partitionBy()
+    vfull = None
+    for it in range(PCA_ITERS):
+        coef = (
+            base.crossJoin(F.broadcast(vrow))
+            .select("vec_id", "x", dot(F.col("x"), F.col("v")).alias("coef"))
+        )
+        s = (
+            coef.select("coef", F.posexplode("x").alias("i", "xi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("coef") * F.col("xi")).alias("s"))
+        )
+        vfull = s.select(
+            "i",
+            "s",
+            F.sqrt(F.sum(F.col("s") * F.col("s")).over(glob)).alias("nrm"),
+        ).select("i", rnd(F.col("s") / F.col("nrm"), 6).alias("v"), "nrm")
+        if it < PCA_ITERS - 1:
+            vrow = vfull.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda t: t["v"],
+                ).alias("v")
+            )
+    return vfull
+
+
+def _pca_iter_sql(i: int, src: str = "ex", p: str = "") -> str:
+    """One unrolled power-iteration round as DuckDB CTEs. `src` is the
+    (vec_id, i, x) matrix table, `p` a name prefix so the deflated
+    second-component replay (src='exd', p='d') can coexist with the
+    first component's CTE chain in one statement."""
+    prev = f"{p}v{i - 1}"
+    # AS MATERIALIZED: each s/v table is referenced 2-3x downstream;
+    # without the hint DuckDB re-inlines the whole upstream chain per
+    # reference, which goes exponential once the deflated second
+    # chain stacks on the first (measured: >10 min vs <1 s at
+    # sf0.001). Result-identical — purely an evaluation hint.
     return f"""
-, s{i} AS (
+, {p}s{i} AS MATERIALIZED (
     SELECT e.i, sum(e.x * c.coef) AS s
-    FROM ex e JOIN (
-        SELECT ex.vec_id, sum(ex.x * {prev}.v) AS coef
-        FROM ex JOIN {prev} USING (i) GROUP BY ex.vec_id
+    FROM {src} e JOIN (
+        SELECT {src}.vec_id, sum({src}.x * {prev}.v) AS coef
+        FROM {src} JOIN {prev} USING (i) GROUP BY {src}.vec_id
     ) c USING (vec_id)
     GROUP BY e.i
-), v{i} AS (
-    SELECT i, {sql_rnd(f"s / sqrt((SELECT sum(s * s) FROM s{i}))", 6)} AS v
-    FROM s{i}
+), {p}v{i} AS MATERIALIZED (
+    SELECT i, {sql_rnd(f"s / sqrt((SELECT sum(s * s) FROM {p}s{i}))", 6)} AS v
+    FROM {p}s{i}
 )"""
 
 
@@ -3216,43 +3267,95 @@ def c_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = persist(
         emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
     )
-    # current component as a ONE-ROW (v: array<double>) DataFrame
-    vrow = base.limit(1).select(
-        F.array_repeat(F.lit(_PCA_V0), RHP_DIM).alias("v")
-    )
-    # Every intermediate is referenced ONCE per round (the norm rides a
-    # global window over the 64-row s instead of a separate agg +
-    # crossJoin), so the unrolled static plan stays LINEAR in rounds —
-    # the same plan-shape discipline as b_graph_components' self-loops.
-    glob = Window.partitionBy()
-    vfull = None
-    for it in range(PCA_ITERS):
-        coef = (
-            base.crossJoin(F.broadcast(vrow))
-            .select("vec_id", "x", dot(F.col("x"), F.col("v")).alias("coef"))
-        )
-        s = (
-            coef.select("coef", F.posexplode("x").alias("i", "xi"))
-            .groupBy("i")
-            .agg(F.sum(F.col("coef") * F.col("xi")).alias("s"))
-        )
-        vfull = s.select(
-            "i",
-            "s",
-            F.sqrt(F.sum(F.col("s") * F.col("s")).over(glob)).alias("nrm"),
-        ).select("i", rnd(F.col("s") / F.col("nrm"), 6).alias("v"), "nrm")
-        if it < PCA_ITERS - 1:
-            vrow = vfull.agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "v"))),
-                    lambda t: t["v"],
-                ).alias("v")
-            )
+    vfull = _power_iterations(base)
     return vfull.select(
         # oracle dims are 1-based (generate_subscripts); posexplode is 0-based
         (F.col("i") + 1).cast("long").alias("dim"),
         F.col("v").alias("loading"),
         rnd(F.col("nrm"), 2).alias("eig_norm"),
+    )
+
+
+@query(
+    "c_embed_pca_deflate",
+    oracle=_EMB_CTE
+    + f"""
+, v0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM ex
+)"""
+    + "".join(_pca_iter_sql(i) for i in range(1, PCA_ITERS + 1))
+    + f"""
+, coef1 AS (
+    SELECT ex.vec_id, sum(ex.x * v{PCA_ITERS}.v) AS c
+    FROM ex JOIN v{PCA_ITERS} USING (i) GROUP BY ex.vec_id
+), exd AS MATERIALIZED (
+    SELECT e.vec_id, e.i, e.x - c1.c * v.v AS x
+    FROM ex e JOIN coef1 c1 USING (vec_id) JOIN v{PCA_ITERS} v USING (i)
+), dv0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM exd
+)"""
+    + "".join(_pca_iter_sql(i, src="exd", p="d") for i in range(1, PCA_ITERS + 1))
+    + f"""
+SELECT d.i AS dim, v1c.v AS loading1, d.v AS loading2,
+       (SELECT {sql_rnd("sqrt(sum(s * s))", 2)} FROM ds{PCA_ITERS}) AS eig_norm2,
+       (SELECT {sql_rnd("sum(a.v * b.v)", 4)}
+        FROM v{PCA_ITERS} a JOIN dv{PCA_ITERS} b USING (i)) AS ortho
+FROM dv{PCA_ITERS} d JOIN v{PCA_ITERS} v1c ON d.i = v1c.i
+""",
+)
+def c_embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal component by Hotelling deflation — proof that
+    the unrolled-iterative discipline COMPOSES: (1) replay the exact
+    c_embed_pca first component v1 (PCA_ITERS quantized power
+    iterations), (2) deflate every row x <- x - (x·v1)·v1 (rank-1
+    projection removal; X_d = X(I - v1v1')), (3) re-run the SAME
+    _power_iterations on the deflated matrix. Full per-iteration
+    replay oracle — SIX chained normalize-quantize rounds across two
+    component chains in one DuckDB statement — plus a numpy third
+    implementation in tests/test_graph_text_property.py. The in-schema
+    `ortho` column (v1·v2, rounded) certifies the deflation actually
+    orthogonalized: (I - v1v1') left-multiplies the update, so ortho
+    ≈ 0 up to quantization. Scale story: deflation is one map-side
+    zip_with against the broadcast 64-float v1 (coef computed once per
+    row, NOT per element); each extra component costs one more
+    deflation pass + the same per-iteration tiny (64-row) shuffles —
+    top-k PCA at 100 TB is k chained copies of this plan, never a
+    covariance materialization."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = persist(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    )
+    v1full = persist(_power_iterations(base))
+    v1row = v1full.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda t: t["v"]
+        ).alias("v")
+    )
+    # Deflate: coef = x·v1 ONCE per row (a single fold), then the
+    # element-wise zip_with reuses it — 64 multiplies per row, not a
+    # 64x64 re-fold.
+    withc = base.crossJoin(F.broadcast(v1row)).select(
+        "vec_id", "x", "v", dot(F.col("x"), F.col("v")).alias("c")
+    )
+    based = persist(
+        withc.select(
+            "vec_id",
+            F.zip_with("x", "v", lambda xi, vi: xi - F.col("c") * vi).alias("x"),
+        )
+    )
+    v2full = _power_iterations(based)
+    glob = Window.partitionBy()
+    joined = v2full.join(
+        v1full.select("i", F.col("v").alias("loading1")), "i"
+    )
+    return joined.select(
+        (F.col("i") + 1).cast("long").alias("dim"),
+        "loading1",
+        F.col("v").alias("loading2"),
+        rnd(F.col("nrm"), 2).alias("eig_norm2"),
+        rnd(
+            F.sum(F.col("loading1") * F.col("v")).over(glob), 4
+        ).alias("ortho"),
     )
 
 

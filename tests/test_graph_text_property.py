@@ -260,6 +260,46 @@ def test_pca_matches_numpy_replay(spark):
     assert abs(got[1][1] - (round(nrm + 1e-6, 2) + 0.0)) <= 1e-9
 
 
+def test_pca_deflate_matches_numpy_replay(spark):
+    # third independent implementation of the deflated second
+    # component: replay v1 exactly (quantized power iterations),
+    # deflate X row-wise with the quantized v1, re-run the iterations.
+    # Also pins the orthogonality invariant the in-schema `ortho`
+    # column certifies.
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import PCA_ITERS, _PCA_V0
+    from demo_segmenter_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    emb = load_table(spark, sf, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+
+    def power(M):
+        v = np.full(M.shape[1], _PCA_V0)
+        for _ in range(PCA_ITERS):
+            s = M.T @ (M @ v)
+            v = np.round(s / np.sqrt((s * s).sum()) + 1e-10, 6) + 0.0
+            nrm = np.sqrt((s * s).sum())
+        return v, nrm
+
+    v1, _ = power(X)
+    Xd = X - np.outer(X @ v1, v1)
+    v2, nrm2 = power(Xd)
+    got = {
+        r.dim: r
+        for r in REGISTRY["c_embed_pca_deflate"].fn(spark, sf).collect()
+    }
+    for j in range(X.shape[1]):
+        assert abs(got[j + 1].loading1 - v1[j]) <= 1e-9
+        assert abs(got[j + 1].loading2 - v2[j]) <= 1e-9
+    assert abs(got[1].eig_norm2 - (round(nrm2 + 1e-6, 2) + 0.0)) <= 1e-9
+    want_ortho = round(float(v1 @ v2) + 1e-8, 4) + 0.0
+    assert abs(got[1].ortho - want_ortho) <= 1e-9
+    assert abs(got[1].ortho) <= 0.001  # deflation really orthogonalized
+
+
 def test_kcore_matches_python_reference(spark):
     from demo_segmenter_spark.operators.layer_b import (
         KCORE_K,

@@ -215,6 +215,12 @@ def test_shuffle_budgets_table(spark):
         # the norm, and the 1-row component rebuild — all intermediates
         # referenced once, so the static plan is linear in rounds
         "c_embed_pca": 7,
+        # deflation doubles the chain: v1's 3-iteration subtree appears
+        # under BOTH the deflation pass and the output join, and the
+        # deflated matrix feeds 3 more iterations — v1full/based/base
+        # all persist, so runtime executes each subtree once (the
+        # kcore precedent: static count compounds, runtime is linear)
+        "c_embed_pca_deflate": 46,
         # 2 unrolled BPE merge rounds, ~13 static exchanges each: the
         # doc_id window chain (lead/cumsum/lag share one exchange at
         # runtime), the run-group window, the pair-count partials, the
