@@ -122,7 +122,7 @@ def _run_once(name: str, spark, sf_dir: str) -> None:
         # queries that persist() intermediates must not leak cache
         # into later measurements (GC pressure skews the tail); the
         # spark arg also sweeps stray localCheckpoint RDD blocks
-        release_persisted(spark)
+        release_persisted(spark, owner=True)
         spark.catalog.clearCache()
 
 

@@ -30,7 +30,7 @@ def persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_persisted(spark=None) -> int:
+def release_persisted(spark=None, *, owner: bool = False) -> int:
     """Unpersist every tracked intermediate; returns how many were
     released. Safe to call at any time — subsequent reuse of a
     released DataFrame recomputes instead of failing.
@@ -48,7 +48,20 @@ def release_persisted(spark=None) -> int:
     Double-counting is avoided by sweeping the tracked list first:
     a tracked DataFrame's unpersist removes its RDD from the JVM map
     synchronously, so the map pass below only ever sees blocks the
-    tracker never owned."""
+    tracker never owned.
+
+    The owner contract is ENFORCED, not just documented: passing
+    ``spark`` requires ``owner=True``, an explicit claim that the
+    caller owns the whole session — a future non-owner caller fails
+    loudly here instead of silently evicting co-resident caches."""
+    if spark is not None and not owner:
+        raise ValueError(
+            "release_persisted(spark) sweeps EVERY cached RDD in the "
+            "context, including DataFrames persisted by co-resident "
+            "consumers of a shared session; pass owner=True only if "
+            "this caller owns the session (bench / sweep scripts / "
+            "tests), or omit spark to release just the tracked list"
+        )
     n = 0
     for df in _PERSISTED:
         try:

@@ -24,7 +24,7 @@ def _n_cached(spark) -> int:
 def test_release_after_persisting_queries(spark):
     # The spark arg sweeps untracked blocks too (e.g. the per-round
     # localCheckpoints a prior test's fixpoint loop left behind).
-    release_persisted(spark)
+    release_persisted(spark, owner=True)
     spark.catalog.clearCache()
     assert _n_cached(spark) == 0
     # Persisting pipelines (corpus persists its exact-dedup'd table).
@@ -47,7 +47,7 @@ def test_released_dataframe_still_usable(spark):
 
 
 def test_jvm_sweep_catches_localcheckpoint_blocks(spark):
-    release_persisted(spark)
+    release_persisted(spark, owner=True)
     spark.catalog.clearCache()
     assert _n_cached(spark) == 0
     # localCheckpoint caches RDD blocks that bypass the tracker AND
@@ -57,5 +57,17 @@ def test_jvm_sweep_catches_localcheckpoint_blocks(spark):
     assert _n_cached(spark) > 0
     spark.catalog.clearCache()
     assert _n_cached(spark) > 0  # clearCache alone does NOT catch them
-    assert release_persisted(spark) >= 1
+    assert release_persisted(spark, owner=True) >= 1
     assert _n_cached(spark) == 0
+
+
+def test_jvm_sweep_requires_owner_claim(spark):
+    # The JVM-wide sweep evicts EVERY cached RDD in the context —
+    # non-owner callers must fail loudly, not silently evict
+    # co-resident caches (VERDICT r5 hardening ask).
+    import pytest
+
+    with pytest.raises(ValueError, match="owner=True"):
+        release_persisted(spark)
+    # tracked-list-only release stays available to everyone
+    assert release_persisted() == 0
