@@ -89,6 +89,9 @@ def main() -> None:
 
     cc_stress(spark)
     labelprop_stress(spark)
+    kcore_stress(spark)
+    bfs_stress(spark)
+    triangles_stress(spark)
     ann_stress(spark)
     skew_stress(spark)
     hot_shingle_stress(spark)
@@ -592,3 +595,208 @@ def ann_stress(spark, n: int = 200_000, n_q: int = 20, k: int = 10) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _chain_edges(spark, n: int, chain: int, p: int = 999_983):
+    """Scrambled disjoint chains: n vertices in chains of length
+    `chain`, ids multiplied by a coprime prime so chain neighbors land
+    in different partitions (no accidental locality). Returns the
+    undirected pair list (u, v) — n/chain * (chain-1) edges,
+    triangle-free by construction (a disjoint union of paths)."""
+    assert n % chain == 0
+    base = spark.range(n)
+    return base.filter((F.col("id") % chain) != chain - 1).select(
+        ((F.col("id") * p) % n).alias("u"),
+        (((F.col("id") + 1) * p) % n).alias("v"),
+    )
+
+
+def _planted_triangles(spark, t: int, offset: int):
+    """t vertex-disjoint triangles on ids [offset, offset+3t): exactly
+    3t edges, exactly t triangles, every vertex degree exactly 2."""
+    tri = spark.range(t).select((F.col("id") * 3 + offset).alias("a"))
+    e = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), (F.col("a") + 1).alias("v")),
+                F.struct(F.col("a").alias("u"), (F.col("a") + 2).alias("v")),
+                F.struct((F.col("a") + 1).alias("u"), (F.col("a") + 2).alias("v")),
+            )
+        ).alias("e")
+    )
+    return e.select("e.u", "e.v")
+
+
+def kcore_stress(spark, n: int = 1_000_000, chain: int = 8, t: int = 100_000) -> None:
+    """k-core peeling (the b_graph_kcore dataflow) at >=1M edges with a
+    KNOWN answer: scrambled chains (875k edges — every vertex degree
+    <=2, so under K=2 the chains peel from both ends, one layer per
+    round, gone after chain/2 rounds) plus t vertex-disjoint planted
+    triangles (300k edges — degree exactly 2 everywhere, the 2-core
+    fixpoint). Ground truth after chain/2 rounds: survivors are
+    EXACTLY the 3t triangle vertices, each with degree exactly 2, and
+    exactly 3t edges remain. Per-round invariant: chains shrink by
+    exactly 2 endpoints per chain per round."""
+    K = 2
+    edges = _chain_edges(spark, n, chain).unionByName(
+        _planted_triangles(spark, t, offset=n)
+    ).persist()
+    n_edges0 = edges.count()
+    rounds = chain // 2
+    t0 = time.time()
+    e = edges
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= K).select("node").persist()
+        e = (
+            e.join(surv.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(surv.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .persist()
+        )
+        n_e = e.count()
+        # each of the n/chain chains loses its 2 current endpoints per
+        # round -> exactly 2 chain-edges per chain vanish every round
+        left = chain - 1 - 2 * r
+        expect = (n // chain) * left + 3 * t if left > 0 else 3 * t
+        assert n_e == expect, (r, n_e, expect)
+    degf = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    agg = degf.agg(
+        F.count("*").alias("n_surv"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.min("node").alias("first_node"),
+    ).first()
+    dt = time.time() - t0
+    assert agg.n_surv == 3 * t, (agg.n_surv, 3 * t)
+    assert agg.dmin == 2 and agg.dmax == 2, (agg.dmin, agg.dmax)
+    assert agg.first_node == n  # every survivor is a planted-triangle id
+    print(
+        f"k-core peeling: {n_edges0} edges x {rounds} rounds -> "
+        f"{agg.n_surv} core vertices (deg=={K} exact) in {dt:.1f}s "
+        f"({n_edges0 * rounds / dt / 1e6:.2f}M edge-visits/s)"
+    )
+    spark.catalog.clearCache()
+
+
+def bfs_stress(spark, n: int = 1_000_000, chain: int = 8, p: int = 999_983) -> None:
+    """Min-plus BFS (the b_graph_bfs dataflow: self-loops carry w=0,
+    one min over incoming per round) at >=1M directed edge rows with an
+    ANALYTIC answer: on scrambled chains with the chain HEADS as the
+    source set, the distance of the vertex at chain position j is
+    exactly j, so the distance histogram is exactly n/chain nodes at
+    each distance 0..chain-1. Heads are recovered under the scramble via
+    the modular inverse of the scrambling prime — pure codegen, no
+    driver-side source list."""
+    pinv = pow(p, -1, n)
+    half = _chain_edges(spark, n, chain)
+    both = half.select("u", "v").unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = spark.range(n).select(F.col("id").alias("u"))
+    edges = both.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.lit(1).alias("w")
+    ).unionByName(
+        nodes.select(
+            F.col("u").alias("src"), F.col("u").alias("dst"), F.lit(0).alias("w")
+        )
+    ).persist()
+    n_edge_rows = edges.count()
+    t0 = time.time()
+    is_head = ((F.col("node") * pinv) % n) % chain == 0
+    dist = spark.range(n).select(
+        F.col("id").alias("node"), F.when(is_head, F.lit(0)).alias("dist")
+    )
+    for _ in range(chain - 1):
+        dist = (
+            edges.join(
+                dist.select(
+                    F.col("node").alias("src"), F.col("dist").alias("src_dist")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("src_dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("dst", "node")
+            .persist()
+        )
+    hist = {
+        r.dist: r.n
+        for r in dist.filter(F.col("dist").isNotNull())
+        .groupBy("dist")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    dt = time.time() - t0
+    assert hist == {j: n // chain for j in range(chain)}, hist
+    print(
+        f"min-plus BFS: {n_edge_rows} edge rows x {chain - 1} rounds -> "
+        f"exact distance histogram ({chain} levels x {n // chain}) in "
+        f"{dt:.1f}s ({n_edge_rows * (chain - 1) / dt / 1e6:.2f}M edge-visits/s)"
+    )
+    spark.catalog.clearCache()
+
+
+def triangles_stress(spark, n: int = 1_000_000, chain: int = 8, t: int = 100_000) -> None:
+    """Degree-oriented triangle counting (the b_graph_triangles
+    dataflow: orient by (degree, id), wedge at the smallest endpoint,
+    close with one oriented edge) at >=1M edges with a PLANTED answer:
+    scrambled chains are triangle-free (disjoint paths), the t planted
+    vertex-disjoint triangles are the complete truth — exactly t
+    triangles, every triangle vertex in exactly one."""
+    edges = _chain_edges(spark, n, chain).unionByName(
+        _planted_triangles(spark, t, offset=n)
+    )
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct().persist()
+    n_edges = e.count()
+    t0 = time.time()
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+        .persist()
+    )
+    x = oe.select("src", F.col("dst").alias("b_node"), F.col("ddeg").alias("bdeg"))
+    y = oe.select("src", F.col("dst").alias("c_node"), F.col("ddeg").alias("cdeg"))
+    wedges = x.join(y, "src").filter(
+        F.struct("bdeg", "b_node") < F.struct("cdeg", "c_node")
+    )
+    z = oe.select(F.col("src").alias("b_node"), F.col("dst").alias("c_node"))
+    tri = wedges.join(z, ["b_node", "c_node"])
+    agg = tri.agg(F.count("*").alias("n_tri")).first()
+    n_nodes = (
+        tri.select(
+            F.explode(F.array("src", "b_node", "c_node")).alias("node")
+        ).distinct().count()
+    )
+    dt = time.time() - t0
+    assert agg.n_tri == t, (agg.n_tri, t)
+    assert n_nodes == 3 * t, (n_nodes, 3 * t)
+    print(
+        f"oriented triangles: {n_edges} edges -> exactly {agg.n_tri} "
+        f"planted triangles over {n_nodes} vertices in {dt:.1f}s "
+        f"({n_edges / dt / 1e6:.2f}M edges/s)"
+    )
+    spark.catalog.clearCache()
