@@ -86,6 +86,11 @@ HEADLINE = [
     "b_graph_triangles",
     "b_graph_bfs",
     "b_graph_kcore",
+    # round 6: KIP-213 FK join, LSH-blocked semantic dedup (now a
+    # bounded-candidate plan worth timing), deflated second component
+    "a_ktable_fk_join",
+    "c_sim_dedup_semantic",
+    "c_embed_pca_deflate",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

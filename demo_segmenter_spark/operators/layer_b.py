@@ -1519,6 +1519,122 @@ def b_pipeline_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q5",
+    oracle=f"""
+SELECT n_name,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def b_pipeline_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed classic (TPC-H Q5 shape, local supplier volume):
+    six-table join where the LOCALITY predicate (customer and supplier
+    share a nation) rides the supplier join, the region filter prunes
+    the nation dim BEFORE it joins, and the one-year date window
+    pushes to the orders scan. The 100 TB plan: lineitem⋈orders is
+    the single big co-partitioned shuffle; customer / supplier /
+    nation(⋈region, pre-filtered) all broadcast; the final groupBy
+    collapses to ≤25 nation rows map-side. Revenue in integer cents;
+    nation-name tiebreak for a total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").join(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+Q18_MIN_QTY = 250  # ~top 1% of orders by total quantity at every sf
+
+
+@query(
+    "b_pipeline_tpch_q18",
+    oracle=f"""
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       {sql_rnd(sql_cents("o_totalprice") + " / 100.0", 2)} AS total_price,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+""",
+)
+def b_pipeline_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed classic (TPC-H Q18 shape, large-volume customers):
+    HAVING-filtered aggregate as a semi-join driver — orders whose
+    line quantities sum past Q18_MIN_QTY, joined back to orders and
+    customer, top-100 by price. The 100 TB plan: ONE groupBy(orderkey)
+    shuffle builds the big-order set (map-side partials — quantities
+    are integral doubles, the sum is exact), the orders join reuses
+    the orderkey partitioning, customer broadcasts, and the
+    ORDER BY..LIMIT is TakeOrderedAndProject, never a global sort.
+    All-integer quantities + cents prices; orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            rnd(cents(F.col("o_totalprice")) / 100.0, 2).alias("total_price"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,

@@ -113,6 +113,18 @@ def test_tpch_q3_plan_shape(spark):
     assert has_take_ordered(df)
 
 
+def test_tpch_q5_q18_plan_shapes(spark):
+    # Q5: every dim side broadcasts (one big co-partitioned shuffle);
+    # Q18: the top-100 must be TakeOrderedAndProject, never a global
+    # sort, and the orderkey groupBy partitioning must be reused by
+    # the orders join (budget table pins it at ONE exchange).
+    q5 = q("b_pipeline_tpch_q5", spark)
+    assert has_broadcast_hash_join(q5)
+    q18 = q("b_pipeline_tpch_q18", spark)
+    assert has_broadcast_hash_join(q18)
+    assert has_take_ordered(q18)
+
+
 def test_stream_stream_join_is_merge_not_nested_loop(spark):
     # The time band is a residual on an equi-key join: must plan as a
     # key-partitioned join (SMJ/SHJ), NOT BroadcastNestedLoop — at
@@ -169,6 +181,13 @@ def test_shuffle_budgets_table(spark):
         "b_multiway_star": 1,
         "b_join_asof": 1,
         "b_pipeline_tpch_q3": 2,
+        # Q5: lineitem⋈orders is the ONE big co-partitioned shuffle
+        # (all four dims broadcast), + the ≤25-row nation agg/sort
+        "b_pipeline_tpch_q5": 2,
+        # Q18: the groupBy(orderkey) HAVING driver is the only
+        # exchange — the orders join REUSES the orderkey partitioning,
+        # customer broadcasts, top-100 is TakeOrderedAndProject
+        "b_pipeline_tpch_q18": 1,
         "b_scd2_intervals": 1,
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
