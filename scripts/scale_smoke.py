@@ -593,8 +593,6 @@ def ann_stress(spark, n: int = 200_000, n_q: int = 20, k: int = 10) -> None:
     assigned.unpersist()
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _chain_edges(spark, n: int, chain: int, p: int = 999_983):
@@ -800,3 +798,6 @@ def triangles_stress(spark, n: int = 1_000_000, chain: int = 8, t: int = 100_000
         f"({n_edges / dt / 1e6:.2f}M edges/s)"
     )
     spark.catalog.clearCache()
+
+if __name__ == "__main__":
+    main()
