@@ -2463,3 +2463,96 @@ def a_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — the linear-recurrence member of the time-series
+# family: y_i = (1-α)·y_{i-1} + α·x_i (pandas ewm(adjust=False)
+# semantics). NOT expressible as one window aggregate (every output
+# depends on the whole prefix through a chained product), so Spark runs
+# the per-key recurrence in applyInPandas and the oracle replays it
+# with a RECURSIVE CTE — the repo's first recurrence-shaped op with a
+# full hash certificate. α = 1/2 on purpose: 0.5·y + 0.5·x is three
+# IEEE ops with EXACT binary constants, so Python's float loop and
+# DuckDB's double arithmetic execute the identical op sequence and the
+# pre-round values are bit-equal (the 4dp round is belt-and-braces).
+# ---------------------------------------------------------------------------
+
+EWMA_ORACLE = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), rec AS (
+    SELECT user_id, event_id, rn, value AS y FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, 0.5 * r.y + 0.5 * s.value AS y
+    FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, {sql_rnd('y', 4)} AS ewma FROM rec
+"""
+
+
+def _ewma_rows(values, y, n):
+    """Shared sequential core for the batch and PAPI twins: consume
+    ts-ordered values, return (rounded outputs, carried y, carried n).
+    Plain Python floats — the same IEEE double ops as the oracle's
+    0.5 * y + 0.5 * x, evaluated left-to-right."""
+    out = []
+    for v in values:
+        y = v if n == 0 else 0.5 * y + 0.5 * v
+        n += 1
+        out.append(round(y + 1e-08, 4) + 0.0)
+    return out, y, n
+
+
+@query("a_ewma", oracle=EWMA_ORACLE)
+def a_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value in (ts, event_id) order — the
+    rolling smoothing every feature pipeline computes (pandas
+    ewm(alpha=.5, adjust=False); cross-checked against pandas itself
+    in tests/test_ewma.py). Scale story: ONE shuffle on user_id, then
+    the recurrence is a sequential O(1)-state scan per key inside an
+    Arrow batch — at 100 TB the identical processor runs as
+    applyInPandasWithState on the stream (a_ewma_stream) and the key
+    domain shards across executors exactly like any keyed state store.
+    applyInPandas costs one Python call per GROUP (measured in this
+    repo: fine at ~1.5k users, wrong at millions of tiny groups — at
+    that scale the recurrence moves to a segmented scan over
+    per-partition prefixes)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        out, _, _ = _ewma_rows(pdf["value"].tolist(), None, 0)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].astype("int64").values,
+                "event_id": pdf["event_id"].astype("int64").values,
+                "ewma": out,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, "user_id long, event_id long, ewma double"
+    )
+
+
+@query("a_ewma_stream", oracle=EWMA_ORACLE)
+def a_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_ewma via the PAPI escape hatch
+    (streaming/papi.py::_smooth_ewma): per-user carried state is just
+    (last smoothed value, count) — the canonical O(1)-state streaming
+    feature transform. Each event row is emitted exactly once, in the
+    micro-batch that carried it (update mode; rows never re-emit
+    because outputs are per-event, not per-key aggregates), so the
+    completed stream hash-matches the SAME recursive-CTE oracle as
+    the batch twin. Multi-batch state carry is pinned in
+    tests/test_ewma.py."""
+    from demo_segmenter_spark.streaming.papi import papi_ewma
+
+    return papi_ewma(spark, sf_dir)

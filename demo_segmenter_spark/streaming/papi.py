@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from demo_segmenter_spark.operators.layer_a import GAP_US
 from demo_segmenter_spark.streaming.sources import stream_events
@@ -196,6 +196,76 @@ def papi_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Third custom processor: per-user EWMA (operators/layer_a.py::a_ewma's
+# streaming twin). Unlike the sessionize/funnel processors the output
+# is PER EVENT, so update-mode re-emission never happens — each row is
+# produced exactly once, in the micro-batch that carried its event —
+# and the completed stream equals the batch recurrence row-for-row.
+# Carried state is (last smoothed value, count): the canonical
+# O(1)-state streaming feature transform.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("y", DoubleType()), StructField("n", LongType())]
+)
+
+
+def _smooth_ewma(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from demo_segmenter_spark.operators.layer_a import _ewma_rows
+
+    y, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        out, y, n = _ewma_rows(pdf["value"].tolist(), y, n)
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "event_id": pdf["event_id"].astype("int64").values,
+                "ewma": out,
+            }
+        )
+    state.update((y, n))
+
+
+def papi_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the EWMA processor over the event stream to completion."""
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _smooth_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)

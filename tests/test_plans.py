@@ -254,6 +254,9 @@ def test_shuffle_budgets_table(spark):
         "a_session_suppress": 2,
         # OHLC is ONE hash aggregate (ordered aggs, no window sort)
         "a_ohlc": 1,
+        # EWMA: one user_id exchange feeding the Arrow recurrence —
+        # the per-key scan itself is map-side within the group
+        "a_ewma": 1,
         # span df + chunk build + doc reassembly + the totals/cleaned
         # join; the persisted chunk table repeats in the static plan
         "c_scrub_boilerplate": 9,
