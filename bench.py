@@ -91,6 +91,7 @@ HEADLINE = [
     "a_ktable_fk_join",
     "c_sim_dedup_semantic",
     "c_embed_pca_deflate",
+    "a_ewma",  # the Arrow per-key recurrence class representative
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

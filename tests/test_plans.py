@@ -105,6 +105,34 @@ def test_partitioned_sink_prunes_partitions(spark):
     )
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    # The other half of the 100 TB scan story: when the dim-side
+    # filter is on a NON-join column (so no static partition filter
+    # can be inferred through the equi-join), Spark must inject a
+    # DPP subquery — the partitioned fact scan carries a
+    # dynamicpruningexpression and only joined partitions are read.
+    # (With the filter ON the join column, constraint propagation
+    # already yields the static PartitionFilters pinned above — DPP
+    # is specifically the runtime version of that.)
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources import load_table
+
+    out = f"/tmp/dss_sink/{hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]}/docs_by_lang"
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        docs.groupBy("lang")
+        .agg(F.avg("n_chars").alias("avg_chars"))
+        .filter(F.col("avg_chars") > 100)
+    )
+    plan = explain_str(fact.join(dim, "lang").select("doc_id", "avg_chars"))
+    assert "dynamicpruningexpression" in plan.lower(), plan[:3000]
+
+
 def test_tpch_q3_plan_shape(spark):
     # Filtered customer dim broadcasts; the ORDER BY..LIMIT 10 must be
     # TakeOrderedAndProject (per-partition top-k), never a global sort.
