@@ -69,3 +69,57 @@ def test_ewma_stream_state_survives_batch_cuts(spark):
     # the batch recurrence — i.e. the carried y crossed both cuts
     assert len(got) == n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property checks (pure Python, no Spark session — the Spark plumbing
+# is certified by the oracle gate and the multibatch test above):
+# on ARBITRARY series, the shared recurrence core must (1) agree with
+# pandas ewm bit-for-bit after the standard round, and (2) be
+# split-invariant — carrying (y, n) state across ANY chunking equals
+# the whole-series result, which is exactly the guarantee the
+# streaming twin relies on at every micro-batch boundary.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demo_segmenter_spark.operators.layer_a import _ewma_rows
+
+series_strategy = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(series_strategy, st.data())
+def test_ewma_core_matches_pandas_and_is_split_invariant(xs, data):
+    import pandas as pd
+
+    whole, _, _ = _ewma_rows(xs, None, 0)
+    want = [
+        round(v + 1e-08, 4) + 0.0
+        for v in pd.Series(xs).ewm(alpha=0.5, adjust=False).mean()
+    ]
+    assert whole == want
+    # arbitrary chunking: state carry must reproduce the whole series
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(xs)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(xs)]
+    out, y, n = [], None, 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        part, y, n = _ewma_rows(xs[lo:hi], y, n)
+        out.extend(part)
+    assert out == whole
