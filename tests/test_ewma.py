@@ -123,3 +123,82 @@ def test_ewma_core_matches_pandas_and_is_split_invariant(xs, data):
         part, y, n = _ewma_rows(xs[lo:hi], y, n)
         out.extend(part)
     assert out == whole
+
+
+def test_ewma_papi_state_recovers_across_restart(spark):
+    # GroupState RECOVERY for the custom-processor class: phase 1 runs
+    # the EWMA processor over the first two thirds into a checkpointed
+    # parquet sink, then the last third arrives and the query RESTARTS
+    # on the same checkpoint. The recovered (y, n) per-user state must
+    # continue the recurrence exactly — every event row present
+    # exactly once and every smoothed value equal to the batch twin
+    # (any state loss at the restart shifts every later value, so this
+    # is a sharp check, not a row-count one).
+    import os
+    import shutil
+    import uuid
+
+    from tests.test_stream_multibatch import CHUNK_SCHEMA
+
+    base = f"/tmp/dss_stream_mb/ewma_restart_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    n = len(rows)
+    cut = [0, n // 3, 2 * n // 3, n]
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    for i in range(3):
+        d = f"{base}/b{i}"
+        spark.createDataFrame(rows[cut[i] : cut[i + 1]], CHUNK_SCHEMA).coalesce(
+            1
+        ).write.parquet(d)
+
+    def _arrive(i):
+        d = f"{base}/b{i}"
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{f}", f"{src}/{i}_{f}")
+
+    def _run():
+        ev = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+            )
+        )
+        smoothed = ev.groupBy("user_id").applyInPandasWithState(
+            _smooth_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            smoothed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _arrive(0)
+    _arrive(1)
+    _run()
+    mid = spark.read.parquet(out).count()
+    assert 0 < mid < n
+    _arrive(2)
+    _run()  # restart on the same checkpoint; only b2 is new
+    got_df = spark.read.parquet(out)
+    assert got_df.count() == n  # exactly once, no re-emission
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in REGISTRY["a_ewma"].fn(spark, SF).collect()}
+    assert got == want
