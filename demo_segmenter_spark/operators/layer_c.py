@@ -3729,3 +3729,163 @@ def c_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_md5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking — the GREEDY-SELECTION member of the
+# unrolled-iterative family (pagerank/CC/kmeans/PCA/BPE are all
+# fixpoint/argmax loops over the whole input; MMR's loop state is the
+# SELECTED SET, and each round's argmax depends on it). Standard
+# retrieval op: from a relevance-ranked pool, pick K results maximizing
+# λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
+# ---------------------------------------------------------------------------
+
+MMR_K = 5
+MMR_POOL = 20
+# λ = 0.7 as a TEXTUAL literal in both engines: 0.7/0.3 parse to the
+# same IEEE doubles everywhere, and every score input (rel, sim) is
+# 4dp-rounded first, so the score arithmetic is bit-identical and the
+# (score DESC, vec_id) argmax cannot diverge.
+
+
+def _mmr_round_sql(r: int) -> str:
+    prev = f"sel{r - 1}"
+    return f"""
+, s{r} AS MATERIALIZED (
+    SELECT p.vec_id, p.rel,
+           0.7 * p.rel - 0.3 * max(ps.sim) AS score, {r} AS rank
+    FROM pool p
+    JOIN psims ps ON ps.va = p.vec_id
+    JOIN {prev} s ON ps.vb = s.vec_id
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY p.vec_id, p.rel
+    ORDER BY score DESC, p.vec_id
+    LIMIT 1
+), sel{r} AS MATERIALIZED (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM s{r}
+)"""
+
+
+@query(
+    "c_rag_mmr",
+    oracle=_EMB_CTE
+    + f"""
+, qd AS (
+    SELECT e.vec_id, sum(e.x * q.x) AS dp
+    FROM ex e JOIN ex q ON q.vec_id = 0 AND q.i = e.i
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+), pool AS MATERIALIZED (
+    SELECT d.vec_id, {sql_rnd("d.dp / (na.nrm * n0.nrm)", 4)} AS rel
+    FROM qd d
+    JOIN norms na ON d.vec_id = na.vec_id
+    JOIN norms n0 ON n0.vec_id = 0
+    ORDER BY rel DESC, d.vec_id
+    LIMIT {MMR_POOL}
+), pdots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(ea.x * eb.x) AS dp
+    FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    JOIN ex ea ON ea.vec_id = a.vec_id
+    JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+    GROUP BY a.vec_id, b.vec_id
+), psims AS MATERIALIZED (
+    SELECT d.va, d.vb, {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS sim
+    FROM pdots d
+    JOIN norms na ON d.va = na.vec_id
+    JOIN norms nb ON d.vb = nb.vec_id
+), s1 AS MATERIALIZED (
+    SELECT vec_id, rel, 0.7 * rel AS score, 1 AS rank
+    FROM pool ORDER BY 0.7 * rel DESC, vec_id LIMIT 1
+), sel1 AS MATERIALIZED (
+    SELECT * FROM s1
+)"""
+    + "".join(_mmr_round_sql(r) for r in range(2, MMR_K + 1))
+    + f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
+       {sql_rnd("score", 4)} AS score
+FROM sel{MMR_K}
+""",
+)
+def c_rag_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the vec_id=0 query's
+    top-{MMR_POOL} exact-cosine pool: K={MMR_K} unrolled greedy rounds,
+    each picking argmax[0.7·rel − 0.3·max sim-to-selected] (round 1:
+    empty set ⇒ maxsim = 0 ⇒ score = 0.7·rel, the classic first pick).
+    Full DuckDB replay oracle — pool, pairwise sims and all {MMR_K}
+    selection rounds re-run step for step; rel/sim are 4dp-rounded
+    BEFORE the score arithmetic so the argmax is engine-independent.
+    Scale story: the corpus is touched ONCE (the pool top-k scan — the
+    same broadcast-query shape as c_sim_knn); everything after is
+    K·pool-sized — {MMR_POOL}² pairwise sims and 1-row broadcast
+    argmaxes, so per-query cost is O(corpus + K·pool²) and queries
+    parallelize embarrassingly. The selected set is the loop-carried
+    state: each round references sel (persisted) once — the BPE/PCA
+    static-plan discipline on a set-valued accumulator."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = persist(
+        emb.select("vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm"))
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel_u = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    pool = persist(
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "v", "nrm", rnd(rel_u, 4).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    pa = pool.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    pb = pool.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    sim_u = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    psims = persist(
+        pa.join(pb, F.col("va") != F.col("vb")).select(
+            "va", "vb", rnd(sim_u, 4).alias("sim")
+        )
+    )
+    cand = pool.select("vec_id", "rel")
+    sel = persist(
+        cand.select(
+            "vec_id",
+            "rel",
+            (F.lit(0.7) * F.col("rel")).alias("score"),
+            F.lit(1).alias("rank"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(1)
+    )
+    for r in range(2, MMR_K + 1):
+        remaining = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        ms = (
+            psims.join(
+                F.broadcast(sel.select(F.col("vec_id").alias("vb"))), "vb"
+            )
+            .groupBy(F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            remaining.join(ms, "vec_id")
+            .select(
+                "vec_id",
+                "rel",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias(
+                    "score"
+                ),
+                F.lit(r).alias("rank"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = persist(sel.unionByName(pick))
+    return sel.select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        "rel",
+        rnd(F.col("score"), 4).alias("score"),
+    )

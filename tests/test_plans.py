@@ -268,6 +268,11 @@ def test_shuffle_budgets_table(spark):
         # all persist, so runtime executes each subtree once (the
         # kcore precedent: static count compounds, runtime is linear)
         "c_embed_pca_deflate": 46,
+        # MMR greedy selection: the selected-set accumulator grows by
+        # union each round, and each round re-references the persisted
+        # pool/psims/sel subtrees — static count compounds like
+        # kcore's, runtime pays each pool-sized (≤20-row) subtree once
+        "c_rag_mmr": 40,
         # 2 unrolled BPE merge rounds, ~13 static exchanges each: the
         # doc_id window chain (lead/cumsum/lag share one exchange at
         # runtime), the run-group window, the pair-count partials, the
