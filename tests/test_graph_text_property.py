@@ -345,3 +345,55 @@ def test_kcore_matches_python_reference(spark):
             for r in REGISTRY["b_graph_kcore"].fn(spark, sf).collect()
         ]
         assert got == want, (trial, got[:5], want[:5])
+
+
+def test_mmr_matches_python_reference(spark):
+    # third independent implementation of the unrolled MMR selection:
+    # numpy cosines (4dp-rounded like both engines), then the exact
+    # greedy loop — score = 0.7*rel - 0.3*max sim-to-selected, ties by
+    # vec_id. Catches argmax/tiebreak drift the two dataflow replays
+    # could share.
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import MMR_K, MMR_POOL
+    from demo_segmenter_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    qi = int(np.where(ids == 0)[0][0])
+
+    def r4(v):
+        return np.round(v + 1e-08, 4) + 0.0
+
+    rel = r4(X @ X[qi] / (nrm * nrm[qi]))
+    cand = [(float(rel[i]), int(ids[i]), i) for i in range(len(ids)) if ids[i] != 0]
+    pool = sorted(cand, key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+    sel, want = [], {}
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for relv, vid, i in pool:
+            if any(vid == s[1] for s in sel):
+                continue
+            if not sel:
+                score = 0.7 * relv
+            else:
+                ms = max(
+                    float(r4(X[i] @ X[j] / (nrm[i] * nrm[j]))) for _, _, j in sel
+                )
+                score = 0.7 * relv - 0.3 * ms
+            if best is None or (-score, vid) < (-best[0], best[1]):
+                best = (score, vid, relv, i)
+        sel.append((best[0], best[1], best[3]))
+        want[rank] = (best[1], best[2], round(best[0] + 1e-08, 4) + 0.0)
+    got = {
+        r.rank: (r.vec_id, r.rel, r.score)
+        for r in REGISTRY["c_rag_mmr"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
