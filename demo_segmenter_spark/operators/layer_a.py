@@ -2556,3 +2556,24 @@ def a_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_ewma
 
     return papi_ewma(spark, sf_dir)
+
+
+@query("a_papi_session_suppress", oracle=_SESSION_SUPPRESS_ORACLE)
+def a_papi_session_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD implementation of emit-final sessionization, via the PAPI
+    escape hatch with EVENT-TIME STATE TIMEOUT
+    (streaming/papi.py::_session_final) — the GroupState mechanic the
+    other processors don't exercise: per-key pending sessions live in
+    explicit state, each row is emitted exactly once when the
+    watermark passes its close boundary (piggybacked on a data batch
+    or fired by setTimeoutTimestamp when the key goes quiet), and the
+    key's state is REMOVED once drained. Hash-matches the SAME oracle
+    as a_session_suppress and a_session_suppress_stream — batch
+    filter, native session_window+append, and hand-built state machine
+    agree row-for-row, the reference's TopologyTestDriver idiom at
+    full strength. At 100 TB this is how any custom emit-once
+    windowing (punctuate-style flushes, decorated session payloads)
+    bounds its state explicitly."""
+    from demo_segmenter_spark.streaming.papi import papi_session_final
+
+    return papi_session_final(spark, sf_dir)

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 from demo_segmenter_spark.operators.layer_a import GAP_US
 from demo_segmenter_spark.streaming.sources import stream_events
@@ -270,6 +270,142 @@ def papi_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Fourth custom processor: emit-final gap sessions via EVENT-TIME STATE
+# TIMEOUT — the GroupState mechanic the other processors don't touch.
+# The native twin (a_session_suppress_stream) gets this behavior from
+# session_window + append mode; here the SAME contract is built by
+# hand: sessions accumulate in per-key state, and a session row is
+# emitted exactly once, when the watermark passes its close boundary
+# (last_event + gap) — either piggybacked on a data invocation or
+# fired by setTimeoutTimestamp when the key goes quiet. State is
+# REMOVED once drained: the 100 TB bounded-state contract, enforced by
+# the processor itself rather than by session_window's internals.
+#
+# Boundary note: GroupState exposes the watermark in MILLISECONDS while
+# the oracle rule is exact µs (s_end + gap <= max_ts - grace). The
+# native twin hash-matches the µs oracle on every fixture sf, i.e.
+# Spark's own ms-resolution watermark never disagrees with the µs rule
+# on this data — so the processor applies the same ms-derived
+# watermark (wm_ms * 1000) and the full-sweep hash gate would catch a
+# sub-ms boundary collision loudly if a future fixture introduced one.
+# ---------------------------------------------------------------------------
+
+SESSION_FINAL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+# pending sessions, oldest first; the newest entry is the open one
+SESSION_FINAL_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+    ]
+)
+
+
+def _session_final(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from demo_segmenter_spark.operators.layer_a import GAP_US
+
+    starts, lasts, ns, cents = (
+        [list(x) for x in state.get] if state.exists else ([], [], [], [])
+    )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for us, c in zip(
+            pdf["ts_us"].astype("int64").tolist(),
+            pdf["cents"].astype("int64").tolist(),
+        ):
+            if lasts and us - lasts[-1] <= GAP_US:
+                lasts[-1] = us
+                ns[-1] += 1
+                cents[-1] += c
+            else:
+                starts.append(us)
+                lasts.append(us)
+                ns.append(1)
+                cents.append(c)
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    emit = [i for i in range(len(lasts)) if lasts[i] + GAP_US <= wm_us]
+    if emit:
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "session_start_us": [starts[i] for i in emit],
+                "session_last_us": [lasts[i] for i in emit],
+                "n_events": [ns[i] for i in emit],
+                "sum_value": [
+                    round(cents[i] / 100.0 + 1e-06, 2) + 0.0 for i in emit
+                ],
+            }
+        )
+        keep = [i for i in range(len(lasts)) if i not in set(emit)]
+        starts = [starts[i] for i in keep]
+        lasts = [lasts[i] for i in keep]
+        ns = [ns[i] for i in keep]
+        cents = [cents[i] for i in keep]
+    if not starts:
+        state.remove()
+        return
+    state.update((starts, lasts, ns, cents))
+    # wake this key when the earliest remaining boundary is provably
+    # past (timeout requires a timestamp strictly beyond the current
+    # watermark; the closing no-data batch advances the watermark to
+    # its final value and fires everything still eligible)
+    boundary_ms = (min(lasts) + GAP_US) // 1000 + 1
+    state.setTimeoutTimestamp(max(boundary_ms, state.getCurrentWatermarkMs() + 1))
+
+
+def papi_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the emit-final session processor to completion."""
+    import uuid
+
+    from demo_segmenter_spark.functions.compat import cents as cents_expr
+    from demo_segmenter_spark.operators.layer_a import SESSION_GRACE_US
+
+    grace_sec = SESSION_GRACE_US // 1_000_000
+    ev = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", f"{grace_sec} seconds")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            cents_expr(F.col("value")).alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _session_final,
+        outputStructType=SESSION_FINAL_OUTPUT_SCHEMA,
+        stateStructType=SESSION_FINAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sessfinal_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -349,3 +349,64 @@ def test_suppress_exactly_once_across_restart(spark):
     )
     want = _rowset(REGISTRY["a_suppress_emit_final"].fn(spark, SF))
     assert got == want
+
+
+def test_papi_session_timeout_emits_incrementally(spark):
+    # The event-time-timeout processor must flush sessions ACROSS the
+    # run, not in one final dump: with three ts-ordered batches the
+    # watermark advances twice mid-stream, so sessions whose close
+    # boundary it passes flush in micro-batches BEFORE the closing
+    # no-data batch (which fires the remaining timeouts). Final set ==
+    # the batch twin (closed sessions only), each exactly once.
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from demo_segmenter_spark.functions.compat import cents
+    from demo_segmenter_spark.operators.layer_a import SESSION_GRACE_US
+    from demo_segmenter_spark.streaming.papi import (
+        SESSION_FINAL_OUTPUT_SCHEMA,
+        SESSION_FINAL_STATE_SCHEMA,
+        _session_final,
+    )
+
+    src, _, _ = _trickle_src(spark)
+    grace_sec = SESSION_GRACE_US // 1_000_000
+    ev = (
+        _read_stream(spark, src)
+        .withWatermark("ts", f"{grace_sec} seconds")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            cents(F.col("value")).alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _session_final,
+        outputStructType=SESSION_FINAL_OUTPUT_SCHEMA,
+        stateStructType=SESSION_FINAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sessfinal_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitting = [
+        p["batchId"]
+        for p in q.recentProgress
+        if p["sink"].get("numOutputRows", 0) > 0
+    ]
+    assert len(emitting) >= 2, (
+        f"sessions flushed only in batches {emitting} — not incremental"
+    )
+    rows = spark.table(name).collect()
+    got = {tuple(r) for r in rows}
+    assert len(got) == len(rows)  # exactly once
+    want = {tuple(r) for r in REGISTRY["a_session_suppress"].fn(spark, SF).collect()}
+    assert got == want
