@@ -133,6 +133,35 @@ def test_dynamic_partition_pruning_fires(spark):
     assert "dynamicpruningexpression" in plan.lower(), plan[:3000]
 
 
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    # The shuffle-join sibling of DPP: when a selective dim filter
+    # feeds a co-partitioned join, Spark injects a bloom-filter
+    # runtime filter (might_contain on the fact's join key) so fact
+    # rows that can never match are dropped BEFORE the shuffle. The
+    # trigger is scan-size-gated (applicationSideScanSizeThreshold
+    # defaults to 10GB — always met at 100 TB, never at fixture
+    # scale), so the test sets the threshold to 0 to assert the
+    # 100 TB plan on fixture data, and restores it after.
+    from demo_segmenter_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr, "0")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        od = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        assert "might_contain" in explain_str(j).lower()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(thr)
+
+
 def test_tpch_q3_plan_shape(spark):
     # Filtered customer dim broadcasts; the ORDER BY..LIMIT 10 must be
     # TakeOrderedAndProject (per-partition top-k), never a global sort.
