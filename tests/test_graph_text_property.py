@@ -397,3 +397,68 @@ def test_mmr_matches_python_reference(spark):
         for r in REGISTRY["c_rag_mmr"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_ktable_fk_join_matches_python_reference(spark):
+    # Locks the KIP-213 compaction semantics that the fixture nearly
+    # hid: l_linenumber REPEATS within an order, so "latest version"
+    # is defined by the (linenumber, suppkey, price) total order —
+    # random changelogs with heavy duplicate versions force the ties.
+    import os
+    import uuid as _uuid
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n_orders, n_supp = 25, 6
+        lineitem = []
+        for o in range(n_orders):
+            for _ in range(rng.randint(1, 6)):
+                lineitem.append(
+                    (
+                        o,
+                        rng.randint(1, 3),            # linenumber: many dups
+                        rng.randint(0, n_supp - 1),   # suppkey (FK)
+                        round(rng.uniform(10, 99), 2),
+                    )
+                )
+        supplier = [(s, f"S{s:03d}", s % 4) for s in range(n_supp)]
+        orders = [(o, round(rng.uniform(100, 999), 2)) for o in range(n_orders)]
+
+        # python reference
+        latest = {}
+        for o, ln, sk, px in lineitem:
+            key = (ln, sk, px)
+            if o not in latest or key > latest[o][0]:
+                latest[o] = (key, ln, sk, px)
+        sup = {s: (name, nk) for s, name, nk in supplier}
+        tot = dict(orders)
+        want = {
+            (
+                o,
+                ln,
+                sk,
+                sup[sk][0],
+                sup[sk][1],
+                round(round(px * 100 + 1e-4) / 100.0 + 1e-6, 2) + 0.0,
+                round(round(tot[o] * 100 + 1e-4) / 100.0 + 1e-6, 2) + 0.0,
+            )
+            for o, (key, ln, sk, px) in latest.items()
+        }
+
+        d = f"/tmp/dss_prop/{_uuid.uuid4().hex[:8]}"
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            [(o, int(ln), int(sk), float(px)) for o, ln, sk, px in lineitem],
+            "l_orderkey long, l_linenumber int, l_suppkey long, l_extendedprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            supplier, "s_suppkey long, s_name string, s_nationkey int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_totalprice double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            tuple(r)
+            for r in REGISTRY["a_ktable_fk_join"].fn(spark, d).collect()
+        }
+        assert got == want, (trial, sorted(got)[:3], sorted(want)[:3])
