@@ -93,6 +93,15 @@ def register(spark) -> None:
 # data files orphaned but NEVER manifested, so readers (which resolve
 # the manifest, not the directory listing) see all-or-nothing — the
 # same protocol every lake table format builds on.
+#
+# Commits are VERSIONED SNAPSHOTS (the Delta/Iceberg log model, which
+# this sink is the environment-blocked stand-in for — SURVEY §7.3):
+# every commit writes an immutable _MANIFEST.v{N}.json whose file set
+# is previous-snapshot ∪ new files under mode("append") or just the
+# new files under mode("overwrite"), then atomically repoints the
+# latest-pointer _MANIFEST.json via os.replace. manifest_files(path,
+# version=N) is TIME TRAVEL: readers resolve any retained snapshot,
+# and a snapshot's file list never mutates after commit.
 # ---------------------------------------------------------------------------
 
 import dataclasses
@@ -107,11 +116,12 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonlDirWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_dir sink requires option 'path'")
         self.fail = options.get("simulate_failure", "false") == "true"
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json
@@ -131,13 +141,26 @@ class JsonlDirWriter(DataSourceWriter):
 
     def commit(self, messages):
         import json
+        import os
 
-        manifest = {
-            "files": sorted(m.file for m in messages if m is not None),
-            "rows": sum(m.rows for m in messages if m is not None),
-        }
-        with open(f"{self.path}/_MANIFEST.json", "w") as f:
+        new_files = sorted(m.file for m in messages if m is not None)
+        new_rows = sum(m.rows for m in messages if m is not None)
+        prev = latest_manifest(self.path)
+        version = (prev["version"] + 1) if prev else 1
+        if self.overwrite or prev is None:
+            files, rows = new_files, new_rows
+        else:  # append: new snapshot = previous snapshot ∪ new files
+            files = sorted(set(prev["files"]) | set(new_files))
+            rows = prev["rows"] + new_rows
+        manifest = {"version": version, "files": files, "rows": rows}
+        with open(f"{self.path}/_MANIFEST.v{version}.json", "w") as f:
             json.dump(manifest, f)
+        # latest pointer flips atomically: a reader sees the old
+        # snapshot or the new one, never a torn manifest
+        tmp = f"{self.path}/_MANIFEST.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, f"{self.path}/_MANIFEST.json")
 
     def abort(self, messages):
         import os
@@ -153,17 +176,33 @@ class JsonlDirSink(DataSource):
         return "jsonl_dir"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlDirWriter(self.options)
+        return JsonlDirWriter(self.options, overwrite=overwrite)
 
 
-def manifest_files(path: str) -> list[str]:
-    """Resolve the committed file set (what a reader must use)."""
+def latest_manifest(path: str) -> dict | None:
     import json
     import os
 
     mf = f"{path}/_MANIFEST.json"
     if not os.path.exists(mf):
-        return []
+        return None
+    with open(mf) as f:
+        return json.load(f)
+
+
+def manifest_files(path: str, version: int | None = None) -> list[str]:
+    """Resolve a committed snapshot's file set (what a reader must
+    use). version=None -> latest pointer; version=N -> TIME TRAVEL to
+    the immutable _MANIFEST.v{N}.json snapshot."""
+    import json
+    import os
+
+    if version is None:
+        m = latest_manifest(path)
+        return m["files"] if m else []
+    mf = f"{path}/_MANIFEST.v{version}.json"
+    if not os.path.exists(mf):
+        raise FileNotFoundError(f"no snapshot v{version} at {path}")
     with open(mf) as f:
         return json.load(f)["files"]
 

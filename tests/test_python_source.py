@@ -96,3 +96,54 @@ def test_python_sink_failure_leaves_no_manifest(spark):
         )
     # atomicity: the failed write is invisible to manifest readers
     assert manifest_files(d) == []
+
+
+def test_manifest_snapshots_time_travel(spark):
+    # Versioned-snapshot commits (the Delta/Iceberg log model on the
+    # manifest protocol): overwrite -> v1, append -> v2 = v1 ∪ new,
+    # overwrite -> v3 = new only. Every retained snapshot stays
+    # readable (time travel), the latest pointer tracks v3, and a
+    # FAILED append between snapshots must not mint a version.
+    import uuid
+
+    import pytest
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    d = f"/tmp/dss_sink/tt_{uuid.uuid4().hex[:8]}"
+
+    def write(rows, mode, **opts):
+        src = spark.read.format("synthetic_events").option("rows", rows).load()
+        w = src.write.format("jsonl_dir").option("path", d)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode(mode).save()
+
+    write(100, "overwrite")
+    write(50, "append")
+    write(20, "overwrite")
+    try:
+        write(10, "append", simulate_failure="true")
+    except Exception:
+        pass
+    assert latest_manifest(d)["version"] == 3  # failed write minted nothing
+
+    def n_rows(version=None):
+        return (
+            spark.read.json(manifest_files(d, version=version))
+            .count()
+        )
+
+    assert n_rows(version=1) == 100
+    assert n_rows(version=2) == 150  # append stacked on v1
+    assert n_rows(version=3) == 20   # overwrite replaced the set
+    assert n_rows() == 20            # latest pointer -> v3
+    with pytest.raises(FileNotFoundError):
+        manifest_files(d, version=9)
