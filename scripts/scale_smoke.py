@@ -98,6 +98,7 @@ def main() -> None:
     minhash_banding_stress(spark)
     wire_stress(spark)
     papi_stress(spark)
+    ewma_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -798,6 +799,103 @@ def triangles_stress(spark, n: int = 1_000_000, chain: int = 8, t: int = 100_000
         f"({n_edges / dt / 1e6:.2f}M edges/s)"
     )
     spark.catalog.clearCache()
+
+def ewma_stress(spark, replicas: int = 100) -> None:
+    """Segmented-scan recurrence (a_ewma's mapInPandas form) at 10M
+    rows / ~100k users: one user_id repartition + in-partition sort,
+    then the per-partition Python pass with the per-user carry dict.
+    Ground truth: exact row count, plus three users spot-checked
+    value-for-value against pandas ewm(alpha=.5, adjust=False) with
+    the same rounding — the recurrence depends on each user's ENTIRE
+    prefix, so a single wrong carry anywhere in the 10M-row scan
+    surfaces in the tail values."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    maxes = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).first()
+    big = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("event_id") + F.col("rep") * (maxes.me + 1)).alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            (F.col("user_id") + F.col("rep") * (maxes.mu + 1)).alias("user_id"),
+            "value",
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_rows = big.count()
+    from demo_segmenter_spark.operators.layer_a import _ewma_rows
+
+    def smooth(batches):
+        carry = {}
+        for pdf in batches:
+            out = []
+            for uid, v in zip(
+                pdf["user_id"].astype("int64").tolist(), pdf["value"].tolist()
+            ):
+                y, n = carry.get(uid, (None, 0))
+                o, y, n = _ewma_rows((v,), y, n)
+                carry[uid] = (y, n)
+                out.append(o[0])
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].astype("int64").values,
+                    "event_id": pdf["event_id"].astype("int64").values,
+                    "ewma": out,
+                }
+            )
+
+    t0 = time.time()
+    smoothed = (
+        big.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(smooth, "user_id long, event_id long, ewma double")
+        .persist()
+    )
+    n_out = smoothed.count()
+    dt = time.time() - t0
+    assert n_out == n_rows, (n_out, n_rows)
+    probe_users = [maxes.mu + 1, 42, replicas // 2 * (maxes.mu + 1) + 7]
+    got = {
+        u: [
+            (r.event_id, r.ewma)
+            for r in sorted(
+                smoothed.filter(F.col("user_id") == u).collect(),
+                key=lambda r: r.event_id,
+            )
+        ]
+        for u in probe_users
+    }
+    for u in probe_users:
+        rows = sorted(
+            big.filter(F.col("user_id") == u).collect(),
+            key=lambda r: (r.ts_us, r.event_id),
+        )
+        if not rows:
+            continue
+        sm = (
+            pd.Series([r.value for r in rows])
+            .ewm(alpha=0.5, adjust=False)
+            .mean()
+        )
+        want = sorted(
+            (r.event_id, round(y + 1e-08, 4) + 0.0) for r, y in zip(rows, sm)
+        )
+        assert sorted(got[u]) == want, (u, got[u][:3], want[:3])
+    print(
+        f"ewma segmented scan: {n_rows} rows / ~{replicas * (maxes.mu + 1) // 1000}k users "
+        f"-> exact recurrence in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M rows/s); "
+        f"3 users replayed value-for-value against pandas ewm"
+    )
+    spark.catalog.clearCache()
+
 
 if __name__ == "__main__":
     main()
