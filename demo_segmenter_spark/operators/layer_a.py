@@ -2517,7 +2517,7 @@ def a_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying per-user (y, n) state across Arrow batches in a dict.
     This costs one Python call per partition, not per group — the
     applyInPandas per-GROUP cost model measured 2.2 s at 1.5k users /
-    100k rows vs 0.x s here, and at 100 TB's millions of keys the
+    100k rows vs 0.49 s here (idle bench), and at 100 TB's millions of keys the
     per-group form is simply wrong. Hash-partitioning guarantees a
     user never spans partitions, so the carry dict is complete; the
     dict is partition-local and bounded by keys-per-partition. The
