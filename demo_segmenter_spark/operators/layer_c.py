@@ -3889,3 +3889,168 @@ def c_rag_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         rnd(F.col("score"), 4).alias("score"),
     )
+
+
+def _mmr_multi_round_sql(r: int) -> str:
+    prev = f"msel{r - 1}"
+    return f"""
+, mm{r} AS (
+    SELECT p.qid, p.vec_id, p.rel, 0.7 * p.rel - 0.3 * max(ps.sim) AS score
+    FROM mpool p
+    JOIN mpsims ps ON ps.qid = p.qid AND ps.va = p.vec_id
+    JOIN {prev} s ON s.qid = ps.qid AND s.vec_id = ps.vb
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} x WHERE x.qid = p.qid AND x.vec_id = p.vec_id
+    )
+    GROUP BY p.qid, p.vec_id, p.rel
+), ms{r} AS MATERIALIZED (
+    SELECT qid, vec_id, rel, score, {r} AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM mm{r}
+    ) WHERE rn = 1
+), msel{r} AS MATERIALIZED (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM ms{r}
+)"""
+
+
+@query(
+    "c_rag_mmr_multi",
+    oracle=_EMB_CTE
+    + f"""
+, mrels AS (
+    SELECT q.vec_id AS qid, e.vec_id,
+           {sql_rnd("sum(e.x * q.x) / (ne.nrm * nq.nrm)", 4)} AS rel
+    FROM ex e
+    JOIN ex q ON q.vec_id < {KNN_QUERIES} AND q.i = e.i
+               AND e.vec_id <> q.vec_id
+    JOIN norms ne ON ne.vec_id = e.vec_id
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    GROUP BY q.vec_id, e.vec_id, ne.nrm, nq.nrm
+), mpool AS MATERIALIZED (
+    SELECT qid, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM mrels
+    ) WHERE rn <= {MMR_POOL}
+), mpdots AS (
+    SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, sum(ea.x * eb.x) AS dp
+    FROM mpool a
+    JOIN mpool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    JOIN ex ea ON ea.vec_id = a.vec_id
+    JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+    GROUP BY a.qid, a.vec_id, b.vec_id
+), mpsims AS MATERIALIZED (
+    SELECT d.qid, d.va, d.vb, {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS sim
+    FROM mpdots d
+    JOIN norms na ON d.va = na.vec_id
+    JOIN norms nb ON d.vb = nb.vec_id
+), ms1 AS MATERIALIZED (
+    SELECT qid, vec_id, rel, 0.7 * rel AS score, 1 AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY 0.7 * rel DESC, vec_id) AS rn
+        FROM mpool
+    ) WHERE rn = 1
+), msel1 AS MATERIALIZED (
+    SELECT * FROM ms1
+)"""
+    + "".join(_mmr_multi_round_sql(r) for r in range(2, MMR_K + 1))
+    + f"""
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, rel,
+       {sql_rnd("score", 4)} AS score
+FROM msel{MMR_K}
+""",
+)
+def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c_rag_mmr VECTORIZED ACROSS THE QUERY SET — all {KNN_QUERIES}
+    queries run the same K={MMR_K} greedy rounds SIMULTANEOUSLY: each
+    round is one per-qid argmax (a rank-1 window over the scored
+    remaining pool), not a per-query loop. This is the 100 TB shape
+    for batched retrieval: the corpus is scanned once for all
+    query-relevance scores (broadcast query block, the c_sim_knn
+    economics), pools and pairwise sims are (queries × pool²) small
+    tables, and the K rounds cost K tiny qid-partitioned shuffles
+    TOTAL — independent of query count — where a per-query driver
+    loop would cost K × queries jobs. Full DuckDB replay oracle (the
+    single-query twin's CTE chain with qid threaded through every
+    step); same rounding discipline, so the per-qid argmax is
+    engine-independent."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = persist(
+        emb.select("vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm"))
+    )
+    qs = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel_u = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    w_pool = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    pool = persist(
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "v", "nrm", rnd(rel_u, 4).alias("rel"))
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    pa = pool.select(
+        "qid", F.col("vec_id").alias("va"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    pb = pool.select(
+        "qid", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim_u = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    psims = persist(
+        pa.join(pb, "qid")
+        .filter(F.col("va") != F.col("vb"))
+        .select("qid", "va", "vb", rnd(sim_u, 4).alias("sim"))
+    )
+    cand = persist(pool.select("qid", "vec_id", "rel"))
+    w_pick = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    # the selected-set accumulator is localCheckpoint'ed per round: the
+    # union chain re-nests the whole prior round's plan otherwise (602
+    # static exchanges measured vs ~60 truncated — compile time, not
+    # runtime, but compile was the bulk of the wall). The blocks are
+    # ≤(queries × K) rows and the JVM sweep in release_persisted(spark,
+    # owner=True) reclaims them like graph.py's fixpoint checkpoints.
+    sel = (
+        cand.select(
+            "qid", "vec_id", "rel",
+            (F.lit(0.7) * F.col("rel")).alias("score"),
+            F.lit(1).alias("rank"),
+        )
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    ).localCheckpoint()
+    for r in range(2, MMR_K + 1):
+        remaining = cand.join(sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        ms = (
+            psims.join(
+                sel.select("qid", F.col("vec_id").alias("vb")), ["qid", "vb"]
+            )
+            .groupBy("qid", F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            remaining.join(ms, ["qid", "vec_id"])
+            .select(
+                "qid", "vec_id", "rel",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias("score"),
+                F.lit(r).alias("rank"),
+            )
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        "rel",
+        rnd(F.col("score"), 4).alias("score"),
+    )

@@ -302,6 +302,12 @@ def test_shuffle_budgets_table(spark):
         # pool/psims/sel subtrees — static count compounds like
         # kcore's, runtime pays each pool-sized (≤20-row) subtree once
         "c_rag_mmr": 40,
+        # multi-query MMR localCheckpoints the selected-set accumulator
+        # per round (602 static exchanges un-truncated, compile-bound);
+        # the returned plan reads the final checkpoint — its work ran
+        # at checkpoint materialization, so the static count is 0 and
+        # the scale contract lives in the docstring + runtime timing
+        "c_rag_mmr_multi": 0,
         # 2 unrolled BPE merge rounds, ~13 static exchanges each: the
         # doc_id window chain (lead/cumsum/lag share one exchange at
         # runtime), the run-group window, the pair-count partials, the
