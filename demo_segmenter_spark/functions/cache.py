@@ -30,6 +30,43 @@ def persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# JVM handles of RDDs cached by tracked local_checkpoint() calls.
+# DataFrame.unpersist() goes through the SQL cacheManager and cannot
+# free RDD-level checkpoint blocks, so these are tracked as raw py4j
+# JavaRDD handles and unpersisted directly.
+_CHECKPOINTED: list = []
+
+
+def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + register the checkpoint's cached
+    RDD blocks for later bulk release.
+
+    ``localCheckpoint`` persists at the RDD layer, which bypasses both
+    the SQL cache manager and the ``_PERSISTED`` list above — without
+    tracking, a NON-owner caller of ``release_persisted()`` (one that
+    cannot pass ``spark``/``owner=True`` because it shares the session)
+    would accumulate unreclaimable checkpoint blocks across
+    invocations of queries with fixpoint/unrolled loops (connected
+    components, multi-query MMR). The new RDD registers in the
+    context's persistent-RDD map synchronously inside
+    ``localCheckpoint`` (even with ``eager=False`` — persist() is
+    immediate, only materialization is deferred), so a before/after
+    diff of that map captures exactly this checkpoint's handle."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keys())
+    except Exception:  # noqa: BLE001 — py4j teardown race: degrade to untracked
+        return df.localCheckpoint(eager=eager)
+    out = df.localCheckpoint(eager=eager)
+    try:
+        for rid, jrdd in sc._jsc.getPersistentRDDs().items():
+            if rid not in before:
+                _CHECKPOINTED.append(jrdd)
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def release_persisted(spark=None, *, owner: bool = False) -> int:
     """Unpersist every tracked intermediate; returns how many were
     released. Safe to call at any time — subsequent reuse of a
@@ -70,6 +107,13 @@ def release_persisted(spark=None, *, owner: bool = False) -> int:
         except Exception:  # noqa: BLE001 — session may be gone
             pass
     _PERSISTED.clear()
+    for jrdd in _CHECKPOINTED:
+        try:
+            jrdd.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    _CHECKPOINTED.clear()
     if spark is not None:
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from demo_segmenter_spark.functions.cache import persist
+from demo_segmenter_spark.functions.cache import local_checkpoint, persist
 
 MAX_ROUNDS = 64  # safety net; fixpoint check exits far earlier
 
@@ -191,8 +191,8 @@ def connected_components(
         labels = (
             labels.join(l2, labels["label"] == l2["lv"])
             .select("v", F.col("llabel").alias("label"))
-            .localCheckpoint(eager=False)
         )
+        labels = local_checkpoint(labels, eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True

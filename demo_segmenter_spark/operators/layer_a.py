@@ -1779,7 +1779,8 @@ WITH left_latest AS (
     SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
     FROM (
         SELECT *, row_number() OVER (PARTITION BY s_suppkey
-                                     ORDER BY s_suppkey) AS rn
+                                     ORDER BY s_name DESC,
+                                              s_nationkey DESC) AS rn
         FROM supplier
     ) WHERE rn = 1
 )
@@ -1845,7 +1846,13 @@ def a_ktable_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         )
     )
-    wr = Window.partitionBy("s_suppkey").orderBy("s_suppkey")
+    # Total-order tiebreak on the projected value columns: the fixture has
+    # one row per s_suppkey today, but if a supplier ever carried multiple
+    # versions, ordering by the partition key alone would let Spark and the
+    # oracle pick different arbitrary rows and diverge silently.
+    wr = Window.partitionBy("s_suppkey").orderBy(
+        F.col("s_name").desc(), F.col("s_nationkey").desc()
+    )
     right_latest = (
         sup.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)

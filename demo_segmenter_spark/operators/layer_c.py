@@ -34,7 +34,7 @@ from demo_segmenter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features_batches,
 )
-from demo_segmenter_spark.functions.cache import persist
+from demo_segmenter_spark.functions.cache import local_checkpoint, persist
 from demo_segmenter_spark.functions.vectors import as_double, dot
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table, spread
@@ -4014,8 +4014,8 @@ def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union chain re-nests the whole prior round's plan otherwise (602
     # static exchanges measured vs ~60 truncated — compile time, not
     # runtime, but compile was the bulk of the wall). The blocks are
-    # ≤(queries × K) rows and the JVM sweep in release_persisted(spark,
-    # owner=True) reclaims them like graph.py's fixpoint checkpoints.
+    # ≤(queries × K) rows and go through the TRACKED local_checkpoint,
+    # so a plain non-owner release_persisted() reclaims them too.
     sel = (
         cand.select(
             "qid", "vec_id", "rel",
@@ -4025,7 +4025,8 @@ def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_pick))
         .filter(F.col("rn") == 1)
         .drop("rn")
-    ).localCheckpoint()
+    )
+    sel = local_checkpoint(sel)
     for r in range(2, MMR_K + 1):
         remaining = cand.join(sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
         ms = (
@@ -4046,7 +4047,7 @@ def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = local_checkpoint(sel.unionByName(pick))
     return sel.select(
         "qid",
         F.col("rank").cast("long").alias("rank"),

@@ -146,15 +146,22 @@ class JsonlDirWriter(DataSourceWriter):
         new_files = sorted(m.file for m in messages if m is not None)
         new_rows = sum(m.rows for m in messages if m is not None)
         prev = latest_manifest(self.path)
-        version = (prev["version"] + 1) if prev else 1
+        # .get(): manifests written by the pre-versioning sink have no
+        # "version"/"rows" keys — appending to a legacy dir must not raise
+        version = (prev.get("version", 0) + 1) if prev else 1
         if self.overwrite or prev is None:
             files, rows = new_files, new_rows
         else:  # append: new snapshot = previous snapshot ∪ new files
             files = sorted(set(prev["files"]) | set(new_files))
-            rows = prev["rows"] + new_rows
+            rows = prev.get("rows", 0) + new_rows
         manifest = {"version": version, "files": files, "rows": rows}
-        with open(f"{self.path}/_MANIFEST.v{version}.json", "w") as f:
+        # versioned snapshot gets the same tmp+os.replace dance as the
+        # latest pointer: an explicit time-travel reader resolving v{N}
+        # must never observe a torn/partial snapshot file
+        vtmp = f"{self.path}/_MANIFEST.v{version}.json.tmp"
+        with open(vtmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(vtmp, f"{self.path}/_MANIFEST.v{version}.json")
         # latest pointer flips atomically: a reader sees the old
         # snapshot or the new one, never a torn manifest
         tmp = f"{self.path}/_MANIFEST.json.tmp"

@@ -59,10 +59,13 @@ def _assign_sessions(
     the batch rewrite — a row loop here made the Python stage the
     bottleneck); only the carried (last_us, sid) state is scalar."""
     last_us, sid = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Concat ALL Arrow chunks before the order-sensitive scan: chunk
+    # boundaries (arrow.maxRecordsPerBatch) carry no ordering guarantee.
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         us = pdf["ts_us"].astype("int64").to_numpy()
         # prev stays int64 end-to-end: pd.Series.shift would promote to
         # float64 and lose exactness for timestamps >= 2^53 µs, so the
@@ -155,10 +158,13 @@ def _advance_funnel(
     sharing t1's timestamp never advances the stage, in either
     formulation, regardless of event_id order)."""
     t1, t2, t3 = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Same chunk-ordering hazard: the staged mins must see the whole
+    # micro-batch at once (a later chunk can hold an earlier view).
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         us = pdf["ts_us"].astype("int64")
         ty = pdf["event_type"]
         if t1 is None:
@@ -236,10 +242,16 @@ def _smooth_ewma(
     from demo_segmenter_spark.operators.layer_a import _ewma_rows
 
     y, n = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # applyInPandasWithState gives NO intra-group row ordering and splits a
+    # group's micro-batch at arrow.maxRecordsPerBatch (~10k rows), so a later
+    # chunk can carry earlier timestamps. The recurrence is order-sensitive:
+    # concatenate the whole group's batch data FIRST, then sort once, then
+    # fold — mirroring the batch twin's whole-partition sort.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         out, y, n = _ewma_rows(pdf["value"].tolist(), y, n)
         yield pd.DataFrame(
             {
@@ -327,10 +339,13 @@ def _session_final(
     starts, lasts, ns, cents = (
         [list(x) for x in state.get] if state.exists else ([], [], [], [])
     )
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Same chunk-ordering hazard as _smooth_ewma: concat the whole group's
+    # micro-batch data before the order-sensitive session fold.
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         for us, c in zip(
             pdf["ts_us"].astype("int64").tolist(),
             pdf["cents"].astype("int64").tolist(),

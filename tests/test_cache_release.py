@@ -61,6 +61,38 @@ def test_jvm_sweep_catches_localcheckpoint_blocks(spark):
     assert _n_cached(spark) == 0
 
 
+def test_tracked_local_checkpoint_released_without_owner(spark):
+    # Round-6 ADVICE: mmr_multi's per-round localCheckpoint blocks
+    # bypassed the tracker, so a NON-owner release (no spark arg) could
+    # never reclaim them. local_checkpoint() tracks the JVM RDD handle;
+    # the plain release path now frees checkpoint blocks too.
+    from demo_segmenter_spark.functions.cache import local_checkpoint
+
+    release_persisted(spark, owner=True)
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    df = local_checkpoint(spark.range(1000))
+    assert df.count() == 1000
+    assert _n_cached(spark) > 0
+    assert release_persisted() >= 1  # NO spark arg — non-owner path
+    assert _n_cached(spark) == 0
+    # NOTE: unlike persist(), a released localCheckpoint frame is NOT
+    # recomputable (lineage was truncated to the evicted blocks), so
+    # callers release only after their action completes — which is the
+    # contract release_persisted() already documents.
+
+
+def test_mmr_multi_checkpoints_are_tracker_visible(spark):
+    # End-to-end: run the real query, then reclaim via non-owner release.
+    release_persisted(spark, owner=True)
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    REGISTRY["c_rag_mmr_multi"].fn(spark, SF_SMOKE).collect()
+    assert _n_cached(spark) > 0
+    release_persisted()  # non-owner: tracked persists + checkpoints
+    assert _n_cached(spark) == 0
+
+
 def test_jvm_sweep_requires_owner_claim(spark):
     # The JVM-wide sweep evicts EVERY cached RDD in the context —
     # non-owner callers must fail loudly, not silently evict

@@ -98,6 +98,38 @@ def test_python_sink_failure_leaves_no_manifest(spark):
     assert manifest_files(d) == []
 
 
+def test_append_onto_legacy_unversioned_manifest(spark):
+    # Round-6 ADVICE: manifests written by the pre-versioning sink have
+    # no "version"/"rows" keys — appending onto such a directory must
+    # not KeyError, and the legacy snapshot's files must survive into
+    # the new versioned one.
+    import json
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    d = _sink_dir("legacy")
+    # fabricate a legacy sink dir: data file + version-less manifest
+    legacy_file = f"{d}/part-legacy.jsonl"
+    with open(legacy_file, "w") as f:
+        f.write('{"event_id": -1, "user_id": 0, "event_type": "view", "value": 1.0}\n')
+    with open(f"{d}/_MANIFEST.json", "w") as f:
+        json.dump({"files": [legacy_file]}, f)  # NO version / rows keys
+
+    src = _read(spark, 40, 2)
+    src.write.format("jsonl_dir").option("path", d).mode("append").save()
+    m = latest_manifest(d)
+    assert m["version"] == 1  # legacy treated as v0
+    files = manifest_files(d)
+    assert legacy_file in files and len(files) >= 2
+    back = spark.read.schema(src.schema).json(files)
+    assert back.count() == 41  # legacy row + 40 appended
+
+
 def test_manifest_snapshots_time_travel(spark):
     # Versioned-snapshot commits (the Delta/Iceberg log model on the
     # manifest protocol): overwrite -> v1, append -> v2 = v1 ∪ new,
