@@ -1384,6 +1384,100 @@ def a_window_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_window_dau_stream",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo, max(ts) AS hi
+    FROM events
+), wins AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w_start
+    FROM bounds
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events
+FROM wins
+JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 7 DAY
+GROUP BY w_start
+""",
+)
+def a_window_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_window_dau — the always-on engagement KPI
+    (rolling 7-day distinct users, stepped daily) — checked against the
+    SAME oracle as the batch form. Streaming aggregation rejects
+    countDistinct outright, so distinct is rebuilt from streaming
+    primitives: (1) EXPAND each event into its 7 hop windows (the same
+    Expand the batch plan does internally — explode over k=0..6,
+    w_start = day(ts) − k, epoch-aligned exactly like window()); (2) a
+    DEDUP branch drops duplicate (w_start, user_id) pairs in streaming
+    state; (3) union the raw branch (is_event=1) with the deduped
+    branch (is_user=1) and run ONE windowed aggregation summing both
+    markers — active_users = deduped-row count, n_events = raw-row
+    count, in a single result. Probed empirically before registration
+    (the multiple-stateful-operator chain dedup→union→agg emits
+    exactly the batch relation in complete/availableNow replay).
+
+    Scale: dedup state is one row per (user, window) — exactly the
+    distinct sets every exact sliding-DAU must hold — and the agg
+    state is one row per window; in production the same topology runs
+    append+watermark so both stores evict as windows close (the
+    sketch-merge twin trades the dedup store for 7 daily HLLs when <1%
+    error is acceptable). The union is map-side; the one shuffle key
+    is w_start."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ex = (
+        stream_events(spark, sf_dir)
+        .select(
+            "user_id", "ts",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_add(
+                "DAY", -F.col("k"), F.date_trunc("DAY", F.col("ts"))
+            ).alias("w_start"),
+        )
+    )
+    raw = ex.select(
+        "w_start", "user_id",
+        F.lit(1).alias("is_event"), F.lit(0).alias("is_user"),
+    )
+    ded = (
+        ex.dropDuplicates(["w_start", "user_id"])
+        .select(
+            "w_start", "user_id",
+            F.lit(0).alias("is_event"), F.lit(1).alias("is_user"),
+        )
+    )
+    agg = (
+        raw.unionByName(ded)
+        .groupBy("w_start")
+        .agg(
+            F.sum("is_event").alias("n_events"),
+            F.sum("is_user").alias("active_users"),
+        )
+        .select(
+            F.unix_micros("w_start").alias("window_start_us"),
+            "active_users",
+            "n_events",
+        )
+    )
+    name = f"dau_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "a_pipeline_kpi",
     oracle=SESSION_CTE
     + f""", v AS (

@@ -410,3 +410,48 @@ def test_papi_session_timeout_emits_incrementally(spark):
     assert len(got) == len(rows)  # exactly once
     want = {tuple(r) for r in REGISTRY["a_session_suppress"].fn(spark, SF).collect()}
     assert got == want
+
+
+def test_window_dau_stream_across_batches(spark):
+    # a_window_dau_stream's dedup→union→agg chain, fed one file per
+    # trigger: (w_start, user) pairs straddle the batch cuts (each
+    # 7-day window spans all three ts-thirds), so the dedup store must
+    # carry distinct-set state across batches and the complete-mode
+    # aggregate must converge to the batch relation exactly.
+    from pyspark.sql import functions as F
+
+    ev = _read_stream(spark, _trickle_src(spark)[0])
+    ex = ev.select(
+        "user_id", "ts", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select(
+        "user_id",
+        F.timestamp_add(
+            "DAY", -F.col("k"), F.date_trunc("DAY", F.col("ts"))
+        ).alias("w_start"),
+    )
+    raw = ex.select(
+        "w_start", "user_id",
+        F.lit(1).alias("is_event"), F.lit(0).alias("is_user"),
+    )
+    ded = ex.dropDuplicates(["w_start", "user_id"]).select(
+        "w_start", "user_id",
+        F.lit(0).alias("is_event"), F.lit(1).alias("is_user"),
+    )
+    agg = (
+        raw.unionByName(ded)
+        .groupBy("w_start")
+        .agg(
+            F.sum("is_event").alias("n_events"),
+            F.sum("is_user").alias("active_users"),
+        )
+        .select(
+            F.unix_micros("w_start").alias("window_start_us"),
+            "active_users",
+            "n_events",
+        )
+    )
+    name, n_batches = _run_to_memory(agg, "complete")
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_window_dau"].fn(spark, SF))
+    assert got == want
