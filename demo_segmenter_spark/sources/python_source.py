@@ -122,6 +122,13 @@ class JsonlDirWriter(DataSourceWriter):
             raise ValueError("jsonl_dir sink requires option 'path'")
         self.fail = options.get("simulate_failure", "false") == "true"
         self.overwrite = overwrite
+        # Optional stream-writer provenance: a foreachBatch CDC caller
+        # stamps the micro-batch id into the snapshot so a REPLAYED
+        # batch (at-least-once delivery after a crash between manifest
+        # commit and checkpoint commit) is detectable and skippable —
+        # the idempotence hook of every lake-format streaming sink.
+        bid = options.get("batch_id")
+        self.batch_id = int(bid) if bid is not None else None
 
     def write(self, iterator):
         import json
@@ -155,6 +162,8 @@ class JsonlDirWriter(DataSourceWriter):
             files = sorted(set(prev["files"]) | set(new_files))
             rows = prev.get("rows", 0) + new_rows
         manifest = {"version": version, "files": files, "rows": rows}
+        if self.batch_id is not None:
+            manifest["batch_id"] = self.batch_id
         # versioned snapshot gets the same tmp+os.replace dance as the
         # latest pointer: an explicit time-travel reader resolving v{N}
         # must never observe a torn/partial snapshot file

@@ -35,3 +35,98 @@ def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
+    """Streaming CDC upsert into the versioned-manifest table — the
+    lakehouse MERGE story composed from two proven parts: b_upsert's
+    last-writer-wins priority merge (operators/layer_b.py) applied per
+    micro-batch, committed through the jsonl_dir snapshot protocol
+    (sources/python_source.py) so every micro-batch is one IMMUTABLE
+    snapshot version with time travel across batches.
+
+    Returns a foreachBatch callable. Semantics per batch:
+
+    1. IDEMPOTENCE GATE: the latest manifest carries the batch_id that
+       minted it. foreachBatch is at-least-once — after a crash between
+       manifest commit and checkpoint commit, the SAME batch replays
+       with the SAME batch_id; seeing batch_id <= last committed, the
+       sink returns without writing, so a replay can never mint a
+       duplicate snapshot. (Exactly-once = at-least-once delivery +
+       idempotent commit, the standard foreachBatch contract.)
+    2. In-batch compaction: multiple CDC rows for one key collapse to
+       the max-``order_col`` row (version column; total order required).
+    3. MERGE: batch rows override current-snapshot rows per key
+       (union + priority row_number — the same rewrite Delta/Iceberg
+       compile MERGE into), then the merged table is committed as one
+       copy-on-write overwrite snapshot.
+
+    Scale: the merge is one shuffle on the key; copy-on-write rewrites
+    the table per batch, which is the correct model for a demo-scale
+    jsonl sink — a partitioned production table would prune the
+    rewrite to touched key-buckets, same plan shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        prev = latest_manifest(path)
+        if (
+            prev is not None
+            and prev.get("batch_id") is not None
+            and batch_id <= prev["batch_id"]
+        ):
+            return  # replayed micro-batch: snapshot already committed
+        spark = batch_df.sparkSession
+        wk = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        compacted = (
+            batch_df.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_pri", F.lit(0))
+        )
+        base_files = manifest_files(path) if prev is not None else []
+        if base_files:
+            base = spark.read.schema(batch_df.schema).json(base_files)
+            merged_src = compacted.unionByName(
+                base.withColumn("_pri", F.lit(1))
+            )
+            wp = Window.partitionBy(*key_cols).orderBy("_pri")
+            merged = (
+                merged_src.withColumn("_rn", F.row_number().over(wp))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_pri")
+            )
+        else:
+            merged = compacted.drop("_pri")
+        (
+            merged.write.format("jsonl_dir")
+            .option("path", path)
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    return sink
+
+
+def write_stream_cdc_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+):
+    """Run a CDC change stream into the versioned manifest table to
+    completion (AvailableNow): one snapshot version per micro-batch,
+    idempotent on replay by batchId."""
+    return (
+        df.writeStream.foreachBatch(cdc_upsert_sink(path, key_cols, order_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
