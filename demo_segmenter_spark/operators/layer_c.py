@@ -858,11 +858,12 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 16  # same deterministic seeds as c_sim_ivf (vec_id < 16)
 
-
-@query(
-    "c_sim_kmeans",
-    oracle=_EMB_CTE
-    + f"""
+# Shared DuckDB CTE suffix: two-iteration spherical k-means TRAINING
+# (unit vectors -> vec_id<K seeds -> assignment -> 6dp-rounded mean
+# centroids c1 with norms c1n). Appended after _EMB_CTE. Used by BOTH
+# c_sim_kmeans and c_sim_ivf_trained so the trained-centroid replay
+# cannot drift between the two queries.
+_KMEANS_TRAIN_CTES = f"""
 , u AS (
     SELECT e.vec_id, e.i, e.x / n.nrm AS u
     FROM ex e JOIN norms n ON e.vec_id = n.vec_id
@@ -888,7 +889,15 @@ KMEANS_K = 16  # same deterministic seeds as c_sim_ivf (vec_id < 16)
     GROUP BY a1.cluster_id, u.i
 ), c1n AS (
     SELECT cent_id, sqrt(sum(c * c)) AS cn FROM c1 GROUP BY cent_id
-), s2 AS (
+)"""
+
+
+@query(
+    "c_sim_kmeans",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + f"""
+, s2 AS (
     SELECT u.vec_id, c.cent_id,
            {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
     FROM u JOIN c1 c ON u.i = c.i JOIN c1n n ON c.cent_id = n.cent_id
@@ -922,6 +931,41 @@ def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 100 TB (the iteration count is the driver loop; here it is
     unrolled to keep the whole plan visible to Catalyst and the
     oracle)."""
+    base, c1 = _kmeans_train(spark, sf_dir)
+    return _kmeans_assign(base, c1, out_sim=True)
+
+
+def _kmeans_assign(
+    base: DataFrame, cents: DataFrame, out_sim: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment with the repo's determinism recipe
+    (6dp-quantized sims, (sim DESC, cent_id) tiebreak)."""
+    sim = rnd(dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    a = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "u", "cent_id", sim.alias("sim"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+    )
+    if out_sim:
+        return a.select(
+            "vec_id",
+            F.col("cent_id").alias("cluster_id"),
+            rnd(F.col("sim"), 4).alias("cos_sim"),
+        )
+    return a.select("vec_id", "u", F.col("cent_id").alias("cluster_id"))
+
+
+def _kmeans_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two-Lloyd-iteration spherical k-means TRAINING: returns (base =
+    persisted unit vectors, c1 = trained centroids with norms) — the
+    exact Spark twin of _KMEANS_TRAIN_CTES, shared by c_sim_kmeans and
+    c_sim_ivf_trained."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     nrm = F.sqrt(dot(vec, vec))
@@ -930,27 +974,6 @@ def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform(vec, lambda x: x / nrm).alias("u")
         )
     )
-
-    def assign(cents: DataFrame, out_sim: bool = False) -> DataFrame:
-        sim = rnd(
-            dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("sim").desc(), F.col("cent_id")
-        )
-        a = (
-            base.join(F.broadcast(cents))
-            .select("vec_id", "u", "cent_id", sim.alias("sim"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-        )
-        if out_sim:
-            return a.select(
-                "vec_id",
-                F.col("cent_id").alias("cluster_id"),
-                rnd(F.col("sim"), 4).alias("cos_sim"),
-            )
-        return a.select("vec_id", "u", F.col("cent_id").alias("cluster_id"))
 
     def with_norm(cents: DataFrame) -> DataFrame:
         return cents.select(
@@ -962,7 +985,7 @@ def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cent_id"), F.col("u").alias("cv")
         )
     )
-    a1 = assign(c0)
+    a1 = _kmeans_assign(base, c0)
     c1 = with_norm(
         a1.select("cluster_id", F.posexplode("u").alias("i", "x"))
         .groupBy("cluster_id", "i")
@@ -976,7 +999,133 @@ def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cluster_id").alias("cent_id"), "cv")
     )
-    return assign(c1, out_sim=True)
+    return base, persist(c1)
+
+
+IVF_NPROBE = 2  # probe the 2 nearest trained centroids per query
+
+
+@query(
+    "c_sim_ivf_trained",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + f"""
+, s2a AS (
+    SELECT u.vec_id, c.cent_id,
+           {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
+    FROM u JOIN c1 c ON u.i = c.i JOIN c1n n ON c.cent_id = n.cent_id
+    GROUP BY u.vec_id, c.cent_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cent_id) AS r
+    FROM s2a
+), assigned AS (
+    SELECT vec_id, cent_id AS cluster_id FROM ranked WHERE r = 1
+), probes AS (
+    SELECT vec_id AS query_id, cent_id AS probe_cluster
+    FROM ranked WHERE vec_id < {KNN_QUERIES} AND r <= {IVF_NPROBE}
+), dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT d.query_id, d.neighbor_id, ca.cluster_id,
+           {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM dots d
+    JOIN assigned ca ON d.neighbor_id = ca.vec_id
+    JOIN probes p ON p.query_id = d.query_id
+                 AND p.probe_cluster = ca.cluster_id
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, cluster_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def c_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-centroid IVF with nprobe=2 (round-6 verdict ask #4):
+    the production ANN index shape. c_sim_ivf's centroids are literally
+    the first 16 vectors with nprobe=1 — fine on the fixture's benign
+    spectrum, but what holds recall at real scale is (a) centroids
+    LEARNED by k-means so clusters track the data's density, and (b)
+    probing >1 cluster so a query near a cell boundary still sees its
+    true neighbors. This query feeds c_sim_kmeans' trained centroids
+    (the shared two-Lloyd-round _kmeans_train, 6dp-quantized so DuckDB
+    replays training identically) into the IVF search: every vector is
+    assigned to its nearest trained centroid; each query probes its
+    IVF_NPROBE=2 nearest cells and exact-scores only their members.
+    Deterministic end to end — trained-centroid replay + quantized
+    sims + total-order tiebreaks — so the FULL pipeline (train, assign,
+    probe, search) is hash-certified, same discipline as c_sim_ivf.
+
+    Scale: training is per-iteration one tiny K×dim shuffle (see
+    c_sim_kmeans); assignment and probing broadcast the K=16 centroid
+    rows over one corpus scan; search cost is Q·nprobe·(N/K) — nprobe
+    trades recall for exactly that linear factor, the IVF knob every
+    vector store exposes. Probe sets of different queries reuse the
+    same cluster-keyed candidate table (one shuffle key: cluster_id).
+    Recall vs exact at 200k vectors is measured in the scale smoke
+    (trained centroids, nprobe=2)."""
+    base, c1 = _kmeans_train(spark, sf_dir)
+    sim = rnd(dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    ranked = persist(
+        base.join(F.broadcast(c1))
+        .select("vec_id", "cent_id", sim.alias("sim"))
+        .withColumn("r", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("r") == 1).select(
+        "vec_id", F.col("cent_id").alias("cluster_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < KNN_QUERIES) & (F.col("r") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("probe_cluster"),
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    raw = persist(
+        emb.select(
+            "vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+        )
+    )
+    data = assigned.join(raw, "vec_id")
+    q = (
+        probes.join(raw, probes.query_id == raw.vec_id)
+        .select(
+            "query_id", "probe_cluster",
+            F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+        )
+    )
+    cos = rnd(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        data.join(
+            F.broadcast(q),
+            (F.col("cluster_id") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster_id",
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )
 
 
 # Native random-hyperplane LSH parameters: RHP_BANDS bands of RHP_ROWS

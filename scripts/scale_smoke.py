@@ -590,6 +590,66 @@ def ann_stress(spark, n: int = 200_000, n_q: int = 20, k: int = 10) -> None:
         f"{recall:.2f} (16 fixed centroids; at real scale k-means "
         f"centroids + nprobe>1 recover the tail)"
     )
+
+    # TRAINED-centroid IVF with nprobe=2 (round-6 ask #4): one Lloyd
+    # update from the fixed seeds (the fixed-centroid assignment above
+    # IS Lloyd round 1's assignment), then every query probes its 2
+    # nearest LEARNED cells. This is c_sim_ivf_trained's shape at 200k
+    # vectors; recall must hold at >= the fixed-centroid row.
+    t0 = time.time()
+    cents_t = (
+        assigned.select("cluster_id", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster_id", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select(F.col("cluster_id").alias("cent_id"), "cv")
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    cs2 = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    ranked2 = (
+        base.join(F.broadcast(cents_t))
+        .select("vec_id", "v", "nrm", "cent_id", cs2.alias("cs"))
+        .withColumn("r", F.row_number().over(assign_w))
+        .persist()
+    )
+    assigned2 = ranked2.filter(F.col("r") == 1).select(
+        "vec_id", "v", "nrm", F.col("cent_id").alias("cluster_id")
+    )
+    probes2 = ranked2.filter(
+        (F.col("vec_id") < n_q) & (F.col("r") <= 2)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("probe_cluster"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ivf2 = (
+        assigned2.join(
+            F.broadcast(probes2),
+            (F.col("cluster_id") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "vec_id")
+    )
+    ivf2_set = {(r.query_id, r.vec_id) for r in ivf2.collect()}
+    t_ivf2 = time.time() - t0
+    recall2 = len(ivf2_set & exact_set) / len(exact_set)
+    print(
+        f"ann trained-ivf nprobe=2 {n} vectors x {n_q} queries top-{k}: "
+        f"{t_ivf2:.1f}s (incl. Lloyd update + re-assignment), recall@{k} "
+        f"{recall2:.2f} (learned centroids; cells actually track density)"
+    )
+    assert recall2 >= recall, (recall2, recall)
+    ranked2.unpersist()
     base.unpersist()
     assigned.unpersist()
 

@@ -22,6 +22,28 @@ def test_ivf_recall_vs_exact(spark):
     assert len(approx & exact) / len(approx) >= 0.3
 
 
+def test_trained_ivf_recall_beats_fixed_ivf(spark):
+    # c_sim_ivf_trained (learned centroids, nprobe=2) vs exact top-5:
+    # the trained+multiprobe form must recall at least as much of the
+    # exact neighborhood per returned pair as the fixed-centroid
+    # nprobe=1 form — the claim that motivated round-6 ask #4.
+    exact = _pairs(REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE))
+    fixed = _pairs(REGISTRY["c_sim_ivf"].fn(spark, SF_SMOKE))
+    trained = _pairs(REGISTRY["c_sim_ivf_trained"].fn(spark, SF_SMOKE))
+    assert trained, "trained IVF returned no neighbors"
+    prec_fixed = len(fixed & exact) / len(fixed)
+    prec_trained = len(trained & exact) / len(trained)
+    assert prec_trained >= prec_fixed, (prec_trained, prec_fixed)
+    # nprobe=2 must actually widen the candidate space: every query
+    # returns rows, and per-query k is bounded by KNN_K
+    per_q = (
+        REGISTRY["c_sim_ivf_trained"].fn(spark, SF_SMOKE)
+        .groupBy("query_id").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in per_q)
+    assert len(per_q) == 50  # every query answered
+
+
 def test_lsh_recall_vs_exact(spark):
     exact = _pairs(REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE))
     approx = _pairs(REGISTRY["c_sim_lsh"].fn(spark, SF_SMOKE))

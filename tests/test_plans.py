@@ -314,6 +314,11 @@ def test_shuffle_budgets_table(spark):
         # 1-row argmax sort, and the re-densify — aug/best/m persist
         # per round so runtime pays each subtree once
         "c_token_bpe": 26,
+        # trained-centroid IVF: k-means training (vec_id window + the
+        # K×dim centroid-update shuffles, persisted), the assignment
+        # window, and the per-query rank window; candidate scoring
+        # itself broadcasts — no corpus self-join exchange
+        "c_sim_ivf_trained": 9,
         # encoding = the 2 training rounds' window chains (shared
         # machinery, minus nothing statically since the merge table is
         # derived in-plan) + the vocab distinct/row_number (bounded by
