@@ -1201,6 +1201,69 @@ def locf_grid(daily: DataFrame) -> DataFrame:
 
 
 @query(
+    "a_gapfill_locf_stream",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, sum({sql_cents('value')}) AS cents
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(d) AS lo, max(d) AS hi FROM daily
+), days AS (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+), grid AS (
+    SELECT u.user_id, days.d
+    FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days
+)
+SELECT g.user_id, CAST(g.d AS VARCHAR) AS day,
+       {sql_rnd('''last_value(da.cents IGNORE NULLS) OVER
+           (PARTITION BY g.user_id ORDER BY g.d
+            ROWS UNBOUNDED PRECEDING) / 100.0''', 2)} AS locf_value,
+       CAST(CASE WHEN da.cents IS NULL THEN 1 ELSE 0 END AS INT) AS is_filled
+FROM grid g LEFT JOIN daily da ON g.user_id = da.user_id AND g.d = da.d
+""",
+)
+def a_gapfill_locf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_gapfill_locf, checked against the SAME
+    oracle: the (user, day) daily rollup runs as a streaming
+    aggregation (the always-on state a live deployment maintains —
+    complete/availableNow replay, same contract as the other _stream
+    twins), and the dense-grid LOCF fill runs over the COMPLETED
+    rollup via the shared ``locf_grid`` core. That split is the
+    production architecture, not a shortcut: gap-filling needs the
+    grid bounds (min/max day), which only exist at read time — the
+    streaming job owns the incremental rollup state, the report-time
+    consumer owns the fill, and the composition must equal the batch
+    relation exactly. The rollup lands in a REAL table (foreachBatch
+    overwrite per refresh — the complete-mode materialization
+    pattern; the memory sink's relation can't sit on both sides of
+    the grid build's self-join). Scale: streaming state is one row
+    per (user, day); the fill is one user_id exchange over the rollup
+    (grid cross-join broadcasts the calendar), never over raw
+    events."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    daily = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).alias("cents"))
+    )
+    out = f"/tmp/dss_locf/{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: df.write.mode("overwrite").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return locf_grid(spark.read.parquet(out))
+
+
+@query(
     "a_anomaly_zscore",
     oracle=f"""
 WITH ev AS (

@@ -1635,6 +1635,107 @@ def b_pipeline_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_money_sum("l_quantity")} AS sum_qty,
+       {sql_money_sum("l_extendedprice")} AS sum_base_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {sql_money_avg("l_quantity", 4)} AS avg_qty,
+       {sql_money_avg("l_extendedprice", 4)} AS avg_price,
+       {sql_money_avg("l_discount", 4)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def b_pipeline_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — THE canonical scan-heavy
+    aggregate: one pass over lineitem below the shipdate cutoff, eight
+    aggregates over 6 (returnflag, linestatus) groups. Money/quantity
+    sums in integer cents, averages as (Σcents/100)/n at 4dp — the
+    engine-independent discipline. Scale: the textbook map-side
+    partial aggregation — 60k (or 600M) rows collapse to 6 partials
+    per task before the one tiny exchange; the shipdate predicate and
+    the 7-column projection push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            money_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            money_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "b_pipeline_tpch_q10",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       {sql_rnd("any_value(c_acctbal)", 2)} AS acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def b_pipeline_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers who returned
+    items in a quarter, ranked by lost revenue, top 20. The 4-way
+    star: customer⋈orders co-partitioned on custkey, the
+    orders⋈lineitem hop on orderkey, nation broadcast. Ranking on the
+    ROUNDED 2dp revenue with c_custkey as the total-order tiebreak so
+    the LIMIT is engine-independent. Scale: both date predicates and
+    the returnflag filter push to the scans (quarter pruning on a
+    date-partitioned orders table at 100 TB); top-20 is
+    TakeOrderedAndProject — no global sort materializes."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            rnd(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,

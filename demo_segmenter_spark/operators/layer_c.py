@@ -3508,6 +3508,114 @@ def c_embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_embed_pca_project",
+    oracle=_EMB_CTE
+    + f"""
+, v0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM ex
+)"""
+    + "".join(_pca_iter_sql(i) for i in range(1, PCA_ITERS + 1))
+    + f"""
+, coef1 AS (
+    SELECT ex.vec_id, sum(ex.x * v{PCA_ITERS}.v) AS c
+    FROM ex JOIN v{PCA_ITERS} USING (i) GROUP BY ex.vec_id
+), exd AS MATERIALIZED (
+    SELECT e.vec_id, e.i, e.x - c1.c * v.v AS x
+    FROM ex e JOIN coef1 c1 USING (vec_id) JOIN v{PCA_ITERS} v USING (i)
+), dv0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM exd
+)"""
+    + "".join(_pca_iter_sql(i, src="exd", p="d") for i in range(1, PCA_ITERS + 1))
+    + f"""
+, proj AS MATERIALIZED (
+    SELECT ex.vec_id,
+           {sql_rnd(f"sum(ex.x * v{PCA_ITERS}.v)", 6)} AS p1,
+           {sql_rnd(f"sum(ex.x * dv{PCA_ITERS}.v)", 6)} AS p2
+    FROM ex
+    JOIN v{PCA_ITERS} USING (i)
+    JOIN dv{PCA_ITERS} USING (i)
+    GROUP BY ex.vec_id
+), resid AS (
+    SELECT e.vec_id,
+           sqrt(sum(pow(e.x - p.p1 * v.v - p.p2 * d.v, 2))) AS rs
+    FROM ex e
+    JOIN proj p USING (vec_id)
+    JOIN v{PCA_ITERS} v USING (i)
+    JOIN dv{PCA_ITERS} d USING (i)
+    GROUP BY e.vec_id
+)
+SELECT p.vec_id, {sql_rnd("p.p1", 4)} AS p1, {sql_rnd("p.p2", 4)} AS p2,
+       {sql_rnd("r.rs", 4)} AS resid_norm
+FROM proj p JOIN resid r USING (vec_id)
+""",
+)
+def c_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION — apply the trained components to reduce the
+    corpus, completing the train→apply story for the embedding side
+    exactly as c_token_bpe_encode does for tokenization: c_embed_pca/
+    c_embed_pca_deflate TRAIN (v1, v2); this query projects every
+    vector onto them, emitting the 2-D reduced embedding (p1, p2) plus
+    the per-row reconstruction-error norm ||x − p1·v1 − p2·v2|| — the
+    quality signal a dimensionality-reduction pipeline monitors.
+    Projections are 6dp-quantized BEFORE the residual arithmetic so
+    both engines reconstruct from identical coefficients; full replay
+    oracle (both trained component chains + projection + residual in
+    one DuckDB statement). Scale: training cost is c_embed_pca_deflate
+    (per-iteration 64-row shuffles); the apply pass is ONE map-side
+    scan per row against two broadcast 64-float components — two
+    folds, one zip_with chain, zero shuffles beyond training. At
+    100 TB this is the classic fit-small/transform-everything split:
+    the transform dominates and is embarrassingly parallel."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = persist(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    )
+    v1full = persist(_power_iterations(base))
+
+    def as_row(vfull: DataFrame, name: str) -> DataFrame:
+        return vfull.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))),
+                lambda t: t["v"],
+            ).alias(name)
+        )
+
+    v1row = as_row(v1full, "v1")
+    withc = base.crossJoin(F.broadcast(v1row)).select(
+        "vec_id", "x", "v1", dot(F.col("x"), F.col("v1")).alias("c")
+    )
+    based = persist(
+        withc.select(
+            "vec_id",
+            F.zip_with("x", "v1", lambda xi, vi: xi - F.col("c") * vi).alias(
+                "x"
+            ),
+        )
+    )
+    v2row = as_row(_power_iterations(based), "v2")
+    proj = (
+        base.crossJoin(F.broadcast(v1row))
+        .crossJoin(F.broadcast(v2row))
+        .select(
+            "vec_id", "x", "v1", "v2",
+            rnd(dot(F.col("x"), F.col("v1")), 6).alias("p1"),
+            rnd(dot(F.col("x"), F.col("v2")), 6).alias("p2"),
+        )
+    )
+    r = F.zip_with(
+        F.zip_with("x", "v1", lambda xi, vi: xi - F.col("p1") * vi),
+        F.col("v2"),
+        lambda ri, wi: ri - F.col("p2") * wi,
+    )
+    return proj.select(
+        "vec_id",
+        rnd(F.col("p1"), 4).alias("p1"),
+        rnd(F.col("p2"), 4).alias("p2"),
+        rnd(F.sqrt(dot(r, r)), 4).alias("resid_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (word-level): the tokenizer-TRAINING step of an
 # LLM data pipeline as a dataflow — count adjacent-pair frequencies,

@@ -245,6 +245,14 @@ def test_shuffle_budgets_table(spark):
         # exchange — the orders join REUSES the orderkey partitioning,
         # customer broadcasts, top-100 is TakeOrderedAndProject
         "b_pipeline_tpch_q18": 1,
+        # Q1 is THE map-side-partial aggregate: one tiny exchange of
+        # 6-group partials, everything else scan-local
+        "b_pipeline_tpch_q1": 1,
+        # Q10: customer⋈orders⋈lineitem collapse into one broadcast
+        # chain at this sf (AQE), nation broadcast; the groupBy custkey
+        # is the one exchange — at 100 TB the fact joins degrade to
+        # co-partitioned shuffles on custkey/orderkey
+        "b_pipeline_tpch_q10": 1,
         "b_scd2_intervals": 1,
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
