@@ -92,8 +92,11 @@ HEADLINE = [
     "c_sim_dedup_semantic",
     "c_embed_pca_deflate",
     "a_ewma",  # the Arrow per-key recurrence class representative
-    # round 7: corpus tokenization — the most-run LLM-pipeline job
+    # round 7: corpus tokenization — the most-run LLM-pipeline job —
+    # plus the trained-centroid ANN index and the canonical TPC-H scan-agg
     "c_token_bpe_encode",
+    "c_sim_ivf_trained",
+    "b_pipeline_tpch_q1",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

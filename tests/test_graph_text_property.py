@@ -300,6 +300,57 @@ def test_pca_deflate_matches_numpy_replay(spark):
     assert abs(got[1].ortho) <= 0.001  # deflation really orthogonalized
 
 
+def test_pca_project_matches_numpy_replay(spark):
+    # third implementation of the APPLY step (c_embed_pca_project):
+    # replay both quantized component chains in numpy, project with
+    # 6dp-quantized coefficients, reconstruct, compare per row.
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import PCA_ITERS, _PCA_V0
+    from demo_segmenter_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    rows = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def power(M):
+        v = np.full(M.shape[1], _PCA_V0)
+        for _ in range(PCA_ITERS):
+            s = M.T @ (M @ v)
+            v = np.round(s / np.sqrt((s * s).sum()) + 1e-10, 6) + 0.0
+        return v
+
+    v1 = power(X)
+    Xd = X - np.outer(X @ v1, v1)
+    v2 = power(Xd)
+    p1 = np.round(X @ v1 + 1e-10, 6) + 0.0
+    p2 = np.round(X @ v2 + 1e-10, 6) + 0.0
+    R = X - np.outer(p1, v1) - np.outer(p2, v2)
+    rs = np.sqrt((R * R).sum(axis=1))
+
+    def q4(x):
+        return round(float(x) + 1e-8, 4) + 0.0
+
+    got = {
+        r.vec_id: r
+        for r in REGISTRY["c_embed_pca_project"].fn(spark, sf).collect()
+    }
+    assert len(got) == len(ids)
+    for idx, vid in enumerate(ids):
+        assert abs(got[vid].p1 - q4(p1[idx])) <= 1e-9, vid
+        assert abs(got[vid].p2 - q4(p2[idx])) <= 1e-9, vid
+        assert abs(got[vid].resid_norm - q4(rs[idx])) <= 1e-9, vid
+    # the 2-D reduction actually explains variance: residual energy
+    # strictly below total energy for every row with nonzero p1/p2
+    tot = np.sqrt((X * X).sum(axis=1))
+    assert (rs <= tot + 1e-9).all()
+    assert (rs < tot - 1e-9).mean() > 0.9
+
+
 def test_kcore_matches_python_reference(spark):
     from demo_segmenter_spark.operators.layer_b import (
         KCORE_K,

@@ -455,3 +455,34 @@ def test_window_dau_stream_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_window_dau"].fn(spark, SF))
     assert got == want
+
+
+def test_gapfill_locf_stream_across_batches(spark):
+    # a_gapfill_locf_stream's rollup state must accumulate across
+    # micro-batches: the trickle source splits each user's days over
+    # three ts-thirds, so per-(user, day) sums straddle batch cuts and
+    # the final fill must equal the batch twin exactly.
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.functions.compat import cents
+    from demo_segmenter_spark.operators.layer_a import locf_grid
+
+    ev = _read_stream(spark, _trickle_src(spark)[0])
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(cents(F.col("value"))).alias("cents")
+    )
+    out = f"/tmp/dss_locf/mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: df.write.mode("overwrite").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+    got = _rowset(locf_grid(spark.read.parquet(out)))
+    want = _rowset(REGISTRY["a_gapfill_locf"].fn(spark, SF))
+    assert got == want
