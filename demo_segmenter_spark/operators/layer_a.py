@@ -1541,6 +1541,97 @@ def a_window_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_peak_concurrency",
+    oracle=SESSION_CTE
+    + """
+, bounds2 AS (
+    SELECT epoch_us(s_start) AS t, 1 AS d FROM sessions
+    UNION ALL
+    SELECT epoch_us(s_end), -1 FROM sessions
+), pts AS (
+    SELECT t,
+           sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_start,
+           sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_end
+    FROM bounds2 GROUP BY t
+)
+SELECT t AS t_us,
+       CAST(n_start AS BIGINT) AS n_start,
+       CAST(n_end AS BIGINT) AS n_end,
+       CAST(sum(n_start) OVER w - sum(n_end) OVER w + n_end AS BIGINT)
+           AS concurrency
+FROM pts
+WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+""",
+)
+def a_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session step function by SWEEP LINE — the capacity
+    metric (peak simultaneous sessions) every operations dashboard
+    derives from sessionization. Each session contributes (+1 at
+    s_start, −1 at s_end); per distinct boundary timestamp t the
+    output row carries (n_start, n_end, concurrency) where concurrency
+    = sessions with s_start ≤ t AND s_end ≥ t — inclusive overlap, so
+    a session ending at t still counts at t (hence the `+ n_end`
+    term: ends at t subtract only after t).
+
+    The cumulative sums are computed as the DISTRIBUTED two-pass
+    sweep, not one global window: boundary points partition by DAY,
+    the running sums run inside each day partition, and each day adds
+    a broadcast per-day prefix offset (the day table is tiny — one row
+    per day — so ITS running sum is a bounded global window). The
+    oracle uses the straightforward single-window form; the two
+    decompositions are algebraically identical in integers, which the
+    hash match certifies. At 100 TB the boundary table is 2× sessions
+    and the only corpus-sized exchange is the per-day repartition —
+    the global-window sweep every naive implementation writes would
+    funnel 10⁹ rows through one task."""
+    sess = session_aggregates(spark, sf_dir)
+    bounds = sess.select(
+        F.col("session_start_us").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select(F.col("session_end_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    pts = bounds.groupBy("t").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_start"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_end"),
+    ).withColumn("day", (F.col("t") / F.lit(86_400_000_000)).cast("long"))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_day = pts.select(
+        "t", "day", "n_start", "n_end",
+        (F.sum("n_start").over(w_day) - F.sum("n_end").over(w_day)).alias(
+            "day_cum"
+        ),
+    )
+    # per-day net -> prefix offset of all PRIOR days (tiny table; its
+    # global window is bounded by the calendar, not the data)
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    day_off = (
+        pts.groupBy("day")
+        .agg(F.sum(F.col("n_start") - F.col("n_end")).alias("net"))
+        .select(
+            "day",
+            F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("offset"),
+        )
+    )
+    return (
+        in_day.join(F.broadcast(day_off), "day")
+        .select(
+            F.col("t").alias("t_us"),
+            F.col("n_start").cast("long").alias("n_start"),
+            F.col("n_end").cast("long").alias("n_end"),
+            (F.col("offset") + F.col("day_cum") + F.col("n_end"))
+            .cast("long")
+            .alias("concurrency"),
+        )
+    )
+
+
+@query(
     "a_pipeline_kpi",
     oracle=SESSION_CTE
     + f""", v AS (

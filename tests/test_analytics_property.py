@@ -103,3 +103,29 @@ def test_locf_grid_matches_reference(spark, raw):
         for r in locf_grid(df).collect()
     }
     assert got == _locf_reference(raw)
+
+
+def test_peak_concurrency_matches_brute_force(spark):
+    # third implementation of the sweep line: brute-force count, per
+    # distinct boundary t, of sessions with s_start <= t <= s_end
+    # (inclusive overlap) — must equal the distributed two-pass sweep
+    # row for row at fixture scale.
+    from demo_segmenter_spark.operators.layer_a import session_aggregates
+    from demo_segmenter_spark.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sess = [
+        (r.session_start_us, r.session_end_us)
+        for r in session_aggregates(spark, SF_SMOKE).collect()
+    ]
+    ts = sorted({t for s, e in sess for t in (s, e)})
+    want = {
+        t: sum(1 for s, e in sess if s <= t <= e) for t in ts
+    }
+    got = {
+        r.t_us: r.concurrency
+        for r in REGISTRY["a_peak_concurrency"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the metric is non-trivial on the fixture: some overlap exists
+    assert max(got.values()) > 1
