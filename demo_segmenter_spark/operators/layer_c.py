@@ -3909,6 +3909,75 @@ def c_token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "c_pack_sequences_bpe",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+, nt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+    FROM t{BPE_ROUNDS} GROUP BY doc_id
+), sized AS (
+    SELECT d.doc_id, d.lang, nt.n_tok FROM documents d JOIN nt USING (doc_id)
+), binned AS (
+    SELECT doc_id, lang, n_tok,
+           CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok)
+                // {PACK_CAPACITY} AS BIGINT) AS bin
+    FROM sized
+)
+SELECT lang, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned
+GROUP BY lang, bin
+""",
+)
+def c_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL tokenizer counts — c_pack_sequences
+    bins by whitespace counts, but production packing budgets by what
+    the model actually consumes: the trained tokenizer's token count.
+    This composes the BPE train→encode pass (shared _bpe_apply
+    machinery) with the packing window: per-doc n_tok = post-merge
+    token count, then the same deterministic running-count binning per
+    language. The whole composition replays in one DuckDB statement
+    (training rounds + counts + binning), all-integer. Scale: encoding
+    cost is c_token_bpe_encode's (rank passes over doc_id windows);
+    the counts collapse to one row per doc before the lang-partitioned
+    packing window — the window never sees token-level rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _bpe_tokenize0(docs)
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    nt = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
+    sized = docs.select("doc_id", "lang").join(nt, "doc_id")
+    binned = sized.withColumn(
+        "bin",
+        F.expr(
+            f"CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+            f"ROWS UNBOUNDED PRECEDING) - n_tok) DIV {PACK_CAPACITY} AS BIGINT)"
+        ),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @query(
     "c_udf_cogroup",
     oracle="""
