@@ -101,6 +101,7 @@ def main() -> None:
     wire_stress(spark)
     papi_stress(spark)
     ewma_stress(spark)
+    bpe_encode_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1110,6 +1111,71 @@ def triangles_stress(spark, n: int = 1_000_000, chain: int = 8, t: int = 100_000
         f"({n_edges / dt / 1e6:.2f}M edges/s)"
     )
     spark.catalog.clearCache()
+
+def bpe_encode_stress(spark, replicas: int = 20) -> None:
+    """Corpus tokenization (c_token_bpe_encode's shape) at 100k docs /
+    ~5.4M words: replicate the sf0.1 documents with disjoint doc_id
+    spaces (same texts, so every adjacent-pair count scales uniformly
+    by the replica factor and training picks the SAME merges — making
+    the ground truth exact) and run train + both encode passes + the
+    per-doc counts. Invariants: total post-merge token count exactly
+    replicas × the single-copy total, and doc count exact."""
+    from demo_segmenter_spark.functions.cache import release_persisted
+    from demo_segmenter_spark.operators.layer_c import (
+        BPE_ROUNDS,
+        _bpe_apply,
+        _bpe_argmax,
+        _bpe_aug,
+        _bpe_tokenize0,
+    )
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    ref = (
+        REGISTRY["c_token_bpe_encode"].fn(spark, sf)
+        .groupBy("doc_id").agg(F.max("n_tokens").alias("nt"))
+        .agg(F.sum("nt").alias("total"), F.count("*").alias("docs"))
+        .first()
+    )
+    release_persisted(spark, owner=True)
+    docs = load_table(spark, sf, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    big = (
+        docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * max_id).alias("doc_id"), "text"
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_docs = big.count()
+    n_words = big.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    t0 = time.time()
+    toks = _bpe_tokenize0(big)
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    got = (
+        toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+        .agg(F.sum("nt").alias("total"), F.count("*").alias("docs"))
+        .first()
+    )
+    dt = time.time() - t0
+    assert got.docs == n_docs == replicas * ref.docs, (got, n_docs, ref)
+    assert got.total == replicas * ref.total, (got.total, replicas, ref.total)
+    print(
+        f"bpe_encode {n_docs} docs / {n_words} words (x{replicas} sf0.1, "
+        f"uniform pair scaling -> identical merges): train+encode "
+        f"{dt:.1f}s ({n_words / dt / 1e6:.2f}M words/s), total tokens "
+        f"exactly {replicas}x the single-copy encoding"
+    )
+    big.unpersist()
+    release_persisted(spark, owner=True)
+
 
 def ewma_stress(spark, replicas: int = 100) -> None:
     """Segmented-scan recurrence (a_ewma's mapInPandas form) at 10M
