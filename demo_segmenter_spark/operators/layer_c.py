@@ -4182,6 +4182,170 @@ def c_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
 # ---------------------------------------------------------------------------
 
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+RRF_POOL = 20  # per-retriever candidate depth fused
+
+
+@query(
+    "c_rag_fusion",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), qry AS (
+    SELECT t, df FROM df ORDER BY df DESC, t LIMIT 3
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), bscored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT) AS s_micro
+    FROM tf
+    JOIN qry ON tf.t = qry.t
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+), bm AS (
+    SELECT doc_id, round(sum(s_micro) / 1000000.0 + 1e-06, 2) AS bm25
+    FROM bscored GROUP BY doc_id
+), lex AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+), ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+), vdots AS (
+    SELECT b.vec_id, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id = 0 AND b.vec_id <> 0
+    GROUP BY b.vec_id
+), vscored AS (
+    SELECT d.vec_id, {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM vdots d
+    JOIN norms na ON na.vec_id = 0
+    JOIN norms nb ON d.vec_id = nb.vec_id
+), vec AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                AS BIGINT) AS vec_rank
+    FROM vscored ORDER BY cos_sim DESC, vec_id LIMIT {RRF_POOL}
+), fused AS (
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           lex.lex_rank, vec.vec_rank,
+           {sql_rnd(f"COALESCE(1.0 / ({RRF_C} + lex.lex_rank), 0.0)"
+                    f" + COALESCE(1.0 / ({RRF_C} + vec.vec_rank), 0.0)", 6)}
+               AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused
+)
+WHERE rank <= 10
+""",
+)
+def c_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner:
+    fuse the BM25 lexical top-{RRF_POOL} (c_text_bm25's scoring, same
+    deterministic 3-term query and micro-unit quantization) with the
+    dense top-{RRF_POOL} (cosine to the vec_id=0 query embedding,
+    4dp-quantized) by RRF(d) = Σ_lists 1/({RRF_C} + rank_d), full
+    outer over the two candidate lists, top-10 by (rrf DESC, doc_id).
+    Rank-based fusion needs no score calibration between retrievers —
+    which is exactly why production hybrid search uses it. Both
+    retrievers' ranks use rounded scores + doc_id tiebreaks, so the
+    fused ordering is engine-independent; full DuckDB replay of both
+    retrieval chains + the fusion. Scale: each retriever is its
+    already-proven plan (posting-list join / broadcast-query scan);
+    the fusion itself joins two {RRF_POOL}-row lists — free. (Fixture
+    note: vec_id ≡ doc_id where embeddings exist; at sf0.1 they cover
+    a prefix, which the outer join handles.)"""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # --- lexical: BM25 (c_text_bm25's machinery, top-RRF_POOL) ---
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    qry = df_.orderBy(F.col("df").desc(), "t").limit(3)
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    s_micro = F.round(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1_000_000 + 1e-04
+    ).cast("long")
+    bm = (
+        tf.join(F.broadcast(qry), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("s_micro") / 1_000_000.0, 2).alias("bm25"))
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("doc_id", "lex_rank")
+    )
+    # --- dense: cosine to the vec_id=0 query, top-RRF_POOL ---
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = rnd(dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 4)
+    w_vec = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    vecl = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", cos.alias("cos_sim"))
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+        .filter(F.col("vec_rank") <= RRF_POOL)
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = (
+        lex.join(vecl, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            rnd(
+                F.coalesce(1.0 / (RRF_C + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_C + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 MMR_K = 5
 MMR_POOL = 20
 # λ = 0.7 as a TEXTUAL literal in both engines: 0.7/0.3 parse to the
