@@ -1736,6 +1736,78 @@ def b_pipeline_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_money_sum("volume")} AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def b_pipeline_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by year — the five-way join with a DISJUNCTIVE cross-table
+    predicate ((n1,n2) ∈ {{(A,B),(B,A)}}) that only applies after both
+    nation hops, the shape join-reordering optimizers are graded on.
+    Scale: both nation joins broadcast (25 rows), supplier broadcasts
+    at this sf; the lineitem⋈orders⋈customer chain shuffles on
+    orderkey/custkey; the shipdate range prunes the fact scan. Cents
+    discipline on the volume sum; (supp_nation, cust_nation, l_year)
+    is a natural total-order grouping key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey)
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,
