@@ -1540,9 +1540,8 @@ def a_window_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query(
-    "a_peak_concurrency",
-    oracle=SESSION_CTE
+_PEAK_CONCURRENCY_ORACLE = (
+    SESSION_CTE
     + """
 , bounds2 AS (
     SELECT epoch_us(s_start) AS t, 1 AS d FROM sessions
@@ -1561,8 +1560,11 @@ SELECT t AS t_us,
            AS concurrency
 FROM pts
 WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
-""",
+"""
 )
+
+
+@query("a_peak_concurrency", oracle=_PEAK_CONCURRENCY_ORACLE)
 def a_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-session step function by SWEEP LINE — the capacity
     metric (peak simultaneous sessions) every operations dashboard
@@ -1585,10 +1587,35 @@ def a_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global-window sweep every naive implementation writes would
     funnel 10⁹ rows through one task."""
     sess = session_aggregates(spark, sf_dir)
+    return concurrency_sweep(
+        sess.select("session_start_us", F.col("session_end_us").alias("session_last_us"))
+    )
+
+
+@query("a_peak_concurrency_stream", oracle=_PEAK_CONCURRENCY_ORACLE)
+def a_peak_concurrency_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin: sessions come from the native `session_window`
+    streaming topology (the same completed state a_sessionize_stream
+    certifies), the sweep runs over the resulting session table via
+    the shared ``concurrency_sweep`` core — the production split where
+    the streaming job owns session state and the capacity report runs
+    over its sink. Same oracle as the batch twin."""
+    from demo_segmenter_spark.streaming.sessionize import sessionize_stream
+
+    return concurrency_sweep(
+        sessionize_stream(spark, sf_dir).select(
+            "session_start_us", "session_last_us"
+        )
+    )
+
+
+def concurrency_sweep(sess: DataFrame) -> DataFrame:
+    """Distributed two-pass sweep core over (session_start_us,
+    session_last_us) rows — see a_peak_concurrency for semantics."""
     bounds = sess.select(
         F.col("session_start_us").alias("t"), F.lit(1).alias("d")
     ).unionAll(
-        sess.select(F.col("session_end_us").alias("t"), F.lit(-1).alias("d"))
+        sess.select(F.col("session_last_us").alias("t"), F.lit(-1).alias("d"))
     )
     pts = bounds.groupBy("t").agg(
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_start"),
