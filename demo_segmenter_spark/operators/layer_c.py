@@ -807,7 +807,10 @@ def c_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Turns O(N·Q) into O(N + Q·N/16): the cluster id is a shuffle key,
     not a comparison loop. Fully deterministic (fixed centroids,
     rounded sims, total-order tiebreakers) — hash-oracled since round
-    2; recall vs c_sim_knn is additionally asserted in tests."""
+    2; recall vs c_sim_knn is additionally asserted in tests. The
+    fixed vec_id<16 seeds + nprobe=1 are the pedagogical baseline;
+    the production form — LEARNED k-means centroids probed at
+    nprobe=2 — is c_sim_ivf_trained, equally hash-certified."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = emb.select(
@@ -1124,6 +1127,130 @@ def c_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
+@query(
+    "c_sim_knn_int8",
+    oracle=_EMB_CTE
+    + f"""
+, stats AS (
+    SELECT vec_id, min(x) AS mn, (max(x) - min(x)) / 255.0 AS scale
+    FROM ex GROUP BY vec_id
+), codes AS (
+    SELECT e.vec_id, e.i,
+           CAST(round((e.x - s.mn) / s.scale + 1e-8) AS BIGINT) AS c
+    FROM ex e JOIN stats s USING (vec_id)
+), vsum AS (
+    SELECT vec_id, sum(c) AS sc, sum(c * c) AS c2 FROM codes GROUP BY vec_id
+), vn AS (
+    SELECT s.vec_id, s.mn, s.scale, v.sc,
+           sqrt(64 * s.mn * s.mn + 2 * s.mn * s.scale * v.sc
+                + s.scale * s.scale * v.c2) AS nrm
+    FROM stats s JOIN vsum v USING (vec_id)
+), d AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.c * b.c) AS dint
+    FROM codes a JOIN codes b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT d.qid AS query_id, d.nid AS neighbor_id,
+           {sql_rnd("(64 * qa.mn * qb.mn + qa.mn * (qb.scale * qb.sc)"
+                    " + qb.mn * (qa.scale * qa.sc)"
+                    " + (qa.scale * qb.scale) * d.dint)"
+                    " / (qa.nrm * qb.nrm)", 4)} AS cos_q
+    FROM d
+    JOIN vn qa ON d.qid = qa.vec_id
+    JOIN vn qb ON d.nid = qb.vec_id
+)
+SELECT query_id, neighbor_id, cos_q, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_q DESC, neighbor_id) AS rank
+    FROM scored
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def c_sim_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over the INT8-QUANTIZED codes (c_embed_quantize's
+    compression applied to search — the memory-for-recall trade every
+    embedding store ships): cosine is computed entirely from integer
+    sufficient statistics via the dequantization expansion
+    ⟨x̂_a, x̂_b⟩ = 64·mn_a·mn_b + mn_a·s_b·Σc_b + mn_b·s_a·Σc_a
+    + s_a·s_b·Σc_a·c_b, where Σc, Σc², Σc_a·c_b are BIGINT sums —
+    summation-order-independent, so unlike float-dot kNN the heavy
+    inner loop is bit-exact by construction and only four scalar float
+    ops (identical order both engines) finish the score. Full hash
+    oracle replaying quantization + integer dots + ranking. Scale: the
+    codes table is 4× smaller than float32 at rest (16× vs the double
+    working type); the integer dot vectorizes better than float on
+    every modern CPU; the plan shape is c_sim_knn's broadcast-query
+    scan. Recall vs the exact float top-k is pinned in
+    tests/test_ann.py."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    mn = F.array_min("v")
+    scale = (F.array_max("v") - F.array_min("v")) / 255.0
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.round((x - F.col("mn")) / F.col("scale") + 1e-8, 0).cast(
+            "long"
+        ),
+    )
+    lsum = lambda col: F.aggregate(  # noqa: E731 — integer fold
+        col, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    base = (
+        emb.select("vec_id", v.alias("v"))
+        .select("vec_id", "v", mn.alias("mn"), scale.alias("scale"))
+        .withColumn("c", codes)
+        .select(
+            "vec_id", "mn", "scale", "c",
+            lsum(F.col("c")).alias("sc"),
+            lsum(F.zip_with("c", "c", lambda a, b: a * b)).alias("c2"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.lit(64) * F.col("mn") * F.col("mn")
+                + F.lit(2) * F.col("mn") * F.col("scale") * F.col("sc")
+                + F.col("scale") * F.col("scale") * F.col("c2")
+            ),
+        )
+    )
+    q = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mn").alias("qmn"),
+        F.col("scale").alias("qscale"),
+        F.col("c").alias("qc"),
+        F.col("sc").alias("qsc"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dint = lsum(F.zip_with("qc", "c", lambda a, b: a * b))
+    cos_q = rnd(
+        (
+            F.lit(64) * F.col("qmn") * F.col("mn")
+            + F.col("qmn") * (F.col("scale") * F.col("sc"))
+            + F.col("mn") * (F.col("qscale") * F.col("qsc"))
+            + (F.col("qscale") * F.col("scale")) * F.col("dint")
+        )
+        / (F.col("qnrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dint", dint)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos_q"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
 

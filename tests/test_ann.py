@@ -44,6 +44,16 @@ def test_trained_ivf_recall_beats_fixed_ivf(spark):
     assert len(per_q) == 50  # every query answered
 
 
+def test_int8_knn_recall_vs_exact(spark):
+    # quantized-code kNN must recover nearly all of the exact float
+    # top-5: int8 scalar quantization at 64 dims costs ~0.4% range
+    # resolution per element, far below the fixture's neighbor gaps.
+    exact = _pairs(REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE))
+    q8 = _pairs(REGISTRY["c_sim_knn_int8"].fn(spark, SF_SMOKE))
+    assert q8, "int8 kNN returned no neighbors"
+    assert len(q8 & exact) / len(exact) >= 0.9, len(q8 & exact) / len(exact)
+
+
 def test_lsh_recall_vs_exact(spark):
     exact = _pairs(REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE))
     approx = _pairs(REGISTRY["c_sim_lsh"].fn(spark, SF_SMOKE))
