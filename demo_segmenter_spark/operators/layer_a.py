@@ -1658,6 +1658,91 @@ def concurrency_sweep(sess: DataFrame) -> DataFrame:
     )
 
 
+_TRENDING_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(d) AS window_start_us, event_type,
+       n AS n_events, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY d
+                                 ORDER BY n DESC, event_type) AS rnk
+    FROM daily
+)
+WHERE rnk <= 3
+"""
+
+
+@query("a_trending", oracle=_TRENDING_ORACLE)
+def a_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: per tumbling day, the top-3 types by
+    count with (count DESC, type) total ordering — the leaderboard
+    rollup every activity feed runs. One windowed aggregate + one
+    rank window sharing the day key; map-side partials collapse to
+    days × types rows before any exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )
+
+
+@query("a_trending_stream", oracle=_TRENDING_ORACLE)
+def a_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_trending, same oracle: the (day, type)
+    counts run as a streaming windowed aggregation (complete/
+    availableNow replay — the state a live leaderboard maintains);
+    the top-3 rank is report-time post-processing over the completed
+    counts, exactly how a serving layer reads a continuously-updated
+    rollup. Rank windows aren't stateful-streaming-expressible
+    (results retract as counts grow), which is precisely why the
+    topology splits here."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"trending_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 @query(
     "a_pipeline_kpi",
     oracle=SESSION_CTE

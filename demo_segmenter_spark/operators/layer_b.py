@@ -1635,6 +1635,50 @@ def b_pipeline_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_agg_percentiles",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (round(quantile_cont(c, 0.5) / 100.0 + 1e-6, 2) + 0.0) AS p50,
+       (round(quantile_cont(c, 0.9) / 100.0 + 1e-6, 2) + 0.0) AS p90,
+       (round(quantile_cont(c, 0.99) / 100.0 + 1e-6, 2) + 0.0) AS p99
+FROM (
+    SELECT event_type, CAST(round(value * 100 + 1e-4) AS BIGINT) AS c
+    FROM events
+)
+GROUP BY event_type
+""",
+)
+def b_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (p50/p90/p99) of event value per type — the
+    latency-dashboard aggregate. Exactness across engines is usually
+    hopeless for interpolated quantiles; here it holds because the
+    values are integer CENTS first (so sort order and the (n−1)·p
+    interpolation arithmetic are identical IEEE on both sides), then
+    the result is rounded — probed at all three sfs before
+    registration. Spark's `percentile` is the sort-based exact
+    aggregate; one shuffle on event_type with map-side partial
+    collection. At 100 TB you'd swap in `percentile_approx` (GK
+    sketch, mergeable, bounded memory) and accept ε-rank error — this
+    query pins the exact baseline that approximation must track."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    pct = F.expr("percentile(c, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), pct.alias("ps"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            rnd(F.col("ps")[0] / 100.0, 2).alias("p50"),
+            rnd(F.col("ps")[1] / 100.0, 2).alias("p90"),
+            rnd(F.col("ps")[2] / 100.0, 2).alias("p99"),
+        )
+    )
+
+
+@query(
     "b_pipeline_tpch_q1",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
