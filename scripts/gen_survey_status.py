@@ -43,8 +43,18 @@ FOOTER = (
     "dedup `c_dedup_fuzzy`; text entropy `c_text_entropy`; XML + "
     "binaryFile sources (`b_source_xml`, `c_multimodal_binaryfile`); "
     "modern SQL (`b_sql_lateral`, `b_sql_recursive` — Spark 4 WITH "
-    "RECURSIVE). Shuffle budgets are enforced per-query in "
-    "tests/test_plans.py::test_shuffle_budgets_table."
+    "RECURSIVE). Round-7 additions: the train→apply artifact family "
+    "(`c_token_bpe_encode`, `c_embed_pca_project`, `c_sim_ivf_trained` "
+    "with learned centroids + nprobe=2, `c_pack_sequences_bpe` packing on "
+    "real tokenizer counts, `c_sim_knn_int8` integer-exact quantized kNN); "
+    "hybrid retrieval `c_rag_fusion` (reciprocal-rank fusion); streaming "
+    "twins `a_window_dau_stream` (distinct-user state via dedup+union), "
+    "`a_gapfill_locf_stream`, `a_trending[_stream]`, "
+    "`a_peak_concurrency[_stream]` (distributed two-pass sweep line); "
+    "TPC-H Q1/Q7/Q10; exact cross-engine `b_agg_percentiles`; streaming "
+    "CDC upsert into the versioned manifest sink (streaming/sinks.py::"
+    "cdc_upsert_sink, idempotent by batchId). Shuffle budgets are enforced "
+    "per-query in tests/test_plans.py::test_shuffle_budgets_table."
 )
 
 
