@@ -322,6 +322,29 @@ def test_shuffle_budgets_table(spark):
         # 1-row argmax sort, and the re-densify — aug/best/m persist
         # per round so runtime pays each subtree once
         "c_token_bpe": 26,
+        # sweep line: session build (user_id) + boundary groupBy(t) +
+        # the day-partitioned running sums + the tiny day-offset table;
+        # static plan repeats the pts subtree (runtime pays once)
+        "a_peak_concurrency": 9,
+        # daily counts + the day-partitioned rank share the day key
+        "a_trending": 2,
+        # exact percentiles: ONE event_type exchange, sort-based agg
+        # with map-side partial collection
+        "b_agg_percentiles": 1,
+        # int8 kNN: integer sufficient statistics are map-side; the one
+        # exchange is the per-query rank window (broadcast query block)
+        "c_sim_knn_int8": 1,
+        # RRF: the bm25 chain (tok/df/tf aggs) + the two rank windows +
+        # the 20-row fusion join
+        "c_rag_fusion": 6,
+        # Q7: nation hops broadcast; the fact chain + partial aggs
+        "b_pipeline_tpch_q7": 1,
+        # BPE-count packing: the 2 training-round window chains (persisted)
+        # + the per-doc count agg + the lang packing window
+        "c_pack_sequences_bpe": 14,
+        # train (2 PCA chains, 7 exchanges/round unrolled, persisted) +
+        # the map-side apply; static count compounds like pca_deflate's
+        "c_embed_pca_project": 47,
         # trained-centroid IVF: k-means training (vec_id window + the
         # K×dim centroid-update shuffles, persisted), the assignment
         # window, and the per-query rank window; candidate scoring
