@@ -1852,6 +1852,89 @@ def b_pipeline_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def b_pipeline_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the fixture's
+    columns: orders in a quarter having at least one LATE line
+    (shipdate > orderdate + 90 days — the fixture has no commit/
+    receipt dates; the correlated-EXISTS shape is the point), counted
+    by priority. The EXISTS compiles to a LEFT SEMI join on orderkey —
+    each order counted once however many lines are late. Scale: the
+    quarter predicate prunes the orders scan; the semi join shuffles
+    on orderkey (or broadcasts the filtered orders side); the priority
+    agg is map-side partial over ≤5 groups."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "b_pipeline_tpch_q12",
+    oracle="""
+SELECT l_returnflag AS ship_group,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+)
+def b_pipeline_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-priority split), adapted: lines shipped in a
+    year, grouped by returnflag (the fixture's shipmode stand-in),
+    split into high/low order-priority counts via conditional
+    aggregation — the CASE-inside-SUM pivot pattern. Scale: the year
+    predicate prunes the lineitem scan; one orderkey join (broadcast
+    of the pruned side at this sf, co-partitioned shuffle at 100 TB);
+    3-group conditional agg is map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,

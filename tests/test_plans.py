@@ -339,6 +339,10 @@ def test_shuffle_budgets_table(spark):
         "c_rag_fusion": 6,
         # Q7: nation hops broadcast; the fact chain + partial aggs
         "b_pipeline_tpch_q7": 1,
+        # Q4: pruned-orders semi join broadcasts; the 5-group agg
+        "b_pipeline_tpch_q4": 1,
+        # Q12: pruned-lineitem join broadcasts; 3-group conditional agg
+        "b_pipeline_tpch_q12": 1,
         # BPE-count packing: the 2 training-round window chains (persisted)
         # + the per-doc count agg + the lang packing window
         "c_pack_sequences_bpe": 14,
