@@ -36,6 +36,18 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "l_quantity" in joined and "l_returnflag" in joined, pushed
 
 
+def test_tpch_scans_push_predicates(spark):
+    # Q1's shipdate cutoff and Q10's quarter + returnflag predicates
+    # must reach the parquet scans — at 100 TB these prune the fact
+    # read before any join/agg runs.
+    joined = " ".join(pushed_filters(q("b_pipeline_tpch_q1", spark)))
+    assert "l_shipdate" in joined, joined
+    joined = " ".join(pushed_filters(q("b_pipeline_tpch_q10", spark)))
+    assert "o_orderdate" in joined and "l_returnflag" in joined, joined
+    joined = " ".join(pushed_filters(q("b_pipeline_tpch_q12", spark)))
+    assert "l_shipdate" in joined, joined
+
+
 def test_dimension_join_broadcasts(spark):
     assert has_broadcast_hash_join(q("b_join_broadcast", spark))
     assert has_broadcast_hash_join(q("a_stream_table_join", spark))
