@@ -2849,6 +2849,95 @@ def c_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 8  # exact-substring dedup: shared verbatim 8-token spans
+
+
+@query(
+    "c_dedup_substring",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {SUBSTR_K - 1}, 0)))
+               AS i
+    FROM toks
+), sh0 AS (
+    SELECT doc_id, i,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+               || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+               AS s
+    FROM idx
+), sh AS (
+    SELECT doc_id, s, CAST(min(i) AS BIGINT) AS pos
+    FROM sh0 GROUP BY doc_id, s
+), ok AS (
+    SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+), p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id AND s IN (SELECT s FROM ok)
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared,
+       min(pa) AS first_pos_a, min(pb) AS first_pos_b
+FROM p GROUP BY doc_a, doc_b
+""",
+)
+def c_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring cross-document duplication (the Lee et al.
+    "Deduplicating Training Data" signal): document pairs sharing any
+    verbatim {SUBSTR_K}-token span, with the shared-span count and the
+    FIRST matching position on each side as the evidence a removal
+    pass needs. Distinct from c_dedup_ngram (thresholded Jaccard
+    similarity): this catches a 100-word boilerplate block pasted into
+    two otherwise-unrelated documents, which set-similarity dilutes
+    away. Hot spans are df-capped at {SHINGLE_DF_CAP} docs (the
+    hot-shingle bound, stress-proven on the banding path) so template
+    text can't go quadratic; at production scale the span strings
+    hash to 64-bit before the equi-join (c_dedup_ngram's argument) and
+    the per-pair groupBy keys the one real shuffle. Full hash oracle
+    over string spans, 1-based positions both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (SUBSTR_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SUBSTR_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("doc_id", F.posexplode(grams).alias("pos0", "s"))
+        .groupBy("doc_id", "s")
+        .agg((F.min("pos0") + 1).cast("long").alias("pos"))
+    )
+    sh = persist(sh)
+    ok = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("s")
+    )
+    shc = sh.join(ok, "s")
+    a = shc.select(
+        "s", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = shc.select(
+        "s", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("pa").alias("first_pos_a"),
+            F.min("pb").alias("first_pos_b"),
+        )
+    )
+
+
 @query(
     "c_decontaminate",
     oracle="""

@@ -361,6 +361,10 @@ def test_shuffle_budgets_table(spark):
         # train (2 PCA chains, 7 exchanges/round unrolled, persisted) +
         # the map-side apply; static count compounds like pca_deflate's
         "c_embed_pca_project": 47,
+        # substring dedup: the (doc,s) span agg + the df-cap agg + the
+        # s-keyed pair join + the pair groupBy; persisted sh subtree
+        # repeats in the static plan, runtime pays once
+        "c_dedup_substring": 7,
         # trained-centroid IVF: k-means training (vec_id window + the
         # K×dim centroid-update shuffles, persisted), the assignment
         # window, and the per-query rank window; candidate scoring
