@@ -2769,6 +2769,87 @@ def c_quality_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_quality_bigram_lp",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t[i] AS a, t[i+1] AS b
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok
+    )
+), big AS (
+    SELECT a, b, count(*) AS cnt FROM idx GROUP BY a, b
+), uni AS (
+    SELECT a, count(*) AS ucnt FROM idx GROUP BY a
+), vocab AS (
+    SELECT count(DISTINCT x) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+), scored AS (
+    SELECT idx.doc_id,
+           CAST(round(ln((cnt + 1.0) / (ucnt + v)) * 1000000 + 1e-04)
+                AS BIGINT) AS lp
+    FROM idx JOIN big USING (a, b) JOIN uni USING (a) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / 1000000.0 / count(*) + 1e-06, 2) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def c_quality_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — the sharper perplexity
+    filter (c_quality_unigram_lp's sibling with CONTEXT): per-doc mean
+    ln p(tᵢ | tᵢ₋₁) under the corpus bigram model with add-1
+    smoothing, p = (count(a,b)+1)/(count(a·)+V). Catches
+    word-salad that unigram frequency can't (every token common, no
+    transition plausible). Same cross-engine float discipline: each
+    transition's logprob quantizes to integer micro-nats before the
+    order-independent BIGINT sum. Scale: transitions come from one
+    lead() over the doc window (the exchange the tokenize already
+    keys); the bigram table joins back on (a, b) — broadcast at
+    fixture scale, a token-keyed shuffle join at 100 TB; V and the
+    context counts are corpus aggregates computed once."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    idx = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "a")
+        )
+        .withColumn("b", F.lead("a").over(wdoc))
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "a", "b")
+    )
+    idx = persist(idx)
+    big = idx.groupBy("a", "b").agg(F.count("*").alias("cnt"))
+    uni = idx.groupBy("a").agg(F.count("*").alias("ucnt"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("x"))
+        .agg(F.countDistinct("x").alias("v"))
+    )
+    lp = F.round(
+        F.ln((F.col("cnt") + 1.0) / (F.col("ucnt") + F.col("v")))
+        * 1_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+    return (
+        idx.join(F.broadcast(big), ["a", "b"])
+        .join(F.broadcast(uni), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            rnd(F.sum("lp") / 1_000_000.0 / F.count(F.lit(1)), 2).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
