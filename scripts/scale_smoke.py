@@ -102,6 +102,7 @@ def main() -> None:
     papi_stress(spark)
     ewma_stress(spark)
     bpe_encode_stress(spark)
+    dau_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1175,6 +1176,101 @@ def bpe_encode_stress(spark, replicas: int = 20) -> None:
     )
     big.unpersist()
     release_persisted(spark, owner=True)
+
+
+def dau_stress(spark, replicas: int = 10) -> None:
+    """a_window_dau_stream's distinct-user state at 10x the key scale:
+    replicate the sf0.1 events with disjoint USER spaces (same
+    timestamps), run the streaming dedup→union→agg topology over the
+    ~600k-event log (≈4.2M expanded window rows, ≈10x the (user,
+    window) dedup-state rows), and check EXACT linearity: per window,
+    active_users and n_events are precisely replicas × the base
+    table's — any dedup-state loss or cross-replica bleed breaks
+    equality on some window."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base = {
+        r["window_start_us"]: (r["active_users"], r["n_events"])
+        for r in REGISTRY["a_window_dau"].fn(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    mu = ev.agg(F.max("user_id")).first()[0] + 1
+    d = f"/tmp/dss_scale/dau_{uuid.uuid4().hex[:8]}"
+    (
+        ev.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("user_id") + F.col("rep") * mu).alias("user_id"), "ts"
+        )
+        .repartition(32)
+        .write.parquet(d)
+    )
+    n_rows = spark.read.parquet(d).count()
+    t0 = time.time()
+    ex = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(d)
+        .select(
+            "user_id", "ts",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_add(
+                "DAY", -F.col("k"), F.date_trunc("DAY", F.col("ts"))
+            ).alias("w_start"),
+        )
+    )
+    raw = ex.select(
+        "w_start", "user_id",
+        F.lit(1).alias("is_event"), F.lit(0).alias("is_user"),
+    )
+    ded = ex.dropDuplicates(["w_start", "user_id"]).select(
+        "w_start", "user_id",
+        F.lit(0).alias("is_event"), F.lit(1).alias("is_user"),
+    )
+    agg = (
+        raw.unionByName(ded)
+        .groupBy("w_start")
+        .agg(
+            F.sum("is_event").alias("n_events"),
+            F.sum("is_user").alias("active_users"),
+        )
+        .select(
+            F.unix_micros("w_start").alias("w"), "active_users", "n_events"
+        )
+    )
+    name = f"daustress_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["w"]: (r["active_users"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    dt = time.time() - t0
+    assert set(got) == set(base), (len(got), len(base))
+    for w, (au, n) in base.items():
+        assert got[w] == (replicas * au, replicas * n), (w, got[w], au, n)
+    shutil.rmtree(d, ignore_errors=True)
+    print(
+        f"dau_stream {n_rows} events x7 windows ({replicas}x sf0.1 user "
+        f"space, ~{replicas}x dedup-state rows): per-window active_users "
+        f"and n_events EXACTLY {replicas}x base on all {len(base)} "
+        f"windows in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M events/s "
+        f"through streaming distinct state)"
+    )
 
 
 def ewma_stress(spark, replicas: int = 100) -> None:
