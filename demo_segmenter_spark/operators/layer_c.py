@@ -2770,6 +2770,99 @@ def c_quality_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_mix_reweight",
+    oracle=f"""
+WITH src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT sum(chars) AS tchars FROM src
+), wr AS (
+    SELECT source, n_docs, chars,
+           CAST(round(sqrt(chars * 1.0 / tchars) * 1000000000 + 1e-04)
+                AS BIGINT) AS wr_nano
+    FROM src CROSS JOIN tot
+), wsum AS (
+    SELECT sum(wr_nano) AS swr FROM wr
+), w AS (
+    SELECT source, n_docs, chars,
+           CAST(round(wr_nano * 1.0 / swr * 1000000 + 1e-04) AS BIGINT)
+               AS w_micro
+    FROM wr CROSS JOIN wsum
+), sampled AS (
+    SELECT d.source, count(*) AS n_sampled
+    FROM documents d JOIN w ON d.source = w.source
+    WHERE (d.doc_id * 2654435761) % 1000000 < w.w_micro
+    GROUP BY d.source
+)
+SELECT w.source, w.n_docs,
+       {sql_rnd("w.chars * 1.0 / (SELECT tchars FROM tot)", 6)} AS share,
+       w.w_micro,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM w LEFT JOIN sampled s ON w.source = s.source
+""",
+)
+def c_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting — the data-mixing step of training
+    curation: per-source character share s, temperature-flattened
+    weight w ∝ s^0.5 (τ=0.5 upweights small domains, the standard
+    multilingual/multi-domain recipe), then a DETERMINISTIC per-doc
+    inclusion sample at rate w via pure-integer hashing
+    ((doc_id·2654435761) mod 10⁶ < w_micro — engine-exact, no RNG).
+    Every cross-engine float hazard is quantized away in sequence:
+    √share to integer nano-units BEFORE the cross-source sum (20-row
+    float sums are summation-order-dependent; BIGINT sums are not),
+    the normalized weight to integer micro-units before the sampling
+    compare. Scale: two tiny aggregates + one broadcast join against
+    the corpus scan — the sample itself is map-side, which is what
+    lets a 100 TB mixture re-materialize in one pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = src.agg(F.sum("chars").alias("tchars"))
+    wr = src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "chars", "tchars",
+        F.round(
+            F.sqrt(F.col("chars") * 1.0 / F.col("tchars")) * 1_000_000_000
+            + F.lit(EPS[0])
+        )
+        .cast("long")
+        .alias("wr_nano"),
+    )
+    wsum = wr.agg(F.sum("wr_nano").alias("swr"))
+    w = wr.crossJoin(F.broadcast(wsum)).select(
+        "source", "n_docs",
+        rnd(F.col("chars") * 1.0 / F.col("tchars"), 6).alias("share"),
+        F.round(
+            F.col("wr_nano") * 1.0 / F.col("swr") * 1_000_000 + F.lit(EPS[0])
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    sampled = (
+        docs.join(F.broadcast(w.select("source", "w_micro")), "source")
+        .filter(
+            (F.col("doc_id") * F.lit(2654435761)) % 1_000_000
+            < F.col("w_micro")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        w.join(sampled, "source", "left")
+        .select(
+            "source", "n_docs", "share", "w_micro",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+    )
+
+
+@query(
     "c_quality_bigram_lp",
     oracle="""
 WITH tok AS (
