@@ -1658,6 +1658,65 @@ def concurrency_sweep(sess: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "a_anomaly_mad",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, event_type, {sql_cents('value')} AS c FROM events
+), med AS (
+    SELECT event_type, quantile_cont(c, 0.5) AS med FROM ev GROUP BY event_type
+), mad AS (
+    SELECT ev.event_type, quantile_cont(abs(ev.c - med.med), 0.5) AS mad
+    FROM ev JOIN med ON ev.event_type = med.event_type
+    GROUP BY ev.event_type
+)
+SELECT ev.event_id, ev.event_type,
+       {sql_rnd("0.6745 * (ev.c - med.med) / mad.mad", 4)} AS robust_z,
+       CAST(CASE WHEN abs(0.6745 * (ev.c - med.med) / mad.mad) > 3.5
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM ev
+JOIN med ON ev.event_type = med.event_type
+JOIN mad ON ev.event_type = mad.event_type
+""",
+)
+def a_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly scoring by median/MAD — the outlier-resistant
+    sibling of a_anomaly_zscore (mean/stddev are themselves dragged by
+    the outliers they're meant to find; median and median-absolute-
+    deviation are 50%-breakdown robust, the production default for
+    skewed metrics). Two grouped EXACT medians (per-type median, then
+    median of |x − med|), score = 0.6745·(x − med)/MAD, flag at 3.5 —
+    the standard Iglewicz-Hoberg cut. Exactness across engines rides
+    the b_agg_percentiles result: integer-cent inputs make
+    quantile_cont/percentile interpolation arithmetic identical IEEE
+    (medians land on k or k.5 exactly), so the score quantizes safely
+    at 4dp. Scale: two passes over the events scan, each one tiny
+    per-type exchange; the score join broadcasts the per-type stats."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("c") - F.col("med")).alias("d"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    )
+    z = F.lit(0.6745) * (F.col("c") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            rnd(z, 4).alias("robust_z"),
+            (F.abs(z) > 3.5).cast("int").alias("is_outlier"),
+        )
+    )
+
+
 _TRENDING_ORACLE = """
 WITH daily AS (
     SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
