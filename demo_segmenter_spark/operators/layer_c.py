@@ -2862,6 +2862,94 @@ def c_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_FIT_N = 100  # ranks used for the slope fit
+ZIPF_TOP_N = 20  # ranks emitted
+
+
+@query(
+    "c_text_zipf",
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), freq AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+), ranked AS (
+    SELECT t, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rnk
+    FROM freq
+), lnl AS (
+    SELECT t, cnt, rnk,
+           CAST(round(ln(rnk) * 1000000 + 1e-04) AS BIGINT) AS lr_micro,
+           CAST(round(ln(cnt) * 1000000 + 1e-04) AS BIGINT) AS lf_micro
+    FROM ranked WHERE rnk <= {ZIPF_FIT_N}
+), fit AS (
+    SELECT count(*) AS n, sum(lr_micro) AS sx, sum(lf_micro) AS sy,
+           sum(lr_micro * lf_micro) AS sxy, sum(lr_micro * lr_micro) AS sxx
+    FROM lnl
+)
+SELECT l.rnk, l.t AS token, l.cnt,
+       {sql_rnd("(f.n * f.sxy - f.sx * f.sy) * 1.0"
+                " / (f.n * f.sxx - f.sx * f.sx)", 4)} AS zipf_slope
+FROM lnl l CROSS JOIN fit f
+WHERE l.rnk <= {ZIPF_TOP_N}
+""",
+)
+def c_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic — the corpus-health check that
+    catches template/synthetic contamination (natural text fits
+    ln f ≈ −s·ln r with s ≈ 1; machine-generated or boilerplate-heavy
+    corpora bend the curve): top-{ZIPF_TOP_N} tokens with their ranks
+    and counts plus the OLS slope of (ln rank, ln freq) over the top
+    {ZIPF_FIT_N}. The slope's closed form runs on INTEGER micro-nat
+    sums (each ln quantized first), so the only floats are the final
+    four-term expression with identical op order — the c_mix_reweight
+    argument applied to regression. Scale: one vocab aggregate; the
+    rank window is global but VOCABULARY-bounded (the c_token_bpe_encode
+    vocab-id argument — ≤10⁶ rows at any corpus scale, never
+    corpus-sized) — at 100 TB the frequency table is the only real
+    shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "t")
+    lnl = persist(
+        freq.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= ZIPF_FIT_N)
+        .select(
+            "t", "cnt", "rnk",
+            F.round(F.ln("rnk") * 1_000_000 + F.lit(EPS[0]))
+            .cast("long")
+            .alias("lr_micro"),
+            F.round(F.ln("cnt") * 1_000_000 + F.lit(EPS[0]))
+            .cast("long")
+            .alias("lf_micro"),
+        )
+    )
+    fit = lnl.agg(
+        F.count("*").alias("n"),
+        F.sum("lr_micro").alias("sx"),
+        F.sum("lf_micro").alias("sy"),
+        F.sum(F.col("lr_micro") * F.col("lf_micro")).alias("sxy"),
+        F.sum(F.col("lr_micro") * F.col("lr_micro")).alias("sxx"),
+    )
+    slope = rnd(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1.0
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        4,
+    )
+    return (
+        lnl.filter(F.col("rnk") <= ZIPF_TOP_N)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "rnk", F.col("t").alias("token"), "cnt", slope.alias("zipf_slope")
+        )
+    )
+
+
 @query(
     "c_quality_bigram_lp",
     oracle="""
