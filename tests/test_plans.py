@@ -361,6 +361,12 @@ def test_shuffle_budgets_table(spark):
         # train (2 PCA chains, 7 exchanges/round unrolled, persisted) +
         # the map-side apply; static count compounds like pca_deflate's
         "c_embed_pca_project": 47,
+        # robust MAD: two per-type median passes + the broadcast score
+        # join's exchange; per-type stats broadcast
+        "a_anomaly_mad": 3,
+        # zipf: vocab agg + the vocabulary-bounded rank window + the
+        # 5-scalar fit agg; persisted lnl pays once
+        "c_text_zipf": 3,
         # substring dedup: the (doc,s) span agg + the df-cap agg + the
         # s-keyed pair join + the pair groupBy; persisted sh subtree
         # repeats in the static plan, runtime pays once
