@@ -1659,6 +1659,99 @@ def concurrency_sweep(sess: DataFrame) -> DataFrame:
 
 
 @query(
+    "a_retention_cohorts_stream",
+    oracle=f"""
+WITH coh AS (
+    SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+    FROM events GROUP BY user_id
+), sizes AS (
+    SELECT cohort_us, count(*) AS cohort_size FROM coh GROUP BY cohort_us
+), act AS (
+    SELECT c.cohort_us,
+           (epoch_us(date_trunc('week', e.ts)) - c.cohort_us) // {WEEK_US}
+               AS week_offset,
+           e.user_id
+    FROM events e JOIN coh c ON e.user_id = c.user_id
+), ret AS (
+    SELECT cohort_us, week_offset, count(DISTINCT user_id) AS n_active
+    FROM act GROUP BY cohort_us, week_offset
+)
+SELECT r.cohort_us, r.week_offset, r.n_active, s.cohort_size,
+       {sql_rnd('r.n_active / s.cohort_size', 4)} AS retention
+FROM ret r JOIN sizes s ON r.cohort_us = s.cohort_us
+""",
+)
+def a_retention_cohorts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_retention_cohorts, same oracle. A live
+    retention pipeline maintains TWO streaming state stores over the
+    one event stream: (1) per-user FIRST-SEEN week (an update-mode
+    min() aggregate — the cohort store), and (2) the DISTINCT (user,
+    week) activity set (streaming dedup — countDistinct is rejected in
+    streaming aggregation, but the deduped pair stream makes the
+    downstream count a plain count(*)). Both materialize to real
+    tables (foreachBatch overwrite for the complete-mode cohort
+    rollup; append for the dedup stream), and the report-time batch
+    composes them: offsets from week arithmetic, n_active = count over
+    the pre-deduped pairs, cohort sizes from the cohort store itself.
+    Scale: state is one row per user + one row per (user, week) —
+    exactly the distinct sets the exact metric requires; in production
+    both stores evict by watermark on the week column once the matrix
+    horizon passes."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    base = f"/tmp/dss_retention/{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, sf_dir)
+    coh_q = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(f"{base}/coh")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    act_q = (
+        stream_events(spark, sf_dir)
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .dropDuplicates(["user_id", "wk"])
+        .writeStream.format("parquet")
+        .option("path", f"{base}/act")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    coh_q.awaitTermination()
+    act_q.awaitTermination()
+    coh = spark.read.parquet(f"{base}/coh").select(
+        "user_id",
+        F.unix_micros(F.date_trunc("week", "first_ts")).alias("cohort_us"),
+    )
+    sizes = coh.groupBy("cohort_us").agg(F.count("*").alias("cohort_size"))
+    act = spark.read.parquet(f"{base}/act").join(coh, "user_id")
+    ret = (
+        act.select(
+            "cohort_us",
+            ((F.unix_micros("wk") - F.col("cohort_us")) / F.lit(WEEK_US))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_us", "week_offset")
+        .agg(F.count("*").alias("n_active"))  # pairs pre-deduped upstream
+    )
+    return ret.join(F.broadcast(sizes), "cohort_us").select(
+        "cohort_us",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        rnd(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+@query(
     "a_anomaly_mad",
     oracle=f"""
 WITH ev AS (

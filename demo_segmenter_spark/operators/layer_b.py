@@ -1935,6 +1935,58 @@ def b_pipeline_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q14",
+    oracle=f"""
+WITH rev AS (
+    SELECT p_type,
+           sum({sql_cents("l_extendedprice * (1 - l_discount)")}) AS tc
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY p_type
+), tot AS (
+    SELECT sum(tc) AS total FROM rev
+)
+SELECT p_type,
+       {sql_rnd("tc / 100.0", 2)} AS revenue,
+       {sql_rnd("100.0 * tc / total", 4)} AS share_pct
+FROM rev CROSS JOIN tot
+""",
+)
+def b_pipeline_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), widened to the full per-type
+    breakdown: revenue by part type in one shipping month and each
+    type's share of the month's total — the PROMO row is Q14's
+    headline number. Ratio-of-sums discipline: both operands are exact
+    BIGINT cents, so the single share division is identical IEEE on
+    both engines. Scale: the month predicate prunes the lineitem
+    scan; part broadcasts (or the join co-partitions on partkey at
+    100 TB); the share join is against a 1-row broadcast total."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    pt = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("tc")
+        )
+    )
+    tot = rev.agg(F.sum("tc").alias("total"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "p_type",
+        rnd(F.col("tc") / 100.0, 2).alias("revenue"),
+        rnd(F.lit(100.0) * F.col("tc") / F.col("total"), 4).alias(
+            "share_pct"
+        ),
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,
