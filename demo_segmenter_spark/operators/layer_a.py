@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_segmenter_spark.functions.compat import (
+    EPS,
     cents,
     money_sum,
     rnd,
@@ -1748,6 +1749,60 @@ def a_retention_cohorts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         "cohort_size",
         rnd(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+@query(
+    "a_session_entropy",
+    oracle=SESSION_CTE
+    + f"""
+, tc AS (
+    SELECT user_id, session_id, event_type, count(*) AS c
+    FROM sess GROUP BY user_id, session_id, event_type
+), tots AS (
+    SELECT user_id, session_id, sum(c) AS n FROM tc
+    GROUP BY user_id, session_id
+), terms AS (
+    SELECT tc.user_id, tc.session_id, tc.c, tots.n,
+           CAST(round(-(tc.c * 1.0 / tots.n) * ln(tc.c * 1.0 / tots.n)
+                      * 1000000 + 1e-04) AS BIGINT) AS h_micro
+    FROM tc JOIN tots USING (user_id, session_id)
+)
+SELECT user_id, session_id,
+       CAST(any_value(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {sql_rnd("sum(h_micro) / 1000000.0", 4)} AS entropy
+FROM terms
+GROUP BY user_id, session_id
+""",
+)
+def a_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-diversity metric: Shannon entropy of each session's
+    event-type distribution (H = −Σ p·ln p) — the composite that
+    separates focused single-action sessions (H=0) from exploratory
+    ones, a standard engagement feature. Composes the sessionization
+    core with a two-level aggregate: per-(session, type) counts, then
+    per-session entropy with each term quantized to integer micro-nats
+    BEFORE the sum (the ln-ulp discipline of c_quality_unigram_lp).
+    Scale: everything after sessionization rides the user_id exchange
+    the sessionizer already paid — two map-side-partial aggregates, no
+    new corpus shuffle."""
+    sess = sessionized_events(spark, sf_dir)
+    tc = sess.groupBy("user_id", "session_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    wses = Window.partitionBy("user_id", "session_id")
+    p = F.col("c") * 1.0 / F.col("n")
+    h_micro = F.round(-p * F.ln(p) * 1_000_000 + F.lit(EPS[0])).cast("long")
+    return (
+        tc.withColumn("n", F.sum("c").over(wses))
+        .select("user_id", "session_id", "n", h_micro.alias("h_micro"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.first("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            rnd(F.sum("h_micro") / 1_000_000.0, 4).alias("entropy"),
+        )
     )
 
 

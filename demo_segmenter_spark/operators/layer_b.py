@@ -1987,6 +1987,54 @@ def b_pipeline_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_pipeline_tpch_q19",
+    oracle=f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+       AND l_quantity >= 20 AND l_quantity <= 50)
+GROUP BY p_brand
+""",
+)
+def b_pipeline_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, the disjunctive-bracket query):
+    three OR'd conjunctions mixing per-PART predicates (brand, size)
+    with per-LINEITEM predicates (quantity) — the shape that tests
+    whether an optimizer splits a cross-table disjunction into
+    single-table prefilters (brand IN (...) and the quantity hull CAN
+    push to the scans; the full bracket only resolves after the
+    join). Grouped by brand so each bracket's contribution hashes
+    separately. Scale: part broadcasts; Catalyst pushes the derivable
+    single-table disjuncts below the join — at 100 TB the residual
+    bracket predicate runs post-join on a pre-pruned row set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(5, 25) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(10, 40) & (q >= 20) & (q <= 50))
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "b_scalar_variant",
     oracle="""
 SELECT event_id,
