@@ -353,6 +353,14 @@ def test_shuffle_budgets_table(spark):
         "b_pipeline_tpch_q7": 1,
         # Q4: pruned-orders semi join broadcasts; the 5-group agg
         "b_pipeline_tpch_q4": 1,
+        # Q14: per-type agg + the 1-row total + the share join
+        "b_pipeline_tpch_q14": 3,
+        # Q19: part broadcasts, bracket filters post-join, 3-group agg
+        "b_pipeline_tpch_q19": 1,
+        # session entropy rides the sessionizer's user_id exchange:
+        # type counts, the session-total window and the entropy agg
+        # all extend that key
+        "a_session_entropy": 1,
         # Q12: pruned-lineitem join broadcasts; 3-group conditional agg
         "b_pipeline_tpch_q12": 1,
         # BPE-count packing: the 2 training-round window chains (persisted)
