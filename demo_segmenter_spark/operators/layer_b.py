@@ -3037,3 +3037,417 @@ def b_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("degree").desc(), "node")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H continuation: Q6 / Q8 / Q13 / Q15 / Q17 / Q21 / Q22 shapes
+# (adapted to the driver fixture's narrower schemas — no partsupp,
+# no commit/receipt dates, no comment/phone columns; each query keeps
+# its classic optimizer-relevant SHAPE: Q6 scan-only aggregate, Q8
+# ratio-of-sums market share, Q13 outer-join histogram, Q15 scalar-max
+# subquery, Q17 correlated per-group threshold, Q21 exists/not-exists
+# wait analysis, Q22 anti-join with a global scalar gate.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_pipeline_tpch_q6",
+    oracle=f"""
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_money_sum("l_extendedprice * l_discount")} AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+GROUP BY 1
+""",
+)
+def b_pipeline_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate
+    query — no joins, three pushable predicates, one map-side partial
+    aggregate. Broken out by discount step (3 groups) so each bucket's
+    contribution hashes separately instead of Q6's single row. THE
+    probe for predicate pushdown + whole-stage codegen: at 100 TB this
+    is a parquet scan with all three filters in PushedFilters, zero
+    wide rows ever materialized, and a 3-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("discount_pct")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue_delta"),
+        )
+    )
+
+
+@query(
+    "b_pipeline_tpch_q8",
+    oracle=f"""
+WITH vol AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_cents("l_extendedprice * (1 - l_discount)")} AS v,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+)
+SELECT o_year,
+       {sql_rnd("sum(CASE WHEN supp_nation = 'NATION_9' THEN v ELSE 0 END) * 1.0 / sum(v)", 4)} AS mkt_share,
+       {sql_rnd("sum(v) / 100.0", 2)} AS total_volume
+FROM vol
+GROUP BY o_year
+""",
+)
+def b_pipeline_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_9's share of STANDARD-
+    part revenue sold into ASIA-region customers, per order year. The
+    widest dimension fan in the suite — two roles for nation (supplier
+    side and customer side) plus region, part, supplier, customer
+    around the lineitem⋈orders fact join. Ratio-of-sums on exact
+    BIGINT cents: one IEEE division per year row, identical on both
+    engines. Scale: all five dims broadcast; lineitem⋈orders is the
+    one co-partitioned shuffle at 100 TB (AQE collapses it to
+    broadcast at fixture sf); the year rollup is a ≤7-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    vol = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("v"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        rnd(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_9", F.col("v")).otherwise(
+                    F.lit(0)
+                )
+            )
+            * 1.0
+            / F.sum("v"),
+            4,
+        ).alias("mkt_share"),
+        rnd(F.sum("v") / 100.0, 2).alias("total_volume"),
+    )
+
+
+@query(
+    "b_pipeline_tpch_q13",
+    oracle="""
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def b_pipeline_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of orders-per-
+    customer INCLUDING zero-order customers — the query whose whole
+    point is the left outer join with the filter inside the join
+    condition (pushing `o_orderpriority <> '1-URGENT'` below the join
+    as a WHERE would silently drop the c_count=0 bucket). count()
+    over a nullable key counts only matches, exactly the outer-join
+    histogram semantics. Scale: the join shuffles on custkey (or
+    customer broadcasts), first rollup reuses that partitioning, the
+    second is a ≤40-row exchange. All-integer output — hash-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+@query(
+    "b_pipeline_tpch_q15",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           sum({sql_cents("l_extendedprice * (1 - l_discount)")}) AS tc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       {sql_rnd("tc / 100.0", 2)} AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE tc = (SELECT max(tc) FROM rev)
+""",
+)
+def b_pipeline_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the scalar-max-subquery query — a
+    quarter's revenue per supplier, keep the supplier(s) achieving the
+    global max. The max gate compares exact BIGINT cents, so the
+    classic Q15 float-equality trap (revenue = max(revenue) on
+    doubles) cannot misfire on either engine. Scale: one groupBy
+    suppkey exchange; the max is a 1-row broadcast back-join; supplier
+    dim broadcasts. Ties (multiple max suppliers) surface as multiple
+    rows on both engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("tc")
+    )
+    mx = rev.agg(F.max("tc").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("tc") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            rnd(F.col("tc") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "b_pipeline_tpch_q17",
+    oracle=f"""
+WITH joined AS (
+    SELECT p_size, l_quantity, l_extendedprice, l_partkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1' AND p_size <= 10
+), thresh AS (
+    SELECT l_partkey AS tk, 0.5 * (sum(l_quantity) / count(*)) AS cutoff
+    FROM joined GROUP BY l_partkey
+)
+SELECT p_size,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       {sql_money_sum("l_extendedprice")} AS small_revenue
+FROM joined JOIN thresh ON l_partkey = tk
+WHERE l_quantity < cutoff
+GROUP BY p_size
+""",
+)
+def b_pipeline_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated-
+    aggregate query — lines whose quantity is below half their PART's
+    average quantity. The threshold `0.5 * avg(qty)` is cross-engine
+    exact: quantities are small integers (sum exact in double), the
+    avg division is one IEEE op, and 0.5* is a power-of-two scale, so
+    the `<` gate can never flip between engines. Grouped by p_size for
+    a multi-row hash. Scale: part broadcasts; the per-part threshold
+    is a groupBy on the SAME partkey the join just hashed on (one
+    exchange, reused); final rollup is a ≤10-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_size", "l_quantity", "l_extendedprice", "l_partkey")
+    thresh = joined.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum("l_quantity") / F.count(F.lit(1)))
+        ).alias("cutoff")
+    )
+    return (
+        joined.join(F.broadcast(thresh), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("l_quantity") < F.col("cutoff"))
+        .groupBy("p_size")
+        .agg(
+            F.count("*").cast("long").alias("n_small_lines"),
+            money_sum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+    )
+
+
+@query(
+    "b_pipeline_tpch_q21",
+    oracle="""
+WITH ps AS (
+    SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+    FROM lineitem GROUP BY l_orderkey, l_suppkey
+), winged AS (
+    SELECT l_suppkey, smax,
+           max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+           count(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+           l_orderkey
+    FROM ps
+), marked AS (
+    SELECT l_suppkey, smax, omax, nsupp,
+           sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS nachievers
+    FROM winged
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM marked JOIN supplier ON l_suppkey = s_suppkey
+WHERE nsupp >= 2 AND smax = omax AND nachievers = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+""",
+)
+def b_pipeline_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    fixture's dateless-receipt schema: in every multi-supplier order,
+    the supplier whose lineitems shipped STRICTLY last (unique
+    achiever of the order's max shipdate) is the one the order waited
+    on — same exists(other supplier) / not-exists(later supplier)
+    shape as the classic query, resolved with one window pass instead
+    of two correlated subqueries. The unique-achiever gate (13 orders
+    in the sf0.01 fixture tie on max shipdate) makes the row set
+    deterministic on both engines. Scale: groupBy (orderkey,suppkey)
+    is one exchange; the order-partitioned window reuses orderkey
+    partitioning 1:1 (same-key window after a finer groupBy still
+    re-exchanges once); the supplier rollup is bounded by |supplier|;
+    top-25 is TakeOrderedAndProject with the suppkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = ps.select(
+        "l_suppkey",
+        "smax",
+        F.max("smax").over(w).alias("omax"),
+        F.count("*").over(w).alias("nsupp"),
+        F.sum(
+            F.when(F.col("smax") == F.max("smax").over(w), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("nachievers"),
+    )
+    return (
+        marked.filter(
+            (F.col("nsupp") >= 2)
+            & (F.col("smax") == F.col("omax"))
+            & (F.col("nachievers") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+@query(
+    "b_pipeline_tpch_q22",
+    oracle=f"""
+WITH pool AS (
+    SELECT c_custkey, c_nationkey,
+           {sql_cents("c_acctbal")} AS bal_cents
+    FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+), stat AS (
+    SELECT sum(bal_cents) AS total_cents,
+           count(*) AS cnt
+    FROM pool WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       {sql_rnd("sum(bal_cents) / 100.0", 2)} AS total_acctbal
+FROM pool CROSS JOIN stat
+WHERE bal_cents * cnt > total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+)
+def b_pipeline_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers in a 5-nation
+    pool with above-average balance and no RECENT orders (none since
+    2000-01-01 — the fixture has almost no zero-order customers, so
+    the classic 7-year dormancy window is expressed against the
+    fixture's 1995–2001 date range) — the anti-join query gated by a
+    global scalar aggregate. The above-average test
+    is exact integer math: `bal_cents * cnt > total_cents` cross-
+    multiplies BIGINTs instead of comparing against a float average,
+    so no boundary customer can flip between engines (magnitudes
+    ~1e6 * 1e5 stay far under 2^63). Scale: the stat row is a 1-row
+    broadcast; the anti join shuffles on custkey (or broadcasts the
+    order-key projection); the nation rollup is a 5-row exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pool = cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)).select(
+        "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    stat = pool.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_cents"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        pool.crossJoin(F.broadcast(stat))
+        .filter(F.col("bal_cents") * F.col("cnt") > F.col("total_cents"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            rnd(F.sum("bal_cents") / 100.0, 2).alias("total_acctbal"),
+        )
+    )

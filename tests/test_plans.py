@@ -265,6 +265,29 @@ def test_shuffle_budgets_table(spark):
         # is the one exchange — at 100 TB the fact joins degrade to
         # co-partitioned shuffles on custkey/orderkey
         "b_pipeline_tpch_q10": 1,
+        # Q6: pure scan-aggregate — one 3-row partial/final exchange
+        "b_pipeline_tpch_q6": 1,
+        # Q8: all five dims broadcast, one ≤7-row year rollup; at
+        # 100 TB lineitem⋈orders degrades to one co-partitioned
+        # exchange (AQE broadcasts orders at fixture sf)
+        "b_pipeline_tpch_q8": 1,
+        # Q13: custkey outer-join + per-cust rollup share one
+        # exchange; the ≤40-row histogram is the second
+        "b_pipeline_tpch_q13": 2,
+        # Q15: rev subtree appears on BOTH sides of the max back-join
+        # (static plan counts its suppkey exchange twice) + the 1-row
+        # max agg; at scale all three are bounded by |supplier|
+        "b_pipeline_tpch_q15": 3,
+        # Q17: join+threshold rollup hash on the same partkey, then
+        # the broadcast back-join; ≤10-row p_size rollup
+        "b_pipeline_tpch_q17": 2,
+        # Q21: groupBy (orderkey,suppkey), orderkey window re-exchange
+        # (finer→coarser key), supplier rollup; top-25 is
+        # TakeOrderedAndProject
+        "b_pipeline_tpch_q21": 3,
+        # Q22: 1-row stat agg + its pool subtree re-read, nation
+        # rollup; anti join broadcasts the order-custkey projection
+        "b_pipeline_tpch_q22": 2,
         "b_scd2_intervals": 1,
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
