@@ -5139,3 +5139,136 @@ def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         rnd(F.col("score"), 4).alias("score"),
     )
+
+
+@query(
+    "c_dedup_incremental",
+    oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
+    + f"""
+, bp AS (
+    SELECT i.doc_id AS inc_id, c.doc_id AS corp_id, count(*) AS inter
+    FROM shc i
+    JOIN shc c ON i.s = c.s AND i.lang = c.lang AND i.source = c.source
+              AND i.doc_id % 3 = 2 AND c.doc_id % 3 <> 2
+    GROUP BY 1, 2
+), near AS (
+    SELECT inc_id, corp_id,
+           inter * 1.0 / (si.sz + sc.sz - inter) AS j
+    FROM bp
+    JOIN sizes si ON inc_id = si.doc_id
+    JOIN sizes sc ON corp_id = sc.doc_id
+    WHERE inter * 1.0 / (si.sz + sc.sz - inter) >= 0.5
+), best AS (
+    SELECT inc_id, corp_id, j,
+           row_number() OVER (PARTITION BY inc_id
+                              ORDER BY j DESC, corp_id) AS rn
+    FROM near
+), ex AS (
+    SELECT d.doc_id AS inc_id, min(c.doc_id) AS ex_id
+    FROM documents d
+    JOIN documents c ON md5(d.text) = md5(c.text)
+                    AND c.doc_id % 3 <> 2
+    WHERE d.doc_id % 3 = 2
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN ex.ex_id IS NOT NULL THEN 'exact_dup'
+            WHEN b.corp_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       coalesce(ex.ex_id, b.corp_id) AS best_match,
+       CASE WHEN ex.ex_id IS NULL THEN {sql_rnd("b.j", 4)} END
+           AS best_jaccard
+FROM documents d
+LEFT JOIN ex ON d.doc_id = ex.inc_id
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.inc_id
+WHERE d.doc_id % 3 = 2
+""",
+)
+def c_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the shape every recurring crawl/
+    snapshot pipeline actually runs: dedup the INCOMING batch
+    (doc_id % 3 = 2, ~20%) against the EXISTING corpus (the rest),
+    never corpus-against-itself. Two gates, exact-first: (1) md5
+    content match against any corpus doc (keep-lowest corpus id as
+    the attribution); (2) capped-shingle Jaccard >= 0.5 against a
+    corpus doc, candidates from the BIPARTITE (block, shingle) join —
+    incoming shingles join corpus shingles only, so the pair space is
+    |inc|x|corp| bounded per shingle by the same SHINGLE_DF_CAP window
+    (hot boilerplate dropped before any pair is built), and the
+    corpus-side quadratic blowup of a full self-join never happens.
+    Verdict hierarchy makes every incoming doc emit exactly one row
+    (exact_dup / near_dup / kept) with its best corpus match; ties on
+    equal Jaccard break by lowest corpus id (row_number on identical
+    IEEE ratios — exact-integer operands, deterministic on both
+    engines). Incoming-vs-incoming dups are deliberately NOT flagged
+    (they are next snapshot's corpus dups). Scale: one (block,
+    shingle) exchange shared by the df window and both join sides
+    (the bipartite join keys equal the window partition keys, so
+    Catalyst re-sorts without re-exchanging); the md5 gate is one
+    narrow hash join; per-doc sizes ride the shingle rows — no
+    doc-level joins on the near path."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_inc = F.col("doc_id") % 3 == 2
+    inc = docs.filter(is_inc)
+    corp = docs.filter(~is_inc)
+
+    ex = (
+        inc.select(F.col("doc_id").alias("inc_id"), F.md5("text").alias("h"))
+        .join(
+            corp.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid")),
+            "h",
+        )
+        .groupBy("inc_id")
+        .agg(F.min("cid").alias("ex_id"))
+    )
+
+    sh = _shingle_doc_table(docs, _hashed_shingles())
+    keys = ["lang", "source", "s"]
+    w = Window.partitionBy(*keys)
+    shc = sh.withColumn("df", F.count("*").over(w)).filter(
+        F.col("df") <= SHINGLE_DF_CAP
+    )
+    inc_sh = shc.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("inc_id"), F.col("sz").alias("szi"), *keys
+    )
+    corp_sh = shc.filter(F.col("doc_id") % 3 != 2).select(
+        F.col("doc_id").alias("corp_id"), F.col("sz").alias("szc"), *keys
+    )
+    bp = (
+        inc_sh.join(corp_sh, keys)
+        .groupBy("inc_id", "corp_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("szi").alias("szi"),
+            F.max("szc").alias("szc"),
+        )
+    )
+    j = F.col("inter") * 1.0 / (F.col("szi") + F.col("szc") - F.col("inter"))
+    wb = Window.partitionBy("inc_id").orderBy(F.col("j").desc(), "corp_id")
+    best = (
+        bp.select("inc_id", "corp_id", j.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("inc_id", F.col("corp_id").alias("near_id"), "j")
+    )
+
+    return (
+        inc.select("doc_id")
+        .join(ex, F.col("doc_id") == F.col("inc_id"), "left")
+        .drop("inc_id")
+        .join(best, F.col("doc_id") == F.col("inc_id"), "left")
+        .drop("inc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+            F.coalesce("ex_id", "near_id").alias("best_match"),
+            F.when(F.col("ex_id").isNull(), rnd(F.col("j"), 4)).alias(
+                "best_jaccard"
+            ),
+        )
+    )

@@ -288,6 +288,11 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # incremental dedup: the (block,shingle) exchange appears on
+        # BOTH bipartite join sides in the static plan (AQE reuses at
+        # runtime), + pair groupBy, best-match window, md5-join side,
+        # final assembly; no doc-level join on the near path
+        "c_dedup_incremental": 6,
         "b_scd2_intervals": 1,
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
