@@ -3164,3 +3164,61 @@ def a_papi_session_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_session_final
 
     return papi_session_final(spark, sf_dir)
+
+
+@query(
+    "a_throttle",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id,
+       epoch_us(h) AS hour_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY user_id, h
+""",
+)
+def a_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiter (the stream-processing throttle/sampling
+    primitive: at most N=3 events per user per hour pass, the rest are
+    dropped) — reported as a per-(user, hour) admission summary so
+    every keep/drop decision hashes. Total order inside a window is
+    (ts, event_id): event_id is the unique tiebreak, so the admitted
+    set is deterministic on both engines even with equal timestamps.
+    Scale: ONE exchange on (user_id, hour) — the row_number window and
+    the summary groupBy share the same keys, so Catalyst reuses the
+    partitioning; state per key is a bounded counter, the same shape
+    the streaming twin would keep in a value state store. At 100 TB
+    hot users skew the window partition — the hour component of the
+    key IS the salt (a user's traffic spreads across hours)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    ranked = ev.withColumn("h", hour).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("user_id", "h")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("hour_us"),
+            "n_events",
+            "n_kept",
+            "n_dropped",
+        )
+    )

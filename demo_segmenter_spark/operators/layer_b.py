@@ -3451,3 +3451,57 @@ def b_pipeline_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("bal_cents") / 100.0, 2).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "b_agg_mode",
+    oracle="""
+WITH counts AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+    FROM lineitem GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                 ORDER BY c DESC, q) AS rn
+    FROM counts
+)
+SELECT l_returnflag, l_linestatus,
+       q AS modal_quantity,
+       CAST(c AS BIGINT) AS n_occurrences
+FROM ranked WHERE rn = 1
+""",
+)
+def b_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise MODE with a deterministic tie policy: the modal
+    l_quantity per (returnflag, linestatus), ties broken toward the
+    SMALLEST modal value. Built as count-then-argmax (groupBy + one
+    row_number window) instead of Spark's builtin `mode()` / DuckDB's
+    `mode()`, both of which leave tie resolution undefined — exactly
+    the kind of cross-engine nondeterminism the oracle harness exists
+    to catch. Quantities are integral doubles, so the BIGINT cast is
+    exact on both engines. Scale: the value-level groupBy is the one
+    real exchange (partial counts map-side); the argmax window runs
+    over |distinct quantities| = 50 rows per group — the
+    count-then-rank shape stays flat however hot one value gets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("c").desc(), "q"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("q").alias("modal_quantity"),
+            F.col("c").cast("long").alias("n_occurrences"),
+        )
+    )

@@ -288,6 +288,12 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # throttle: row_number window and admission groupBy share the
+        # (user, hour) keys — ONE exchange total
+        "a_throttle": 1,
+        # mode: value-level count exchange + the per-group argmax
+        # window over ≤50 distinct values
+        "b_agg_mode": 2,
         # incremental dedup: the (block,shingle) exchange appears on
         # BOTH bipartite join sides in the static plan (AQE reuses at
         # runtime), + pair groupBy, best-match window, md5-join side,
