@@ -3505,3 +3505,147 @@ def b_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "b_join_range_binned",
+    oracle="""
+WITH e AS (
+    SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+), pc AS (
+    SELECT p.event_id AS pid, c.event_id AS cid,
+           c.us - p.us AS diff_us,
+           abs(c.us - p.us) AS adiff
+    FROM e p JOIN e c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.us BETWEEN p.us - 60000000 AND p.us + 60000000
+)
+SELECT event_id, nearest_click_id, diff_us
+FROM (
+    SELECT pid AS event_id, cid AS nearest_click_id, diff_us,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY adiff, cid) AS rn
+    FROM pc
+)
+WHERE rn = 1
+""",
+)
+def b_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — each purchase's nearest
+    click (any user) within ±60 s — via the BINNED rewrite: time is
+    quantized into 120 s bins (width ≥ the full ±60 s span), clicks
+    are replicated into every bin their match window can touch (≤ 2
+    replicas each, by construction of width ≥ span), purchases join
+    their single home bin EQUI on the bin id, and the exact ±60 s
+    predicate runs as a residual filter. This is the rewrite that
+    turns an otherwise keyless inequality join — BroadcastNestedLoop,
+    quadratic death at 100 TB — into a hash join whose pair space is
+    bounded by events-per-bin, and it is how range-join hints work in
+    engines that have them. Nearest = (|Δt|, click id) rank, exact
+    integer microseconds on both engines; the oracle is the naive
+    inequality-join formulation (DuckDB's IEJoin runs it). Scale:
+    bins are time-uniform so the bin key has no inherent skew; one
+    exchange per join side + the per-purchase rank window."""
+    BIN = 120_000_000  # 120 s in µs: one bin spans the whole ±60 s window
+    R = 60_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("p_us"),
+        F.expr(f"us div {BIN}").alias("bin"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("us").alias("c_us"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(us - {R}) div {BIN}"),
+                F.expr(f"(us + {R}) div {BIN}"),
+            )
+        ).alias("bin"),
+    )
+    pairs = p.join(c, "bin").filter(
+        F.abs(F.col("c_us") - F.col("p_us")) <= R
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.abs(F.col("c_us") - F.col("p_us")), "cid"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("event_id"),
+            F.col("cid").alias("nearest_click_id"),
+            (F.col("c_us") - F.col("p_us")).alias("diff_us"),
+        )
+    )
+
+
+@query(
+    "b_join_asof_forward",
+    oracle="""
+SELECT event_id, user_id, next_click_id, gap_us
+FROM (
+    SELECT e.event_id, e.user_id, c.event_id AS next_click_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY c.ts, c.event_id) AS rn
+    FROM events e
+    JOIN events c ON e.user_id = c.user_id
+                 AND c.event_type = 'click'
+                 AND c.ts >= e.ts
+    WHERE e.event_type = 'error'
+)
+WHERE rn = 1
+""",
+)
+def b_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each error event, the same user's next click at-or-after it — the
+    error-recovery pairing. Same scalable union-tag rewrite as the
+    backward b_join_asof but time-reversed: errors kind=0 sort before
+    clicks kind=1 at equal ts (>= semantics), and the carried value
+    comes from a (currentRow, unboundedFollowing) frame instead of a
+    trailing one — one user_id exchange + one sort, never an
+    events×events pairwise join. Equal-ts clicks break by event_id
+    via the sort key, mirroring the oracle's rank tiebreak. The
+    oracle is the naive correlated-rank formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    u = err.withColumns(
+        {"click_id": F.lit(None).cast("long"), "click_us": F.lit(None).cast("long")}
+    ).unionByName(
+        clk.withColumn("event_id", F.lit(None).cast("long")),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("click_id").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn(
+            "next_click_id", F.first("click_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_click_us", F.first("click_us", ignorenulls=True).over(w)
+        )
+        .filter((F.col("kind") == 0) & F.col("next_click_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "next_click_id",
+            (F.col("next_click_us") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )

@@ -288,6 +288,12 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # binned range join: bin equi-join (broadcast at fixture sf;
+        # co-partitioned bin exchange at scale) + the per-purchase
+        # nearest-rank window — never a nested-loop join
+        "b_join_range_binned": 1,
+        # forward asof: union-tag + one user_id window exchange
+        "b_join_asof_forward": 1,
         # throttle: row_number window and admission groupBy share the
         # (user, hour) keys — ONE exchange total
         "a_throttle": 1,
@@ -554,3 +560,11 @@ def test_pipeline_kpi_single_events_scan(spark):
         assert "InMemoryRelation" in plan, plan[:3000]
     finally:
         release_persisted()
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    # The whole point of the bin rewrite: a keyless ±60s range join
+    # must plan as an equi hash/merge join on the bin id, never a
+    # BroadcastNestedLoopJoin (quadratic at 100 TB).
+    plan = explain_str(q("b_join_range_binned", spark))
+    assert "NestedLoop" not in plan, plan[:3000]
