@@ -3222,3 +3222,44 @@ def a_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped",
         )
     )
+
+
+@query(
+    "a_throttle_stream",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), wm AS (
+    SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) * 1000 AS wm_us
+    FROM events
+)
+SELECT user_id,
+       epoch_us(h) AS hour_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked CROSS JOIN wm
+GROUP BY user_id, h, wm_us
+HAVING epoch_us(h) + 3600000000 <= wm_us
+""",
+)
+def a_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a_throttle via the PAPI rate-limiter
+    processor (streaming/papi.py::_throttle_final): per-user hour
+    quota counters in explicit GroupState, admission in exact
+    (ts, event_id) order, each hour's summary emitted EXACTLY ONCE
+    when the watermark passes the hour end (EventTimeTimeout wakes
+    quiet keys), state removed as hours drain. Emission boundary
+    probed empirically then encoded in the oracle (the standing
+    certified-semantics technique): zero-delay watermark finishes at
+    floor(max_ts, ms), so every hour ending at or before it emits and
+    the trailing partial hour stays pending — the oracle's HAVING
+    clause is that exact rule, so this hash-matches a FULL oracle
+    rather than a rows-only check. At 100 TB: state per key is a
+    handful of counters; the quota decision never buffers events."""
+    from demo_segmenter_spark.streaming.papi import papi_throttle
+
+    return papi_throttle(spark, sf_dir)

@@ -426,3 +426,118 @@ def papi_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Fifth custom processor: per-key RATE LIMITER with hour-window state —
+# at most THROTTLE_N events admitted per (user, hour), admission in
+# exact (ts, event_id) order, per-hour summaries emitted ONCE when the
+# watermark passes the hour's end, state removed as it drains. The
+# counter-per-window state shape is the canonical quota/throttle
+# store; unlike the session processors the windows are FIXED, so
+# eviction is a pure watermark comparison with no gap arithmetic.
+# ---------------------------------------------------------------------------
+
+THROTTLE_N = 3
+HOUR_US = 3_600_000_000
+
+THROTTLE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("hour_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("n_dropped", LongType()),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("nev", ArrayType(LongType())),
+        StructField("nkept", ArrayType(LongType())),
+    ]
+)
+
+
+def _throttle_final(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    hours, nev, nkept = (
+        [list(x) for x in state.get] if state.exists else ([], [], [])
+    )
+    idx = {h: i for i, h in enumerate(hours)}
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        # Concat BEFORE the order-sensitive fold (the chunk-split
+        # hazard proven by the adversarial maxRecordsPerBatch=7 test
+        # on the session processors applies identically here).
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        for us in pdf["ts_us"].astype("int64").tolist():
+            h = us - us % HOUR_US
+            i = idx.get(h)
+            if i is None:
+                i = len(hours)
+                idx[h] = i
+                hours.append(h)
+                nev.append(0)
+                nkept.append(0)
+            nev[i] += 1
+            if nev[i] <= THROTTLE_N:
+                nkept[i] += 1
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    emit = [i for i in range(len(hours)) if hours[i] + HOUR_US <= wm_us]
+    if emit:
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "hour_us": [hours[i] for i in emit],
+                "n_events": [nev[i] for i in emit],
+                "n_kept": [nkept[i] for i in emit],
+                "n_dropped": [nev[i] - nkept[i] for i in emit],
+            }
+        )
+        keep = [i for i in range(len(hours)) if i not in set(emit)]
+        hours = [hours[i] for i in keep]
+        nev = [nev[i] for i in keep]
+        nkept = [nkept[i] for i in keep]
+    if not hours:
+        state.remove()
+        return
+    state.update((hours, nev, nkept))
+    boundary_ms = (min(hours) + HOUR_US) // 1000 + 1
+    state.setTimeoutTimestamp(max(boundary_ms, state.getCurrentWatermarkMs() + 1))
+
+
+def papi_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the rate-limiter processor to completion (zero-delay
+    watermark: the final no-data batch advances it to max event time,
+    so every hour that ENDS at or before the stream's last event is
+    emitted; the trailing partial hour stays pending by design — the
+    oracle encodes the same rule)."""
+    import uuid
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _throttle_final,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"throttle_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -117,3 +117,32 @@ def test_session_final_processor_survives_chunk_split(spark, desc_source):
         for r in REGISTRY["a_session_suppress"].fn(spark, SF).select(*cols).collect()
     }
     assert got == want
+
+
+def test_throttle_processor_survives_chunk_split(spark, desc_source):
+    # Admission order is (ts, event_id); the descending source +
+    # 7-row chunks would admit the LAST 3 events of each hour if the
+    # processor folded chunk-locally. Must equal the streaming twin's
+    # registered result (same emission rule → same oracle).
+    from demo_segmenter_spark.streaming.papi import (
+        THROTTLE_OUTPUT_SCHEMA,
+        THROTTLE_STATE_SCHEMA,
+        _throttle_final,
+    )
+
+    ev = (
+        _read(spark, desc_source)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _throttle_final,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name, _ = _run_to_memory(out, "append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in REGISTRY["a_throttle_stream"].fn(spark, SF).collect()}
+    assert got == want
