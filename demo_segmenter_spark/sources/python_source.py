@@ -113,6 +113,11 @@ from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 class _FileCommit(WriterCommitMessage):
     file: str
     rows: int
+    # per-column [min, max] ZONE MAP for this file (numeric + string
+    # columns, None-safe) — the data-skipping statistic every lake
+    # format stores per file so readers can prune files from the
+    # manifest alone, without opening them
+    stats: dict | None = None
 
 
 class JsonlDirWriter(DataSourceWriter):
@@ -138,13 +143,25 @@ class JsonlDirWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         fname = f"{self.path}/part-{uuid.uuid4().hex}.jsonl"
         n = 0
+        lo: dict = {}
+        hi: dict = {}
         with open(fname, "w") as f:
             for row in iterator:
                 if self.fail:
                     raise RuntimeError("simulated task failure")
-                f.write(json.dumps(row.asDict()) + "\n")
+                d = row.asDict()
+                f.write(json.dumps(d) + "\n")
                 n += 1
-        return _FileCommit(file=fname, rows=n)
+                for k, v in d.items():
+                    if v is None or isinstance(v, bool):
+                        continue
+                    if isinstance(v, (int, float, str)):
+                        if k not in lo or v < lo[k]:
+                            lo[k] = v
+                        if k not in hi or v > hi[k]:
+                            hi[k] = v
+        stats = {k: [lo[k], hi[k]] for k in lo} if n else {}
+        return _FileCommit(file=fname, rows=n, stats=stats)
 
     def commit(self, messages):
         import json
@@ -152,16 +169,29 @@ class JsonlDirWriter(DataSourceWriter):
 
         new_files = sorted(m.file for m in messages if m is not None)
         new_rows = sum(m.rows for m in messages if m is not None)
+        new_stats = {
+            m.file: m.stats
+            for m in messages
+            if m is not None and getattr(m, "stats", None)
+        }
         prev = latest_manifest(self.path)
         # .get(): manifests written by the pre-versioning sink have no
         # "version"/"rows" keys — appending to a legacy dir must not raise
         version = (prev.get("version", 0) + 1) if prev else 1
         if self.overwrite or prev is None:
-            files, rows = new_files, new_rows
+            files, rows, fstats = new_files, new_rows, new_stats
         else:  # append: new snapshot = previous snapshot ∪ new files
             files = sorted(set(prev["files"]) | set(new_files))
             rows = prev.get("rows", 0) + new_rows
-        manifest = {"version": version, "files": files, "rows": rows}
+            fstats = {**prev.get("file_stats", {}), **new_stats}
+        manifest = {
+            "version": version,
+            "files": files,
+            "rows": rows,
+            # zone maps keyed by file; "files" stays a plain path list
+            # so every pre-stats consumer keeps working unchanged
+            "file_stats": fstats,
+        }
         if self.batch_id is not None:
             manifest["batch_id"] = self.batch_id
         # versioned snapshot gets the same tmp+os.replace dance as the
@@ -221,6 +251,59 @@ def manifest_files(path: str, version: int | None = None) -> list[str]:
         raise FileNotFoundError(f"no snapshot v{version} at {path}")
     with open(mf) as f:
         return json.load(f)["files"]
+
+
+def manifest_files_pruned(
+    path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> list[str]:
+    """DATA SKIPPING over the manifest's per-file zone maps: return
+    only the snapshot files whose [min, max] range can possibly
+    satisfy EVERY predicate — the reader-side half of the lake-format
+    stats story (Delta/Iceberg file pruning, parquet row-group
+    min/max skipping, one level up). A predicate is (col, op, value)
+    with op in {'<', '<=', '>', '>=', '='}. Conservative by
+    construction: a file with no stats (legacy manifest, all-null
+    column) is always kept, so pruning can only SKIP provably-empty
+    files, never drop a match — the same contract as parquet
+    PushedFilters. At 100 TB the manifest read costs O(files) on the
+    driver and replaces opening every file."""
+    import json
+    import os
+
+    if version is None:
+        m = latest_manifest(path)
+    else:
+        mf = f"{path}/_MANIFEST.v{version}.json"
+        if not os.path.exists(mf):
+            raise FileNotFoundError(f"no snapshot v{version} at {path}")
+        with open(mf) as f:
+            m = json.load(f)
+    if not m:
+        return []
+    fstats = m.get("file_stats", {})
+
+    def may_match(fname: str) -> bool:
+        st = fstats.get(fname)
+        if not st:
+            return True
+        for col, op, val in predicates:
+            rng = st.get(col)
+            if rng is None:
+                continue
+            lo, hi = rng
+            if (
+                (op == "<" and not lo < val)
+                or (op == "<=" and not lo <= val)
+                or (op == ">" and not hi > val)
+                or (op == ">=" and not hi >= val)
+                or (op == "=" and not lo <= val <= hi)
+            ):
+                return False
+        return True
+
+    return [f for f in m["files"] if may_match(f)]
 
 
 def register_sink(spark) -> None:

@@ -179,3 +179,55 @@ def test_manifest_snapshots_time_travel(spark):
     assert n_rows() == 20            # latest pointer -> v3
     with pytest.raises(FileNotFoundError):
         manifest_files(d, version=9)
+
+
+def test_manifest_zone_map_pruning(spark):
+    # Data skipping: files written from range-partitioned tasks carry
+    # disjoint per-file [min,max] event_id zone maps in the manifest;
+    # a range predicate must (a) prune files and (b) lose no rows vs
+    # the unpruned read + filter.
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        manifest_files_pruned,
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    d = f"/tmp/dss_sink/zm_{uuid.uuid4().hex[:8]}"
+    src = (
+        spark.read.format("synthetic_events").option("rows", 1000).load()
+        .repartitionByRange(8, "event_id")
+    )
+    src.write.format("jsonl_dir").option("path", d).mode("overwrite").save()
+
+    m = latest_manifest(d)
+    assert len(m["files"]) == 8
+    assert len(m["file_stats"]) == 8  # every file has a zone map
+
+    all_files = manifest_files(d)
+    kept = manifest_files_pruned(d, [("event_id", ">=", 900)])
+    assert len(kept) < len(all_files), "predicate should prune files"
+
+    full = (
+        spark.read.json(all_files).filter("event_id >= 900").count()
+    )
+    pruned = (
+        spark.read.json(kept).filter("event_id >= 900").count()
+    )
+    assert pruned == full == 100
+
+    # equality + band predicates, and the conservative no-stats path
+    assert len(manifest_files_pruned(d, [("event_id", "=", 5)])) == 1
+    band = manifest_files_pruned(
+        d, [("event_id", ">=", 200), ("event_id", "<", 300)]
+    )
+    assert spark.read.json(band).filter(
+        "event_id >= 200 and event_id < 300"
+    ).count() == 100
+    # unknown column never prunes
+    assert manifest_files_pruned(d, [("nope", ">=", 1)]) == all_files
