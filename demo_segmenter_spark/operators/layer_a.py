@@ -3263,3 +3263,110 @@ def a_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_throttle
 
     return papi_throttle(spark, sf_dir)
+
+
+@query(
+    "a_gapfill_interp",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, sum({sql_cents('value')}) AS cents
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(d) AS lo, max(d) AS hi FROM daily
+), days AS (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+), grid AS (
+    SELECT u.user_id, days.d
+    FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days
+), ctx AS (
+    SELECT g.user_id, g.d, da.cents,
+           last_value(da.cents IGNORE NULLS) OVER wp AS prev_c,
+           last_value(CASE WHEN da.cents IS NOT NULL THEN g.d END
+                      IGNORE NULLS) OVER wp AS prev_d,
+           first_value(da.cents IGNORE NULLS) OVER wf AS next_c,
+           first_value(CASE WHEN da.cents IS NOT NULL THEN g.d END
+                       IGNORE NULLS) OVER wf AS next_d
+    FROM grid g LEFT JOIN daily da ON g.user_id = da.user_id AND g.d = da.d
+    WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.d
+                  ROWS UNBOUNDED PRECEDING),
+           wf AS (PARTITION BY g.user_id ORDER BY g.d
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(d AS VARCHAR) AS day,
+       CASE
+         WHEN cents IS NOT NULL THEN {sql_rnd('cents / 100.0', 2)}
+         WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+           {sql_rnd('''(prev_c + (next_c - prev_c) * (d - prev_d) * 1.0
+                        / (next_d - prev_d)) / 100.0''', 2)}
+       END AS value,
+       CASE WHEN cents IS NOT NULL THEN 'obs'
+            WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS kind
+FROM ctx
+""",
+)
+def a_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill by LINEAR INTERPOLATION — the complement
+    of a_gapfill_locf for quantities that trend rather than hold:
+    missing days between two observations get
+    prev + (next-prev)·k/n (k days past the previous observation, n
+    days between observations); days outside a user's observed span
+    are 'edge' (no second anchor, value NULL). Cross-engine exactness:
+    cents and day offsets are exact integers, (next-prev)·k is exact
+    BIGINT, and both engines then run the SAME single division and
+    addition — identical IEEE, no accumulated float walk. Same
+    grid-broadcast shape as LOCF: the calendar explodes from a 1-row
+    bounds aggregate, and the prev/next anchors come from two frames
+    of ONE user_id-partitioned window — one exchange at 100 TB, on
+    the key the daily rollup already hashed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.sum(cents(F.col("value"))).alias("cents")
+    )
+    days = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    users = daily.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = (
+        grid.join(daily, ["user_id", "d"], "left")
+        .withColumn("prev_c", F.last("cents", ignorenulls=True).over(wp))
+        .withColumn("prev_d", F.last(obs_d, ignorenulls=True).over(wp))
+        .withColumn("next_c", F.first("cents", ignorenulls=True).over(wf))
+        .withColumn("next_d", F.first(obs_d, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.col("prev_c")
+        + (F.col("next_c") - F.col("prev_c"))
+        * F.datediff("d", "prev_d")
+        * 1.0
+        / F.datediff("next_d", "prev_d")
+    )
+    has_both = F.col("prev_c").isNotNull() & F.col("next_c").isNotNull()
+    return ctx.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        F.when(F.col("cents").isNotNull(), rnd(F.col("cents") / 100.0, 2))
+        .when(has_both, rnd(interp / 100.0, 2))
+        .alias("value"),
+        F.when(F.col("cents").isNotNull(), "obs")
+        .when(has_both, "interp")
+        .otherwise("edge")
+        .alias("kind"),
+    )

@@ -288,6 +288,10 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # interp gapfill: daily rollup exchange + distinct-users
+        # exchange + ONE user_id window exchange shared by both
+        # prev/next frames (days grid broadcasts off a 1-row agg)
+        "a_gapfill_interp": 3,
         # binned range join: bin equi-join (broadcast at fixture sf;
         # co-partitioned bin exchange at scale) + the per-purchase
         # nearest-rank window — never a nested-loop join
