@@ -5272,3 +5272,73 @@ def c_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "c_corpus_report",
+    oracle="""
+WITH d AS (
+    SELECT source, lang, n_chars,
+           len(string_split(text, ' ')) AS n_toks,
+           count(*) OVER (PARTITION BY md5(text)) AS copies
+    FROM documents
+), tot AS (
+    SELECT sum(n_toks) AS all_toks FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       (round(quantile_cont(n_chars, 0.5) + 1e-6, 2) + 0.0) AS p50_chars,
+       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_docs,
+       (round(sum(n_toks) * 1.0 / any_value(all_toks) + 1e-8, 4) + 0.0)
+           AS token_share
+FROM d CROSS JOIN tot
+GROUP BY source
+""",
+)
+def c_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD rollup — per-source corpus accounting every
+    training-data pipeline publishes before a run: doc / language /
+    char / token counts, the median doc length, how many docs are
+    byte-identical to something else in the WHOLE corpus (cross-
+    source: the md5 window spans sources), and each source's share of
+    total tokens. Exactness: counts and sums are BIGINT; the median
+    runs on integer n_chars (the probed-exact percentile discipline
+    of b_agg_percentiles); token_share is one division of exact
+    integer sums. Scale: one md5 exchange for the copies window, one
+    source rollup (distinct-lang via partial aggregation), a 1-row
+    token total broadcast back — no per-doc Python, everything
+    codegen. The numbers a 100 TB mixture rebalance (c_mix_reweight)
+    starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    wmd5 = Window.partitionBy(F.md5("text"))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.count("*").over(wmd5).alias("copies"),
+    )
+    tot = d.agg(F.sum("n_toks").alias("all_toks"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            rnd(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+            F.round(
+                F.sum("n_toks") * 1.0 / F.any_value("all_toks") + F.lit(1e-8),
+                4,
+            ).alias("token_share"),
+        )
+        .withColumn("token_share", F.col("token_share") + F.lit(0.0))
+    )

@@ -288,6 +288,10 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # corpus report: md5 copies window + its re-read on the total
+        # side (static plan; AQE reuses), 1-row token total, source
+        # rollup with countDistinct expand
+        "c_corpus_report": 4,
         # interp gapfill: daily rollup exchange + distinct-users
         # exchange + ONE user_id window exchange shared by both
         # prev/next frames (days grid broadcasts off a 1-row agg)
