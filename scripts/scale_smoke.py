@@ -103,6 +103,8 @@ def main() -> None:
     ewma_stress(spark)
     bpe_encode_stress(spark)
     dau_stress(spark)
+    incremental_dedup_stress(spark)
+    range_binned_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1368,6 +1370,136 @@ def ewma_stress(spark, replicas: int = 100) -> None:
         f"ewma segmented scan: {n_rows} rows / ~{replicas * (maxes.mu + 1) // 1000}k users "
         f"-> exact recurrence in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M rows/s); "
         f"3 users replayed value-for-value against pandas ewm"
+    )
+    spark.catalog.clearCache()
+
+
+def incremental_dedup_stress(spark, n: int = 300_000) -> None:
+    """Bipartite incremental dedup at 300k docs: ids ≡2 mod 3 are the
+    incoming batch; the first 10k incoming ids are EXACT copies of
+    their id-2 corpus neighbor, the next 10k are near copies (one
+    token appended -> Jaccard ≈ 0.92), the rest is deterministic
+    40-token soup over a 200-word vocab (expected cross-doc Jaccard
+    ~0, shingle df ~Poisson(1.4) so the df cap never bites). Exact
+    invariant: verdict counts are EXACTLY (10000, 10000, rest)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import (
+        SHINGLE_DF_CAP,
+        _hashed_shingles,
+        _shingle_doc_table,
+    )
+    from demo_segmenter_spark.registry import REGISTRY
+
+    t0 = time.time()
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(200)),
+                ),
+            ),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcX").alias("source"),
+    )
+    inc_low = (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 30_000)
+    inc_mid = (
+        (F.col("doc_id") % 3 == 2)
+        & (F.col("doc_id") >= 30_000)
+        & (F.col("doc_id") < 60_000)
+    )
+    nbr = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64((F.col("doc_id") - 2) * 1000 + i), F.lit(200)),
+            ),
+        ),
+    )
+    docs = base.withColumn(
+        "text",
+        F.when(inc_low, nbr)
+        .when(inc_mid, F.concat(nbr, F.lit(" extratoken")))
+        .otherwise(F.col("text")),
+    ).withColumn("n_chars", F.length("text"))
+    out = f"/tmp/dss_scale/incdedup_{n}"
+    # the registered query loads only the documents table, so the
+    # crafted dir needs nothing else
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    t1 = time.time()
+    res = (
+        REGISTRY["c_dedup_incremental"].fn(spark, out)
+        .groupBy("verdict")
+        .count()
+        .collect()
+    )
+    dt = time.time() - t1
+    got = {r["verdict"]: r["count"] for r in res}
+    n_inc = sum(got.values())
+    assert got.get("exact_dup") == 10_000, got
+    assert got.get("near_dup") == 10_000, got
+    assert n_inc == len([i for i in range(n) if i % 3 == 2]), got
+    print(
+        f"incremental dedup: {n} docs ({n_inc} incoming) bipartite vs corpus -> "
+        f"verdicts exact_dup=10000 near_dup=10000 kept={got['kept']} EXACT "
+        f"in {dt:.1f}s ({n / dt / 1e6:.2f}M docs/s; materialize {t1 - t0:.1f}s)"
+    )
+    spark.catalog.clearCache()
+
+
+def range_binned_stress(spark, replicas: int = 100) -> None:
+    """Keyless binned range join at 100x density-preserving scale:
+    each replica shifts event time by rep*40 days (the fixture spans
+    ~30), so per-bin density is UNCHANGED while total volume is 100x —
+    the result must be EXACTLY 100x the base row count with identical
+    per-replica Δt structure (nearest-click choice is time-shift
+    invariant). Linearity is the scale claim: pair space per bin is
+    bounded by density, never by corpus size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+    from demo_segmenter_spark.sources import load_table
+
+    load_all_operators()
+    sfd = "/root/testdata/sf0.1"
+    base_rows = REGISTRY["b_join_range_binned"].fn(spark, sfd).count()
+    ev = load_table(spark, sfd, "events")
+    maxes = ev.agg(
+        F.max("event_id").alias("me")
+    ).first()
+    stride = maxes.me + 1
+    out = f"/tmp/dss_scale/rbj_x{replicas}"
+    t0 = time.time()
+    (
+        ev.select("event_id", "ts", "event_type")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("event_id") + F.col("rep") * stride).alias("event_id"),
+            (F.col("ts") + F.make_dt_interval(F.col("rep") * 40)).alias("ts"),
+            "event_type",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    t1 = time.time()
+    n = REGISTRY["b_join_range_binned"].fn(spark, out).count()
+    dt = time.time() - t1
+    assert n == base_rows * replicas, (n, base_rows, replicas)
+    print(
+        f"range_binned {replicas}x time-shifted events "
+        f"({replicas * 100_000} rows): {n} nearest-click rows == exactly "
+        f"{replicas}x base in {dt:.1f}s (materialize {t1 - t0:.1f}s)"
     )
     spark.catalog.clearCache()
 
