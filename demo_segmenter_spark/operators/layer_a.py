@@ -3370,3 +3370,75 @@ def a_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge")
         .alias("kind"),
     )
+
+
+@query(
+    "a_alert_hysteresis",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN value >= 100.0 THEN 1
+                WHEN value < 20.0 THEN 0 END AS crossing
+    FROM events
+), st AS (
+    SELECT user_id, event_id, ts_us,
+           coalesce(last_value(crossing IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING), 0) AS state
+    FROM marked
+), tr AS (
+    SELECT user_id, event_id, ts_us, state,
+           coalesce(lag(state) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id), 0)
+               AS prev_state
+    FROM st
+)
+SELECT user_id, event_id, ts_us,
+       CAST(state AS BIGINT) AS alert_on
+FROM tr WHERE state <> prev_state
+""",
+)
+def a_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting with HYSTERESIS — the monitoring-pipeline
+    debounce: an alert RAISES when a user's event value crosses >= 100
+    and only CLEARS when it drops below 20; values in the dead band
+    [20, 100) hold the previous state, so a metric oscillating around
+    one threshold cannot flap. Declarative state machine: the crossing
+    column is 1/0/NULL, LOCF (`last ignore nulls`) over the per-user
+    timeline IS the held state, and transitions fall out of one lag
+    comparison — two frames of the same window partitioning, ONE
+    user_id exchange at any scale, no UDF state. Emits only
+    transition edges (raise/clear events), the thing a downstream
+    pager actually consumes. Threshold compares are raw stored
+    doubles vs identical literals on both engines — exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    crossing = F.when(F.col("value") >= 100.0, 1).when(
+        F.col("value") < 20.0, 0
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("crossing", crossing)
+        .withColumn(
+            "state",
+            F.coalesce(
+                F.last("crossing", ignorenulls=True).over(wp), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "prev_state", F.coalesce(F.lag("state").over(wl), F.lit(0))
+        )
+        .filter(F.col("state") != F.col("prev_state"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.col("state").cast("long").alias("alert_on"),
+        )
+    )

@@ -288,6 +288,8 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # hysteresis alerts: LOCF + lag share ONE user_id exchange
+        "a_alert_hysteresis": 1,
         # corpus report: md5 copies window + its re-read on the total
         # side (static plan; AQE reuses), 1-row token total, source
         # rollup with countDistinct expand
