@@ -3649,3 +3649,60 @@ def b_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_click_us") - F.unix_micros("ts")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "b_pipeline_tpch_q9",
+    oracle=f"""
+SELECT sn.n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_money_sum(
+           "l_extendedprice * (1 - l_discount)"
+           " - 0.6 * p_retailprice * l_quantity"
+       )} AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY sn.n_name, year(o_orderdate)
+""",
+)
+def b_pipeline_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted to the partsupp-less fixture: supply cost is imputed as
+    60% of the part's retail price per unit, keeping Q9's
+    characteristic profit expression (revenue minus quantity-scaled
+    cost), its LIKE filter on p_name, its two-hop supplier→nation
+    dimension path, and its (nation, year) rollup. The whole profit
+    expression converts to exact integer cents BEFORE summing (profit
+    can be negative; cents round-half-up is sign-safe on both
+    engines). Scale: part/supplier/nation broadcast; lineitem⋈orders
+    is the one co-partitioned shuffle; the ≤(25 nations × 7 years)
+    rollup is a tiny exchange. LIKE '%widget%' cannot push as a
+    parquet filter but prunes 1/3 of parts at the broadcast build."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            money_sum(amount).alias("profit"),
+        )
+    )

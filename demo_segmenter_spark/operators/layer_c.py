@@ -5342,3 +5342,105 @@ def c_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("token_share", F.col("token_share") + F.lit(0.0))
     )
+
+
+@query(
+    "c_rag_context_pack",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), qry AS (
+    SELECT t AS qid, df FROM df ORDER BY df DESC, t LIMIT 3
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), scored AS (
+    SELECT qry.qid, tf.doc_id, dl.len,
+           CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT) AS s_micro
+    FROM tf
+    JOIN qry ON tf.t = qry.qid
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+), packed AS (
+    SELECT qid, doc_id, len, s_micro,
+           row_number() OVER wq AS rank,
+           sum(len) OVER (PARTITION BY qid
+                          ORDER BY s_micro DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM scored
+    WINDOW wq AS (PARTITION BY qid ORDER BY s_micro DESC, doc_id)
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(len AS BIGINT) AS doc_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed WHERE cum_tokens <= 300
+""",
+)
+def c_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG CONTEXT ASSEMBLY — the step between retrieval and the LLM
+    call: for each query, take the BM25-ranked candidates in order and
+    pack documents into the context until a 300-token budget is
+    exhausted (prefix-stop: the first overflowing doc ends the pack —
+    running totals are monotone, so a cumsum filter IS that
+    semantics). Queries are the 3 highest-df corpus tokens (the
+    deterministic query set of c_text_bm25); ranking uses the same
+    integer-microunit BM25 quantization so ln() ulps can't reorder,
+    with doc_id tiebreaks; lengths and running totals are exact
+    BIGINTs. Scale: posting-list join against a 3-term broadcast
+    query table, one qid-partitioned window for rank+cumsum — the
+    pack step adds NO exchange beyond the scoring shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    qry = df_.orderBy(F.col("df").desc(), "t").limit(3).select(
+        F.col("t").alias("qid"), "df"
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    s_micro = F.round(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1_000_000
+        + F.lit(1e-04)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qry), tf.t == qry.qid)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", "len", s_micro.alias("s_micro"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("s_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .withColumn(
+            "cum_tokens",
+            F.sum("len").over(
+                wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= 300)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("len").cast("long").alias("doc_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

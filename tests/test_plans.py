@@ -288,6 +288,15 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # context pack: the tok/dl/df subtrees appear on multiple
+        # sides of the scoring join in the static plan (tf + dl + df
+        # + stats exchanges, some doubled; AQE reuses); the pack
+        # window rides the scoring partitioning
+        "c_rag_context_pack": 7,
+        # Q9 shape: all three dims broadcast + orders broadcast at
+        # fixture sf (one rollup exchange); at 100 TB lineitem⋈orders
+        # degrades to one co-partitioned exchange
+        "b_pipeline_tpch_q9": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # corpus report: md5 copies window + its re-read on the total
