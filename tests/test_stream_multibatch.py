@@ -486,3 +486,37 @@ def test_gapfill_locf_stream_across_batches(spark):
     got = _rowset(locf_grid(spark.read.parquet(out)))
     want = _rowset(REGISTRY["a_gapfill_locf"].fn(spark, SF))
     assert got == want
+
+
+def test_throttle_stream_across_batches(spark):
+    # Quota counters must SURVIVE micro-batch boundaries: the three
+    # ts-ordered batches cut through open hours, so a (user, hour)
+    # whose 4th event arrives in a later batch must still be counted
+    # against the quota admitted in the earlier batch. The result must
+    # equal the registered streaming twin's oracle semantics exactly
+    # (= batch a_throttle minus the trailing partial hour).
+    from demo_segmenter_spark.streaming.papi import (
+        THROTTLE_OUTPUT_SCHEMA,
+        THROTTLE_STATE_SCHEMA,
+        _throttle_final,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, _, _ = _trickle_src(spark)
+    ev = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _throttle_final,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name, n_batches = _run_to_memory(out, "append")
+    assert n_batches >= 3, "source must replay in multiple micro-batches"
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_throttle_stream"].fn(spark, SF))
+    assert got == want
