@@ -3706,3 +3706,239 @@ def b_pipeline_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(amount).alias("profit"),
         )
     )
+
+
+# The four remaining TPC-H shapes (Q2/Q11/Q16/Q20) need the partsupp
+# relation the fixture lacks. They are expressed over a DERIVED supply
+# relation both engines compute identically with pure integer
+# arithmetic: supplier s supplies part p iff (s_suppkey + p_partkey) %
+# 4 = 0 (quarter density, like partsupp's 4 suppliers/part), at
+# imputed integer cost  (s_suppkey*31 + p_partkey*17) % 1000.
+# Deterministic, join-free to materialize, and faithful to each
+# query's optimizer shape (correlated min, share-of-total HAVING,
+# distinct-count with NOT IN, nested semi-joins).
+
+
+@query(
+    "b_pipeline_tpch_q2",
+    oracle="""
+WITH supply AS (
+    SELECT s_suppkey, s_name, s_acctbal, s_nationkey, p_partkey, p_size,
+           (s_suppkey * 31 + p_partkey * 17) % 1000 AS cost
+    FROM supplier CROSS JOIN part
+    WHERE (s_suppkey + p_partkey) % 4 = 0
+), eligible AS (
+    SELECT supply.*, n_name
+    FROM supply
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size <= 15
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY cost, s_suppkey) AS rn
+    FROM eligible
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(cost AS BIGINT) AS supply_cost
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def b_pipeline_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each small EUROPE-
+    supplied part, the supplier achieving the MINIMUM supply cost —
+    the classic correlated-scalar-subquery query, resolved as one
+    per-part argmin window instead of a rescan-per-row subquery (the
+    rewrite every optimizer applies). Cost ties break by suppkey, the
+    final top-100 carries Q2's full ORDER BY with p_partkey making it
+    total. The supply relation is derived (module comment): integer
+    density/cost rules both engines evaluate bit-identically. Scale:
+    nation/region prune the supplier side BEFORE the supply expansion
+    (filter below the join), the argmin window shuffles on p_partkey
+    once, top-100 is TakeOrderedAndProject."""
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_sup = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        eu_sup.crossJoin(part.select("p_partkey"))
+        .filter((F.col("s_suppkey") + F.col("p_partkey")) % 4 == 0)
+        .withColumn(
+            "cost",
+            (F.col("s_suppkey") * 31 + F.col("p_partkey") * 17) % 1000,
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("cost", "s_suppkey")
+    return (
+        supply.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("long").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "b_pipeline_tpch_q11",
+    oracle=f"""
+WITH val AS (
+    SELECT sn.n_name AS nation, p_type,
+           sum({sql_cents("l_extendedprice * (1 - l_discount)")}) AS v
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY sn.n_name, p_type
+), tot AS (
+    SELECT sum(v) AS total FROM val
+)
+SELECT nation, p_type,
+       {sql_rnd("v / 100.0", 2)} AS value
+FROM val CROSS JOIN tot
+WHERE v * 120 > total
+""",
+)
+def b_pipeline_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): (nation, part-type)
+    revenue cells whose value exceeds 1/120 of the GLOBAL total — the
+    share-of-total HAVING query whose subquery every engine must
+    evaluate once and broadcast. The gate is the exact-integer
+    cross-multiply v*120 > total (no float share), so no boundary
+    cell can flip between engines. Scale: part/supplier/nation
+    broadcast; one groupBy exchange for the cells; the global total
+    is a 1-row broadcast back-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    val = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", "p_type")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 120 > F.col("total"))
+        .select("nation", "p_type", rnd(F.col("v") / 100.0, 2).alias("value"))
+    )
+
+
+@query(
+    "b_pipeline_tpch_q16",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(p_size // 10 AS BIGINT) AS size_bucket,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size // 10
+""",
+)
+def b_pipeline_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many DISTINCT
+    suppliers ship each (brand, type, size-bucket), excluding one
+    brand and every blacklisted supplier (negative account balance) —
+    the distinct-count + NOT IN query. The blacklist is an anti-join
+    against a broadcast-small list (Spark turns NOT IN on a non-null
+    key into left_anti; the oracle keeps the literal NOT IN). Scale:
+    part broadcasts, the anti join broadcasts the blacklist, and the
+    countDistinct runs as the standard two-phase partial-distinct
+    aggregate on the group exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#3")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.expr("p_size div 10").cast("long").alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "b_pipeline_tpch_q20",
+    oracle="""
+WITH shipped AS (
+    SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, qty AS widget_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN shipped ON s_suppkey = l_suppkey
+WHERE qty > 400
+ORDER BY s_suppkey
+""",
+)
+def b_pipeline_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who moved MORE
+    than a threshold quantity of widget parts in 1996 — the nested
+    semi-join chain (part filter -> lineitem rollup -> supplier gate)
+    that classic Q20 writes as two nested IN subqueries; here the
+    inner aggregate joins back to supplier directly (the decorrelated
+    form optimizers produce). Quantities are integral doubles summed
+    exactly -> BIGINT gate, no float boundary. Scale: part broadcasts
+    into the pruned lineitem scan (shipdate pushdown), one suppkey
+    rollup bounded by |supplier|, then a broadcast-joined gate; the
+    final sort is bounded by |supplier|."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "n_name", F.col("qty").alias("widget_qty"))
+        .orderBy("s_suppkey")
+    )

@@ -288,6 +288,17 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # Q2: the per-part argmin window is the one exchange (EU
+        # supplier prefilter broadcasts into the derived supply
+        # expansion); top-100 is TakeOrderedAndProject
+        "b_pipeline_tpch_q2": 1,
+        # Q11: cell groupBy + its subtree re-read on the total side
+        # (AQE reuses) + the 1-row total agg
+        "b_pipeline_tpch_q11": 3,
+        # Q16: group exchange + countDistinct expand second phase
+        "b_pipeline_tpch_q16": 2,
+        # Q20: suppkey rollup + the bounded supplier-side sort
+        "b_pipeline_tpch_q20": 2,
         # context pack: the tok/dl/df subtrees appear on multiple
         # sides of the scoring join in the static plan (tf + dl + df
         # + stats exchanges, some doubled; AQE reuses); the pack
