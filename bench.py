@@ -97,6 +97,10 @@ HEADLINE = [
     "c_token_bpe_encode",
     "c_sim_ivf_trained",
     "b_pipeline_tpch_q1",
+    # round 7 continuation: the bipartite incremental-dedup class and
+    # the keyless binned range join
+    "c_dedup_incremental",
+    "b_join_range_binned",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -3442,3 +3442,58 @@ def a_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("state").cast("long").alias("alert_on"),
         )
     )
+
+
+@query(
+    "a_absence",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_us,
+           lag(event_id) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_id
+    FROM events
+)
+SELECT user_id,
+       prev_id AS last_event_id,
+       prev_us AS gap_start_us,
+       ts_us AS gap_end_us,
+       CAST((ts_us - prev_us) // 3600000000 AS BIGINT) AS gap_hours
+FROM seq
+WHERE prev_us IS NOT NULL AND ts_us - prev_us > 86400000000
+""",
+)
+def a_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSENCE / missed-heartbeat detection — the inverse of
+    sessionization: per-user silences LONGER than 24 h between
+    consecutive events, reported as (last event before the gap, gap
+    bounds, whole hours silent). This is the monitoring primitive
+    behind \"device went dark\" alerts; in streaming it is exactly
+    what EventTimeTimeout implements (a_throttle_stream's wake-up
+    path), so the batch twin doubles as its oracle shape. One lag
+    over the per-user timeline = ONE user_id exchange; exact integer
+    microsecond arithmetic end to end (floor-div to whole hours on
+    positive gaps is identical on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+            F.lag("event_id").over(w).alias("prev_id"),
+        )
+        .filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("ts_us") - F.col("prev_us") > 86_400_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("prev_id").alias("last_event_id"),
+            F.col("prev_us").alias("gap_start_us"),
+            F.col("ts_us").alias("gap_end_us"),
+            F.expr("(ts_us - prev_us) div 3600000000").alias("gap_hours"),
+        )
+    )

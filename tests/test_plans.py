@@ -308,6 +308,8 @@ def test_shuffle_budgets_table(spark):
         # fixture sf (one rollup exchange); at 100 TB lineitem⋈orders
         # degrades to one co-partitioned exchange
         "b_pipeline_tpch_q9": 1,
+        # absence gaps: one lag over the user timeline
+        "a_absence": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # corpus report: md5 copies window + its re-read on the total
