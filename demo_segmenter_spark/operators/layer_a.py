@@ -3497,3 +3497,80 @@ def a_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ts_us - prev_us) div 3600000000").alias("gap_hours"),
         )
     )
+
+
+@query(
+    "a_alert_hysteresis_stream",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN value >= 100.0 THEN 1
+                WHEN value < 20.0 THEN 0 END AS crossing
+    FROM events
+), st AS (
+    SELECT user_id, event_id, ts_us,
+           coalesce(last_value(crossing IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING), 0) AS state
+    FROM marked
+), tr AS (
+    SELECT user_id, event_id, ts_us, state,
+           coalesce(lag(state) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id), 0)
+               AS prev_state
+    FROM st
+)
+SELECT user_id, event_id, ts_us,
+       CAST(state AS BIGINT) AS alert_on
+FROM tr WHERE state <> prev_state
+""",
+)
+def a_alert_hysteresis_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a_alert_hysteresis via a ONE-LONG-per-user
+    PAPI state machine (streaming/papi.py::_alert_hysteresis): the
+    held alert state is the entire state store, transitions emit the
+    moment their event is processed (update mode — a raise/clear page
+    must not wait for a watermark), and the decision depends only on
+    the per-user past, so in-order replay hash-matches the SAME full
+    oracle as the batch twin. The multibatch test replays ts-ordered
+    thirds to prove the held bit survives micro-batch boundaries.
+    This is the monitoring shape where per-key state is O(1) bytes —
+    the cheapest possible 100 TB stateful stream."""
+    from demo_segmenter_spark.streaming.papi import papi_alert_hysteresis
+
+    return papi_alert_hysteresis(spark, sf_dir)
+
+
+@query(
+    "a_absence_stream",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_us,
+           lag(event_id) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_id
+    FROM events
+)
+SELECT user_id,
+       prev_id AS last_event_id,
+       prev_us AS gap_start_us,
+       ts_us AS gap_end_us,
+       CAST((ts_us - prev_us) // 3600000000 AS BIGINT) AS gap_hours
+FROM seq
+WHERE prev_us IS NOT NULL AND ts_us - prev_us > 86400000000
+""",
+)
+def a_absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a_absence: per-user (last_ts, last_id) state
+    in the PAPI store (streaming/papi.py::_absence_gaps); a gap row
+    emits when the event that CLOSES the silence arrives (update
+    mode), so it hash-matches the batch twin's closed-gap oracle in
+    full — the still-open trailing silence is pending on both sides
+    by construction. (The raise-while-silent variant is exactly the
+    EventTimeTimeout wake-up a_throttle_stream already certifies;
+    this twin certifies the state-carry across batches — see the
+    multibatch test.) State is two longs per user."""
+    from demo_segmenter_spark.streaming.papi import papi_absence
+
+    return papi_absence(spark, sf_dir)

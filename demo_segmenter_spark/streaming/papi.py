@@ -541,3 +541,153 @@ def papi_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Sixth + seventh processors: tiny-state monitors. Hysteresis alerting
+# holds ONE long per user (the current alert state); absence detection
+# holds the last-seen (ts, event_id). Both emit rows the moment the
+# triggering event arrives (update mode, no watermark dependency): the
+# decision depends only on the PAST of the per-user timeline, so
+# in-order replay reproduces the batch twin exactly — the multibatch
+# tests replay ts-ordered thirds to prove state survives boundaries.
+# ---------------------------------------------------------------------------
+
+ALERT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("alert_on", LongType()),
+    ]
+)
+
+ALERT_STATE_SCHEMA = StructType([StructField("state", LongType())])
+
+
+def _alert_hysteresis(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cur = int(state.get[0]) if state.exists else 0
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts_us", "event_id"]
+    )
+    out_id, out_us, out_state = [], [], []
+    for us, eid, val in zip(
+        pdf["ts_us"].astype("int64").tolist(),
+        pdf["event_id"].astype("int64").tolist(),
+        pdf["value"].astype("float64").tolist(),
+    ):
+        nxt = 1 if val >= 100.0 else (0 if val < 20.0 else cur)
+        if nxt != cur:
+            out_id.append(eid)
+            out_us.append(us)
+            out_state.append(nxt)
+        cur = nxt
+    state.update((cur,))
+    if out_id:
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "event_id": out_id,
+                "ts_us": out_us,
+                "alert_on": out_state,
+            }
+        )
+
+
+ABSENCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("gap_start_us", LongType()),
+        StructField("gap_end_us", LongType()),
+        StructField("gap_hours", LongType()),
+    ]
+)
+
+ABSENCE_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("last_id", LongType())]
+)
+
+ABSENCE_GAP_US = 86_400_000_000
+
+
+def _absence_gaps(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_us, last_id = (
+        (int(state.get[0]), int(state.get[1])) if state.exists else (None, None)
+    )
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts_us", "event_id"]
+    )
+    o_lid, o_start, o_end, o_hours = [], [], [], []
+    for us, eid in zip(
+        pdf["ts_us"].astype("int64").tolist(),
+        pdf["event_id"].astype("int64").tolist(),
+    ):
+        if last_us is not None and us - last_us > ABSENCE_GAP_US:
+            o_lid.append(last_id)
+            o_start.append(last_us)
+            o_end.append(us)
+            o_hours.append((us - last_us) // 3_600_000_000)
+        last_us, last_id = us, eid
+    state.update((last_us, last_id))
+    if o_lid:
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "last_event_id": o_lid,
+                "gap_start_us": o_start,
+                "gap_end_us": o_end,
+                "gap_hours": o_hours,
+            }
+        )
+
+
+def _run_update_processor(spark, sf_dir, fn, out_schema, st_schema, cols, prefix):
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(*cols)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=st_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def papi_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_update_processor(
+        spark, sf_dir, _alert_hysteresis, ALERT_OUTPUT_SCHEMA,
+        ALERT_STATE_SCHEMA,
+        ["user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"],
+        "alert",
+    )
+
+
+def papi_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_update_processor(
+        spark, sf_dir, _absence_gaps, ABSENCE_OUTPUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        ["user_id", "event_id", F.unix_micros("ts").alias("ts_us")],
+        "absence",
+    )

@@ -520,3 +520,61 @@ def test_throttle_stream_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_throttle_stream"].fn(spark, SF))
     assert got == want
+
+
+def test_alert_hysteresis_stream_across_batches(spark):
+    # The held alert bit must survive micro-batch boundaries: a user
+    # raised in batch 0 whose clearing event arrives in batch 2 must
+    # emit exactly one clear edge — equality with the batch twin
+    # certifies every transition.
+    from demo_segmenter_spark.streaming.papi import (
+        ALERT_OUTPUT_SCHEMA,
+        ALERT_STATE_SCHEMA,
+        _alert_hysteresis,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _alert_hysteresis,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, n_batches = _run_to_memory(out, "update")
+    assert n_batches >= 3
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_alert_hysteresis"].fn(spark, SF))
+    assert got == want
+
+
+def test_absence_stream_across_batches(spark):
+    # Gaps whose two endpoint events land in DIFFERENT batches must
+    # still surface with exact bounds — (last_ts, last_id) state carry.
+    from demo_segmenter_spark.streaming.papi import (
+        ABSENCE_OUTPUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        _absence_gaps,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, _, _ = _trickle_src(spark)
+    ev = _read_stream(spark, src).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _absence_gaps,
+        outputStructType=ABSENCE_OUTPUT_SCHEMA,
+        stateStructType=ABSENCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, n_batches = _run_to_memory(out, "update")
+    assert n_batches >= 3
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_absence"].fn(spark, SF))
+    assert got == want
