@@ -312,6 +312,9 @@ def test_shuffle_budgets_table(spark):
         "a_absence": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
+        # PQ: per-round assignment groupBy + argmin window (x2
+        # rounds) + the codebook update rollup; codebooks broadcast
+        "c_embed_pq": 5,
         # corpus report: md5 copies window + its re-read on the total
         # side (static plan; AQE reuses), 1-row token total, source
         # rollup with countDistinct expand
