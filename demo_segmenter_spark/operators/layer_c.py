@@ -5550,3 +5550,52 @@ def c_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").cast("long").alias("code"),
         rnd(F.col("d2"), 4).alias("qerr"),
     )
+
+
+@query(
+    "c_dedup_containment",
+    oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
+    + f"""
+, pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM shc a
+    JOIN shc b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       {sql_rnd("inter * 1.0 / least(sa.sz, sb.sz)", 4)} AS containment,
+       {sql_rnd("inter * 1.0 / (sa.sz + sb.sz - inter)", 4)} AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.8
+""",
+)
+def c_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup — catches what Jaccard structurally cannot:
+    a short document embedded verbatim in a much longer one has
+    containment inter/min(|A|,|B|) ≈ 1 while Jaccard ≈ |A|/|B| stays
+    arbitrarily low, so symmetric near-dup passes keep both copies.
+    This is the quote/excerpt/boilerplate-wrapper case every web
+    corpus hits. Candidates come from the SAME capped (block,
+    shingle) machinery as c_dedup_ngram (_shingle_pairs — two
+    shuffles, pair space bounded by C(cap,2) per shingle); emitting
+    both ratios lets downstream policy distinguish subset (high C,
+    low J) from mirror (high both). The containment gate divides
+    exact integers — identical IEEE on both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_doc_table(docs, _hashed_shingles())
+    pairs = _shingle_pairs(sh)
+    cont = F.col("inter") * 1.0 / F.least(F.col("sza"), F.col("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        pairs.filter(cont >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(cont, 4).alias("containment"),
+            rnd(jac, 4).alias("jaccard"),
+        )
+    )

@@ -312,6 +312,8 @@ def test_shuffle_budgets_table(spark):
         "a_absence": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
+        # containment: shares _shingle_pairs' two-shuffle bound
+        "c_dedup_containment": 2,
         # PQ: per-round assignment groupBy + argmin window (x2
         # rounds) + the codebook update rollup; codebooks broadcast
         "c_embed_pq": 5,

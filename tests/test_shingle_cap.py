@@ -197,3 +197,35 @@ def test_hot_shingle_uncapped_blowup_exists(spark, hot_corpus):
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).count()
     assert cand > 40_000  # 6 boiler shingles * C(120,2) = 42,840 + planted
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # A 12-token doc embedded verbatim in a 120-token doc: containment
+    # = 1.0 but Jaccard ≈ 0.08 — below every near-dup threshold. The
+    # containment query must flag the pair; the plain jaccard query
+    # must NOT (that asymmetry is the whole point of the operator).
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.registry import REGISTRY
+
+    short = " ".join(f"tok{i}" for i in range(12))
+    long_doc = short + " " + " ".join(f"pad{i}" for i in range(108))
+    noise = " ".join(f"other{i}" for i in range(30))
+    rows = [
+        (0, short, "en", "srcA", len(short)),
+        (1, long_doc, "en", "srcA", len(long_doc)),
+        (2, noise, "en", "srcA", len(noise)),
+    ]
+    d = f"/tmp/dss_containment/{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    cont = REGISTRY["c_dedup_containment"].fn(spark, d).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(0, 1, 1.0)]
+    assert cont[0].jaccard < 0.5
+
+    jac = REGISTRY["c_dedup_ngram"].fn(spark, d).collect()
+    assert jac == []  # symmetric near-dup pass is blind to the subset
