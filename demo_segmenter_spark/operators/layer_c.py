@@ -5450,10 +5450,10 @@ PQ_M = 4   # subspaces (64-dim vectors -> 16 dims each)
 PQ_K = 8   # codes per subspace (vec_id < 8 subvectors seed the books)
 
 
-@query(
-    "c_embed_pq",
-    oracle=_EMB_CTE
-    + f"""
+# Shared PQ training chain (sx -> seed books -> assignment -> refined
+# books c1 -> re-assignment d2t): appended after _EMB_CTE by both
+# c_embed_pq (encode) and c_sim_pq_adc (search).
+_PQ_CTES = f"""
 , sx AS (
     SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j, x FROM ex
 ), c0 AS (
@@ -5478,7 +5478,14 @@ PQ_K = 8   # codes per subspace (vec_id < 8 subvectors seed the books)
            {sql_rnd("sum((sx.x - c1.c) * (sx.x - c1.c))", 6)} AS d2
     FROM sx JOIN c1 ON sx.s = c1.s AND sx.j = c1.j
     GROUP BY sx.vec_id, sx.s, c1.code
-)
+)"""
+
+
+@query(
+    "c_embed_pq",
+    oracle=_EMB_CTE
+    + _PQ_CTES
+    + f"""
 SELECT vec_id, CAST(s AS BIGINT) AS subspace,
        CAST(code AS BIGINT) AS code,
        {sql_rnd("d2", 4)} AS qerr
@@ -5505,6 +5512,21 @@ def c_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan per round (the kmeans shape); the encode output
     is 4 rows/vector, and ADC query scoring against it is a
     codes-join — never a corpus shuffle."""
+    _, _, final = _pq_train(spark, sf_dir)
+    return final.select(
+        "vec_id",
+        F.col("s").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+        rnd(F.col("d2"), 4).alias("qerr"),
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ training chain (exact Spark twin of _PQ_CTES):
+    returns (sx = persisted (vec_id, s, j, x) subvector rows, c1 =
+    refined codebooks, codes = final per-(vec, subspace) assignment
+    with its quantization error d2). Used by c_embed_pq (encode) and
+    c_sim_pq_adc (search)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     sx = emb.select(
         "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
@@ -5538,18 +5560,12 @@ def c_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a1 = assign(c0, "code")
-    c1 = (
+    c1 = persist(
         sx.join(a1.select("vec_id", "s", "code"), ["vec_id", "s"])
         .groupBy("s", F.col("code").alias("cent_id"), "j")
         .agg(rnd(F.avg("x"), 6).alias("c"))
     )
-    final = assign(c1, "code")
-    return final.select(
-        "vec_id",
-        F.col("s").cast("long").alias("subspace"),
-        F.col("code").cast("long").alias("code"),
-        rnd(F.col("d2"), 4).alias("qerr"),
-    )
+    return sx, c1, assign(c1, "code")
 
 
 @query(
@@ -5597,5 +5613,87 @@ def c_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             rnd(cont, 4).alias("containment"),
             rnd(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+PQ_QUERIES = 20  # vec_id < 20 are the ADC query set
+
+
+@query(
+    "c_sim_pq_adc",
+    oracle=_EMB_CTE
+    + _PQ_CTES
+    + f"""
+, lut AS (
+    SELECT qx.vec_id AS qid, c1.s, c1.code,
+           {sql_rnd("sum((qx.x - c1.c) * (qx.x - c1.c))", 6)} AS pd
+    FROM sx qx JOIN c1 ON qx.s = c1.s AND qx.j = c1.j
+    WHERE qx.vec_id < {PQ_QUERIES}
+    GROUP BY qx.vec_id, c1.s, c1.code
+), codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code) AS r
+        FROM d2t
+    ) WHERE r = 1
+), adc AS (
+    SELECT lut.qid, codes.vec_id,
+           {sql_rnd("sum(lut.pd)", 4)} AS adc_dist
+    FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+    WHERE codes.vec_id <> lut.qid
+    GROUP BY lut.qid, codes.vec_id
+)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc_dist, vec_id) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def c_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC SEARCH over the PQ index — how a compressed billion-vector
+    index actually answers queries: each query precomputes a
+    {PQ_M}×{PQ_K} lookup table of subspace distances to the trained
+    codebooks (one tiny broadcast join), and every candidate's
+    distance is then just the SUM OF {PQ_M} TABLE LOOKUPS on its
+    codes — the corpus is never touched, only the 4-codes-per-vector
+    index. Top-5 per query with (dist, vec_id) total order; the LUT,
+    codes, and summed distances all follow the 6dp/4dp quantization
+    discipline, so the whole search path hash-certifies against the
+    SQL replay. Scale: LUT is queries×{PQ_M}×{PQ_K} rows (broadcast);
+    the codes join shuffles the 4-row-per-vector index, not vectors —
+    the memory/IO win that is the entire point of PQ."""
+    sx, c1, codes = _pq_train(spark, sf_dir)
+    qs = sx.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", "j", F.col("x").alias("qx")
+    )
+    lut = (
+        qs.join(F.broadcast(c1), ["s", "j"])
+        .groupBy("qid", "s", F.col("cent_id").alias("code"))
+        .agg(
+            rnd(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))),
+                6,
+            ).alias("pd")
+        )
+    )
+    adc = (
+        codes.select("vec_id", "s", "code")
+        .join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(rnd(F.sum("pd"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "adc_dist",
         )
     )

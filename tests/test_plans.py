@@ -312,6 +312,10 @@ def test_shuffle_budgets_table(spark):
         "a_absence": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
+        # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
+        # per-query rank window + static-plan re-reads of the shared
+        # codes subtree (AQE reuses at runtime)
+        "c_sim_pq_adc": 11,
         # containment: shares _shingle_pairs' two-shuffle bound
         "c_dedup_containment": 2,
         # PQ: per-round assignment groupBy + argmin window (x2
