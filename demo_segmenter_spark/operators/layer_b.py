@@ -3942,3 +3942,102 @@ def b_pipeline_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name", F.col("qty").alias("widget_qty"))
         .orderBy("s_suppkey")
     )
+
+
+# Count-min sketch geometry: depth 3, width 64, universal-hash family
+# h_d(k) = ((a_d*k + b_d) % P) % W with integer constants both engines
+# evaluate exactly — the rare sketch whose WHOLE estimate path can be
+# hash-certified rather than checked rows-only.
+CM_W = 64
+CM_P = 2147483647
+CM_A = (31, 37, 41)
+CM_B = (7, 11, 13)
+
+
+@query(
+    "b_agg_countmin",
+    oracle=f"""
+WITH buckets AS (
+    SELECT 0 AS d, ((31 * user_id + 7) % {CM_P}) % {CM_W} AS b FROM events
+    UNION ALL
+    SELECT 1, ((37 * user_id + 11) % {CM_P}) % {CM_W} FROM events
+    UNION ALL
+    SELECT 2, ((41 * user_id + 13) % {CM_P}) % {CM_W} FROM events
+), sketch AS (
+    SELECT d, b, count(*) AS c FROM buckets GROUP BY d, b
+), probes AS (
+    SELECT user_id, count(*) AS exact_count
+    FROM events WHERE user_id < 20 GROUP BY user_id
+), est AS (
+    SELECT p.user_id, p.exact_count, min(s.c) AS cm_estimate
+    FROM probes p
+    JOIN sketch s
+      ON (s.d = 0 AND s.b = ((31 * p.user_id + 7) % {CM_P}) % {CM_W})
+      OR (s.d = 1 AND s.b = ((37 * p.user_id + 11) % {CM_P}) % {CM_W})
+      OR (s.d = 2 AND s.b = ((41 * p.user_id + 13) % {CM_P}) % {CM_W})
+    GROUP BY p.user_id, p.exact_count
+)
+SELECT user_id,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+FROM est
+""",
+)
+def b_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH per-key frequency estimation — the bounded-
+    memory answer to \"how often did key k occur\" on a stream: a
+    3×64 counter grid updated via three universal hashes, point
+    queries answered by the MIN over the three hashed counters.
+    Because the hash family is plain integer arithmetic (not an
+    engine-private xxhash), the ENTIRE estimate path hash-certifies
+    against the SQL replay — and every probe row carries the
+    `overestimate` column, which count-min guarantees is >= 0 (the
+    sketch never undercounts; pinned in tests). Scale: the sketch
+    build is one Expand (3 rows/event) into a ≤192-cell groupBy —
+    partial aggregation collapses it map-side, the exchange is 192
+    rows regardless of corpus size; probes join the broadcast-tiny
+    sketch. The exact twin rides along only for the invariant (at
+    100 TB you keep the sketch, not the groupBy)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (((F.lit(a) * F.col("user_id") + b) % CM_P) % CM_W).alias("b"),
+            )
+            for d, (a, b) in enumerate(zip(CM_A, CM_B))
+        ]
+    )
+    sketch = (
+        ev.select(F.explode(pairs).alias("p"))
+        .select("p.d", "p.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    probe_b = [
+        (((F.lit(a) * F.col("user_id") + b) % CM_P) % CM_W)
+        for a, b in zip(CM_A, CM_B)
+    ]
+    cond = None
+    for d in range(3):
+        c = (F.col("d") == d) & (F.col("b") == probe_b[d])
+        cond = c if cond is None else (cond | c)
+    return (
+        probes.join(F.broadcast(sketch), cond)
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

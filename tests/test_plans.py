@@ -288,6 +288,9 @@ def test_shuffle_budgets_table(spark):
         # Q22: 1-row stat agg + its pool subtree re-read, nation
         # rollup; anti join broadcasts the order-custkey projection
         "b_pipeline_tpch_q22": 2,
+        # count-min: 192-cell sketch exchange + the probe rollup;
+        # sketch broadcasts to the probe join
+        "b_agg_countmin": 2,
         # Q2: the per-part argmin window is the one exchange (EU
         # supplier prefilter broadcasts into the derived supply
         # expansion); top-100 is TakeOrderedAndProject

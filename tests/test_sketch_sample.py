@@ -56,3 +56,13 @@ def test_anomaly_zscore_flags_are_outliers(spark):
     from demo_segmenter_spark.sources import load_table
     total = load_table(spark, SF_SMOKE, "events").count()
     assert len(rows) < 0.05 * total
+
+
+def test_countmin_never_undercounts(spark):
+    # The count-min guarantee: est >= exact for EVERY probe (min over
+    # 3 hashed counters each of which includes the key's full count),
+    # and equality only when no colliding key shares all 3 buckets.
+    rows = REGISTRY["b_agg_countmin"].fn(spark, SF_SMOKE).collect()
+    assert rows, "probe set must be non-empty"
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cm_estimate == r.exact_count + r.overestimate for r in rows)
