@@ -130,3 +130,107 @@ def write_stream_cdc_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_sink(path: str, key_col: str, attr_col: str):
+    """Streaming SCD TYPE-2 dimension maintenance — the other half of
+    the lakehouse-CDC story next to cdc_upsert_sink (which keeps only
+    the latest row per key; this keeps the full validity history):
+    every change row [key, attr, ts] CLOSES the key's open interval at
+    its timestamp and opens a new current one, so the table is always
+    the (valid_from_us, valid_to_us, is_current) interval form
+    b_scd2_intervals builds in batch.
+
+    Per micro-batch (idempotent by batch_id through the same manifest
+    gate as cdc_upsert_sink):
+
+    1. CLOSED history rows pass through untouched — SCD2 history is
+       immutable once closed.
+    2. The ACTIVE set = each key's open row + the batch's change rows,
+       re-chained per key by one lead() window: all but the newest row
+       close (valid_to = successor's valid_from), the newest stays
+       open. A batch with several changes for one key therefore mints
+       the full interval chain, and a late row older than the open row
+       interleaves with it (closed history is never rewritten — the
+       documented SCD2 late-data semantics).
+    3. Commit = one copy-on-write snapshot through the jsonl_dir
+       manifest protocol (version per batch, time travel across
+       dimension states).
+
+    Scale: the re-chain shuffles only open+changed rows on the key,
+    never the closed history; at 100 TB the history pass-through is a
+    file-manifest copy, not a data rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+    )
+
+    TABLE_SCHEMA = (
+        f"{key_col} long, {attr_col} string, valid_from_us long,"
+        " valid_to_us long, is_current long"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        prev = latest_manifest(path)
+        if (
+            prev is not None
+            and prev.get("batch_id") is not None
+            and batch_id <= prev["batch_id"]
+        ):
+            return  # replayed micro-batch: snapshot already committed
+        spark = batch_df.sparkSession
+        changes = batch_df.select(
+            key_col,
+            attr_col,
+            F.col("ts_us").alias("valid_from_us"),
+        )
+        if prev is not None:
+            cur = spark.read.schema(TABLE_SCHEMA).json(manifest_files(path))
+            closed = cur.filter(F.col("is_current") == 0)
+            active = cur.filter(F.col("is_current") == 1).select(
+                key_col, attr_col, "valid_from_us"
+            ).unionByName(changes)
+        else:
+            closed = None
+            active = changes
+        w = Window.partitionBy(key_col).orderBy("valid_from_us")
+        rechained = active.select(
+            key_col,
+            attr_col,
+            "valid_from_us",
+            F.coalesce(F.lead("valid_from_us").over(w), F.lit(0)).alias(
+                "valid_to_us"
+            ),
+            F.when(F.lead("valid_from_us").over(w).isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_current"),
+        )
+        merged = (
+            closed.unionByName(rechained) if closed is not None else rechained
+        )
+        (
+            merged.write.format("jsonl_dir")
+            .option("path", path)
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    return sink
+
+
+def write_stream_scd2(
+    df: DataFrame, path: str, checkpoint_dir: str, key_col: str, attr_col: str
+):
+    """Run a change stream into the SCD2 dimension to completion
+    (AvailableNow): one snapshot version per micro-batch."""
+    return (
+        df.writeStream.foreachBatch(scd2_sink(path, key_col, attr_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
