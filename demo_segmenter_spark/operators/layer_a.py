@@ -3574,3 +3574,79 @@ def a_absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_absence
 
     return papi_absence(spark, sf_dir)
+
+
+@query(
+    "a_attribution",
+    oracle="""
+WITH lt AS (
+    SELECT p.event_id, p.user_id,
+           v.event_id AS touch_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS age_us,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM events p
+    JOIN events v ON p.user_id = v.user_id
+                 AND v.event_type = 'view'
+                 AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL 60 MINUTE
+    WHERE p.event_type = 'purchase'
+)
+SELECT event_id, user_id, touch_id, age_us
+FROM lt WHERE rn = 1
+""",
+)
+def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the ad-tech conversion credit rule:
+    each purchase is credited to the same user's most recent 'view'
+    within a 60-minute lookback. Built with the union-tag + trailing
+    LOCF rewrite (b_join_asof's scalable shape) and the window bound
+    applied as a post-filter on the carried touch's age — one user_id
+    exchange, never a purchases×views pairwise join (the oracle IS
+    that naive join + rank). Touch ties at one timestamp break by
+    event_id DESC, mirroring the rank's total order. At 100 TB the
+    lookback bound also CAPS state: a streaming twin would expire
+    view state 60 minutes past the watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    u = views.withColumn("event_id", F.lit(None).cast("long")).unionByName(
+        buys.withColumns(
+            {
+                "touch_id": F.lit(None).cast("long"),
+                "touch_us": F.lit(None).cast("long"),
+            }
+        ),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("touch_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    age = F.unix_micros("ts") - F.col("last_touch_us")
+    return (
+        u.withColumn("last_touch", F.last("touch_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_touch_us", F.last("touch_us", ignorenulls=True).over(w)
+        )
+        .filter(
+            (F.col("kind") == 1)
+            & F.col("last_touch").isNotNull()
+            & (age <= 60 * 60 * 1_000_000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last_touch").alias("touch_id"),
+            age.alias("age_us"),
+        )
+    )

@@ -5697,3 +5697,78 @@ def c_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_dist",
         )
     )
+
+
+@query(
+    "c_dataset_split",
+    oracle="""
+WITH tagged AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_toks,
+           (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+    FROM documents
+), lab AS (
+    SELECT doc_id, n_toks,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM tagged
+), tot AS (
+    SELECT count(*) AS all_docs, sum(n_toks) AS all_toks FROM lab
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       (round(count(*) * 1.0 / any_value(all_docs) + 1e-8, 4) + 0.0)
+           AS doc_share,
+       (round(sum(n_toks) * 1.0 / any_value(all_toks) + 1e-8, 4) + 0.0)
+           AS token_share
+FROM lab CROSS JOIN tot
+GROUP BY split
+""",
+)
+def c_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split — the assignment every
+    training run and every eval-contamination audit must be able to
+    REPRODUCE years later, so it is a pure function of the stable
+    doc_id (Knuth multiplicative hash mod 100 -> 80/10/10), never a
+    random() draw: re-running on a grown corpus keeps every old doc's
+    assignment (hash-split property; a modulo-on-row-number split
+    would reshuffle everything). All integer arithmetic (the 2^32
+    wrap is explicit so both engines agree), shares are single
+    divisions of exact counts. Scale: map-side tag + a 3-row
+    exchange; the split column is what the partitioned sink
+    (c_lang_partitioned_sink's shape) would route on."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    lab = docs.select(
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = lab.agg(
+        F.count("*").alias("all_docs"), F.sum("n_toks").alias("all_toks")
+    )
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            (
+                F.round(
+                    F.count("*") * 1.0 / F.any_value("all_docs") + F.lit(1e-8), 4
+                )
+                + F.lit(0.0)
+            ).alias("doc_share"),
+            (
+                F.round(
+                    F.sum("n_toks") * 1.0 / F.any_value("all_toks") + F.lit(1e-8),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("token_share"),
+        )
+    )

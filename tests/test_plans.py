@@ -311,6 +311,10 @@ def test_shuffle_budgets_table(spark):
         # fixture sf (one rollup exchange); at 100 TB lineitem⋈orders
         # degrades to one co-partitioned exchange
         "b_pipeline_tpch_q9": 1,
+        # attribution: union-tag LOCF, one user_id exchange
+        "a_attribution": 1,
+        # dataset split: map-side tag, 3-row exchange + 1-row total
+        "c_dataset_split": 2,
         # absence gaps: one lag over the user timeline
         "a_absence": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
