@@ -3650,3 +3650,39 @@ def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             age.alias("age_us"),
         )
     )
+
+
+@query(
+    "a_attribution_stream",
+    oracle="""
+WITH lt AS (
+    SELECT p.event_id, p.user_id,
+           v.event_id AS touch_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS age_us,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM events p
+    JOIN events v ON p.user_id = v.user_id
+                 AND v.event_type = 'view'
+                 AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL 60 MINUTE
+    WHERE p.event_type = 'purchase'
+)
+SELECT event_id, user_id, touch_id, age_us
+FROM lt WHERE rn = 1
+""",
+)
+def a_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a_attribution via a two-long PAPI state slot
+    (streaming/papi.py::_attribution): the store holds each user's
+    most recent view; a purchase reads it, credits it if inside the
+    60-minute lookback, and emits immediately (update mode — credit
+    assignment cannot wait for a watermark). At equal timestamps the
+    (ts, kind, event_id) fold order makes views visible to same-ts
+    purchases and the largest view id win the slot, matching the
+    oracle rank exactly — full hash match against the SAME oracle as
+    the batch twin. The lookback is also the production TTL: state a
+    purchase can no longer credit is dead weight."""
+    from demo_segmenter_spark.streaming.papi import papi_attribution
+
+    return papi_attribution(spark, sf_dir)

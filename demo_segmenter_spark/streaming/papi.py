@@ -691,3 +691,95 @@ def papi_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_id", F.unix_micros("ts").alias("ts_us")],
         "absence",
     )
+
+
+# Eighth processor: last-touch attribution — state is the user's most
+# recent view (id, ts); a purchase reads it, credits it if within the
+# 60-minute lookback, and emits immediately (update mode). The
+# lookback bound is also the state-expiry rule a production store
+# would enforce via TTL.
+
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("touch_id", LongType()),
+        StructField("age_us", LongType()),
+    ]
+)
+
+ATTR_STATE_SCHEMA = StructType(
+    [StructField("view_us", LongType()), StructField("view_id", LongType())]
+)
+
+ATTR_LOOKBACK_US = 60 * 60 * 1_000_000
+
+
+def _attribution(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    view_us, view_id = (
+        (int(state.get[0]), int(state.get[1])) if state.exists else (None, None)
+    )
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts_us", "kind", "event_id"]
+    )
+    o_eid, o_tid, o_age = [], [], []
+    for us, kind, eid in zip(
+        pdf["ts_us"].astype("int64").tolist(),
+        pdf["kind"].astype("int64").tolist(),
+        pdf["event_id"].astype("int64").tolist(),
+    ):
+        if kind == 0:  # view: newest-by-(ts, id) wins the state slot
+            view_us, view_id = us, eid
+        elif view_us is not None and us - view_us <= ATTR_LOOKBACK_US:
+            o_eid.append(eid)
+            o_tid.append(view_id)
+            o_age.append(us - view_us)
+    if view_us is None:
+        state.remove()
+    else:
+        state.update((view_us, view_id))
+    if o_eid:
+        yield pd.DataFrame(
+            {
+                "event_id": o_eid,
+                "user_id": int(key[0]),
+                "touch_id": o_tid,
+                "age_us": o_age,
+            }
+        )
+
+
+def papi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

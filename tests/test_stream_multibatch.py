@@ -578,3 +578,38 @@ def test_absence_stream_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_absence"].fn(spark, SF))
     assert got == want
+
+
+def test_attribution_stream_across_batches(spark):
+    # A view in batch 0 must credit a purchase arriving in batch 2
+    # (within the lookback): the (view_us, view_id) slot carries.
+    from demo_segmenter_spark.streaming.papi import (
+        ATTR_OUTPUT_SCHEMA,
+        ATTR_STATE_SCHEMA,
+        _attribution,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, _, _ = _trickle_src(spark)
+    ev = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, n_batches = _run_to_memory(out, "update")
+    assert n_batches >= 3
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_attribution"].fn(spark, SF))
+    assert got == want
