@@ -3686,3 +3686,50 @@ def a_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_attribution
 
     return papi_attribution(spark, sf_dir)
+
+
+@query(
+    "a_moving_median",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           sum({sql_cents('value')}) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(d AS VARCHAR) AS day,
+       {sql_rnd("c / 100.0", 2)} AS daily_revenue,
+       {sql_rnd('''quantile_cont(c, 0.5) OVER
+           (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0''', 4)}
+           AS p50_7d
+FROM daily
+""",
+)
+def a_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING MEDIAN — the robust trend line dashboards draw when a
+    mean would chase one spike: the exact interpolated median of the
+    trailing 7 days' revenue, per event type. Cross-engine exact by
+    the b_agg_percentiles discipline lifted into a WINDOW frame
+    (probed first: 150/150 window cells bit-identical): the medians
+    run on integer CENTS, so sort order and the (n-1)·p interpolation
+    are identical IEEE on both sides, and the only rounding happens
+    at presentation. Scale: one event_type exchange shared by the
+    daily rollup and the frame; the 7-row buffer per cell is the
+    bounded-frame contract (an unbounded percentile frame would
+    buffer the whole partition — that shape belongs to the sketch
+    twin b_agg_approx)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents(F.col("value"))).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        rnd(F.col("c") / 100.0, 2).alias("daily_revenue"),
+        rnd(F.expr("percentile(c, 0.5)").over(w) / 100.0, 4).alias("p50_7d"),
+    )

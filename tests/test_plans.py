@@ -311,6 +311,8 @@ def test_shuffle_budgets_table(spark):
         # fixture sf (one rollup exchange); at 100 TB lineitem⋈orders
         # degrades to one co-partitioned exchange
         "b_pipeline_tpch_q9": 1,
+        # moving median: daily rollup + the event_type frame window
+        "a_moving_median": 2,
         # attribution: union-tag LOCF, one user_id exchange
         "a_attribution": 1,
         # dataset split: map-side tag, 3-row exchange + 1-row total
