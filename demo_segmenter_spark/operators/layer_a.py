@@ -3733,3 +3733,70 @@ def a_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("c") / 100.0, 2).alias("daily_revenue"),
         rnd(F.expr("percentile(c, 0.5)").over(w) / 100.0, 4).alias("p50_7d"),
     )
+
+
+@query(
+    "a_rfm_segments",
+    oracle=f"""
+WITH anchor AS (
+    SELECT max(ts) AS mx FROM events
+), rfm AS (
+    SELECT user_id,
+           date_diff('day', max(ts), any_value(mx)) AS recency_days,
+           count(*) AS frequency,
+           sum({sql_cents('value')}) AS monetary_cents
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       {sql_rnd("monetary_cents / 100.0", 2)} AS monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+           AS m_q
+FROM rfm
+""",
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value scoring: per
+    user, days since last activity (vs the corpus max-ts anchor),
+    event count, and integer-cents spend, each quartiled with
+    ntile(4). Every ntile ORDER BY carries the user_id total-order
+    tiebreak, because ntile's bucket boundaries on tied keys are
+    otherwise engine-arbitrary — the same discipline as every ranking
+    in this repo. recency is exact integer day arithmetic against a
+    1-row broadcast anchor. Scale: one user rollup exchange; the
+    three ntiles share one global sort each over |users| rows — at
+    100 TB you'd swap exact ntile for percentile-sketch cutpoints
+    (b_agg_approx's shape) and keep the same output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("mx"), F.max("ts")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(cents(F.col("value"))).alias("monetary_cents"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        rnd(F.col("monetary_cents") / 100.0, 2).alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "user_id"))
+        .cast("long")
+        .alias("m_q"),
+    )

@@ -5772,3 +5772,82 @@ def c_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+@query(
+    "c_vocab_coverage",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+    SELECT t, count(*) AS c FROM tok GROUP BY t
+), ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk,
+           sum(c) OVER (ORDER BY c DESC, t
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tf
+), tot AS (
+    SELECT sum(c) AS total, count(*) AS vocab FROM tf
+)
+SELECT n AS vocab_size,
+       CAST(max(CASE WHEN rk <= n THEN cum END) AS BIGINT)
+           AS covered_tokens,
+       (round(max(CASE WHEN rk <= n THEN cum END) * 1.0
+              / any_value(total) + 1e-8, 4) + 0.0) AS coverage,
+       CAST(any_value(vocab) AS BIGINT) AS full_vocab
+FROM ranked CROSS JOIN tot
+CROSS JOIN (SELECT unnest([10, 100, 1000]) AS n)
+GROUP BY n
+""",
+)
+def c_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE curve — the tokenizer-sizing question
+    every vocab/BPE budget decision starts from: what fraction of
+    corpus tokens do the top-10 / top-100 / top-1000 types cover?
+    One term-frequency rollup, one global (c DESC, t) rank + running
+    sum, then each probe size reads the cumulative at its rank cut
+    (ties at the cut break lexically on both engines). Counts are
+    exact BIGINTs; coverage is a single division. Scale: the tf
+    groupBy is the only corpus-sized exchange; the ranked window is
+    vocab-sized (Zipf: millions, not billions) and single-partition
+    by design — the global ordering IS the operator, same contract
+    as c_text_zipf."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "t")
+    ranked = tf.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = tf.agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (100,), (1000,)], "n long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sizes))
+        .groupBy(F.col("n").alias("vocab_size"))
+        .agg(
+            F.max(F.when(F.col("rk") <= F.col("n"), F.col("cum")))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.round(
+                    F.max(F.when(F.col("rk") <= F.col("n"), F.col("cum")))
+                    * 1.0
+                    / F.any_value("total")
+                    + F.lit(1e-8),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+            F.any_value("vocab").cast("long").alias("full_vocab"),
+        )
+    )

@@ -311,6 +311,13 @@ def test_shuffle_budgets_table(spark):
         # fixture sf (one rollup exchange); at 100 TB lineitem⋈orders
         # degrades to one co-partitioned exchange
         "b_pipeline_tpch_q9": 1,
+        # RFM: user rollup + the three global ntile sorts (single
+        # partition over |users| by design — sketch cutpoints at
+        # 100 TB, per docstring)
+        "a_rfm_segments": 3,
+        # vocab coverage: corpus tf exchange + vocab-sized global
+        # rank window + 1-row total (+probe-size broadcast)
+        "c_vocab_coverage": 4,
         # moving median: daily rollup + the event_type frame window
         "a_moving_median": 2,
         # attribution: union-tag LOCF, one user_id exchange
