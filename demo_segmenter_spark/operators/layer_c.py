@@ -5851,3 +5851,108 @@ def c_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("vocab").cast("long").alias("full_vocab"),
         )
     )
+
+
+@query(
+    "c_mine_hard_negatives",
+    oracle=_EMB_CTE
+    + f"""
+, lab AS (
+    SELECT vec_id, label FROM embeddings
+), dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), scored AS (
+    SELECT query_id, cand_id,
+           CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS same,
+           {sql_rnd("dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM dots
+    JOIN norms na ON query_id = na.vec_id
+    JOIN norms nb ON cand_id = nb.vec_id
+    JOIN lab lq ON query_id = lq.vec_id
+    JOIN lab lc ON cand_id = lc.vec_id
+), best AS (
+    SELECT query_id, same, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id, same
+                              ORDER BY cos_sim DESC, cand_id) AS r
+    FROM scored
+)
+SELECT p.query_id,
+       p.cand_id AS positive_id, p.cos_sim AS pos_sim,
+       n.cand_id AS negative_id, n.cos_sim AS neg_sim,
+       {sql_rnd("p.cos_sim - n.cos_sim", 4)} AS margin
+FROM (SELECT * FROM best WHERE same = 1 AND r = 1) p
+JOIN (SELECT * FROM best WHERE same = 0 AND r = 1) n
+  ON p.query_id = n.query_id
+""",
+)
+def c_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data job for
+    embedding models: for each query vector, the triplet (anchor,
+    positive = most-similar SAME-label vector, negative = most-similar
+    DIFFERENT-label vector) plus the margin the loss would see. The
+    highest-similarity wrong-label candidate is by definition the
+    hardest negative — random negatives make contrastive training
+    trivially easy, which is why every retriever pipeline runs
+    exactly this mining pass between epochs. One scored scan feeds
+    BOTH argmaxes: rank partitioned by (query, same-label?) with the
+    repo's quantized-sim + id total order, then the two winners join
+    back per query. Scale: same broadcast-queries shape as c_sim_knn
+    (candidates stream once, never shuffle); labels ride the
+    broadcast. Queries missing a same-label neighbor drop via the
+    inner join — deterministic on both engines."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        vec.alias("v"),
+        F.sqrt(dot(vec, vec)).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = rnd(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("q_label")).cast("int").alias("same"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    best = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") == 1
+    )
+    pos = best.filter(F.col("same") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = best.filter(F.col("same") == 0).select(
+        F.col("query_id").alias("nq"),
+        F.col("cand_id").alias("negative_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, F.col("query_id") == F.col("nq"))
+        .select(
+            "query_id",
+            "positive_id",
+            "pos_sim",
+            "negative_id",
+            "neg_sim",
+            rnd(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+        )
+    )

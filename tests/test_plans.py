@@ -332,6 +332,9 @@ def test_shuffle_budgets_table(spark):
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
         "c_sim_pq_adc": 11,
+        # hard negatives: scored-scan window (its subtree re-read on
+        # the pos and neg sides of the final join; AQE reuses)
+        "c_mine_hard_negatives": 4,
         # containment: shares _shingle_pairs' two-shuffle bound
         "c_dedup_containment": 2,
         # PQ: per-round assignment groupBy + argmin window (x2
