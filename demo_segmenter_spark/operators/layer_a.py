@@ -3800,3 +3800,103 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching (the Flink-CEP / SQL MATCH_RECOGNIZE class):
+# detect  view -> purchase  within a horizon with NO intervening error.
+# Distinct from a_funnel (unordered lifetime stages, no negation): CEP
+# adds the time bound and the negative condition, the two features that
+# make pattern queries a separate operator family in stream engines.
+# ---------------------------------------------------------------------------
+
+CEP_WINDOW_MIN = 120  # view -> purchase match horizon
+CEP_WINDOW_US = CEP_WINDOW_MIN * 60 * 1_000_000
+
+CEP_ORACLE = f"""
+WITH best AS (
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us,
+           max(epoch_us(v.ts)) AS view_us
+    FROM events p
+    JOIN events v ON p.user_id = v.user_id AND v.event_type = 'view'
+                 AND epoch_us(v.ts) < epoch_us(p.ts)
+                 AND epoch_us(v.ts) >= epoch_us(p.ts) - {CEP_WINDOW_US}
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
+)
+SELECT b.event_id, b.user_id, b.view_us, b.us - b.view_us AS latency_us
+FROM best b
+WHERE NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = b.user_id AND x.event_type = 'error'
+      AND epoch_us(x.ts) >= b.view_us AND epoch_us(x.ts) < b.us
+)
+"""
+
+
+@query("a_cep_pattern", oracle=CEP_ORACLE)
+def a_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP PATTERN MATCH — for every purchase, credit the user's most
+    recent view within a 120-minute horizon UNLESS an error occurred
+    between them (the negation Flink spells `A notFollowedBy E next B`
+    and SQL spells MATCH_RECOGNIZE with an excluded row pattern).
+    Single-pass plan: one RANGE-framed window per user carries the
+    running max view/error timestamps, so the whole pattern costs ONE
+    user_id exchange — never the purchases x views pairwise join the
+    oracle uses (independent derivation: naive join + NOT EXISTS).
+    Semantics are timestamp-PURE by construction: the RANGE frame
+    bound `us < current us` equals the oracle's strict `<`, so
+    same-microsecond ties cannot make the engines diverge — there is
+    no row-order arbitrariness to tiebreak (a view at exactly the
+    purchase's us never matches; an error at exactly the view's us
+    blocks, per `le >= lv`). At 100 TB the horizon is also the state
+    TTL: the streaming twin's per-user slot is two longs, and any
+    view older than the horizon past the watermark is dead state."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "error", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ty, us = F.col("event_type"), F.col("us")
+    m = ev.withColumn(
+        "lv", F.max(F.when(ty == "view", us)).over(w)
+    ).withColumn("le", F.max(F.when(ty == "error", us)).over(w))
+    lv, le = F.col("lv"), F.col("le")
+    return m.filter(
+        (ty == "purchase")
+        & lv.isNotNull()
+        & (us - lv <= CEP_WINDOW_US)
+        & (le.isNull() | (le < lv))
+    ).select(
+        "event_id",
+        "user_id",
+        lv.alias("view_us"),
+        (us - lv).alias("latency_us"),
+    )
+
+
+@query("a_cep_pattern_stream", oracle=CEP_ORACLE)
+def a_cep_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a_cep_pattern via a two-long PAPI state slot
+    (streaming/papi.py::_cep_pattern): the store holds each user's
+    latest view and latest error timestamps; a purchase reads both,
+    emits a match immediately when the view is inside the horizon and
+    no error landed at-or-after it (update mode — pattern alerts
+    cannot wait for a watermark). The fold applies the SAME strict
+    timestamp rules as the batch RANGE frame (`lv < us`, blocking
+    errors only in `[lv, us)`), so chunk order at equal timestamps
+    cannot change the answer — full hash match against the SAME
+    naive-join oracle as the batch twin."""
+    from demo_segmenter_spark.streaming.papi import papi_cep_pattern
+
+    return papi_cep_pattern(spark, sf_dir)

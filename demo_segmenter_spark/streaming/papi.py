@@ -783,3 +783,106 @@ def papi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern state machine (a_cep_pattern_stream): per-user slot of the
+# latest view and latest error timestamps. Kafka Streams would build this
+# with a Processor + KeyValueStore; Flink with CEP `notFollowedBy`. The
+# horizon doubles as the production state TTL (a view older than
+# CEP_WINDOW_US past the watermark can never match again).
+# ---------------------------------------------------------------------------
+
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("view_us", LongType()),
+        StructField("latency_us", LongType()),
+    ]
+)
+
+# -1 encodes "never seen" (all real epoch-µs are positive)
+CEP_STATE_SCHEMA = StructType(
+    [StructField("view_us", LongType()), StructField("error_us", LongType())]
+)
+
+CEP_WINDOW_US = 120 * 60 * 1_000_000
+
+
+def _cep_pattern(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    lv, le = (
+        (int(state.get[0]), int(state.get[1])) if state.exists else (-1, -1)
+    )
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    # Concatenate ALL chunks before folding (arrow chunk splits carry no
+    # order guarantee), then sort by the total order. The strict `< us`
+    # guards below make the fold timestamp-pure, so same-us tie order
+    # cannot change the answer — it only keeps the walk deterministic.
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts_us", "kind", "event_id"]
+    )
+    o_eid, o_view, o_lat = [], [], []
+    for us, kind, eid in zip(
+        pdf["ts_us"].astype("int64").tolist(),
+        pdf["kind"].astype("int64").tolist(),
+        pdf["event_id"].astype("int64").tolist(),
+    ):
+        if kind == 0:  # view
+            lv = us
+        elif kind == 1:  # error
+            le = us
+        else:  # purchase: strict timestamp rules == batch RANGE frame
+            blocked = le >= lv and le < us and le != -1
+            if lv != -1 and lv < us and us - lv <= CEP_WINDOW_US and not blocked:
+                o_eid.append(eid)
+                o_view.append(lv)
+                o_lat.append(us - lv)
+    state.update((lv, le))
+    if o_eid:
+        yield pd.DataFrame(
+            {
+                "event_id": o_eid,
+                "user_id": int(key[0]),
+                "view_us": o_view,
+                "latency_us": o_lat,
+            }
+        )
+
+
+def papi_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "error", "purchase")
+    )
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "error", 1)
+        .otherwise(2)
+        .alias("kind"),
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _cep_pattern,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

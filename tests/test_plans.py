@@ -354,6 +354,10 @@ def test_shuffle_budgets_table(spark):
         "b_join_range_binned": 1,
         # forward asof: union-tag + one user_id window exchange
         "b_join_asof_forward": 1,
+        # CEP pattern: both RANGE-framed state windows ride ONE
+        # user_id exchange — never the purchases x views join the
+        # oracle uses
+        "a_cep_pattern": 1,
         # throttle: row_number window and admission groupBy share the
         # (user, hour) keys — ONE exchange total
         "a_throttle": 1,

@@ -613,3 +613,43 @@ def test_attribution_stream_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_attribution"].fn(spark, SF))
     assert got == want
+
+
+def test_cep_pattern_stream_across_batches(spark):
+    # A view in one micro-batch must credit a purchase arriving later
+    # (inside the horizon), and an error landing between them in a
+    # MIDDLE batch must veto the match: both state slots carry.
+    from demo_segmenter_spark.streaming.papi import (
+        CEP_OUTPUT_SCHEMA,
+        CEP_STATE_SCHEMA,
+        _cep_pattern,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, _, _ = _trickle_src(spark)
+    ev = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type").isin("view", "error", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(F.col("event_type") == "view", 0)
+            .when(F.col("event_type") == "error", 1)
+            .otherwise(2)
+            .alias("kind"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _cep_pattern,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, n_batches = _run_to_memory(out, "update")
+    assert n_batches >= 3
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_cep_pattern"].fn(spark, SF))
+    assert want, "fixture must yield at least one CEP match"
+    assert got == want
