@@ -5956,3 +5956,102 @@ def c_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-context windowing: the pass between tokenization and packing
+# that turns each document's token stream into fixed-size overlapping
+# model contexts (GPT-style block_size/stride sampling).
+# ---------------------------------------------------------------------------
+
+TOKWIN_W = 32  # context window length (tokens)
+TOKWIN_S = 16  # stride between window starts
+
+
+@query(
+    "c_token_windows",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+, vocab AS (
+    SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS token_id
+    FROM (SELECT DISTINCT tok FROM t{BPE_ROUNDS})
+), enc AS (
+    SELECT t.doc_id, t.pos - 1 AS idx0, v.token_id
+    FROM t{BPE_ROUNDS} t JOIN vocab v ON t.tok = v.tok
+), cover AS (
+    SELECT doc_id, idx0, token_id,
+           unnest(generate_series(
+               greatest(CAST(0 AS BIGINT),
+                        (idx0 - {TOKWIN_W - TOKWIN_S}) // {TOKWIN_S}),
+               idx0 // {TOKWIN_S})) AS win_id
+    FROM enc
+)
+SELECT doc_id, win_id,
+       CAST(count(*) AS BIGINT) AS win_len,
+       min(idx0) AS start_pos,
+       CAST(sum(token_id) AS BIGINT) AS tok_checksum,
+       min_by(token_id, idx0) AS first_tok,
+       max_by(token_id, idx0) AS last_tok
+FROM cover
+GROUP BY doc_id, win_id
+""",
+)
+def c_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-CONTEXT WINDOWS — slice each document's BPE-encoded
+    token stream into length-{W} contexts every {S} tokens (GPT-style
+    block/stride sampling), composing the shared train->encode pass
+    (_bpe_apply machinery) with an interval-cover explode: each token
+    at 0-based idx0 belongs to windows k in [ceil((idx0-W+1)/S),
+    idx0 DIV S], generated per row with F.sequence + explode (fan-out
+    exactly W/S = 2, never a self-join), then ONE (doc_id, win_id)
+    rollup emits per-window length, start, integer token-id checksum
+    and the boundary ids (min_by/max_by on the unique in-doc idx0 —
+    deterministic). The k_min clamp makes Spark's truncating DIV and
+    DuckDB's floor // agree: they differ only when the numerator is
+    negative, and greatest(0, .) sends both to 0. All-integer output;
+    the oracle replays training + encoding + cover in one statement.
+    Scale: fan-out is a constant 2x map-side explode; the rollup
+    clusters on (doc_id, win_id), which the encode chain's doc_id
+    partitioning already satisfies — the window pass itself adds ZERO
+    exchanges, so the cost at 100 TB is the encode pass it rides."""
+    toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    toks = persist(toks)
+    wv = Window.orderBy("tok")  # vocab-sized, not corpus-sized
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", F.row_number().over(wv).cast("long").alias("token_id"))
+    )
+    enc = toks.join(F.broadcast(vocab), "tok").select(
+        "doc_id", (F.col("pos") - 1).alias("idx0"), "token_id"
+    )
+    k_min = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(idx0 - {TOKWIN_W - TOKWIN_S}) DIV {TOKWIN_S}"),
+    )
+    k_max = F.expr(f"idx0 DIV {TOKWIN_S}")
+    cover = enc.select(
+        "doc_id",
+        "idx0",
+        "token_id",
+        F.explode(F.sequence(k_min, k_max)).alias("win_id"),
+    )
+    return cover.groupBy("doc_id", "win_id").agg(
+        F.count("*").cast("long").alias("win_len"),
+        F.min("idx0").alias("start_pos"),
+        F.sum("token_id").cast("long").alias("tok_checksum"),
+        F.min_by("token_id", "idx0").alias("first_tok"),
+        F.max_by("token_id", "idx0").alias("last_tok"),
+    )

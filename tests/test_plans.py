@@ -494,6 +494,10 @@ def test_shuffle_budgets_table(spark):
         # VOCAB size) + the broadcast id join; persisted subtrees pay
         # once at runtime
         "c_token_bpe_encode": 29,
+        # context windows: SAME 29 as the encode chain it rides — the
+        # cover explode is map-side and the (doc_id, win_id) rollup is
+        # satisfied by the chain's doc_id partitioning (zero added)
+        "c_token_windows": 29,
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
