@@ -6055,3 +6055,86 @@ def c_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("token_id", "idx0").alias("first_tok"),
         F.max_by("token_id", "idx0").alias("last_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space quality gate: flag vectors anomalously far from the
+# corpus centroid (broken encoders, garbage inputs, wrong-modality rows
+# — the standard pre-training embedding sanity filter).
+# ---------------------------------------------------------------------------
+
+EMBED_OUTLIER_THRESH = -0.15  # cosine-to-centroid below this = outlier
+
+
+@query(
+    "c_embed_outliers",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, label,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000 + 1e-04)
+                AS BIGINT) AS qv,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+    FROM embeddings
+), cent AS (
+    SELECT dim, sum(qv) AS cq FROM q GROUP BY dim
+), nc AS (
+    SELECT sum(cq * cq) AS nc2 FROM cent
+), pv AS (
+    SELECT q.vec_id, any_value(q.label) AS label,
+           sum(q.qv * cent.cq) AS dot, sum(q.qv * q.qv) AS nv2
+    FROM q JOIN cent USING (dim) GROUP BY q.vec_id
+)
+SELECT vec_id, label,
+       {sql_rnd("CAST(dot AS DOUBLE) / (sqrt(CAST(nv2 AS DOUBLE))"
+                " * sqrt(CAST(nc2 AS DOUBLE)))", 4)} AS centroid_sim
+FROM pv CROSS JOIN nc
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(nv2 AS DOUBLE))
+      * sqrt(CAST(nc2 AS DOUBLE))) < {EMBED_OUTLIER_THRESH}
+""",
+)
+def c_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER GATE — flag vectors whose cosine to the
+    corpus centroid falls below -0.15 (≈ the bottom ~5% on the
+    fixture spectrum): the cheap sanity filter every embedding
+    pipeline runs before clustering/ANN indexing. Hash-certified by
+    the integer-sufficient-statistics discipline (c_sim_knn_int8's
+    trick): elements quantize to the exact 1e-4 grid, the centroid is
+    kept as UNNORMALIZED per-dim BIGINT sums (n cancels in cosine),
+    and dot/norms are exact BIGINT sums — the only float ops are two
+    sqrts and one division with matched parenthesization, so the
+    filter decision at the threshold is bit-identical on both
+    engines regardless of row or partition order. Scale: the 64-row
+    centroid and 1-row norm broadcast; the per-vector rollup is one
+    map-side-combined vec_id exchange (vectors never split across
+    partitions, so partials collapse to one row per vector before
+    the shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 10000 + F.lit(EPS[0]))
+        .cast("long")
+        .alias("qv"),
+    )
+    cent = q.groupBy("dim").agg(F.sum("qv").alias("cq"))
+    nc = cent.agg(F.sum(F.col("cq") * F.col("cq")).alias("nc2"))
+    pv = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.sum(F.col("qv") * F.col("cq")).alias("dot"),
+            F.sum(F.col("qv") * F.col("qv")).alias("nv2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nv2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))
+    )
+    return (
+        pv.crossJoin(F.broadcast(nc))
+        .filter(cos < EMBED_OUTLIER_THRESH)
+        .select("vec_id", "label", rnd(cos, 4).alias("centroid_sim"))
+    )

@@ -494,6 +494,9 @@ def test_shuffle_budgets_table(spark):
         # VOCAB size) + the broadcast id join; persisted subtrees pay
         # once at runtime
         "c_token_bpe_encode": 29,
+        # embed outliers: dim rollup (static plan re-reads it on the
+        # norm side; AQE reuses) + 1-row norm + the vec_id rollup
+        "c_embed_outliers": 4,
         # context windows: SAME 29 as the encode chain it rides — the
         # cover explode is map-side and the (doc_id, win_id) rollup is
         # satisfied by the chain's doc_id partitioning (zero added)
