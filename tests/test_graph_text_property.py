@@ -513,3 +513,62 @@ def test_ktable_fk_join_matches_python_reference(spark):
             for r in REGISTRY["a_ktable_fk_join"].fn(spark, d).collect()
         }
         assert got == want, (trial, sorted(got)[:3], sorted(want)[:3])
+
+
+def test_sssp_matches_python_reference(spark):
+    # third independent implementation of weighted Bellman-Ford:
+    # per-pair edge weight = min quantity (1..3), self-relaxation free
+    from collections import Counter, defaultdict
+
+    from demo_segmenter_spark.operators.layer_b import (
+        SSSP_MAX_QTY,
+        SSSP_ROUNDS,
+        SSSP_SOURCE_MAX_PARTKEY,
+    )
+
+    rng = random.Random(41)
+    for trial in range(3):
+        rows = [
+            (o, p, rng.choice([1, 2, 3, 10, 50]))
+            for o in range(40)
+            for p in rng.sample(range(20), rng.randint(1, 3))
+        ]
+        w = {}
+        for o, p, q in rows:
+            if q <= SSSP_MAX_QTY:
+                k = (2 * o, 2 * p + 1)
+                w[k] = min(w.get(k, q), q)
+        adj = defaultdict(dict)
+        for (a, b), wt in w.items():
+            adj[a][b] = min(adj[a].get(b, wt), wt)
+            adj[b][a] = min(adj[b].get(a, wt), wt)
+        dist = {
+            v: (
+                0
+                if v % 2 == 1 and v <= 2 * SSSP_SOURCE_MAX_PARTKEY + 1
+                else None
+            )
+            for v in adj
+        }
+        for _ in range(SSSP_ROUNDS):
+            nd = {}
+            for v in adj:
+                cands = [dist[v]] + [
+                    dist[u] + wt
+                    for u, wt in adj[v].items()
+                    if dist[u] is not None
+                ]
+                cands = [c for c in cands if c is not None]
+                nd[v] = min(cands) if cands else None
+            dist = nd
+        hist = Counter(d for d in dist.values() if d is not None)
+        want = sorted(
+            (d, n, min(v for v, dd in dist.items() if dd == d))
+            for d, n in hist.items()
+        )
+        sf = _write_lineitem(spark, rows)
+        got = [
+            (r.dist, r.n_nodes, r.min_node)
+            for r in REGISTRY["b_graph_sssp"].fn(spark, sf).collect()
+        ]
+        assert got == want, (trial, got, want)

@@ -531,6 +531,9 @@ def test_shuffle_budgets_table(spark):
         # min-plus BFS: same linear unrolled shape as components
         # (self-loops carry w=0 so dist is referenced once per round)
         "b_graph_bfs": 16,
+        # weighted Bellman-Ford: same linear shape as BFS — weighted
+        # pair rollup replaces the distinct, cost is unchanged
+        "b_graph_sssp": 16,
         # k-core peeling: each round's edge set is read TWICE (degree
         # pass + restriction base) by construction — filter-by-derived-
         # stat can't be a single reference — so the static plan
