@@ -3900,3 +3900,88 @@ def a_cep_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_cep_pattern
 
     return papi_cep_pattern(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap sessionization: the gap depends on the EVENT, not a global
+# constant (Kafka Streams: SessionWindows with per-record inactivity via
+# a custom processor; Spark: session_window's dynamic gap expression).
+# Errors close sessions fast, purchases linger, everything else keeps
+# the default horizon — the shape real engagement models use.
+# ---------------------------------------------------------------------------
+
+DYN_GAP_ERROR_US = 30 * 60 * 1_000_000
+DYN_GAP_PURCHASE_US = 2 * 3600 * 1_000_000
+DYN_GAP_DEFAULT_US = GAP_US  # 8 hours
+
+
+@query(
+    "a_session_dynamic_gap",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CASE WHEN event_type = 'error' THEN {DYN_GAP_ERROR_US}
+                WHEN event_type = 'purchase' THEN {DYN_GAP_PURCHASE_US}
+                ELSE {DYN_GAP_DEFAULT_US} END AS gap_us,
+           {sql_cents("value")} AS vc
+    FROM events
+), m AS (
+    SELECT *, max(us + gap_us) OVER (
+                  PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_end
+    FROM ev
+), f AS (
+    SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end
+                   THEN 1 ELSE 0 END AS new_s
+    FROM m
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS session_last_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rnd("sum(vc) / 100.0", 2)} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def a_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP sessionization — the inactivity horizon is a
+    per-EVENT expression (error 30 min, purchase 2 h, default 8 h),
+    Spark's `session_window(ts, CASE ...)` form. Merge semantics are
+    interval-union: each event opens [ts, ts+gap(event)] and a session
+    is a maximal chain of overlapping intervals, so the session end is
+    a RUNNING MAX of event ends (a short-gap error cannot shrink the
+    horizon an earlier long-gap event already established). The oracle
+    derives the same partition independently: running max of prior
+    ends per user, new session iff us > prev_end (the inclusive-merge
+    boundary a_session_agg_native pinned for the fixed-gap case —
+    exact-boundary equality merges; tie-pinned for the dynamic form in
+    tests/test_session_ties.py). Plans to ONE user_id exchange +
+    SessionWindowing aggregate, identical cost to the fixed-gap
+    native form at any scale."""
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .otherwise(F.lit(GAP_INTERVAL))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_last_us",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -239,6 +239,8 @@ def test_shuffle_budgets_table(spark):
         "a_sessionize": 1,
         "a_session_agg": 1,
         "a_session_agg_native": 1,
+        # dynamic gap rides the same single user_id exchange
+        "a_session_dynamic_gap": 1,
         "a_flagship_segments": 2,
         "a_ktable_latest": 1,
         # KIP-213 FK join: one window shuffle per changelog compaction

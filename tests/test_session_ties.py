@@ -113,3 +113,52 @@ def test_lag_cumsum_matches_native_on_ties(spark):
 def test_papi_state_machine_matches_on_ties():
     for diffs, expect in CASES:
         assert _papi_counts(diffs) == expect, diffs
+
+
+def test_dynamic_gap_boundary_and_running_max(spark):
+    # Dynamic-gap session_window (a_session_dynamic_gap's form): pin
+    # (1) the inclusive exact-boundary merge, (2) the interval-UNION
+    # running-max rule: a short-gap event cannot shrink a horizon an
+    # earlier long-gap event already established.
+    import datetime
+
+    B = datetime.datetime(2024, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("30 minutes"))
+        .otherwise(F.lit("8 hours"))
+    )
+
+    def counts(rows):
+        ev = spark.createDataFrame(
+            rows, "user_id int, event_type string, ts timestamp"
+        )
+        out = (
+            ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return sorted(r.n for r in out)
+
+    H8 = datetime.timedelta(hours=8)
+    M30 = datetime.timedelta(minutes=30)
+    # exact dynamic boundary merges (inclusive), +1us splits
+    assert counts([(1, "error", B), (1, "view", B + M30)]) == [2]
+    assert counts([(1, "error", B), (1, "view", B + M30 + us)]) == [1, 1]
+    # running max: view@B opens an 8h horizon; an error 1h later has a
+    # 30min gap, but the view's horizon still carries an event at 5h
+    assert counts(
+        [
+            (1, "view", B),
+            (1, "error", B + datetime.timedelta(hours=1)),
+            (1, "view", B + datetime.timedelta(hours=5)),
+        ]
+    ) == [3]
+    # ...and exactly past the 8h horizon splits
+    assert counts(
+        [
+            (1, "view", B),
+            (1, "error", B + datetime.timedelta(hours=1)),
+            (1, "view", B + H8 + us),
+        ]
+    ) == [1, 2]
