@@ -105,6 +105,7 @@ def main() -> None:
     dau_stress(spark)
     incremental_dedup_stress(spark)
     range_binned_stress(spark)
+    cep_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1506,3 +1507,72 @@ def range_binned_stress(spark, replicas: int = 100) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def cep_stress(spark, replicas: int = 100) -> None:
+    """a_cep_pattern at 10M events / ~100k users: the one-exchange
+    RANGE-window plan over the 100x-replicated log (disjoint user AND
+    event key spaces, identical per-user time structure). Ground
+    truth is EXACT linearity: match count, total latency mass and
+    matched-user count are each precisely replicas x the sf0.1 base —
+    any cross-replica state bleed or window-frame drift breaks one of
+    the equalities."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base = (
+        REGISTRY["a_cep_pattern"]
+        .fn(spark, sf)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("latency_us").alias("lat"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .first()
+    )
+    ev = load_table(sf_dir=sf, name="events", spark=spark)
+    mx = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).first()
+    mu, me = mx.mu + 1, mx.me + 1
+    d = f"/tmp/dss_scale/cep_{uuid.uuid4().hex[:8]}"
+    (
+        ev.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("event_id") + F.col("rep") * me).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * mu).alias("user_id"),
+            "event_type",
+        )
+        .repartition(64)
+        .write.parquet(f"{d}/events.parquet")
+    )
+    n_rows = spark.read.parquet(f"{d}/events.parquet").count()
+    t0 = time.time()
+    got = (
+        REGISTRY["a_cep_pattern"]
+        .fn(spark, d)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("latency_us").alias("lat"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert got.n == replicas * base.n, (got.n, base.n)
+    assert got.lat == replicas * base.lat, (got.lat, base.lat)
+    assert got.u == replicas * base.u, (got.u, base.u)
+    shutil.rmtree(d, ignore_errors=True)
+    print(
+        f"cep_pattern {n_rows} events ({replicas}x sf0.1 key space): "
+        f"{got.n} matches, count/latency-mass/users all EXACTLY "
+        f"{replicas}x base in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M rows/s "
+        f"through the one-exchange RANGE-window plan)"
+    )
