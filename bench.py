@@ -101,6 +101,12 @@ HEADLINE = [
     # the keyless binned range join
     "c_dedup_incremental",
     "b_join_range_binned",
+    # round 7 late wave: CEP negation pattern (one-exchange RANGE
+    # window), training-context windowing riding the BPE encode chain,
+    # weighted Bellman-Ford
+    "a_cep_pattern",
+    "c_token_windows",
+    "b_graph_sssp",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

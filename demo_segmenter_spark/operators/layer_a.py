@@ -3985,3 +3985,85 @@ def a_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "a_session_dynamic_gap_stream",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CASE WHEN event_type = 'error' THEN {DYN_GAP_ERROR_US}
+                WHEN event_type = 'purchase' THEN {DYN_GAP_PURCHASE_US}
+                ELSE {DYN_GAP_DEFAULT_US} END AS gap_us,
+           {sql_cents("value")} AS vc
+    FROM events
+), m AS (
+    SELECT *, max(us + gap_us) OVER (
+                  PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_end
+    FROM ev
+), f AS (
+    SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end
+                   THEN 1 ELSE 0 END AS new_s
+    FROM m
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS session_last_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rnd("sum(vc) / 100.0", 2)} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def a_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_session_dynamic_gap: the dynamic gap
+    expression drops straight into the streaming `session_window`
+    state machine (complete mode, zero watermark, AvailableNow) —
+    proving per-event inactivity horizons work against the streaming
+    state store, not just the batch SessionWindowing aggregate. The
+    fixed-gap streaming form can recover last-event time as
+    `window.end - gap`, but under a dynamic gap the window end is the
+    running MAX of per-event horizons, so the twin aggregates
+    max(ts) explicitly instead (the batch twin does the same) — both
+    hash-match the SAME running-max interval-union oracle."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .otherwise(F.lit(GAP_INTERVAL))
+    )
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_last_us",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"dynsess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
