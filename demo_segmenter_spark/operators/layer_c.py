@@ -6138,3 +6138,64 @@ def c_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos < EMBED_OUTLIER_THRESH)
         .select("vec_id", "label", rnd(cos, 4).alias("centroid_sim"))
     )
+
+
+@query(
+    "c_dataset_interleave",
+    oracle="""
+WITH ns AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), keyed AS (
+    SELECT d.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5('il42:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS src_rank
+    FROM documents d
+), v AS (
+    SELECT k.doc_id, k.lang, CAST(k.src_rank AS BIGINT) AS src_rank,
+           ((2 * k.src_rank - 1) * 1000000000000) // (2 * ns.n) AS vq
+    FROM keyed k JOIN ns USING (lang)
+)
+SELECT CAST(row_number() OVER (ORDER BY vq, lang, doc_id) AS BIGINT)
+           AS schedule_pos,
+       doc_id, lang, src_rank, CAST(vq AS BIGINT) AS vq
+FROM v
+""",
+)
+def c_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET INTERLEAVE — the deterministic mixture schedule a
+    training data loader consumes: each language's docs are (1)
+    seeded-shuffle-ranked within their source (c_train_shuffle's
+    replayable md5 idiom), then (2) evenly spaced on a virtual-time
+    axis, vq = (2r-1)/(2*n_s) quantized to an exact integer grid of
+    1e-12 — the epoch-balanced interleave where every source finishes
+    its epoch together and a 40%-share language appears ~2.5x as often
+    per schedule page as a 16% one (tf.data sample_from_datasets /
+    HF interleave_datasets semantics, made replayable). All-integer
+    arithmetic: positive operands make Spark's truncating DIV and
+    DuckDB's floor // identical, and ties (grid collisions across
+    languages) break on the (vq, lang, doc_id) total order. Scale:
+    per-source ranking partitions by lang; the global schedule
+    row_number is the operator's contract (same as c_train_shuffle's
+    per-shard pos, an 8-way parallel variant is the production
+    materialization — interleave round-robins shards instead of one
+    global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ns = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    key = F.md5(F.concat(F.lit("il42:"), F.col("doc_id").cast("string")))
+    wsrc = Window.partitionBy("lang").orderBy("shuffle_key", "doc_id")
+    keyed = (
+        docs.select("doc_id", "lang", key.alias("shuffle_key"))
+        .withColumn("src_rank", F.row_number().over(wsrc).cast("long"))
+    )
+    v = keyed.join(F.broadcast(ns), "lang").withColumn(
+        "vq", F.expr("((2 * src_rank - 1) * 1000000000000) DIV (2 * n)")
+    )
+    wglob = Window.orderBy("vq", "lang", "doc_id")
+    return v.select(
+        F.row_number().over(wglob).cast("long").alias("schedule_pos"),
+        "doc_id",
+        "lang",
+        "src_rank",
+        F.col("vq").cast("long").alias("vq"),
+    )

@@ -76,3 +76,38 @@ def test_exact_dedup_all_identical_keeps_one(spark):
         .collect()
     )
     assert len(kept) == 1 and kept[0]["doc_id"] == 0
+
+
+def test_interleave_is_epoch_balanced(spark):
+    # The evenly-spaced construction's defining property: in any prefix
+    # of the schedule, each source holds its share within rounding — at
+    # prefix fraction f, |count_s - f*n_s| <= 1 for every source. Also:
+    # each source's src_rank sequence appears in order (1,2,3,...).
+    from collections import defaultdict
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+    from tests.conftest import SF_SMOKE
+
+    load_all_operators()
+
+    rows = sorted(
+        (r.schedule_pos, r.lang, r.src_rank)
+        for r in REGISTRY["c_dataset_interleave"].fn(spark, SF_SMOKE).collect()
+    )
+    n_by_lang = defaultdict(int)
+    for _, lang, _ in rows:
+        n_by_lang[lang] += 1
+    total = len(rows)
+    seen_rank = defaultdict(int)
+    counts = defaultdict(int)
+    checkpoints = {int(total * f) for f in (0.25, 0.5, 0.75)}
+    for i, (_, lang, rank) in enumerate(rows, start=1):
+        seen_rank[lang] += 1
+        assert rank == seen_rank[lang], (lang, rank, seen_rank[lang])
+        counts[lang] += 1
+        if i in checkpoints:
+            f = i / total
+            for s, n in n_by_lang.items():
+                assert abs(counts[s] - f * n) <= 1.0 + 1e-9, (
+                    i, s, counts[s], f * n,
+                )

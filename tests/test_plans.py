@@ -375,6 +375,9 @@ def test_shuffle_budgets_table(spark):
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
         "c_train_shuffle": 1,
+        # interleave: lang rank window + 5-row count rollup + the
+        # global schedule sort (the contract, see docstring)
+        "c_dataset_interleave": 3,
         "c_text_tfidf": 5,
         "c_quality_unigram_lp": 4,
         # two shuffles by design: one exchange on (block, shingle)
