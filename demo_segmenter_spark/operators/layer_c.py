@@ -6199,3 +6199,100 @@ def c_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rank",
         F.col("vq").cast("long").alias("vq"),
     )
+
+
+PARA_BLOCK = 16  # words per dedup block (the "paragraph" granule)
+
+
+@query(
+    "c_dedup_paragraph",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), blks AS (
+    SELECT doc_id, w,
+           unnest(generate_series(
+               CAST(0 AS BIGINT),
+               (len(w) + {PARA_BLOCK - 1}) // {PARA_BLOCK} - 1)) AS blk
+    FROM t
+), b AS (
+    SELECT doc_id, blk,
+           array_to_string(list_slice(
+               w, blk * {PARA_BLOCK} + 1, blk * {PARA_BLOCK} + {PARA_BLOCK}),
+               ' ') AS btxt
+    FROM blks
+), r AS (
+    SELECT doc_id, blk, btxt,
+           row_number() OVER (PARTITION BY md5(btxt)
+                              ORDER BY doc_id, blk) AS rn
+    FROM b
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN len(string_split(btxt, ' '))
+                ELSE 0 END) AS BIGINT) AS kept_words,
+       md5(COALESCE(
+           string_agg(CASE WHEN rn = 1 THEN btxt END, ' ' ORDER BY blk),
+           '')) AS scrubbed_md5
+FROM r GROUP BY doc_id
+""",
+)
+def c_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-GRANULARITY dedup with document REASSEMBLY — the
+    CCNet/RefinedWeb move: dedup at sub-document granularity (here
+    non-overlapping 16-word blocks, the fixture's paragraph analogue),
+    keep each block's GLOBAL first occurrence (total order: doc_id,
+    block index), then rebuild every document from its surviving
+    blocks in order. Unlike c_dedup_exact (whole doc) or
+    c_dedup_substring (detection only), this REWRITES the corpus —
+    the per-doc scrubbed_md5 fingerprints the reassembled text, so
+    the oracle certifies the rewrite itself, not just the counts
+    (md5 of '' covers fully-scrubbed exact-duplicate docs on both
+    engines via the COALESCE). Blocking is map-only (sequence +
+    slice, no explode-to-words); the ONE content exchange partitions
+    by block hash, then the per-doc rollup reassembles with an
+    in-group sorted collect (array_sort on (blk, btxt) structs —
+    bounded by DOC size, never corpus size). At 100 TB this is the
+    exact two-shuffle scrub every production paragraph-dedup runs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    nblk = F.expr(f"(size(w) + {PARA_BLOCK - 1}) DIV {PARA_BLOCK}")
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (nblk - 1).cast("long"))
+        ).alias("blk"),
+        "w",
+    ).select(
+        "doc_id",
+        "blk",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "w",
+                (F.col("blk") * PARA_BLOCK + 1).cast("int"),
+                PARA_BLOCK,
+            ),
+        ).alias("btxt"),
+    )
+    wk = Window.partitionBy(F.md5("btxt")).orderBy("doc_id", "blk")
+    r = b.withColumn("rn", F.row_number().over(wk))
+    kept = F.col("rn") == 1
+    kept_struct = F.when(kept, F.struct("blk", "btxt"))
+    return r.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.size(F.split("btxt", " "))).otherwise(0))
+        .cast("long")
+        .alias("kept_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["btxt"],
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )

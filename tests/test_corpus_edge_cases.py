@@ -111,3 +111,51 @@ def test_interleave_is_epoch_balanced(spark):
                 assert abs(counts[s] - f * n) <= 1.0 + 1e-9, (
                     i, s, counts[s], f * n,
                 )
+
+
+def test_paragraph_dedup_rewrites_like_python_reference(spark):
+    # Planted shared blocks: doc0 owns block A; doc1 = [A, B] loses A
+    # and keeps B; doc2 = exact copy of doc0 loses everything (md5 of
+    # empty rewrite); partial tail blocks dedup like full ones.
+    import hashlib
+
+    from demo_segmenter_spark.operators.layer_c import PARA_BLOCK
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    A = " ".join(f"a{i}" for i in range(PARA_BLOCK))
+    B = " ".join(f"b{i}" for i in range(PARA_BLOCK))
+    tail = "t0 t1 t2"
+    texts = [A, f"{A} {B}", A, f"{B} {tail}", f"{B} {tail}"]
+    d = "/tmp/dss_prop/para_dedup"
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # pure-Python reference
+    first = {}
+    blocks = {}
+    for did, t in enumerate(texts):
+        w = t.split(" ")
+        blocks[did] = [
+            " ".join(w[i : i + PARA_BLOCK])
+            for i in range(0, len(w), PARA_BLOCK)
+        ]
+        for bi, bt in enumerate(blocks[did]):
+            first.setdefault(bt, (did, bi))
+    want = {}
+    for did, bl in blocks.items():
+        keptb = [bt for bi, bt in enumerate(bl) if first[bt] == (did, bi)]
+        want[did] = (
+            len(bl),
+            len(keptb),
+            sum(len(bt.split(" ")) for bt in keptb),
+            hashlib.md5(" ".join(keptb).encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.kept_words, r.scrubbed_md5)
+        for r in REGISTRY["c_dedup_paragraph"].fn(spark, d).collect()
+    }
+    assert got == want, (got, want)
+    assert got[2][1] == 0 and got[2][3] == hashlib.md5(b"").hexdigest()

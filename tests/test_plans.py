@@ -339,6 +339,9 @@ def test_shuffle_budgets_table(spark):
         "c_mine_hard_negatives": 4,
         # containment: shares _shingle_pairs' two-shuffle bound
         "c_dedup_containment": 2,
+        # paragraph dedup: block-hash keep window + per-doc rollup —
+        # the exact two-shuffle scrub (blocking is map-only slices)
+        "c_dedup_paragraph": 2,
         # PQ: per-round assignment groupBy + argmin window (x2
         # rounds) + the codebook update rollup; codebooks broadcast
         "c_embed_pq": 5,
