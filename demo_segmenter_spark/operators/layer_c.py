@@ -6296,3 +6296,94 @@ def c_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "c_mlm_mask",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), m AS (
+    SELECT doc_id, pos, tok,
+           substring(md5('mlm42:' || CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(pos AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS masked
+    FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COALESCE(sum(CASE WHEN masked THEN pos END), 0) AS BIGINT)
+           AS pos_checksum,
+       md5(string_agg(CASE WHEN masked THEN '[MASK]' ELSE tok END,
+                      ' ' ORDER BY pos)) AS masked_md5,
+       md5(COALESCE(string_agg(CASE WHEN masked THEN tok END,
+                               ' ' ORDER BY pos), '')) AS targets_md5
+FROM m GROUP BY doc_id
+""",
+)
+def c_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM OBJECTIVE CONSTRUCTION — deterministic BERT-style masking:
+    each token masks iff the first hex digit of md5(seed:doc:pos) is
+    in {0,1,2} (3/16 ≈ 19%, the replayable analogue of the 15% draw —
+    same md5 idiom as c_train_shuffle, so every epoch regenerates the
+    identical corpus on any engine or cluster). Emits per doc the
+    exact mask count, the masked-position checksum, and md5
+    fingerprints of BOTH training surfaces: the [MASK]-substituted
+    input text and the ordered target-token stream — the oracle
+    certifies the constructed example bytes, not just statistics
+    (COALESCE covers a doc with zero masked tokens). Map-only until
+    the per-doc rollup: ONE doc_id exchange, in-group order restored
+    by the bounded array_sort on (pos, tok) structs; at 100 TB this
+    is the standard pretraining-example materialization pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    digit = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("mlm42:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    m = tok.withColumn("masked", digit.isin("0", "1", "2"))
+    masked = F.col("masked")
+    input_struct = F.struct(
+        "pos", F.when(masked, F.lit("[MASK]")).otherwise(F.col("tok")).alias("t")
+    )
+    target_struct = F.when(masked, F.struct("pos", F.col("tok").alias("t")))
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(masked, 1).otherwise(0)).cast("long").alias("n_masked"),
+        F.coalesce(F.sum(F.when(masked, F.col("pos"))), F.lit(0))
+        .cast("long")
+        .alias("pos_checksum"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(input_struct)),
+                    lambda x: x["t"],
+                ),
+            )
+        ).alias("masked_md5"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(target_struct)),
+                    lambda x: x["t"],
+                ),
+            )
+        ).alias("targets_md5"),
+    )

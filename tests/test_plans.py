@@ -342,6 +342,8 @@ def test_shuffle_budgets_table(spark):
         # paragraph dedup: block-hash keep window + per-doc rollup —
         # the exact two-shuffle scrub (blocking is map-only slices)
         "c_dedup_paragraph": 2,
+        # MLM masking: map-only construction + ONE doc_id rollup
+        "c_mlm_mask": 1,
         # PQ: per-round assignment groupBy + argmin window (x2
         # rounds) + the codebook update rollup; codebooks broadcast
         "c_embed_pq": 5,
