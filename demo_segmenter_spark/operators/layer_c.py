@@ -6387,3 +6387,94 @@ def c_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("targets_md5"),
     )
+
+
+SIMHIST_MOD = 50  # deterministic calibration sample: vec_id % 50 == 0
+
+
+@query(
+    "c_embed_sim_hist",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000 + 1e-04)
+                AS BIGINT) AS qv,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+    FROM embeddings WHERE vec_id % {SIMHIST_MOD} = 0
+), nrm AS (
+    SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), cosv AS (
+    SELECT CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+               * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+    FROM dots JOIN nrm na ON dots.ia = na.vec_id
+              JOIN nrm nb ON dots.ib = nb.vec_id
+)
+SELECT CAST(least(19, floor((cos + 1.0) * 10)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {sql_rnd("min(cos)", 4)} AS min_cos,
+       {sql_rnd("max(cos)", 4)} AS max_cos
+FROM cosv GROUP BY bin
+""",
+)
+def c_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMILARITY CALIBRATION HISTOGRAM — the distribution of pairwise
+    cosines over a deterministic sample (vec_id % 50 == 0), binned to
+    20 buckets on [-1, 1]: the curve you read BEFORE picking any
+    dedup/ANN threshold (where does the near-dup mode separate from
+    the background?). All-pairs is bounded BY CONSTRUCTION to the
+    sample (k(k-1)/2 pairs for k = n/50 — at 100 TB you lower the
+    sample rate, never the structure), computed by a dim-aligned
+    self-join over exact 1e-4-grid integers: dot and norms are BIGINT
+    sums, cosine is the one matched-parenthesization float expression
+    (c_embed_outliers' discipline), so bin assignment at bucket
+    boundaries is bit-identical on both engines. min/max per bin pin
+    the bucket ranges in-schema."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % SIMHIST_MOD == 0
+    )
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 10000 + F.lit(EPS[0]))
+        .cast("long")
+        .alias("qv"),
+    )
+    nrm = q.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("n2"))
+    a = q.select(
+        F.col("vec_id").alias("ia"), "dim", F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("ib"), "dim", F.col("qv").alias("qb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = nrm.select(F.col("vec_id").alias("ia"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("vec_id").alias("ib"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .select(cos.alias("cos"))
+        .groupBy(
+            F.least(F.lit(19), F.floor((F.col("cos") + 1.0) * 10))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rnd(F.min("cos"), 4).alias("min_cos"),
+            rnd(F.max("cos"), 4).alias("max_cos"),
+        )
+    )

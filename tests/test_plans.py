@@ -344,6 +344,9 @@ def test_shuffle_budgets_table(spark):
         "c_dedup_paragraph": 2,
         # MLM masking: map-only construction + ONE doc_id rollup
         "c_mlm_mask": 1,
+        # sim histogram: dim-aligned pair join + pair rollup + norm
+        # rollup + the ≤20-row bin agg (sample-bounded by design)
+        "c_embed_sim_hist": 4,
         # PQ: per-round assignment groupBy + argmin window (x2
         # rounds) + the codebook update rollup; codebooks broadcast
         "c_embed_pq": 5,
