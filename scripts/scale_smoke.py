@@ -106,6 +106,7 @@ def main() -> None:
     incremental_dedup_stress(spark)
     range_binned_stress(spark)
     cep_stress(spark)
+    para_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1575,4 +1576,64 @@ def cep_stress(spark, replicas: int = 100) -> None:
         f"{got.n} matches, count/latency-mass/users all EXACTLY "
         f"{replicas}x base in {dt:.1f}s ({n_rows / dt / 1e6:.2f}M rows/s "
         f"through the one-exchange RANGE-window plan)"
+    )
+
+
+def para_stress(spark, n_docs: int = 1_000_000) -> None:
+    """c_dedup_paragraph's rewrite at 1M docs with heavy planted
+    boilerplate: every doc = [shared boilerplate block] + [unique
+    block] (the worst realistic shape — one block duplicated n_docs
+    times). Ground truth is exact: doc 0 keeps both blocks, every
+    other doc keeps exactly its unique block, so n_kept sums to
+    n_docs + 1 and kept_words to 16*(n_docs+1); the hot block's
+    keep-window sees all 1M copies in ONE partition's sort — the
+    skew case the (doc_id, blk) total order must survive."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    d = f"/tmp/dss_scale/para_{uuid.uuid4().hex[:8]}"
+    boiler = " ".join(f"bp{i}" for i in range(16))
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                        for j in range(16)
+                    ],
+                ),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .write.parquet(f"{d}/documents.parquet")
+    )
+    t0 = time.time()
+    agg = (
+        REGISTRY["c_dedup_paragraph"]
+        .fn(spark, d)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_blocks").alias("blocks"),
+            F.sum("n_kept").alias("kept"),
+            F.sum("kept_words").alias("kept_words"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert agg.docs == n_docs, agg
+    assert agg.blocks == 2 * n_docs, agg
+    assert agg.kept == n_docs + 1, agg
+    assert agg.kept_words == 16 * (n_docs + 1), agg
+    shutil.rmtree(d, ignore_errors=True)
+    print(
+        f"paragraph_dedup {n_docs} docs / {2 * n_docs} blocks, one block "
+        f"duplicated {n_docs}x: rewrite exact (kept = n_docs+1, word mass "
+        f"exact) in {dt:.1f}s ({2 * n_docs / dt / 1e6:.2f}M blocks/s)"
     )
