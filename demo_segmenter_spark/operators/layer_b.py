@@ -4165,3 +4165,107 @@ def b_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
         .orderBy("dist")
     )
+
+
+@query(
+    "b_join_asof_nearest",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, ts, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'error'
+), bk AS (
+    SELECT e.event_id, c.event_id AS cid, epoch_us(c.ts) AS cus,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM e JOIN events c ON c.user_id = e.user_id
+                        AND c.event_type = 'click' AND c.ts <= e.ts
+), fw AS (
+    SELECT e.event_id, c.event_id AS cid, epoch_us(c.ts) AS cus,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY c.ts, c.event_id) AS rn
+    FROM e JOIN events c ON c.user_id = e.user_id
+                        AND c.event_type = 'click' AND c.ts > e.ts
+), j AS (
+    SELECT e.event_id, e.user_id, e.us,
+           b.cid AS bcid, b.cus AS bcus, f.cid AS fcid, f.cus AS fcus
+    FROM e
+    LEFT JOIN (SELECT event_id, cid, cus FROM bk WHERE rn = 1) b
+           USING (event_id)
+    LEFT JOIN (SELECT event_id, cid, cus FROM fw WHERE rn = 1) f
+           USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN bcid IS NOT NULL AND (fcid IS NULL OR us - bcus <= fcus - us)
+            THEN bcid ELSE fcid END AS nearest_click_id,
+       CASE WHEN bcid IS NOT NULL AND (fcid IS NULL OR us - bcus <= fcus - us)
+            THEN bcus - us ELSE fcus - us END AS diff_us
+FROM j
+WHERE bcid IS NOT NULL OR fcid IS NOT NULL
+""",
+)
+def b_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest',
+    unbounded): each error pairs with the same user's closest click in
+    EITHER direction; at equal distance the BACKWARD click wins (the
+    deterministic convention; equal-timestamp clicks count as
+    backward). Completes the as-of family: backward (b_join_asof),
+    forward (_forward), tolerance-bounded (b_join_range_binned), and
+    now nearest. The scalable shape is the union-tag rewrite with ONE
+    user_id exchange and ONE sort: clicks tag kind=0 so they sort
+    before same-ts errors, then a trailing last() frame carries the
+    backward candidate and a leading first() frame the forward one —
+    two frames over the same ordered partitioning, never two sorts,
+    never an events x events join (the oracle IS that naive
+    double-rank join). Per-direction ties break by event_id via the
+    shared sort key, mirroring both oracle ranks. diff_us is SIGNED
+    (negative = backward) so the output also certifies which
+    direction won every pairing."""
+    ev = load_table(spark, sf_dir, "events")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    u = clk.withColumn("event_id", F.lit(None).cast("long")).unionByName(
+        err.withColumns(
+            {
+                "click_id": F.lit(None).cast("long"),
+                "click_us": F.lit(None).cast("long"),
+            }
+        ),
+        allowMissingColumns=True,
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        "ts", "kind", F.col("click_id").asc_nulls_last()
+    )
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    us = F.unix_micros("ts")
+    m = (
+        u.withColumn("bcid", F.last("click_id", ignorenulls=True).over(w_back))
+        .withColumn("bcus", F.last("click_us", ignorenulls=True).over(w_back))
+        .withColumn("fcid", F.first("click_id", ignorenulls=True).over(w_fwd))
+        .withColumn("fcus", F.first("click_us", ignorenulls=True).over(w_fwd))
+        .filter(
+            (F.col("kind") == 1)
+            & (F.col("bcid").isNotNull() | F.col("fcid").isNotNull())
+        )
+    )
+    back_wins = F.col("bcid").isNotNull() & (
+        F.col("fcid").isNull() | (us - F.col("bcus") <= F.col("fcus") - us)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("bcid")).otherwise(F.col("fcid")).alias(
+            "nearest_click_id"
+        ),
+        F.when(back_wins, F.col("bcus") - us)
+        .otherwise(F.col("fcus") - us)
+        .alias("diff_us"),
+    )

@@ -364,6 +364,9 @@ def test_shuffle_budgets_table(spark):
         "b_join_range_binned": 1,
         # forward asof: union-tag + one user_id window exchange
         "b_join_asof_forward": 1,
+        # nearest asof: both direction frames ride ONE exchange and
+        # ONE sort (verified: 1 Sort node in the physical plan)
+        "b_join_asof_nearest": 1,
         # CEP pattern: both RANGE-framed state windows ride ONE
         # user_id exchange — never the purchases x views join the
         # oracle uses
