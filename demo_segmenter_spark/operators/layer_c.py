@@ -6478,3 +6478,163 @@ def c_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.max("cos"), 4).alias("max_cos"),
         )
     )
+
+
+@query(
+    "c_span_corruption",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), m AS (
+    SELECT doc_id, pos, tok,
+           substring(md5('sc42:' || CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(pos AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS masked
+    FROM tok
+), r1 AS (
+    SELECT *, masked AND NOT COALESCE(
+                  lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                  FALSE) AS run_start
+    FROM m
+), r2 AS (
+    SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM r1
+), inp AS (
+    SELECT doc_id, pos,
+           CASE WHEN NOT masked THEN tok
+                WHEN run_start THEN
+                    '<extra_id_' || CAST(run_id AS VARCHAR) || '>' END AS el
+    FROM r2
+), tgt AS (
+    SELECT doc_id, pos, 0 AS part,
+           '<extra_id_' || CAST(run_id AS VARCHAR) || '>' AS el
+    FROM r2 WHERE run_start
+    UNION ALL
+    SELECT doc_id, pos, 1, tok FROM r2 WHERE masked
+), istat AS (
+    SELECT doc_id, md5(string_agg(el, ' ' ORDER BY pos)) AS input_md5
+    FROM inp WHERE el IS NOT NULL GROUP BY doc_id
+), tstat AS (
+    SELECT doc_id, md5(string_agg(el, ' ' ORDER BY pos, part)) AS target_md5
+    FROM tgt GROUP BY doc_id
+), stat AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans
+    FROM r2 GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.n_masked, s.n_spans, i.input_md5,
+       COALESCE(t.target_md5, md5('')) AS target_md5
+FROM stat s
+JOIN istat i USING (doc_id)
+LEFT JOIN tstat t USING (doc_id)
+""",
+)
+def c_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN CORRUPTION — the denoising objective one level up
+    from c_mlm_mask: consecutive masked tokens collapse into ONE
+    numbered sentinel in the input ('a <extra_id_1> d <extra_id_2> g')
+    while the target interleaves each sentinel with its span's tokens
+    ('<extra_id_1> b c <extra_id_2> e f'). Run detection is the
+    lag-&-cumsum idiom (run_start = masked & !prev_masked; run_id =
+    running count of starts), the same machinery as sessionization
+    applied to the mask bitmap — and both training surfaces are
+    byte-certified by md5 against the oracle's independent union-tag
+    reassembly (target elements carry a (pos, part) sort key so
+    sentinels precede their span; a doc with zero masked tokens
+    md5's the empty target on both engines). One doc_id exchange:
+    both windows and the rollup share it; the per-row target
+    contribution is a filtered 2-element array flattened in-group,
+    bounded by doc size. Deterministic Bernoulli masking reuses the
+    md5-hex-digit draw (seed 'sc42'), replayable on any engine."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    digit = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("sc42:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = tok.withColumn("masked", digit.isin("0", "1", "2"))
+    m = m.withColumn(
+        "run_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    ).withColumn(
+        "run_id",
+        F.sum(F.when(F.col("run_start"), 1).otherwise(0)).over(cum),
+    )
+    sent = F.concat(
+        F.lit("<extra_id_"), F.col("run_id").cast("string"), F.lit(">")
+    )
+    inp_el = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("run_start"), sent)
+    )
+    inp_struct = F.when(
+        inp_el.isNotNull(), F.struct(F.col("pos"), inp_el.alias("el"))
+    )
+    tgt_arr = F.filter(
+        F.array(
+            F.when(
+                F.col("run_start"),
+                F.struct(
+                    F.col("pos"), F.lit(0).alias("part"), sent.alias("el")
+                ),
+            ),
+            F.when(
+                F.col("masked"),
+                F.struct(
+                    F.col("pos"),
+                    F.lit(1).alias("part"),
+                    F.col("tok").alias("el"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("run_start"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(inp_struct)),
+                    lambda x: x["el"],
+                ),
+            )
+        ).alias("input_md5"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list(tgt_arr))),
+                    lambda x: x["el"],
+                ),
+            )
+        ).alias("target_md5"),
+    )

@@ -159,3 +159,55 @@ def test_paragraph_dedup_rewrites_like_python_reference(spark):
     }
     assert got == want, (got, want)
     assert got[2][1] == 0 and got[2][3] == hashlib.md5(b"").hexdigest()
+
+
+def test_span_corruption_matches_python_reference(spark):
+    # Rebuild the exact input/target strings in pure Python with the
+    # same md5-digit Bernoulli rule and compare md5s byte-for-byte,
+    # including a doc whose every token masks (empty-ish input of one
+    # sentinel, full target) if the draw produces one.
+    import hashlib
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    texts = [
+        " ".join(f"w{i}" for i in range(25)),
+        "single",
+        " ".join(f"v{i}" for i in range(7)),
+    ]
+    d = "/tmp/dss_prop/span_corr"
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    want = {}
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        masked = [
+            hashlib.md5(f"sc42:{did}:{p}".encode()).hexdigest()[0] in "012"
+            for p in range(1, len(toks) + 1)
+        ]
+        inp, tgt, run = [], [], 0
+        for i, (tk, mk) in enumerate(zip(toks, masked)):
+            start = mk and (i == 0 or not masked[i - 1])
+            if start:
+                run += 1
+                inp.append(f"<extra_id_{run}>")
+                tgt.append(f"<extra_id_{run}>")
+            if mk:
+                tgt.append(tk)
+            else:
+                inp.append(tk)
+        want[did] = (
+            len(toks),
+            sum(masked),
+            run,
+            hashlib.md5(" ".join(inp).encode()).hexdigest(),
+            hashlib.md5(" ".join(tgt).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.n_spans, r.input_md5, r.target_md5)
+        for r in REGISTRY["c_span_corruption"].fn(spark, d).collect()
+    }
+    assert got == want, (got, want)

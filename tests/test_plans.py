@@ -344,6 +344,9 @@ def test_shuffle_budgets_table(spark):
         "c_dedup_paragraph": 2,
         # MLM masking: map-only construction + ONE doc_id rollup
         "c_mlm_mask": 1,
+        # span corruption: lag/cumsum windows + rollup share the one
+        # doc_id exchange (sessionization's idiom on the mask bitmap)
+        "c_span_corruption": 1,
         # sim histogram: dim-aligned pair join + pair rollup + norm
         # rollup + the ≤20-row bin agg (sample-bounded by design)
         "c_embed_sim_hist": 4,
