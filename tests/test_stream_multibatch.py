@@ -653,3 +653,35 @@ def test_cep_pattern_stream_across_batches(spark):
     want = _rowset(REGISTRY["a_cep_pattern"].fn(spark, SF))
     assert want, "fixture must yield at least one CEP match"
     assert got == want
+
+
+def test_dynamic_gap_session_stream_across_batches(spark):
+    # Dynamic-gap sessions spanning batch boundaries must merge with
+    # the correct per-event horizon carried in state: a purchase's 2h
+    # horizon open at a cut must still absorb the next batch's event,
+    # while an error's 30min horizon must not.
+    src, _, _ = _trickle_src(spark)
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .otherwise(F.lit(GAP_INTERVAL))
+    )
+    ev = _read_stream(spark, src).withWatermark("ts", "0 seconds")
+    out = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select(
+            "user_id", "session_start_us", "session_last_us",
+            "n_events", "sum_value",
+        )
+    )
+    name, n_batches = _run_to_memory(out, "complete")
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+    got = _rowset(spark.table(name))
+    want = _rowset(REGISTRY["a_session_dynamic_gap"].fn(spark, SF))
+    assert got == want
