@@ -6638,3 +6638,167 @@ def c_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("target_md5"),
     )
+
+
+@query(
+    "c_grouped_kfold",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, source,
+           ascii(substring(md5('fold42:' || source), 1, 1)) % 5 AS fold,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       min(doc_id) AS min_doc
+FROM f GROUP BY fold
+""",
+)
+def c_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED K-FOLD assignment — cross-validation splits where the
+    GROUP (source) is the atomic unit: every doc of a source lands in
+    the same fold (fold = seeded md5 hash of the source key, mod 5),
+    so near-duplicate documents from one crawl/source can never leak
+    across a train/eval boundary — the failure c_dataset_split's
+    doc-level hashing cannot prevent and the reason sklearn ships
+    GroupKFold. Same replayable md5 idiom as c_train_shuffle; emits
+    per-fold source/doc/word-mass rollups (count-distinct proves no
+    source fragments). Map-side fold tag, one fold rollup with a
+    distinct expand — two tiny exchanges at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.ascii(F.substring(F.md5(F.concat(F.lit("fold42:"), F.col("source"))), 1, 1))
+        % 5
+    ).cast("long")
+    return (
+        docs.select(
+            fold.alias("fold"),
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@query(
+    "c_pipeline_pretrain",
+    oracle=f"""
+WITH gated AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS w
+    FROM documents
+    WHERE n_chars >= 200
+      AND len(list_distinct(string_split(text, ' '))) * 1.0
+          / len(string_split(text, ' ')) >= 0.3
+), blks AS (
+    SELECT doc_id, lang, w,
+           unnest(generate_series(CAST(0 AS BIGINT),
+                                  (len(w) + {PARA_BLOCK - 1}) // {PARA_BLOCK}
+                                  - 1)) AS blk
+    FROM gated
+), b AS (
+    SELECT doc_id, lang, blk,
+           array_to_string(list_slice(
+               w, blk * {PARA_BLOCK} + 1, blk * {PARA_BLOCK} + {PARA_BLOCK}),
+               ' ') AS btxt
+    FROM blks
+), r AS (
+    SELECT doc_id, lang, blk, btxt,
+           row_number() OVER (PARTITION BY md5(btxt)
+                              ORDER BY doc_id, blk) AS rn
+    FROM b
+), scrubbed AS (
+    SELECT doc_id, any_value(lang) AS lang,
+           sum(CASE WHEN rn = 1 THEN len(string_split(btxt, ' '))
+               ELSE 0 END) AS kept_words
+    FROM r GROUP BY doc_id
+    HAVING kept_words > 0
+), binned AS (
+    SELECT doc_id, lang, kept_words,
+           (sum(kept_words) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - kept_words)
+               // {PACK_CAPACITY} AS bin
+    FROM scrubbed
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept_words) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned
+GROUP BY lang, bin
+""",
+)
+def c_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRETRAINING DATA PIPELINE, end to end in ONE plan: quality
+    GATE (length >= 200 chars, distinct-token ratio >= 0.3 — the two
+    integer-exact heuristics; the ratio is a small-rational division,
+    bit-identical cross-engine) → paragraph-level SCRUB over the gated
+    corpus (c_dedup_paragraph's block machinery: global first
+    occurrence by (doc_id, blk), fully-scrubbed docs dropped) → PACK
+    the surviving token mass into {PACK_CAPACITY}-token bins per
+    language (c_pack_sequences' contiguous running-count rule on REAL
+    post-dedup counts). Emits the per-(lang, bin) manifest a training
+    job consumes. The whole composition — filter semantics, dedup
+    keep-order, bin boundaries — replays in one DuckDB statement,
+    all-integer. Scale: gate is scan-local; scrub is the block-hash
+    exchange + doc rollup; packing collapses to one row per doc
+    before the lang window — each stage's cost is its standalone
+    twin's, composed without materialization."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    gated = docs.filter(
+        (F.col("n_chars") >= 200)
+        & (F.size(F.array_distinct(w)) * 1.0 / F.size(w) >= 0.3)
+    ).select("doc_id", "lang", w.alias("w"))
+    nblk = F.expr(f"(size(w) + {PARA_BLOCK - 1}) DIV {PARA_BLOCK}")
+    b = gated.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (nblk - 1).cast("long"))
+        ).alias("blk"),
+        "w",
+    ).select(
+        "doc_id",
+        "lang",
+        "blk",
+        F.concat_ws(
+            " ",
+            F.slice("w", (F.col("blk") * PARA_BLOCK + 1).cast("int"), PARA_BLOCK),
+        ).alias("btxt"),
+    )
+    wk = Window.partitionBy(F.md5("btxt")).orderBy("doc_id", "blk")
+    r = b.withColumn("rn", F.row_number().over(wk))
+    scrubbed = (
+        r.groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.size(F.split("btxt", " "))).otherwise(0)
+            ).alias("kept_words"),
+        )
+        .filter(F.col("kept_words") > 0)
+    )
+    binned = scrubbed.withColumn(
+        "bin",
+        F.expr(
+            f"(sum(kept_words) OVER (PARTITION BY lang ORDER BY doc_id "
+            f"ROWS UNBOUNDED PRECEDING) - kept_words) DIV {PACK_CAPACITY}"
+        ).cast("long"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept_words").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -347,6 +347,11 @@ def test_shuffle_budgets_table(spark):
         # span corruption: lag/cumsum windows + rollup share the one
         # doc_id exchange (sessionization's idiom on the mask bitmap)
         "c_span_corruption": 1,
+        # grouped k-fold: fold rollup + countDistinct expand phase
+        "c_grouped_kfold": 2,
+        # pretrain pipeline: scrub keep-window + doc rollup + the
+        # lang packing window — each stage's standalone cost, fused
+        "c_pipeline_pretrain": 3,
         # sim histogram: dim-aligned pair join + pair rollup + norm
         # rollup + the ≤20-row bin agg (sample-bounded by design)
         "c_embed_sim_hist": 4,
