@@ -107,6 +107,8 @@ HEADLINE = [
     "a_cep_pattern",
     "c_token_windows",
     "b_graph_sssp",
+    # the fused gate->scrub->pack pretraining pipeline
+    "c_pipeline_pretrain",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -6802,3 +6802,67 @@ def c_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "c_tokenizer_fertility",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+, words AS (
+    SELECT doc_id, count(*) AS n_words FROM t0 GROUP BY doc_id
+), toks AS (
+    SELECT doc_id, count(*) AS n_toks FROM t{BPE_ROUNDS} GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+       {sql_rnd("sum(t.n_toks) * 1.0 / sum(w.n_words)", 4)} AS fertility
+FROM documents d
+JOIN words w USING (doc_id)
+JOIN toks t USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def c_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language — post-BPE tokens per
+    whitespace word, THE cross-lingual tokenizer-equity metric (a
+    language with fertility 2x pays twice the context budget per
+    word; the number every multilingual tokenizer paper reports).
+    Composes the shared train->encode pass: per-doc pre-merge word
+    counts and post-merge token counts are exact BIGINTs, rolled up
+    per language, with ONE final division (rnd 4) — the oracle
+    replays both training rounds and every count with zero numeric
+    tolerance. Fertility < 1 here is correct: merges only ever fuse
+    words, and the fixture has no sub-word segmentation — what's
+    being certified is the measurement machinery. Scale: the encode
+    chain's cost, then two doc-sized rollups and a ≤5-row lang agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t0 = _bpe_tokenize0(docs)
+    toks = t0
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    words = t0.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    ntoks = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(words, "doc_id")
+        .join(ntoks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            rnd(F.sum("n_toks") * 1.0 / F.sum("n_words"), 4).alias("fertility"),
+        )
+    )
