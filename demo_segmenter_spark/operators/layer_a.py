@@ -4067,3 +4067,61 @@ def a_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "a_gap_histogram",
+    oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), binned AS (
+    SELECT CASE WHEN gap_us < 60000000 THEN 0
+                WHEN gap_us < 600000000 THEN 1
+                WHEN gap_us < 3600000000 THEN 2
+                WHEN gap_us < 28800000000 THEN 3
+                WHEN gap_us < 86400000000 THEN 4
+                ELSE 5 END AS bin,
+           gap_us
+    FROM g WHERE gap_us IS NOT NULL
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us
+FROM binned GROUP BY bin
+""",
+)
+def a_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL HISTOGRAM — the distribution of per-user gaps
+    between consecutive events, binned at the operationally meaningful
+    cuts (<1min, <10min, <1h, <8h, <1d, >=1d): THE diagnostic you run
+    BEFORE picking a session gap — the 8h GAP_HOURS constant is
+    exactly the valley this histogram exposes between the <1h
+    in-session mass and the >=8h between-session mass. Exact integer
+    microsecond arithmetic end to end (timestamp-pure lag over the
+    (ts, event_id) total order; CASE bins, no float log), so the
+    histogram hash-matches with zero tolerance. ONE user_id exchange
+    for the lag + a 6-row rollup — scan-bound at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    M = 1_000_000
+    bin_ = (
+        F.when(F.col("gap_us") < 60 * M, 0)
+        .when(F.col("gap_us") < 600 * M, 1)
+        .when(F.col("gap_us") < 3600 * M, 2)
+        .when(F.col("gap_us") < 8 * 3600 * M, 3)
+        .when(F.col("gap_us") < 86400 * M, 4)
+        .otherwise(5)
+    )
+    return g.groupBy(bin_.cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -328,6 +328,8 @@ def test_shuffle_budgets_table(spark):
         "c_dataset_split": 2,
         # absence gaps: one lag over the user timeline
         "a_absence": 1,
+        # gap histogram: the user lag + the 6-row bin rollup
+        "a_gap_histogram": 2,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
