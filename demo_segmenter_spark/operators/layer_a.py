@@ -4125,3 +4125,38 @@ def a_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@query(
+    "a_traffic_heatmap",
+    oracle=f"""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_rnd("sum(" + sql_cents("value") + ") / 100.0", 2)} AS sum_value
+FROM events
+GROUP BY dow, hod
+""",
+)
+def a_traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAFFIC HEATMAP — the (day-of-week x hour-of-day) load matrix
+    every ops dashboard opens with: event count, distinct users and
+    integer-cents value per cell. Calendar functions are pinned to
+    the shared UTC session so both engines bucket identically
+    (DuckDB dayofweek is 0=Sunday; Spark's dayofweek is 1=Sunday —
+    mapped via dayofweek(ts)-1 to match). One ≤168-cell rollup with
+    a countDistinct expand — scan-bound at any scale, and the cell
+    domain is FIXED, so the shuffle payload never grows with data."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
+        )
+    )

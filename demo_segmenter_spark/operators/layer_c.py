@@ -6866,3 +6866,44 @@ def c_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("n_toks") * 1.0 / F.sum("n_words"), 4).alias("fertility"),
         )
     )
+
+
+@query(
+    "c_corpus_length_profile",
+    oracle=f"""
+WITH s AS (
+    SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       {sql_rnd("quantile_cont(n_words, 0.50)", 4)} AS p50,
+       {sql_rnd("quantile_cont(n_words, 0.90)", 4)} AS p90,
+       {sql_rnd("quantile_cont(n_words, 0.99)", 4)} AS p99,
+       CAST(max(n_words) AS BIGINT) AS max_words
+FROM s GROUP BY lang
+""",
+)
+def c_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS LENGTH PROFILE — per-language word-count percentiles
+    (p50/p90/p99 + min/max), the curation diagnostic behind every
+    truncation/packing budget decision ("what context length covers
+    99% of German docs?"). Spark's percentile() and DuckDB's
+    quantile_cont share exact linear-interpolation semantics on
+    INTEGER inputs (probed bit-for-bit in b_agg_percentiles — the
+    interpolation (a + (b-a)*frac) on small exact integers is
+    identical IEEE), so the profile hash-matches at 4dp-nudged
+    rounding. One lang exchange with map-side partial percentile
+    buffers; at 100 TB you swap exact percentile for the sketch twin
+    (b_agg_approx's shape) and keep the output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("lang", F.size(F.split("text", " ")).cast("long").alias("n_words"))
+    return s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_words").cast("long").alias("min_words"),
+        rnd(F.percentile("n_words", 0.50), 4).alias("p50"),
+        rnd(F.percentile("n_words", 0.90), 4).alias("p90"),
+        rnd(F.percentile("n_words", 0.99), 4).alias("p99"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )

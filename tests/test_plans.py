@@ -330,6 +330,10 @@ def test_shuffle_budgets_table(spark):
         "a_absence": 1,
         # gap histogram: the user lag + the 6-row bin rollup
         "a_gap_histogram": 2,
+        # heatmap: fixed ≤168-cell rollup + countDistinct expand
+        "a_traffic_heatmap": 2,
+        # length profile: one lang exchange (partial percentiles)
+        "c_corpus_length_profile": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
