@@ -4269,3 +4269,48 @@ def b_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fcus") - us)
         .alias("diff_us"),
     )
+
+
+@query(
+    "b_join_anti_null_aware",
+    oracle="""
+SELECT
+    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+         FROM orders)) AS n_raw,
+    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'))
+        AS n_filtered,
+    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders)) AS n_no_orders
+""",
+)
+def b_join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE ANTI JOIN — NOT IN's tri-state trap, certified on
+    both engines: a subquery that can yield NULL (orderkeys of 'P'
+    orders mapped to NULL) makes `x NOT IN (...)` UNKNOWN for every
+    candidate, so n_raw collapses to 0 the moment one 'P' order
+    exists — the production incident the IS NOT NULL guard
+    (n_filtered) prevents, and the semantic difference between NOT IN
+    and the plain anti join (b_join_anti / NOT EXISTS, which treats
+    NULL as simply not-a-match). Spark plans the raw form as
+    BroadcastNestedLoopJoin's null-aware anti (one build-side scan
+    flags whether ANY null exists — O(|orders|), not a cross
+    product); the filtered forms plan as hash anti joins. All three
+    counts in one statement through the SQL front-end — the same
+    Catalyst engine as the DataFrame route (b_sql_cte's argument)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_na_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_na_customer"
+    )
+    return spark.sql("""
+SELECT
+    (SELECT count(*) FROM v_na_customer WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+         FROM v_na_orders)) AS n_raw,
+    (SELECT count(*) FROM v_na_customer WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM v_na_orders WHERE o_orderstatus <> 'P'))
+        AS n_filtered,
+    (SELECT count(*) FROM v_na_customer WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM v_na_orders)) AS n_no_orders
+""")

@@ -332,6 +332,9 @@ def test_shuffle_budgets_table(spark):
         "a_gap_histogram": 2,
         # heatmap: fixed ≤168-cell rollup + countDistinct expand
         "a_traffic_heatmap": 2,
+        # null-aware NOT IN: three scalar-subquery counts (the raw
+        # form is the O(n) null-flag BNLJ anti, not a cross product)
+        "b_join_anti_null_aware": 3,
         # length profile: one lang exchange (partial percentiles)
         "c_corpus_length_profile": 1,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
