@@ -6907,3 +6907,66 @@ def c_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percentile("n_words", 0.99), 4).alias("p99"),
         F.max("n_words").cast("long").alias("max_words"),
     )
+
+
+@query(
+    "c_contrastive_pairs",
+    oracle="""
+WITH qv AS (
+    SELECT vec_id,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000 + 1e-04)
+                AS BIGINT) AS q
+    FROM embeddings
+), chk AS (
+    SELECT vec_id, sum(q) AS emb_checksum FROM qv GROUP BY vec_id
+), j AS (
+    SELECT d.doc_id, d.lang, md5(d.text) AS text_md5, c.emb_checksum
+    FROM documents d JOIN chk c ON d.doc_id = c.vec_id
+)
+SELECT doc_id, lang, text_md5,
+       CAST(emb_checksum AS BIGINT) AS emb_checksum,
+       COALESCE(lead(doc_id) OVER w, first_value(doc_id) OVER w)
+           AS neg_doc_id
+FROM j WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+""",
+)
+def c_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE PAIR CONSTRUCTION — the CLIP/dual-encoder training
+    batch builder: each anchor text joins its paired embedding (the
+    cross-TABLE id join documents.doc_id = embeddings.vec_id — the
+    multimodal pairing step itself) and gets a DETERMINISTIC in-batch
+    negative: the next doc in its language, wrapping cyclically (the
+    last doc's negative is the first — lead + first_value over one
+    lang window, so every anchor has exactly one negative and no
+    anchor is its own). The pairing is certified end to end: text_md5
+    fingerprints the anchor bytes, the exact 1e-4-grid integer sum
+    fingerprints the positive vector, and the negative assignment
+    replays in the oracle's identical window. One id-join exchange +
+    one vector-checksum rollup + the lang window. At 100 TB this is
+    the batch-materialization pass before the contrastive trainer;
+    c_mine_hard_negatives upgrades the cyclic negative to a scored
+    hard one."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.round(F.col("v").cast("double") * 10000 + F.lit(EPS[0]))
+        .cast("long")
+        .alias("q"),
+    )
+    chk = qv.groupBy("vec_id").agg(F.sum("q").alias("emb_checksum"))
+    j = docs.join(chk, docs.doc_id == chk.vec_id).select(
+        "doc_id", "lang", F.md5("text").alias("text_md5"), "emb_checksum"
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return j.select(
+        "doc_id",
+        "lang",
+        "text_md5",
+        F.col("emb_checksum").cast("long").alias("emb_checksum"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("neg_doc_id"),
+    )

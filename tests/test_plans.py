@@ -337,6 +337,9 @@ def test_shuffle_budgets_table(spark):
         "b_join_anti_null_aware": 3,
         # length profile: one lang exchange (partial percentiles)
         "c_corpus_length_profile": 1,
+        # contrastive pairs: vector-checksum rollup + the lang
+        # window (the id join broadcasts at fixture sf)
+        "c_contrastive_pairs": 2,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
