@@ -107,6 +107,7 @@ def main() -> None:
     range_binned_stress(spark)
     cep_stress(spark)
     para_stress(spark)
+    pretrain_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1636,4 +1637,80 @@ def para_stress(spark, n_docs: int = 1_000_000) -> None:
         f"paragraph_dedup {n_docs} docs / {2 * n_docs} blocks, one block "
         f"duplicated {n_docs}x: rewrite exact (kept = n_docs+1, word mass "
         f"exact) in {dt:.1f}s ({2 * n_docs / dt / 1e6:.2f}M blocks/s)"
+    )
+
+
+def pretrain_stress(spark, n_docs: int = 1_000_000) -> None:
+    """c_pipeline_pretrain (gate->scrub->pack) at 1M docs with every
+    stage's failure mode planted: docs with id%10==9 are too short
+    (gate: length), id%10==8 repeat one word 32x (gate: distinct
+    ratio), every survivor shares one boilerplate block (scrub: only
+    doc 0 keeps it) plus a unique block. Ground truth is closed-form:
+    800k survivors, kept mass 16*survivors + 16, and per-lang bin
+    counts ceil(mass/512) — exact or the fused pipeline broke a
+    stage boundary."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.operators.layer_c import PACK_CAPACITY
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    d = f"/tmp/dss_scale/pretrain_{uuid.uuid4().hex[:8]}"
+    boiler = " ".join(f"bp{i}" for i in range(16))
+    pad = F.lpad(F.col("id").cast("string"), 7, "0")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}x"), pad) for j in range(16)]
+    )
+    text = (
+        F.when(F.col("id") % 10 == 9, F.lit("tiny doc"))
+        .when(
+            F.col("id") % 10 == 8,
+            F.concat_ws(" ", *([F.lit("rep")] * 31), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit(boiler + " "), uniq))
+    )
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
+            F.lit("src").alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        .repartition(64)
+        .write.parquet(f"{d}/documents.parquet")
+    )
+    # closed-form ground truth
+    surv = {f"l{k}": n_docs // 5 for k in range(5)}
+    surv["l3"] -= n_docs // 10  # id%10==8 all have id%5==3
+    surv["l4"] -= n_docs // 10  # id%10==9 all have id%5==4
+    mass = {k: 16 * v for k, v in surv.items()}
+    mass["l0"] += 16  # doc 0 keeps the boilerplate block too
+    want_docs = sum(surv.values())
+    want_tokens = sum(mass.values())
+    want_groups = sum(-(-m // PACK_CAPACITY) for m in mass.values())
+    t0 = time.time()
+    agg = (
+        REGISTRY["c_pipeline_pretrain"]
+        .fn(spark, d)
+        .agg(
+            F.count("*").alias("groups"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("sum_tokens").alias("tokens"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert agg.docs == want_docs, (agg.docs, want_docs)
+    assert agg.tokens == want_tokens, (agg.tokens, want_tokens)
+    assert agg.groups == want_groups, (agg.groups, want_groups)
+    shutil.rmtree(d, ignore_errors=True)
+    print(
+        f"pretrain_pipeline {n_docs} docs (20% gate-rejected, one block "
+        f"duplicated {want_docs}x): {agg.docs} survivors / {agg.tokens} "
+        f"kept tokens / {agg.groups} pack bins, all closed-form EXACT in "
+        f"{dt:.1f}s ({n_docs / dt / 1e6:.2f}M docs/s through the fused "
+        f"gate->scrub->pack plan)"
     )
