@@ -4160,3 +4160,56 @@ def a_traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "a_new_vs_returning",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+    FROM events
+), f AS (
+    SELECT user_id, min(day_us) AS first_us FROM du GROUP BY user_id
+)
+SELECT day_us,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN day_us = first_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN day_us > first_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning
+FROM du JOIN f USING (user_id)
+GROUP BY day_us
+""",
+)
+def a_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING daily actives — the growth-accounting split
+    every product dashboard leads with: per day, distinct actives
+    partitioned into first-ever-seen (new) and seen-before
+    (returning). Exact by construction: one (day, user) distinct, one
+    per-user first-day rollup, re-join on user (REUSES the user
+    partitioning the rollup just produced — no extra exchange), one
+    day rollup. All-integer epoch-µs day keys under the shared UTC
+    session. At 100 TB the (day, user) distinct is the only
+    data-sized shuffle and it is exactly a_window_dau's state shape."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us"),
+            "user_id",
+        )
+        .distinct()
+    )
+    f = du.groupBy("user_id").agg(F.min("day_us").alias("first_us"))
+    return (
+        du.join(f, "user_id")
+        .groupBy("day_us")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day_us") == F.col("first_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day_us") > F.col("first_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )

@@ -6970,3 +6970,90 @@ def c_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("doc_id").over(w), F.first("doc_id").over(w)
         ).alias("neg_doc_id"),
     )
+
+
+@query(
+    "c_text_sim_hist",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE doc_id % {SIMHIST_MOD} = 0
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+), s AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM idx
+), sz AS (
+    SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), jac AS (
+    SELECT inter.c * 1.0 / (na.n + nb.n - inter.c) AS j
+    FROM inter
+    JOIN sz na ON inter.ia = na.doc_id
+    JOIN sz nb ON inter.ib = nb.doc_id
+)
+SELECT CAST(least(9, floor(j * 10)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {sql_rnd("min(j)", 4)} AS min_jac,
+       {sql_rnd("max(j)", 4)} AS max_jac
+FROM jac GROUP BY bin
+""",
+)
+def c_text_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-SIDE SIMILARITY CALIBRATION — the 3-gram-shingle Jaccard
+    histogram over the same deterministic sample rule as
+    c_embed_sim_hist (doc_id % 50 == 0), binned in tenths: the curve
+    that justifies a near-dup THRESHOLD before running c_dedup_ngram /
+    minhash at scale (where does boilerplate overlap end and true
+    duplication begin?). Pairs surface through the shared-shingle
+    join, so the histogram covers exactly the pairs any shingle-based
+    candidate generator could ever see (zero-overlap pairs are
+    j = 0 by definition and excluded on both engines). Jaccard is an
+    exact small-integer rational — identical IEEE division, identical
+    bin at every boundary. Sample-bounded all-pairs by construction;
+    intersection counts ride one shingle exchange + one pair rollup."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SIMHIST_MOD == 0
+    )
+    # 3-gram shingles via the slice expression (no per-word window)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "sh")
+    b = sh.select(F.col("doc_id").alias("ib"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sz.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    nb = sz.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .select(
+            (F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "j"
+            )
+        )
+    )
+    return j.groupBy(
+        F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        rnd(F.min("j"), 4).alias("min_jac"),
+        rnd(F.max("j"), 4).alias("max_jac"),
+    )

@@ -340,6 +340,13 @@ def test_shuffle_budgets_table(spark):
         # contrastive pairs: vector-checksum rollup + the lang
         # window (the id join broadcasts at fixture sf)
         "c_contrastive_pairs": 2,
+        # new-vs-returning: (day,user) distinct + user rollup + day
+        # rollup (the back-join reuses the user partitioning)
+        "a_new_vs_returning": 3,
+        # text sim hist: shingle distinct (re-read on both self-join
+        # sides in the static plan; AQE reuses) + size rollup + pair
+        # rollup + ≤10-row bin agg — sample-bounded by design
+        "c_text_sim_hist": 8,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
