@@ -4314,3 +4314,37 @@ SELECT
     (SELECT count(*) FROM v_na_customer WHERE c_custkey NOT IN
         (SELECT o_custkey FROM v_na_orders)) AS n_no_orders
 """)
+
+
+@query(
+    "b_scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_mix,
+       CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders WHERE o_orderkey <= 512
+""",
+)
+def b_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE scalar surface — AND/OR/XOR, shifts, popcount: the ops
+    behind bitmap indexes, bloom/bucket addressing (c_sim_lsh_native
+    packs hyperplane signs with them) and feature-flag words. All
+    exact integer arithmetic on BIGINT — zero cross-engine tolerance;
+    the popcount (Spark bit_count = DuckDB bit_count on BIGINT)
+    covers the sketch-cardinality primitive. Pure scan-local codegen;
+    the orderkey filter pushes to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 512)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).cast("long").alias("lo_byte"),
+        k.bitwiseOR(4096).cast("long").alias("with_flag"),
+        k.bitwiseXOR(c).cast("long").alias("key_mix"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -335,6 +335,8 @@ def test_shuffle_budgets_table(spark):
         # null-aware NOT IN: three scalar-subquery counts (the raw
         # form is the O(n) null-flag BNLJ anti, not a cross product)
         "b_join_anti_null_aware": 3,
+        # bitwise: scan-local codegen, filter pushed to parquet
+        "b_scalar_bitwise": 0,
         # length profile: one lang exchange (partial percentiles)
         "c_corpus_length_profile": 1,
         # contrastive pairs: vector-checksum rollup + the lang
