@@ -4213,3 +4213,81 @@ def a_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@query(
+    "a_new_vs_returning_stream",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+    FROM events
+), f AS (
+    SELECT user_id, min(day_us) AS first_us FROM du GROUP BY user_id
+)
+SELECT day_us,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN day_us = first_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN day_us > first_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning
+FROM du JOIN f USING (user_id)
+GROUP BY day_us
+""",
+)
+def a_new_vs_returning_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_new_vs_returning, checked against the SAME
+    oracle: the growth-accounting split (per day, distinct actives cut
+    into first-ever-seen vs seen-before) as an always-on materialized
+    view. First-seen is ORDER-SENSITIVE under dropDuplicates (arrival
+    order is not event order), so the streaming state is instead ONE
+    aggregation keyed by user_id holding collect_set(day) — a set, so
+    commutative over any arrival order and any micro-batch split; the
+    user's first day is array_min of the set, derived AFTER the
+    stream, not raced during it. The memory-sink relation (one row
+    per user: the user-profile KTable every growth stack materializes)
+    is then exploded and rolled up per day in batch — the same
+    complete-mode + batch-post-processing topology as a_trending
+    (whose docstring records why the rollup must not self-join the
+    memory relation). Scale: streaming state is one (user, day-set)
+    row per user — identical cardinality to the batch twin's
+    (day, user) distinct exchange; production runs the same topology
+    with a TTL on the user store."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    per_user = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.collect_set(
+                F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+            ).alias("days")
+        )
+    )
+    name = f"nvr_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_user.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.array_min("days").alias("first_us"),
+            F.explode("days").alias("day_us"),
+        )
+        .groupBy("day_us")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day_us") == F.col("first_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day_us") > F.col("first_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )

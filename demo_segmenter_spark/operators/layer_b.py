@@ -4348,3 +4348,56 @@ def b_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("shr3"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "b_agg_bitmap_distinct",
+    oracle="""
+WITH w AS (
+    SELECT event_type, user_id // 32 AS word,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS m
+    FROM events GROUP BY 1, 2
+), bm AS (
+    SELECT event_type,
+           CAST(sum(bit_count(m)) AS BIGINT) AS n_users_bitmap,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM w GROUP BY 1
+), ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+    FROM events GROUP BY 1
+)
+SELECT event_type, n_users_bitmap, n_words, n_users_exact
+FROM bm JOIN ex USING (event_type)
+""",
+)
+def b_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP exact-distinct aggregation — the roaring-bitmap pattern
+    OLAP engines use to make COUNT(DISTINCT user) cheap and MERGEABLE:
+    pack each user into bit (user_id % 32) of word (user_id div 32),
+    bit_or the words per (event_type, word), then sum popcounts. The
+    word table is the reusable artifact: unlike a countDistinct expand
+    it composes across time partitions with a further bit_or (the
+    exact analogue of b_agg_sketch_merge's HLL union, with zero
+    error), so at 100 TB the daily word tables merge in O(|ids|/32)
+    instead of re-shuffling raw events. n_users_exact (the classic
+    expand) rides in-schema as the self-certification twin — the two
+    columns must be equal on every row. Dense-id domains only; sparse
+    ids first pass through a dictionary (c_embed_quantize's trick).
+    Budget: word groupBy + popcount rollup + the exact twin's expand
+    pair; the ≤5-row twin join broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(user_id % 32 as int))")
+        ).alias("m")
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("m")).cast("long").alias("n_users_bitmap"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return bm.join(F.broadcast(ex), "event_type")

@@ -7057,3 +7057,192 @@ def c_text_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.min("j"), 4).alias("min_jac"),
         rnd(F.max("j"), 4).alias("max_jac"),
     )
+
+
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+_PII_IP_RE = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# Deterministic PII injection, expressed identically on both engines:
+# the fixture corpus is a clean lowercase word soup (no @, no digits),
+# so the detector surface is exercised on planted-but-realistic tokens
+# whose positions and values derive from doc_id alone.
+_PII_TXT_SQL = """text
+ || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+    ELSE '' END
+ || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE '' END
+ || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+         || '.' || CAST(doc_id % 100 AS VARCHAR)
+    ELSE '' END"""
+
+
+@query(
+    "c_pii_scrub",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_PII_TXT_SQL} AS txt FROM documents
+), r AS (
+    SELECT doc_id, txt,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+               '10\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g')
+               AS clean
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_PII_EMAIL_RE}')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(txt, '{_PII_PHONE_RE}')) AS BIGINT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(txt,
+           '10\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT)
+           AS n_ip,
+       md5(clean) AS clean_md5,
+       CAST(length(txt) - length(clean) AS BIGINT) AS delta_chars
+FROM r
+""",
+)
+def c_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECTION + REDACTION — the compliance gate every corpus
+    passes before training: count emails / phone numbers / IPv4
+    addresses per document and replace each with a typed placeholder.
+    The fixture text is a clean word soup, so realistic PII tokens are
+    planted deterministically from doc_id (identical CASE/concat
+    expression on both engines — the op under test is the regex
+    surface, not the planting). Patterns stay in the character-class
+    subset where Java regex (Spark) and RE2 (DuckDB) agree exactly;
+    the redacted-string md5 certifies byte-identical replacement, and
+    delta_chars pins the redaction geometry. Pure map-side scan-local
+    codegen — ZERO exchanges at any scale; this is the shape the
+    100 TB scrub pass must keep (anything with a shuffle in it is
+    wrong for a per-document rewrite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("cast((doc_id div 7) % 256 as string)"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", txt.alias("txt"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(_PII_EMAIL_RE)).cast("long").alias(
+            "n_email"
+        ),
+        F.regexp_count("txt", F.lit(_PII_PHONE_RE)).cast("long").alias(
+            "n_phone"
+        ),
+        F.regexp_count("txt", F.lit(_PII_IP_RE)).cast("long").alias("n_ip"),
+        F.md5(clean).alias("clean_md5"),
+        (F.length("txt") - F.length(clean)).cast("long").alias("delta_chars"),
+    )
+
+
+@query(
+    "c_batch_by_length",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+           len(string_split(text, ' ')) // 16 AS bucket,
+           doc_id % 4 AS shard
+    FROM documents
+), rn AS (
+    SELECT bucket, shard, n_tok,
+           (row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY n_tok, doc_id) - 1) // 8 AS batch_idx
+    FROM d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+       {sql_rnd("sum(n_tok) * 1.0 / (count(*) * max(n_tok))", 4)} AS pad_eff
+FROM rn GROUP BY 1, 2, 3
+""",
+)
+def c_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED DYNAMIC BATCHING — the dataloader pass that
+    decides real training throughput: group documents into
+    16-token-wide length buckets, order deterministically inside each
+    (bucket, shard), cut batches of 8, and account the padding waste
+    (batch pads to its max length). pad_eff is the number a data team
+    tunes bucket width against — the whole point of length-grouped
+    batching vs c_train_shuffle's random order. The shard key
+    (doc_id % 4) is the scale design: production dataloaders batch
+    per-shard, never globally, so the window parallelism is
+    buckets x shards and no single partition ever sees the whole
+    corpus — at 100 TB raise the shard fan-out, the semantics are
+    unchanged. All-integer except the one final division (identical
+    operand order both engines). ONE exchange: the groupBy key
+    extends the window key, so Catalyst reuses the (bucket, shard)
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.expr("size(split(text, ' ')) div 16").alias("bucket"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("n_tok", "doc_id")
+    rn = d.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / 8)
+    )
+    return (
+        rn.groupBy(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("shard").cast("long").alias("shard"),
+            F.col("batch_idx").cast("long").alias("batch_idx"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+            .cast("long")
+            .alias("pad_waste"),
+            rnd(
+                F.sum("n_tok") * 1.0 / (F.count("*") * F.max("n_tok")), 4
+            ).alias("pad_eff"),
+        )
+    )

@@ -351,6 +351,14 @@ def test_shuffle_budgets_table(spark):
         "c_text_sim_hist": 8,
         # hysteresis alerts: LOCF + lag share ONE user_id exchange
         "a_alert_hysteresis": 1,
+        # bitmap distinct: word groupBy + popcount rollup + the exact
+        # twin's countDistinct expand pair (twin join broadcasts)
+        "b_agg_bitmap_distinct": 4,
+        # PII scrub: pure map-side scan-local codegen — ZERO exchanges
+        "c_pii_scrub": 0,
+        # dynamic batching: groupBy key extends the (bucket, shard)
+        # window key — Catalyst reuses the one exchange
+        "c_batch_by_length": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
