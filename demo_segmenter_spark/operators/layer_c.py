@@ -7246,3 +7246,114 @@ def c_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_eff"),
         )
     )
+
+
+@query(
+    "c_fingerprint_winnow",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           greatest(len(string_split(text, ' ')) - 3, 1) AS m
+    FROM documents
+), g AS (
+    SELECT doc_id, m, unnest(generate_series(1, m)) AS pos
+    FROM t
+), h AS (
+    SELECT g.doc_id, g.m, g.pos,
+           CAST(concat('0x', substr(md5(
+               array_to_string(list_slice(t.toks, g.pos, g.pos + 3), ' ')
+           ), 1, 8)) AS BIGINT) * 1048576 + (1048576 - g.pos) AS combined
+    FROM g JOIN t USING (doc_id)
+), wm AS (
+    SELECT doc_id, m, pos,
+           min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+    FROM h
+), fp AS (
+    SELECT DISTINCT doc_id, m, sel FROM wm
+    WHERE pos <= greatest(m - 4, 1)
+)
+SELECT doc_id,
+       CAST(max(m) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(sel // 1048576) AS BIGINT) AS fp_sum,
+       CAST(min(sel // 1048576) AS BIGINT) AS fp_min,
+       CAST(max(1048576 - sel % 1048576) AS BIGINT) AS last_pos,
+       (round(count(*) * 1.0 / max(m) + 1e-08, 4) + 0.0) AS density
+FROM fp GROUP BY doc_id
+""",
+)
+def c_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local dedup sketch): hash every 4-token
+    gram, slide a w=5 window over the hash sequence, and select each
+    window's MINIMUM with the RIGHTMOST-position tiebreak; the
+    guarantee is one fingerprint per w consecutive grams, so any
+    shared substring of >= w+k-1 tokens between two documents shares a
+    fingerprint — the property c_doc_fingerprint's single global min
+    cannot give. The tiebreak rides an exact integer encoding
+    (combined = hash * 2^20 + (2^20 - pos): min picks min hash, then
+    max pos — no struct-ordering dependence, bit-identical on both
+    engines via the shared md5-hex32 gram hash). Short docs (m < w)
+    degrade to one whole-doc window, matching the paper's boundary
+    semantics. ONE doc_id exchange shared by the sliding-min window
+    and the rollup (the groupBy key is the window partition key);
+    gram construction is map-side slice arithmetic — at 100 TB this
+    is scan + one exchange, the same budget as sessionization."""
+    sel = _winnow_sel(load_table(spark, sf_dir, "documents"))
+    return sel.groupBy("doc_id").agg(
+        F.max("m").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_fp"),
+        F.sum(F.expr("sel div 1048576")).cast("long").alias("fp_sum"),
+        F.min(F.expr("sel div 1048576")).cast("long").alias("fp_min"),
+        F.max(1048576 - F.col("sel") % 1048576).cast("long").alias("last_pos"),
+        rnd(F.count("*") * 1.0 / F.max("m"), 4).alias("density"),
+    )
+
+
+def _winnow_sel(docs_raw: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """The winnowing selection set: one row per distinct selected
+    (doc_id, combined) where combined = gram_hash * 2^20 + (2^20 - pos)
+    encodes the rightmost-min tiebreak as plain integer MIN. Shared by
+    c_fingerprint_winnow and the guarantee tests."""
+    docs = docs_raw.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.greatest(
+            F.size(F.split(F.col("text"), " ")) - (k - 1), F.lit(1)
+        ).alias("m"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "m",
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "m",
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 1048576
+            + (1048576 - F.col("pos"))
+        ).alias("combined"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("sel", F.min("combined").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select("doc_id", "m", "sel")
+        .distinct()
+    )

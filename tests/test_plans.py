@@ -359,6 +359,9 @@ def test_shuffle_budgets_table(spark):
         # dynamic batching: groupBy key extends the (bucket, shard)
         # window key — Catalyst reuses the one exchange
         "c_batch_by_length": 1,
+        # winnowing: sliding-min window, distinct and rollup all ride
+        # ONE doc_id exchange (gram explode is map-side)
+        "c_fingerprint_winnow": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
