@@ -108,6 +108,8 @@ def main() -> None:
     cep_stress(spark)
     para_stress(spark)
     pretrain_stress(spark)
+    bitmap_stress(spark)
+    pii_batch_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1714,3 +1716,171 @@ def pretrain_stress(spark, n_docs: int = 1_000_000) -> None:
         f"{dt:.1f}s ({n_docs / dt / 1e6:.2f}M docs/s through the fused "
         f"gate->scrub->pack plan)"
     )
+
+
+def bitmap_stress(spark, replicas: int = 100) -> None:
+    """b_agg_bitmap_distinct at 10M events / ~150k users: replicate
+    sf0.1 events with DISJOINT user key spaces, so the exact distinct
+    per event_type is precisely replicas x the base — the linearity
+    any bitmap bit-placement bug (word/bit aliasing across replicas)
+    would break. The in-schema countDistinct twin must also equal the
+    bitmap count on every row at this scale."""
+    import shutil
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base = {
+        r.event_type: r.n_users_bitmap
+        for r in REGISTRY["b_agg_bitmap_distinct"].fn(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    stride = ev.agg(F.max("user_id")).first()[0] + 1
+    out = "/tmp/dss_scale/bitmap"
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            "event_id",
+            "ts",
+            (F.col("user_id") + F.col("rep") * stride).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    n_rows = spark.read.parquet(f"{out}/events.parquet").count()
+    t0 = time.time()
+    rows = REGISTRY["b_agg_bitmap_distinct"].fn(spark, out).collect()
+    dt = time.time() - t0
+    for r in rows:
+        assert r.n_users_bitmap == r.n_users_exact, r
+        assert r.n_users_bitmap == replicas * base[r.event_type], (r, base)
+    print(
+        f"bitmap_distinct {n_rows} events ({replicas}x disjoint user space): "
+        f"per-type bitmap popcounts == countDistinct == exactly {replicas}x "
+        f"base on all {len(rows)} types in {dt:.1f}s "
+        f"({n_rows / dt / 1e6:.2f}M rows/s; word table is the mergeable "
+        f"artifact)"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.catalog.clearCache()
+
+
+def pii_batch_stress(spark, n_docs: int = 1_000_000) -> None:
+    """c_pii_scrub + c_batch_by_length at 1M synthesized docs with
+    CLOSED-FORM ground truth. PII: ids 0..n-1 plant exactly one email
+    per id%3==0, one phone per id%4==0, one IPv4 per id%5==0 — the
+    per-type totals are exact ceilings. Batching: token count
+    40 + id%7 (all docs in one 16-wide bucket), shard id%4; since
+    (id%7, id%4) is determined by id%28, the per-shard sorted length
+    multiset is closed-form, and a 28-residue python fold reproduces
+    the exact total padding waste the length-grouped batcher must
+    report."""
+    import shutil
+
+    from demo_segmenter_spark.registry import REGISTRY
+
+    d = "/tmp/dss_scale/piibatch"
+    shutil.rmtree(d, ignore_errors=True)
+    n_tok = 40 + F.col("id") % 7
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.concat(F.lit("w"), ((F.col("id") * 31 + i) % 97).cast("string")),
+        ),
+    )
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("src").alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        .repartition(64)
+        .write.parquet(f"{d}/documents.parquet")
+    )
+    # --- PII closed form ---
+    t0 = time.time()
+    agg = (
+        REGISTRY["c_pii_scrub"]
+        .fn(spark, d)
+        .agg(
+            F.sum("n_email").alias("e"),
+            F.sum("n_phone").alias("p"),
+            F.sum("n_ip").alias("i"),
+            F.max("n_email").alias("me"),
+            F.max("n_phone").alias("mp"),
+            F.max("n_ip").alias("mi"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    want = ((n_docs + 2) // 3, (n_docs + 3) // 4, (n_docs + 4) // 5)
+    assert (agg.e, agg.p, agg.i) == want, (agg, want)
+    assert (agg.me, agg.mp, agg.mi) == (1, 1, 1), agg
+    print(
+        f"pii_scrub {n_docs} docs: planted email/phone/ip totals "
+        f"{want} all EXACT in {dt:.1f}s ({n_docs / dt / 1e6:.2f}M docs/s "
+        f"through the zero-exchange scan-local redaction)"
+    )
+    # --- batching closed form: fold the 28-residue length counts ---
+    per_shard: dict[int, dict[int, int]] = {s: {} for s in range(4)}
+    for res in range(28):
+        cnt = n_docs // 28 + (1 if res < n_docs % 28 else 0)
+        ln, sh = 40 + res % 7, res % 4
+        per_shard[sh][ln] = per_shard[sh].get(ln, 0) + cnt
+    want_waste = want_batches = 0
+    for sh, by_len in per_shard.items():
+        lens = []
+        for ln in sorted(by_len):
+            lens.append((ln, by_len[ln]))
+        # chunk the ascending multiset into batches of 8
+        flatc = sum(c for _, c in lens)
+        want_batches += -(-flatc // 8)
+        # walk batch boundaries without enumerating docs
+        idx = 0
+        bounds = []
+        for ln, c in lens:
+            bounds.append((idx, idx + c, ln))
+            idx += c
+        for b in range(-(-flatc // 8)):
+            lo, hi = b * 8, min((b + 1) * 8, flatc)
+            mx, sm = 0, 0
+            for s0, s1, ln in bounds:
+                ov = max(0, min(hi, s1) - max(lo, s0))
+                if ov:
+                    mx = max(mx, ln)
+                    sm += ov * ln
+            want_waste += (hi - lo) * mx - sm
+    t0 = time.time()
+    got = (
+        REGISTRY["c_batch_by_length"]
+        .fn(spark, d)
+        .agg(
+            F.sum("pad_waste").alias("w"),
+            F.sum("n_docs").alias("n"),
+            F.count("*").alias("b"),
+            F.max("n_docs").alias("mx"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert got.n == n_docs and got.mx == 8, got
+    assert got.b == want_batches, (got.b, want_batches)
+    assert got.w == want_waste, (got.w, want_waste)
+    print(
+        f"batch_by_length {n_docs} docs: {got.b} batches, total padding "
+        f"waste {got.w} tokens == 28-residue closed form EXACT in {dt:.1f}s "
+        f"({n_docs / dt / 1e6:.2f}M docs/s through the one-exchange "
+        f"bucketed batcher)"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    spark.catalog.clearCache()
