@@ -7357,3 +7357,244 @@ def _winnow_sel(docs_raw: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
         .select("doc_id", "m", "sel")
         .distinct()
     )
+
+
+# Deterministic raw-URL planting (both engines verbatim): canonical
+# identity is doc_id % 200 -> (host = id % 50, path = id % 200); the
+# id % 3 variant rotates WITHIN each canonical group (200 % 3 != 0),
+# so every group mixes plain / uppercased-host / utm+slash forms.
+_URL_RAW_SQL = """CASE doc_id % 3
+ WHEN 0 THEN 'https://example' || CAST(doc_id % 50 AS STRING)
+      || '.com/page/' || CAST(doc_id % 200 AS STRING)
+ WHEN 1 THEN 'https://EXAMPLE' || CAST(doc_id % 50 AS STRING)
+      || '.COM/page/' || CAST(doc_id % 200 AS STRING)
+ ELSE 'https://example' || CAST(doc_id % 50 AS STRING)
+      || '.com/page/' || CAST(doc_id % 200 AS STRING)
+      || '/?utm_source=s' || CAST(doc_id AS STRING)
+      || '&utm_campaign=c' || CAST(doc_id % 4 AS STRING)
+ END"""
+
+
+@query(
+    "c_dedup_url",
+    oracle=f"""
+WITH r AS (
+    SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+), c AS (
+    SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(lower(url),
+               '#.*$', ''),
+               '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
+               '/+$', '') AS canon
+    FROM r
+)
+SELECT canon AS canon_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+FROM c GROUP BY canon
+""",
+)
+def c_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION + DEDUP — the first pass of every web-scale
+    corpus build (Common-Crawl-style): lowercase scheme/host, strip
+    fragments and utm_* tracking params, trim trailing slashes, then
+    collapse to one kept doc per canonical URL (deterministic
+    keep-first by doc_id). Raw URLs are planted from doc_id (identical
+    expression both engines — the op under test is the normalization
+    chain + the dedup rollup); each canonical group provably mixes
+    plain, uppercased-host and tracking-paramed forms, and n_raw_forms
+    >= 2 certifies the normalizer actually unified distinct spellings
+    rather than grouping byte-equal strings. Normalization is
+    map-side; the canon-key rollup plus its n_raw_forms countDistinct
+    expand are the only exchanges — c_dedup_exact's shape with the
+    regex chain fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_RAW_SQL)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "#.*$", ""),
+            "[?&]utm_[a-z]+=[a-z0-9]*",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        docs.select("doc_id", url.alias("url"), canon.alias("canon"))
+        .groupBy(F.col("canon").alias("canon_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+        )
+    )
+
+
+@query(
+    "c_rag_eval",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT t, count(*) AS df FROM tf GROUP BY t
+), qry AS (
+    SELECT t, row_number() OVER (ORDER BY df DESC, t) - 1 AS qid
+    FROM df ORDER BY df DESC, t LIMIT 5
+), ranked AS (
+    SELECT q.qid, f.doc_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY f.tf DESC, f.doc_id) AS rk,
+           CASE WHEN f.doc_id % 7 = q.qid % 7 THEN 1 ELSE 0 END AS rel
+    FROM tf f JOIN qry q ON f.t = q.t
+), hits AS (
+    SELECT qid, rk, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rk) AS hits_upto
+    FROM ranked
+), per_q AS (
+    SELECT qid,
+           sum(rel) AS n_rel,
+           min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+           sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS rel_at_10,
+           sum(CASE WHEN rel = 1
+               THEN CAST(round(hits_upto * 1000000.0 / rk) AS BIGINT)
+               ELSE 0 END) AS ap_micro
+    FROM hits GROUP BY qid
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       (round(1.0 / first_rel + 1e-08, 4) + 0.0) AS mrr,
+       (round(rel_at_10 * 1.0 / n_rel + 1e-08, 4) + 0.0) AS recall_at_10,
+       (round(rel_at_10 / 10.0 + 1e-08, 4) + 0.0) AS p_at_10,
+       (round(ap_micro / 1000000.0 / n_rel + 1e-08, 4) + 0.0) AS avg_prec
+FROM per_q
+""",
+)
+def c_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION — the IR metrics harness every RAG stack
+    needs next to its retriever: MRR, recall@10, precision@10 and
+    average precision per query, computed over a term-frequency
+    ranking of the 5 highest-df corpus tokens against PLANTED qrels
+    (relevant = contains the term AND doc_id % 7 == qid % 7 — mixing
+    content with an id residue keeps every metric strictly inside
+    (0, 1), so the rank-join arithmetic is actually exercised). The
+    op under test is the metrics computation: the rank window, the
+    running-hits cumsum, and AP's order-sensitive fraction sum — each
+    precision@k term is quantized to integer micro-units BEFORE the
+    per-query sum (c_text_bm25's trick), so no float accumulation
+    order can break the hash. Per-query ranking partitions by qid
+    (5 partitions here, |queries| in production); the tf/df rollups
+    are the standard inverted-index exchanges."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    qry = (
+        df_.orderBy(F.col("df").desc(), "t")
+        .limit(5)
+        .select(
+            "t",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("df").desc(), "t")
+                )
+                - 1
+            ).alias("qid"),
+        )
+    )
+    rk_w = Window.partitionBy("qid").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = (
+        tf.join(F.broadcast(qry), "t")
+        .select(
+            "qid",
+            "doc_id",
+            "tf",
+            F.when(F.col("doc_id") % 7 == F.col("qid") % 7, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
+    cum_w = Window.partitionBy("qid").orderBy("rk")
+    hits = ranked.withColumn("hits_upto", F.sum("rel").over(cum_w))
+    per_q = hits.groupBy("qid").agg(
+        F.sum("rel").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0)).alias(
+            "rel_at_10"
+        ),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(F.col("hits_upto") * 1_000_000.0 / F.col("rk")).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        ).alias("ap_micro"),
+    )
+    return per_q.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        rnd(1.0 / F.col("first_rel"), 4).alias("mrr"),
+        rnd(F.col("rel_at_10") * 1.0 / F.col("n_rel"), 4).alias("recall_at_10"),
+        rnd(F.col("rel_at_10") / 10.0, 4).alias("p_at_10"),
+        rnd(F.col("ap_micro") / 1_000_000.0 / F.col("n_rel"), 4).alias(
+            "avg_prec"
+        ),
+    )
+
+
+@query(
+    "c_shard_balance",
+    oracle="""
+WITH rk AS (
+    SELECT doc_id, n_chars,
+           (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
+               AS shard
+    FROM documents
+), s AS (
+    SELECT shard, count(*) AS n_docs, sum(n_chars) AS sum_bytes
+    FROM rk GROUP BY shard
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_bytes AS BIGINT) AS sum_bytes,
+       (round(sum_bytes * 8.0 / sum(sum_bytes) OVER () + 1e-08, 4) + 0.0)
+           AS load_ratio
+FROM s
+""",
+)
+def c_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED OUTPUT SHARDING — the writer-side planning pass for
+    "emit this corpus as N equal shards": round-robin docs across 8
+    shards in descending size order (the classic size-rank mod-N
+    assignment — within 1 max-doc of optimal balance, deterministic,
+    and embarrassingly re-computable, unlike greedy LPT which needs
+    sequential state). load_ratio pins the balance certificate
+    (shard_bytes / mean); round-robin keeps it ~1.0 even under skewed
+    size distributions. The global size sort is a single-partition
+    window over |docs| rank keys — at 100 TB replace it with ntile
+    over sketch cutpoints (a_rfm_segments' documented path); the
+    assignment rule and the certificate are unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk_w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    rk = docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.row_number().over(rk_w) - 1) % 8).alias("shard"),
+    )
+    s = rk.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_bytes"),
+    )
+    tot_w = Window.partitionBy()
+    return s.select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "sum_bytes",
+        rnd(
+            F.col("sum_bytes") * 8.0 / F.sum("sum_bytes").over(tot_w), 4
+        ).alias("load_ratio"),
+    )

@@ -362,6 +362,16 @@ def test_shuffle_budgets_table(spark):
         # winnowing: sliding-min window, distinct and rollup all ride
         # ONE doc_id exchange (gram explode is map-side)
         "c_fingerprint_winnow": 1,
+        # url dedup: canon rollup + the n_raw_forms countDistinct
+        # expand (normalization chain is fused into the scan)
+        "c_dedup_url": 2,
+        # IR eval: tf + df rollups, the qid rank/cumsum windows ride
+        # one exchange, per-query metric rollup
+        "c_rag_eval": 4,
+        # shard planning: the global size-rank window + shard rollup
+        # share one single-partition exchange (ntile-at-scale path
+        # documented, a_rfm_segments precedent)
+        "c_shard_balance": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
