@@ -109,6 +109,10 @@ HEADLINE = [
     "b_graph_sssp",
     # the fused gate->scrub->pack pretraining pipeline
     "c_pipeline_pretrain",
+    # round 7 fourth session: winnowing fingerprints (sliding-min
+    # selection class) and the mergeable bitmap exact-distinct
+    "c_fingerprint_winnow",
+    "b_agg_bitmap_distinct",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

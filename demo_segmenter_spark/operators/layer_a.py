@@ -4291,3 +4291,60 @@ def a_new_vs_returning_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@query(
+    "a_seasonal_baseline",
+    oracle="""
+WITH hourly AS (
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           dayofweek(ts) AS dow, hour(ts) AS hod,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+), cell AS (
+    SELECT dow, hod, sum(n) AS tot, count(*) AS k
+    FROM hourly GROUP BY 1, 2
+)
+SELECT day_us, CAST(h.dow AS BIGINT) AS dow, CAST(h.hod AS BIGINT) AS hod,
+       CAST(n AS BIGINT) AS n, CAST(tot AS BIGINT) AS cell_total,
+       CAST(k AS BIGINT) AS n_days,
+       (round((n * k) * 1.0 / tot + 1e-08, 4) + 0.0) AS ratio
+FROM hourly h JOIN cell USING (dow, hod)
+WHERE (n * k) * 1.0 / tot >= 1.5 OR (n * k) * 1.0 / tot <= 0.5
+""",
+)
+def a_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-BASELINE anomaly screen — the on-call question "is this
+    hour's traffic odd FOR a tuesday 3pm": roll events to (day, hour)
+    counts, build the (day-of-week x hour-of-day) cell baseline over
+    all observed days, and flag hours whose count deviates 1.5x above
+    or 2x below their cell mean. Unlike a_anomaly_zscore's global
+    per-type moments, the baseline here is the SEASONAL grid — the
+    comparison every dashboard actually wants. ratio = (n * k) / tot
+    is integer-exact up to one IEEE division (identical operand order
+    both engines), so the cut cannot flip on a ulp; calendar fields
+    ride the shared UTC session (Spark dayofweek is 1=Sunday, DuckDB
+    0=Sunday — mapped with -1, a_traffic_heatmap's convention). Two
+    bounded rollups (hour grid, <= 168-cell baseline) and a broadcast
+    back-join — the hourly rollup is the only data-sized exchange at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    cell = hourly.groupBy("dow", "hod").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("k")
+    )
+    j = hourly.join(F.broadcast(cell), ["dow", "hod"])
+    ratio = (F.col("n") * F.col("k")) * 1.0 / F.col("tot")
+    return j.filter((ratio >= 1.5) | (ratio <= 0.5)).select(
+        "day_us",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        F.col("n").cast("long").alias("n"),
+        F.col("tot").cast("long").alias("cell_total"),
+        F.col("k").cast("long").alias("n_days"),
+        rnd(ratio, 4).alias("ratio"),
+    )

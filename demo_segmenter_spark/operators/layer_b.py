@@ -4401,3 +4401,67 @@ def b_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users_exact")
     )
     return bm.join(F.broadcast(ex), "event_type")
+
+
+@query(
+    "b_agg_bitmap_distinct_stream",
+    oracle="""
+WITH w AS (
+    SELECT event_type, user_id // 32 AS word,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS m
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(bit_count(m)) AS BIGINT) AS n_users_bitmap,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM w GROUP BY event_type
+""",
+)
+def b_agg_bitmap_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_agg_bitmap_distinct — exact distinct users
+    per event_type maintained as MERGEABLE bitmap state: the streaming
+    aggregation keys on (event_type, word) and bit_or's each user's
+    bit in, so state is one 64-bit word per 32 present users — the
+    compact exact alternative to a dropDuplicates store (one state row
+    PER USER) that a_window_dau_stream documents, with bit_or's
+    commutativity giving order/batch-split insensitivity for free.
+    Streaming countDistinct is rejected by Spark; this is the shape
+    that replaces it when exactness is required and ids are dense
+    (sparse ids dictionary-encode first). The word table lands in a
+    memory sink (complete mode, availableNow replay) and the popcount
+    rollup runs as batch post-processing — same topology as
+    a_trending. Checked against the SAME word-table oracle as the
+    batch twin (minus its in-schema countDistinct certification
+    column, which is itself not streamable)."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    words = (
+        stream_events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.expr("user_id div 32").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(user_id % 32 as int))")
+            ).alias("m")
+        )
+    )
+    name = f"bmd_{uuid.uuid4().hex[:8]}"
+    q = (
+        words.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("m")).cast("long").alias("n_users_bitmap"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )

@@ -372,6 +372,9 @@ def test_shuffle_budgets_table(spark):
         # share one single-partition exchange (ntile-at-scale path
         # documented, a_rfm_segments precedent)
         "c_shard_balance": 1,
+        # seasonal baseline: hourly rollup (re-read on the join side
+        # in the static plan; AQE reuses) + the <=168-cell baseline
+        "a_seasonal_baseline": 3,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
