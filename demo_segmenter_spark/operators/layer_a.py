@@ -4348,3 +4348,78 @@ def a_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_days"),
         rnd(ratio, 4).alias("ratio"),
     )
+
+
+@query(
+    "a_sli_burn_rate",
+    oracle="""
+WITH hourly AS (
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_idx,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+           count(*) AS tot
+    FROM events GROUP BY 1, 2
+), win AS (
+    SELECT hour_us, err, tot,
+           sum(err) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS err6,
+           sum(tot) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot6
+    FROM hourly
+)
+SELECT hour_us, CAST(err AS BIGINT) AS err, CAST(tot AS BIGINT) AS tot,
+       CAST(err6 AS BIGINT) AS err6, CAST(tot6 AS BIGINT) AS tot6,
+       (round(err * 4.0 / tot + 1e-08, 4) + 0.0) AS short_burn,
+       (round(err6 * 4.0 / tot6 + 1e-08, 4) + 0.0) AS long_burn
+FROM win
+WHERE err * 4.0 / tot > 1.2 AND err6 * 4.0 / tot6 > 1.2
+""",
+)
+def a_sli_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN-RATE ALERT — the Google SRE-workbook
+    multi-window multi-burn rule: with a 75% availability SLO (error
+    budget 0.25 — sized to the fixture's ~20% error mix), page when
+    BOTH the 1-hour and the trailing-6-hour burn rates exceed 1.2x
+    budget consumption (the short window makes the alert fast, the
+    long window makes it robust to blips). The 6-hour frame is a
+    RANGE window over integer epoch-hours, so missing hours shrink
+    the trailing mass instead of silently stretching the window (the
+    ROWS-frame bug every naive implementation ships). burn =
+    err * 4.0 / tot is integer-exact up to one IEEE division with
+    identical operand order on both engines — the > 1.2 page cut
+    cannot flip on a ulp. The hourly rollup is the only data-sized
+    exchange; the burn windows run on the BOUNDED hourly grid
+    (720 rows/month at ANY corpus scale), so the single-partition
+    window is a rounding error at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("HOUR", F.col("ts"))).alias("hour_us"),
+        (
+            F.unix_micros(F.date_trunc("HOUR", F.col("ts")))
+            / F.lit(3600000000)
+        ).cast("long").alias("hour_idx"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "err"
+        ),
+        F.count("*").alias("tot"),
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    win = hourly.select(
+        "hour_us",
+        "err",
+        "tot",
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w6).alias("tot6"),
+    )
+    short_burn = F.col("err") * 4.0 / F.col("tot")
+    long_burn = F.col("err6") * 4.0 / F.col("tot6")
+    return win.filter((short_burn > 1.2) & (long_burn > 1.2)).select(
+        "hour_us",
+        F.col("err").cast("long").alias("err"),
+        F.col("tot").cast("long").alias("tot"),
+        F.col("err6").cast("long").alias("err6"),
+        F.col("tot6").cast("long").alias("tot6"),
+        rnd(short_burn, 4).alias("short_burn"),
+        rnd(long_burn, 4).alias("long_burn"),
+    )

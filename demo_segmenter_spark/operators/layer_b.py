@@ -4465,3 +4465,44 @@ def b_agg_bitmap_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_words"),
         )
     )
+
+
+@query(
+    "b_agg_decimal",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_price,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(0.07 AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS sum_tax
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def b_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DECIMAL money aggregation — the no-float ledger path the
+    integer-cents helpers (compat.py) approximate: cast once to
+    DECIMAL(18,2) at the scan, then sum/min/max and a fixed-point tax
+    multiply (x DECIMAL(4,2) 0.07 -> scale-4 products) all stay in
+    exact decimal arithmetic, so the result is bit-identical on both
+    engines REGARDLESS of summation order — the property double sums
+    lose at 100 TB (a_anomaly_zscore's docstring caveat, answered).
+    Output scales are pinned with explicit final casts so the two
+    engines' internal precision-widening rules (Spark dec(28,2) vs
+    DuckDB dec(38,2) accumulators) can't leak into the value hash.
+    One map-side-partial exchange over <=3 groups — b_agg_basic's
+    budget with exact arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    tax = d * F.lit("0.07").cast("decimal(4,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d).cast("decimal(38,2)").alias("sum_price"),
+        F.min(d).cast("decimal(38,2)").alias("min_price"),
+        F.max(d).cast("decimal(38,2)").alias("max_price"),
+        F.sum(tax).cast("decimal(38,4)").alias("sum_tax"),
+    )

@@ -375,6 +375,12 @@ def test_shuffle_budgets_table(spark):
         # seasonal baseline: hourly rollup (re-read on the join side
         # in the static plan; AQE reuses) + the <=168-cell baseline
         "a_seasonal_baseline": 3,
+        # SLO burn: hourly rollup + the bounded-grid burn window
+        # (720 rows/month at any scale)
+        "a_sli_burn_rate": 2,
+        # exact decimal ledger: one map-side-partial exchange over
+        # <=3 groups (b_agg_basic's shape)
+        "b_agg_decimal": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
