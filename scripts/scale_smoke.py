@@ -110,6 +110,7 @@ def main() -> None:
     pretrain_stress(spark)
     bitmap_stress(spark)
     pii_batch_stress(spark)
+    winnow_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1883,4 +1884,73 @@ def pii_batch_stress(spark, n_docs: int = 1_000_000) -> None:
         f"bucketed batcher)"
     )
     shutil.rmtree(d, ignore_errors=True)
+    spark.catalog.clearCache()
+
+
+def winnow_stress(spark, replicas: int = 100) -> None:
+    """c_fingerprint_winnow at 500k docs / ~25M grams: replicate the
+    sf0.1 corpus with disjoint doc_id spaces but IDENTICAL texts —
+    winnowing is a pure per-document function, so every per-doc
+    fingerprint set replicates verbatim and the corpus totals
+    (fingerprint count, hash mass) are each exactly replicas x the
+    base. Any cross-document state bleed through the doc_id window or
+    a tiebreak instability would break the equality."""
+    import shutil
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base = (
+        REGISTRY["c_fingerprint_winnow"]
+        .fn(spark, sf)
+        .agg(
+            F.sum("n_fp").alias("fp"),
+            F.sum("fp_sum").alias("mass"),
+            F.sum("n_grams").alias("g"),
+        )
+        .first()
+    )
+    docs = load_table(spark, sf, "documents")
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    out = "/tmp/dss_scale/winnow"
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
+    t0 = time.time()
+    agg = (
+        REGISTRY["c_fingerprint_winnow"]
+        .fn(spark, out)
+        .agg(
+            F.sum("n_fp").alias("fp"),
+            F.sum("fp_sum").alias("mass"),
+            F.sum("n_grams").alias("g"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert agg.fp == replicas * base.fp, (agg.fp, base.fp)
+    assert agg.mass == replicas * base.mass, (agg.mass, base.mass)
+    assert agg.g == replicas * base.g, (agg.g, base.g)
+    print(
+        f"winnow {n_docs} docs / {agg.g} grams: fingerprint count and hash "
+        f"mass exactly {replicas}x base in {dt:.1f}s "
+        f"({agg.g / dt / 1e6:.2f}M grams/s through the one-exchange "
+        f"sliding-min plan)"
+    )
+    shutil.rmtree(out, ignore_errors=True)
     spark.catalog.clearCache()
