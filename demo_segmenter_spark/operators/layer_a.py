@@ -4423,3 +4423,90 @@ def a_sli_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(short_burn, 4).alias("short_burn"),
         rnd(long_burn, 4).alias("long_burn"),
     )
+
+
+@query(
+    "a_sli_burn_rate_stream",
+    oracle="""
+WITH hourly AS (
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_idx,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+           count(*) AS tot
+    FROM events GROUP BY 1, 2
+), win AS (
+    SELECT hour_us, err, tot,
+           sum(err) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS err6,
+           sum(tot) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot6
+    FROM hourly
+)
+SELECT hour_us, CAST(err AS BIGINT) AS err, CAST(tot AS BIGINT) AS tot,
+       CAST(err6 AS BIGINT) AS err6, CAST(tot6 AS BIGINT) AS tot6,
+       (round(err * 4.0 / tot + 1e-08, 4) + 0.0) AS short_burn,
+       (round(err6 * 4.0 / tot6 + 1e-08, 4) + 0.0) AS long_burn
+FROM win
+WHERE err * 4.0 / tot > 1.2 AND err6 * 4.0 / tot6 > 1.2
+""",
+)
+def a_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_sli_burn_rate, checked against the SAME
+    oracle: the always-on pager. The streaming stage maintains exactly
+    the state a production monitor holds — the per-hour (err, tot)
+    counters, one row per hour, keyed on event-time hour in a
+    commutative aggregation (arrival order and micro-batch splits
+    can't change a sum) — and the multi-window burn arithmetic runs as
+    batch post-processing on the bounded hourly grid from the memory
+    sink (a_trending's complete-mode topology; the trailing-6h RANGE
+    window is not expressible inside a streaming agg, which is the
+    point of splitting the plan there). In production the same
+    topology runs append+watermark with the burn window in a
+    foreachBatch, paging within one trigger of an hour closing."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    hourly = (
+        stream_events(spark, sf_dir)
+        .groupBy(
+            F.unix_micros(F.date_trunc("HOUR", F.col("ts"))).alias("hour_us")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("err"),
+            F.count("*").alias("tot"),
+        )
+    )
+    name = f"burn_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = spark.table(name).withColumn(
+        "hour_idx", (F.col("hour_us") / F.lit(3600000000)).cast("long")
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    win = grid.select(
+        "hour_us",
+        "err",
+        "tot",
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w6).alias("tot6"),
+    )
+    short_burn = F.col("err") * 4.0 / F.col("tot")
+    long_burn = F.col("err6") * 4.0 / F.col("tot6")
+    return win.filter((short_burn > 1.2) & (long_burn > 1.2)).select(
+        "hour_us",
+        F.col("err").cast("long").alias("err"),
+        F.col("tot").cast("long").alias("tot"),
+        F.col("err6").cast("long").alias("err6"),
+        F.col("tot6").cast("long").alias("tot6"),
+        rnd(short_burn, 4).alias("short_burn"),
+        rnd(long_burn, 4).alias("long_burn"),
+    )
