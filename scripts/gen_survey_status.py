@@ -53,7 +53,19 @@ FOOTER = (
     "`a_peak_concurrency[_stream]` (distributed two-pass sweep line); "
     "TPC-H Q1/Q7/Q10; exact cross-engine `b_agg_percentiles`; streaming "
     "CDC upsert into the versioned manifest sink (streaming/sinks.py::"
-    "cdc_upsert_sink, idempotent by batchId). Shuffle budgets are enforced "
+    "cdc_upsert_sink, idempotent by batchId). Round-7 fourth-session "
+    "additions: compliance + dataloader surface (`c_pii_scrub` "
+    "zero-exchange detect/redact, `c_dedup_url` canonicalization dedup, "
+    "`c_batch_by_length` padding-waste-accounted dynamic batching, "
+    "`c_shard_balance` balanced output sharding, `c_fingerprint_winnow` "
+    "SIGMOD-2003 winnowing with guarantee tests); IR metrics harness "
+    "`c_rag_eval` (MRR/recall@10/P@10/AP, micro-quantized); mergeable "
+    "exact distinct `b_agg_bitmap_distinct[_stream]` (bit_or word state); "
+    "exact DECIMAL ledger `b_agg_decimal`; ops monitoring "
+    "`a_seasonal_baseline` + `a_sli_burn_rate[_stream]` (SRE "
+    "multi-window multi-burn); growth accounting `a_new_vs_returning_"
+    "stream` (order-insensitive first-seen via per-user day-set state). "
+    "Shuffle budgets are enforced "
     "per-query in tests/test_plans.py::test_shuffle_budgets_table."
 )
 
