@@ -4506,3 +4506,70 @@ def b_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(d).cast("decimal(38,2)").alias("max_price"),
         F.sum(tax).cast("decimal(38,4)").alias("sum_tax"),
     )
+
+
+# Planted semi-structured payloads (identical CASE on both engines):
+# clicks and errors carry evolved schemas next to the legacy {"k": n}
+# baseline, so the profiler sees real key/type drift.
+_JSON_SHAPES_SQL = """CASE event_type
+ WHEN 'click' THEN '{"k": ' || CAST(user_id % 100 AS STRING)
+      || ', "page": "p' || CAST(user_id % 20 AS STRING) || '"}'
+ WHEN 'error' THEN '{"k": ' || CAST(user_id % 100 AS STRING)
+      || ', "code": ' || CAST(user_id % 7 AS STRING)
+      || ', "fatal": ' || (CASE WHEN user_id % 2 = 0 THEN 'true'
+                                ELSE 'false' END) || '}'
+ ELSE props END"""
+
+
+@query(
+    "b_json_schema_profile",
+    oracle=f"""
+WITH j AS (
+    SELECT {_JSON_SHAPES_SQL} AS js FROM events
+), kv AS (
+    SELECT key, json_extract_string(js, '$.' || key) AS val
+    FROM (SELECT unnest(json_keys(js)) AS key, js FROM j) t
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(sum(CASE WHEN val IN ('true', 'false')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+       min(val) AS min_val
+FROM kv GROUP BY key
+""",
+)
+def b_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-STRUCTURED SCHEMA PROFILING — the data-quality pass that
+    catches payload drift before it breaks a pipeline: explode every
+    JSON key/value pair and report, per key, its frequency, value
+    cardinality, and a type census (integer-shaped vs boolean-shaped
+    values, lexicographic min as the example). Payload shapes are
+    planted per event_type (legacy {{"k": n}} rows next to evolved
+    click/error schemas) so the profiler demonstrates actual drift
+    detection: 'fatal' appears only on errors and types 100% bool,
+    'k' spans all rows. Values are profiled AS STRINGS (Spark
+    from_json map<string,string> == DuckDB json_extract_string — both
+    render 87 -> '87', true -> 'true', probed before registration), so
+    the census needs no engine-specific typeof. Map-side parse +
+    explode, one key rollup with its countDistinct expand — at 100 TB
+    this is the same shape as word count."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.expr(_JSON_SHAPES_SQL), "map<string,string>")
+        ).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("val").rlike("^-?[0-9]+$"), 1).otherwise(0)
+        ).cast("long").alias("n_int"),
+        F.sum(
+            F.when(F.col("val").isin("true", "false"), 1).otherwise(0)
+        ).cast("long").alias("n_bool"),
+        F.min("val").alias("min_val"),
+    )

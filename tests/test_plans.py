@@ -381,6 +381,9 @@ def test_shuffle_budgets_table(spark):
         # exact decimal ledger: one map-side-partial exchange over
         # <=3 groups (b_agg_basic's shape)
         "b_agg_decimal": 1,
+        # JSON schema profiling: key rollup + its countDistinct
+        # expand (parse + explode are map-side)
+        "b_json_schema_profile": 2,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
