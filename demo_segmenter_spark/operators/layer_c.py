@@ -7598,3 +7598,99 @@ def c_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_bytes") * 8.0 / F.sum("sum_bytes").over(tot_w), 4
         ).alias("load_ratio"),
     )
+
+
+@query(
+    "c_sft_render",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           CAST(round(value * 100 + 0.0001) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), turns AS (
+    SELECT user_id, rn,
+           '<|' || CASE WHEN rn % 2 = 1 THEN 'user'
+                        ELSE 'assistant' END || '|>'
+           || event_type || ' c' || CAST(c AS STRING) || '<|end|>' AS turn
+    FROM seq WHERE rn <= 6
+), docs AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(turn, '' ORDER BY rn) AS rendered,
+           CAST(sum(CASE WHEN rn % 2 = 0
+                    THEN len(string_split(turn, ' ')) ELSE 0 END) AS BIGINT)
+               AS n_loss_tokens
+    FROM turns GROUP BY user_id
+)
+SELECT user_id, n_turns, md5(rendered) AS rendered_md5,
+       CAST(length(rendered) AS BIGINT) AS n_chars,
+       CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_tokens,
+       n_loss_tokens,
+       (round(n_loss_tokens * 1.0 / len(string_split(rendered, ' '))
+              + 1e-08, 4) + 0.0) AS loss_ratio
+FROM docs
+""",
+)
+def c_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT CHAT-TEMPLATE RENDERING + LOSS MASK — the supervised-
+    fine-tuning data-prep pass that completes the masking trilogy
+    (c_mlm_mask = BERT, c_span_corruption = T5, this = SFT): assemble
+    each user's first 6 events (by event time, event_id tiebreak) into
+    an alternating user/assistant conversation with special-token
+    delimiters, and account the loss mask — only ASSISTANT-turn tokens
+    train, so n_loss_tokens / n_tokens is the utilization number an
+    SFT run budgets by. The ordered rebuild uses c_dedup_paragraph's
+    certified idiom: Spark array_sort(collect_list(struct(rn, turn)))
+    + concat ⟷ DuckDB string_agg(... ORDER BY rn) — byte-identical,
+    md5-certified. Money rides integer cents so no float ever hits the
+    rendered string. One user_id exchange shared by the sequence
+    window and the per-user assembly; rendering is pure codegen — at
+    100 TB this is sessionization's budget with string assembly on
+    top."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        cents(F.col("value")).alias("c"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 6)
+    turn = F.concat(
+        F.lit("<|"),
+        F.when(F.col("rn") % 2 == 1, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit("|>"),
+        F.col("event_type"),
+        F.lit(" c"),
+        F.col("c").cast("string"),
+        F.lit("<|end|>"),
+    )
+    turns = seq.select("user_id", "rn", turn.alias("turn"))
+    docs = turns.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "turn"))),
+                lambda s: s["turn"],
+            ),
+        ).alias("rendered"),
+        F.sum(
+            F.when(
+                F.col("rn") % 2 == 0, F.size(F.split(F.col("turn"), " "))
+            ).otherwise(0)
+        ).cast("long").alias("n_loss_tokens"),
+    )
+    n_tok = F.size(F.split(F.col("rendered"), " "))
+    return docs.select(
+        "user_id",
+        "n_turns",
+        F.md5("rendered").alias("rendered_md5"),
+        F.length("rendered").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        "n_loss_tokens",
+        rnd(F.col("n_loss_tokens") * 1.0 / n_tok, 4).alias("loss_ratio"),
+    )

@@ -384,6 +384,9 @@ def test_shuffle_budgets_table(spark):
         # JSON schema profiling: key rollup + its countDistinct
         # expand (parse + explode are map-side)
         "b_json_schema_profile": 2,
+        # SFT rendering: sequence window and per-user assembly share
+        # ONE user_id exchange (sessionization's budget)
+        "c_sft_render": 1,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
