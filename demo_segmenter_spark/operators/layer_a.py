@@ -4510,3 +4510,97 @@ def a_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(short_burn, 4).alias("short_burn"),
         rnd(long_burn, 4).alias("long_burn"),
     )
+
+
+@query(
+    "a_cohort_ltv",
+    oracle="""
+WITH ue AS (
+    SELECT user_id,
+           epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+           CAST(round(value * 100 + 0.0001) AS BIGINT) AS c
+    FROM events
+), first AS (
+    SELECT user_id, min(day_idx) // 7 AS cohort_week FROM ue
+    GROUP BY user_id
+), sized AS (
+    SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1
+), cell AS (
+    SELECT f.cohort_week,
+           ue.day_idx // 7 - f.cohort_week AS age_weeks,
+           sum(ue.c) AS rev_c,
+           count(DISTINCT ue.user_id) AS n_active
+    FROM ue JOIN first f USING (user_id)
+    GROUP BY 1, 2
+), tri AS (
+    SELECT cohort_week, age_weeks, rev_c, n_active,
+           sum(rev_c) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+               ROWS UNBOUNDED PRECEDING) AS cum_c
+    FROM cell
+)
+SELECT CAST(t.cohort_week AS BIGINT) AS cohort_week,
+       CAST(t.age_weeks AS BIGINT) AS age_weeks,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(t.n_active AS BIGINT) AS n_active,
+       (round(t.rev_c / 100.0 + 1e-06, 2) + 0.0) AS revenue,
+       (round(t.cum_c / 100.0 / s.cohort_size + 1e-08, 4) + 0.0)
+           AS cum_ltv_per_user
+FROM tri t JOIN sized s USING (cohort_week)
+""",
+)
+def a_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV TRIANGLE — the growth-finance table next to
+    a_retention_cohorts' activity counts: assign each user to their
+    first-seen WEEK cohort, roll revenue into (cohort, age-in-weeks)
+    cells, and walk cumulative LTV-per-user down each cohort's row —
+    the curve payback-period decisions read. Revenue rides integer
+    cents end-to-end (sums are order-free); the two divisions
+    (/100.0, /cohort_size) happen once per output row with identical
+    operand order on both engines. Week arithmetic is pure integer
+    division on epoch-days. Exchanges: the per-user first-seen rollup,
+    its re-key back onto events, the cell rollup, and the cumulative
+    window over the BOUNDED (cohort x age) triangle; cohort sizes
+    broadcast. The user rollup and back-join are a_new_vs_returning's
+    exact shape — one data-sized shuffle at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(date_trunc('DAY', ts)) div 86400000000"
+        ).alias("day_idx"),
+        cents(F.col("value")).alias("c"),
+    )
+    first = ev.groupBy("user_id").agg(
+        F.expr("min(day_idx) div 7").alias("cohort_week")
+    )
+    sized = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cell = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.expr("day_idx div 7") - F.col("cohort_week")).alias(
+                "age_weeks"
+            ),
+        )
+        .agg(
+            F.sum("c").alias("rev_c"),
+            F.countDistinct("user_id").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tri = cell.withColumn("cum_c", F.sum("rev_c").over(w))
+    return tri.join(F.broadcast(sized), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("n_active").cast("long").alias("n_active"),
+        rnd(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        rnd(F.col("cum_c") / 100.0 / F.col("cohort_size"), 4).alias(
+            "cum_ltv_per_user"
+        ),
+    )

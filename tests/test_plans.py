@@ -387,6 +387,11 @@ def test_shuffle_budgets_table(spark):
         # SFT rendering: sequence window and per-user assembly share
         # ONE user_id exchange (sessionization's budget)
         "c_sft_render": 1,
+        # LTV triangle: user first-seen rollup + events re-key + cell
+        # rollup with countDistinct expand + the bounded triangle
+        # window + the cohort-size subtree (static re-read; AQE
+        # reuses) — one data-sized shuffle (the user re-key)
+        "a_cohort_ltv": 6,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
