@@ -64,7 +64,11 @@ FOOTER = (
     "exact DECIMAL ledger `b_agg_decimal`; ops monitoring "
     "`a_seasonal_baseline` + `a_sli_burn_rate[_stream]` (SRE "
     "multi-window multi-burn); growth accounting `a_new_vs_returning_"
-    "stream` (order-insensitive first-seen via per-user day-set state). "
+    "stream` (order-insensitive first-seen via per-user day-set state) "
+    "and `a_cohort_ltv` (cumulative revenue triangle, integer cents); "
+    "payload drift detection `b_json_schema_profile`; SFT data prep "
+    "`c_sft_render` (chat-template render + loss-mask accounting — "
+    "completes the MLM/T5/SFT masking trilogy). "
     "Shuffle budgets are enforced "
     "per-query in tests/test_plans.py::test_shuffle_budgets_table."
 )
