@@ -4604,3 +4604,85 @@ def a_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ltv_per_user"
         ),
     )
+
+
+@query(
+    "a_ab_test",
+    oracle="""
+WITH conv AS (
+    SELECT user_id, user_id % 2 AS variant,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS c
+    FROM events GROUP BY 1, 2
+), v AS (
+    SELECT variant, count(*) AS n, sum(c) AS conv FROM conv GROUP BY 1
+), w AS (
+    SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n0,
+        max(CASE WHEN variant = 1 THEN n END) AS n1,
+        max(CASE WHEN variant = 0 THEN conv END) AS c0,
+        max(CASE WHEN variant = 1 THEN conv END) AS c1
+    FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+       (round(c0 * 1.0 / n0 + 1e-08, 4) + 0.0) AS rate0,
+       (round(c1 * 1.0 / n1 + 1e-08, 4) + 0.0) AS rate1,
+       (round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+              / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                     * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1)) + 1e-08, 4) + 0.0) AS z
+FROM w
+""",
+)
+def a_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT — the two-proportion z-test every
+    product analytics stack ships: users split by a deterministic
+    hash (user_id % 2 here; a salted hash in production), conversion
+    = any purchase event, and the pooled z statistic for the uplift.
+    Cross-engine exactness note: unlike ln/exp (libm-divergent,
+    quantized elsewhere), IEEE-754 requires sqrt to be CORRECTLY
+    ROUNDED, so the whole statistic is bit-identical on both engines
+    given the same fixed operand order — no micro-unit quantization
+    needed. One per-user conversion rollup (the only data-sized
+    exchange) collapsing to a 2-row variant table and a 1-row pivot;
+    at 100 TB the rollup is a_new_vs_returning's user-key shape."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("c")
+    )
+    v = conv.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("c").alias("conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    c0, c1 = F.col("c0"), F.col("c1")
+    p = (c0 + c1) * 1.0 / (n0 + n1)
+    z = (c1 * 1.0 / n1 - c0 * 1.0 / n0) / F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return w.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        c0.cast("long").alias("c0"),
+        c1.cast("long").alias("c1"),
+        rnd(c0 * 1.0 / n0, 4).alias("rate0"),
+        rnd(c1 * 1.0 / n1, 4).alias("rate1"),
+        rnd(z, 4).alias("z"),
+    )

@@ -392,6 +392,9 @@ def test_shuffle_budgets_table(spark):
         # window + the cohort-size subtree (static re-read; AQE
         # reuses) — one data-sized shuffle (the user re-key)
         "a_cohort_ltv": 6,
+        # A/B readout: per-user conversion rollup (the one data-sized
+        # exchange) + 2-row variant agg + 1-row pivot
+        "a_ab_test": 3,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
