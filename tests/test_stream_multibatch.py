@@ -685,3 +685,111 @@ def test_dynamic_gap_session_stream_across_batches(spark):
     got = _rowset(spark.table(name))
     want = _rowset(REGISTRY["a_session_dynamic_gap"].fn(spark, SF))
     assert got == want
+
+
+def test_new_vs_returning_state_across_batches(spark):
+    # a_new_vs_returning_stream's state is per-user collect_set(day):
+    # a user active in batches 1 and 3 must accumulate BOTH days in
+    # one state row, and first-seen must resolve across the cut.
+    ev = _read_stream(spark, _trickle_src(spark)[0])
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(
+            F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+        ).alias("days")
+    )
+    name, n_batches = _run_to_memory(per_user, "complete")
+    assert n_batches == 3
+    got = _rowset(
+        spark.table(name)
+        .select(
+            F.array_min("days").alias("first_us"),
+            F.explode("days").alias("day_us"),
+        )
+        .groupBy("day_us")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("day_us") == F.col("first_us"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("day_us") > F.col("first_us"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+        )
+    )
+    want = _rowset(REGISTRY["a_new_vs_returning"].fn(spark, SF))
+    assert got == want
+
+
+def test_bitmap_distinct_state_across_batches(spark):
+    # The bit_or word state must OR user bits arriving in DIFFERENT
+    # micro-batches into the same word row — popcounts then equal the
+    # batch twin's exact countDistinct.
+    ev = _read_stream(spark, _trickle_src(spark)[0])
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(user_id % 32 as int))")
+        ).alias("m")
+    )
+    name, n_batches = _run_to_memory(words, "complete")
+    assert n_batches == 3
+    got = _rowset(
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("m")).cast("long").alias("n_users_bitmap"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )
+    want = _rowset(
+        REGISTRY["b_agg_bitmap_distinct"]
+        .fn(spark, SF)
+        .select("event_type", "n_users_bitmap", "n_words")
+    )
+    assert got == want
+
+
+def test_burn_rate_state_across_batches(spark):
+    # Hour counters spanning a batch cut must keep accumulating in
+    # state; the post-processed multi-window burns then equal the
+    # batch twin row-for-row.
+    from pyspark.sql import Window
+
+    ev = _read_stream(spark, _trickle_src(spark)[0])
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("HOUR", F.col("ts"))).alias("hour_us")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+        F.count("*").alias("tot"),
+    )
+    name, n_batches = _run_to_memory(hourly, "complete")
+    assert n_batches == 3
+    grid = spark.table(name).withColumn(
+        "hour_idx", (F.col("hour_us") / F.lit(3600000000)).cast("long")
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    win = grid.select(
+        "hour_us",
+        "err",
+        "tot",
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w6).alias("tot6"),
+    )
+    sb = F.col("err") * 4.0 / F.col("tot")
+    lb = F.col("err6") * 4.0 / F.col("tot6")
+    got = _rowset(
+        win.filter((sb > 1.2) & (lb > 1.2)).select(
+            "hour_us",
+            F.col("err").cast("long").alias("err"),
+            F.col("tot").cast("long").alias("tot"),
+            F.col("err6").cast("long").alias("err6"),
+            F.col("tot6").cast("long").alias("tot6"),
+            rnd(sb, 4).alias("short_burn"),
+            rnd(lb, 4).alias("long_burn"),
+        )
+    )
+    want = _rowset(REGISTRY["a_sli_burn_rate"].fn(spark, SF))
+    assert got == want
