@@ -7694,3 +7694,89 @@ def c_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_loss_tokens",
         rnd(F.col("n_loss_tokens") * 1.0 / n_tok, 4).alias("loss_ratio"),
     )
+
+
+@query(
+    "c_dedup_winnow",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           greatest(len(string_split(text, ' ')) - 3, 1) AS m
+    FROM documents
+), g AS (
+    SELECT doc_id, m, unnest(generate_series(1, m)) AS pos FROM t
+), h AS (
+    SELECT g.doc_id, g.m, g.pos,
+           CAST(concat('0x', substr(md5(
+               array_to_string(list_slice(t.toks, g.pos, g.pos + 3), ' ')
+           ), 1, 8)) AS BIGINT) * 1048576 + (1048576 - g.pos) AS combined
+    FROM g JOIN t USING (doc_id)
+), wm AS (
+    SELECT doc_id, m, pos,
+           min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+    FROM h
+), fp AS (
+    SELECT DISTINCT doc_id, sel // 1048576 AS hh FROM wm
+    WHERE pos <= greatest(m - 4, 1)
+), sz AS (
+    SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id
+), hot AS (
+    SELECT hh FROM fp GROUP BY hh HAVING count(*) > {SHINGLE_DF_CAP}
+), fpc AS (
+    SELECT fp.* FROM fp ANTI JOIN hot USING (hh)
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM fpc a JOIN fpc b ON a.hh = b.hh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS BIGINT) AS n_shared,
+       CAST(na.n AS BIGINT) AS n_fp_a,
+       CAST(nb.n AS BIGINT) AS n_fp_b,
+       {sql_rnd("c * 1.0 / (na.n + nb.n - c)", 4)} AS fp_jaccard
+FROM inter
+JOIN sz na ON doc_a = na.doc_id
+JOIN sz nb ON doc_b = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+""",
+)
+def c_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING-BASED NEAR-DUP DETECTION — the MOSS pipeline end to
+    end, and the third independent candidate generator next to
+    shingle-blocking (c_dedup_ngram) and minhash banding
+    (c_dedup_minhash_native): docs sharing any selected fingerprint
+    HASH become candidates through the SAME bounded grouped-pairs
+    machinery (window df cap — no hot fingerprint emits more than
+    C(cap,2) pairs; fixture max df is 3, measured), scored by exact
+    Jaccard over the fingerprint SETS themselves. Because winnowing
+    guarantees a fingerprint per w consecutive grams, fp-Jaccard is a
+    position-local similarity: unlike minhash it needs NO probability
+    argument, so the whole pipeline — selection, candidates, scores —
+    is deterministic and hash-certified (no rows-only concession).
+    Sketch-sized state: ~m/w hashes per doc ride the exchanges, ~5x
+    smaller than the full shingle table at the same k. Threshold 0.2
+    keeps 25 of 104 fixture candidates (measured) — interior, so the
+    cut is exercised."""
+    sel = _winnow_sel(load_table(spark, sf_dir, "documents"))
+    fp = sel.select(
+        "doc_id", F.expr("sel div 1048576").alias("hh")
+    ).distinct()
+    w = Window.partitionBy("doc_id")
+    sh = fp.select(
+        "doc_id",
+        F.lit("_").alias("lang"),
+        F.lit("_").alias("source"),
+        F.count("*").over(w).alias("sz"),
+        F.col("hh").cast("string").alias("s"),
+    )
+    pairs = _shingle_pairs(sh)
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return pairs.filter(jac >= 0.2).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("n_shared"),
+        F.col("sza").cast("long").alias("n_fp_a"),
+        F.col("szb").cast("long").alias("n_fp_b"),
+        rnd(jac, 4).alias("fp_jaccard"),
+    )

@@ -395,6 +395,11 @@ def test_shuffle_budgets_table(spark):
         # A/B readout: per-user conversion rollup (the one data-sized
         # exchange) + 2-row variant agg + 1-row pivot
         "a_ab_test": 3,
+        # winnow dedup: the doc_id sliding-min/distinct exchange + a
+        # doc_id size window re-key + the grouped-pairs (hash) and
+        # (doc_a, doc_b) exchanges ride _shingle_pairs' 2-shuffle
+        # bound (fingerprint table is ~m/w of the shingle table)
+        "c_dedup_winnow": 3,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
