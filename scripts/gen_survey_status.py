@@ -68,7 +68,11 @@ FOOTER = (
     "and `a_cohort_ltv` (cumulative revenue triangle, integer cents); "
     "payload drift detection `b_json_schema_profile`; SFT data prep "
     "`c_sft_render` (chat-template render + loss-mask accounting — "
-    "completes the MLM/T5/SFT masking trilogy). "
+    "completes the MLM/T5/SFT masking trilogy); experimentation "
+    "`a_ab_test` (two-proportion z, sqrt correctly rounded by IEEE so "
+    "no quantization); `c_dedup_winnow` (MOSS end-to-end — the third "
+    "independent near-dup candidate generator, fully deterministic so "
+    "fully hash-certified, on sketch-sized ~m/w exchanges). "
     "Shuffle budgets are enforced "
     "per-query in tests/test_plans.py::test_shuffle_budgets_table."
 )
