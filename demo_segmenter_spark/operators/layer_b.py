@@ -4573,3 +4573,69 @@ def b_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_bool"),
         F.min("val").alias("min_val"),
     )
+
+
+@query(
+    "b_completeness_audit",
+    oracle="""
+WITH feed AS (
+    SELECT event_id FROM events WHERE event_id % 97 <> 13
+), mx AS (
+    SELECT max(event_id) AS max_id FROM feed
+), bins AS (
+    SELECT event_id // 256 AS bin, count(*) AS n_obs
+    FROM feed GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(CASE WHEN bin = max_id // 256
+            THEN max_id + 1 - bin * 256 ELSE 256 END AS BIGINT)
+           AS n_expected,
+       CAST(CASE WHEN bin = max_id // 256
+            THEN max_id + 1 - bin * 256 ELSE 256 END - n_obs AS BIGINT)
+           AS n_missing
+FROM bins, mx
+WHERE (CASE WHEN bin = max_id // 256
+       THEN max_id + 1 - bin * 256 ELSE 256 END) > n_obs
+""",
+)
+def b_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE COMPLETENESS AUDIT — the "did we drop messages?"
+    monitor every ingestion pipeline runs against a dense id sequence:
+    bin event_ids into 256-wide ranges, compare observed counts to the
+    bin's expected span, and report every bin with missing ids. A ~1%
+    loss is PLANTED (event_id % 97 == 13 filtered at the source, the
+    same deterministic-planting discipline as c_pii_scrub) so the
+    audit demonstrably FINDS gaps rather than vacuously passing on the
+    gap-free fixture. The tail bin's expectation derives from the
+    observed max id (what a real monitor has — it cannot know about
+    ids never seen past the high-water mark; the planted residue is
+    chosen to never hit the fixture maxima, verified at all three
+    sfs). One bin rollup plus a 1-row max broadcast — no global sort,
+    no window over the data: at 100 TB this is the cheapest possible
+    full-feed integrity check, and the bin width trades resolution
+    for rollup size."""
+    feed = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 != 13
+    ).select("event_id")
+    mx = feed.agg(F.max("event_id").alias("max_id"))
+    bins = feed.groupBy(F.expr("event_id div 256").alias("bin")).agg(
+        F.count("*").alias("n_obs")
+    )
+    j = bins.join(F.broadcast(mx))
+    expected = F.when(
+        F.col("bin") == F.expr("max_id div 256"),
+        F.col("max_id") + 1 - F.col("bin") * 256,
+    ).otherwise(F.lit(256))
+    return (
+        j.withColumn("n_expected", expected)
+        .filter(F.col("n_expected") > F.col("n_obs"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_expected").cast("long").alias("n_expected"),
+            (F.col("n_expected") - F.col("n_obs")).cast("long").alias(
+                "n_missing"
+            ),
+        )
+    )

@@ -400,6 +400,9 @@ def test_shuffle_budgets_table(spark):
         # (doc_a, doc_b) exchanges ride _shingle_pairs' 2-shuffle
         # bound (fingerprint table is ~m/w of the shingle table)
         "c_dedup_winnow": 3,
+        # completeness audit: bin rollup + 1-row max — no global
+        # sort, no data-sized window
+        "b_completeness_audit": 2,
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
