@@ -72,7 +72,9 @@ FOOTER = (
     "`a_ab_test` (two-proportion z, sqrt correctly rounded by IEEE so "
     "no quantization); `c_dedup_winnow` (MOSS end-to-end — the third "
     "independent near-dup candidate generator, fully deterministic so "
-    "fully hash-certified, on sketch-sized ~m/w exchanges). "
+    "fully hash-certified, on sketch-sized ~m/w exchanges); ingestion "
+    "integrity `b_completeness_audit` (binned sequence-gap monitor, "
+    "planted loss). "
     "Shuffle budgets are enforced "
     "per-query in tests/test_plans.py::test_shuffle_budgets_table."
 )
