@@ -13,7 +13,17 @@ never accumulates cached intermediates.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Serializes the before/after getPersistentRDDs() diff in
+# local_checkpoint(): without it, a concurrent thread persisting at the
+# same moment would have ITS new RDD appear between the two snapshots and
+# be attributed to this checkpoint — then force-unpersisted by
+# release_persisted() while still live. All tracked persists take the
+# same lock so the diff window can only ever contain this call's RDD.
+_TRACK_LOCK = threading.Lock()
 
 # Strong references on purpose: the Python wrapper of a persisted
 # intermediate goes out of scope when the query function returns (the
@@ -25,8 +35,9 @@ _PERSISTED: list[DataFrame] = []
 
 def persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` + register for later bulk release."""
-    df = df.persist()
-    _PERSISTED.append(df)
+    with _TRACK_LOCK:
+        df = df.persist()
+        _PERSISTED.append(df)
     return df
 
 
@@ -53,17 +64,21 @@ def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     immediate, only materialization is deferred), so a before/after
     diff of that map captures exactly this checkpoint's handle."""
     sc = df.sparkSession.sparkContext
-    try:
-        before = set(sc._jsc.getPersistentRDDs().keys())
-    except Exception:  # noqa: BLE001 — py4j teardown race: degrade to untracked
-        return df.localCheckpoint(eager=eager)
-    out = df.localCheckpoint(eager=eager)
-    try:
-        for rid, jrdd in sc._jsc.getPersistentRDDs().items():
-            if rid not in before:
-                _CHECKPOINTED.append(jrdd)
-    except Exception:  # noqa: BLE001
-        pass
+    # Lock spans snapshot→checkpoint→snapshot so a concurrent tracked
+    # persist/checkpoint can never land inside the diff window and have
+    # its live cache claimed (then force-unpersisted) by this call.
+    with _TRACK_LOCK:
+        try:
+            before = set(sc._jsc.getPersistentRDDs().keys())
+        except Exception:  # noqa: BLE001 — py4j teardown race: degrade to untracked
+            return df.localCheckpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager)
+        try:
+            for rid, jrdd in sc._jsc.getPersistentRDDs().items():
+                if rid not in before:
+                    _CHECKPOINTED.append(jrdd)
+        except Exception:  # noqa: BLE001
+            pass
     return out
 
 

@@ -137,6 +137,7 @@ class JsonlDirWriter(DataSourceWriter):
 
     def write(self, iterator):
         import json
+        import math
         import os
         import uuid
 
@@ -145,6 +146,7 @@ class JsonlDirWriter(DataSourceWriter):
         n = 0
         lo: dict = {}
         hi: dict = {}
+        nonfinite: set = set()  # columns with any NaN/inf: no stats at all
         with open(fname, "w") as f:
             for row in iterator:
                 if self.fail:
@@ -154,6 +156,23 @@ class JsonlDirWriter(DataSourceWriter):
                 n += 1
                 for k, v in d.items():
                     if v is None or isinstance(v, bool):
+                        continue
+                    # Non-finite floats (NaN/±inf) are excluded from the
+                    # zone map entirely: NaN as the first value would make
+                    # every later comparison False and freeze [lo, hi] at
+                    # [NaN, NaN], which json.dumps emits as a non-standard
+                    # literal AND which the pruner would read as "nothing
+                    # in range" — pruning files that DO contain matches.
+                    # Treating them like None keeps the stats honest
+                    # (pruning stays conservative: a NaN row can never
+                    # satisfy a range predicate anyway, and ±inf rows make
+                    # the column's stats absent rather than wrong).
+                    if isinstance(v, float) and not math.isfinite(v):
+                        lo.pop(k, None)
+                        hi.pop(k, None)
+                        nonfinite.add(k)
+                        continue
+                    if k in nonfinite:
                         continue
                     if isinstance(v, (int, float, str)):
                         if k not in lo or v < lo[k]:
@@ -293,14 +312,22 @@ def manifest_files_pruned(
             if rng is None:
                 continue
             lo, hi = rng
-            if (
-                (op == "<" and not lo < val)
-                or (op == "<=" and not lo <= val)
-                or (op == ">" and not hi > val)
-                or (op == ">=" and not hi >= val)
-                or (op == "=" and not lo <= val <= hi)
-            ):
-                return False
+            # JSON round-trips stats as heterogeneous int/float/str; a
+            # numeric predicate against a string column's [min, max]
+            # raises TypeError in Python 3. The conservative contract
+            # (never drop a possible match) means an incomparable
+            # predicate must KEEP the file, not raise.
+            try:
+                if (
+                    (op == "<" and not lo < val)
+                    or (op == "<=" and not lo <= val)
+                    or (op == ">" and not hi > val)
+                    or (op == ">=" and not hi >= val)
+                    or (op == "=" and not lo <= val <= hi)
+                ):
+                    return False
+            except TypeError:
+                continue
         return True
 
     return [f for f in m["files"] if may_match(f)]

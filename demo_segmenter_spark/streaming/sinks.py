@@ -82,7 +82,19 @@ def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
         ):
             return  # replayed micro-batch: snapshot already committed
         spark = batch_df.sparkSession
-        wk = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        # Total-order compaction: order_col alone leaves a nondeterministic
+        # winner when two CDC rows for one key share the same version, so
+        # every remaining column (sorted by name) joins the sort key — the
+        # repo-wide tiebreak discipline. Any deterministic total order is a
+        # valid last-writer-wins rule for tied versions.
+        tiebreak = [
+            F.col(c).desc_nulls_last()
+            for c in sorted(batch_df.columns)
+            if c not in key_cols and c != order_col
+        ]
+        wk = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), *tiebreak
+        )
         compacted = (
             batch_df.withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") == 1)
@@ -196,7 +208,13 @@ def scd2_sink(path: str, key_col: str, attr_col: str):
         else:
             closed = None
             active = changes
-        w = Window.partitionBy(key_col).orderBy("valid_from_us")
+        # attr_col breaks ties on equal valid_from_us: without it two
+        # same-timestamp changes for one key chain in nondeterministic
+        # order (the lead() successor differs run to run). With it the
+        # chain is a deterministic total order; tied-timestamp rows mint
+        # zero-length intervals, which is the documented SCD2 semantics
+        # for simultaneous changes.
+        w = Window.partitionBy(key_col).orderBy("valid_from_us", attr_col)
         rechained = active.select(
             key_col,
             attr_col,

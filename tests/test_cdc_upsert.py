@@ -160,3 +160,51 @@ def test_cdc_upsert_direct_replay_is_noop(spark):
     sink(spark.createDataFrame(BATCHES[1], CDC_SCHEMA), 1)
     assert latest_manifest(path)["version"] == 2
     assert _snapshot(spark, path) == _expected_after(2)
+
+
+def test_cdc_upsert_tied_version_is_deterministic(spark):
+    # Two CDC rows for one key with EQUAL ver in one batch: the
+    # compaction window's total-order tiebreak (remaining columns desc)
+    # must pick a deterministic winner — here the higher price — across
+    # repeated runs and shuffled input orders.
+    register_sink(spark)
+    rows = [(7, 70.0, 9), (7, 99.0, 9), (8, 80.0, 1)]
+    for attempt in range(3):
+        path = f"/tmp/dss_cdc/tie_{uuid.uuid4().hex[:8]}/table"
+        sink = cdc_upsert_sink(path, ["okey"], "ver")
+        df = (
+            spark.createDataFrame(rows, CDC_SCHEMA)
+            .repartition(4)  # scramble physical order run-to-run
+        )
+        sink(df, 0)
+        assert _snapshot(spark, path) == {7: (99.0, 9), 8: (80.0, 1)}
+
+
+def test_scd2_tied_timestamp_is_deterministic(spark):
+    # Two changes for one key at the SAME valid_from_us: the lead()
+    # re-chain orders by (valid_from_us, attr) so the chain — and which
+    # row stays current — is deterministic; the earlier-sorting attr
+    # mints a zero-length interval.
+    from demo_segmenter_spark.streaming.sinks import scd2_sink
+
+    register_sink(spark)
+    for attempt in range(3):
+        path = f"/tmp/dss_scd2/tie_{uuid.uuid4().hex[:8]}/table"
+        sink = scd2_sink(path, "ckey", "segment")
+        df = spark.createDataFrame(
+            [(1, "alpha", 1000), (1, "zeta", 1000), (2, "solo", 500)],
+            "ckey long, segment string, ts_us long",
+        ).repartition(4)
+        sink(df, 0)
+        got = {
+            (r.ckey, r.segment): (r.valid_from_us, r.valid_to_us, r.is_current)
+            for r in spark.read.schema(
+                "ckey long, segment string, valid_from_us long,"
+                " valid_to_us long, is_current long"
+            ).json(manifest_files(path)).collect()
+        }
+        assert got == {
+            (1, "alpha"): (1000, 1000, 0),  # zero-length, closed
+            (1, "zeta"): (1000, 0, 1),  # current
+            (2, "solo"): (500, 0, 1),
+        }

@@ -231,3 +231,80 @@ def test_manifest_zone_map_pruning(spark):
     ).count() == 100
     # unknown column never prunes
     assert manifest_files_pruned(d, [("nope", ">=", 1)]) == all_files
+
+
+def test_zone_map_nan_column_gets_no_stats(spark):
+    # A column containing any non-finite float must carry NO zone map at
+    # all (NaN-poisoned [NaN, NaN] stats would make the pruner drop
+    # files that DO contain matches — the never-drop-a-match contract),
+    # and the manifest must stay strict JSON (no bare NaN literal).
+    import json
+    import math
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        manifest_files_pruned,
+        register_sink,
+    )
+
+    register_sink(spark)
+    d = f"/tmp/dss_sink/nan_{uuid.uuid4().hex[:8]}"
+    rows = [
+        # NaN FIRST in the partition — the historical poisoning order
+        (1, float("nan"), 5.0),
+        (2, 3.5, 6.0),
+        (3, 9.5, float("inf")),
+        (4, 1.5, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, bad double, also_bad double"
+    ).coalesce(1)
+    df.write.format("jsonl_dir").option("path", d).mode("overwrite").save()
+
+    m = latest_manifest(d)
+    (stats,) = m["file_stats"].values()
+    assert "bad" not in stats and "also_bad" not in stats
+    assert stats["id"] == [1, 4]
+    # strict JSON round-trip (json.loads with default parse_constant
+    # still accepts NaN; assert the raw text has none)
+    import pathlib
+
+    raw = pathlib.Path(d, "_MANIFEST.json").read_text()
+    assert "NaN" not in raw and "Infinity" not in raw
+    json.loads(raw)
+    assert not any(
+        isinstance(v, float) and not math.isfinite(v)
+        for rng in stats.values()
+        for v in rng
+    )
+    # stats-free column never prunes: the file with the 3.5 row is kept
+    assert manifest_files_pruned(d, [("bad", ">=", 3.0)]) == manifest_files(d)
+
+
+def test_zone_map_incomparable_predicate_keeps_file(spark):
+    # A numeric predicate against a string column's [min, max] is
+    # incomparable in Python 3; the pruner must keep the file
+    # (conservative contract), not raise TypeError.
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_files,
+        manifest_files_pruned,
+        register_sink,
+    )
+
+    register_sink(spark)
+    d = f"/tmp/dss_sink/tym_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "omega")], "id long, name string"
+    ).coalesce(1)
+    df.write.format("jsonl_dir").option("path", d).mode("overwrite").save()
+
+    # numeric predicate on the string column: keep, don't raise
+    assert manifest_files_pruned(d, [("name", ">=", 42)]) == manifest_files(d)
+    # string predicate on the numeric column: keep, don't raise
+    assert manifest_files_pruned(d, [("id", "<", "zzz")]) == manifest_files(d)
+    # comparable predicates still prune as before
+    assert manifest_files_pruned(d, [("id", ">", 99)]) == []
