@@ -671,7 +671,132 @@ def test_shuffle_budgets_table(spark):
         "a_window_dau": 2,
         "b_agg_listagg": 1,
         "c_quality_gate": 0,
+        # ---- round-8 registry completion: every remaining non-streaming
+        # query measured and pinned (verdict r7 ask #1). Values are the
+        # measured static-plan counts at fixture sf; entries where the
+        # 100 TB shape differs from the fixture shape say how.
+        # Layer A batch twins: map-side or one keyed exchange each
+        "a_source_scan": 0,
+        "a_select_key": 2,  # re-key + the keyed rollup proving the key
+        "a_filter_events": 0,
+        "a_map_enrich": 0,
+        "a_branch": 2,  # two branch rollups (the split itself is map-side)
+        "a_tumbling_window": 2,  # window agg + the ordered output rollup
+        "a_sliding_window": 1,  # expand is map-side; one (window,key) agg
+        "a_stream_table_join": 0,  # dim broadcast (GlobalKTable) — by design
+        "a_stream_dedup": 1,  # one (user, type) dedup exchange
+        "a_late_data": 1,  # watermark filter map-side + one window agg
+        "a_stream_stream_join": 0,  # both sides pre-bucketed at fixture sf;
+        # at 100 TB: two co-partitioned exchanges on the join key
+        "a_stream_stream_join_outer": 1,
+        "a_stream_stream_join_outer_full": 3,  # both outer sides + coalesce key
+        "a_ktable_join": 2,  # two changelog compactions; lookup broadcasts
+        "a_sessionize_kafka_shape": 0,  # rides the source's partitioning —
+        # the whole point of the Kafka-shaped source (co-partitioned input)
+        "a_papi_sessionize": 0,  # applyInPandasWithState repartitions
+        # internally (not an Exchange node); state shuffle documented
+        "a_papi_session_suppress": 0,  # same PAPI-internal state shuffle
+        "a_pipeline_kpi": 9,  # multi-output KPI fan-out: per-branch rollups
+        # over ONE events scan (pinned in test_pipeline_kpi_single_events_scan)
+        # Layer B: single-op pins — one exchange per keyed op, scan-local
+        # scalar surfaces at exactly zero
+        "b_scan_project": 0,
+        "b_filter_pred": 0,
+        "b_join_inner": 1,  # one side re-keyed; at scale both co-partition
+        "b_join_broadcast": 1,  # the post-join rollup; dim broadcasts
+        "b_join_outer": 1,
+        "b_join_semi": 1,
+        "b_join_anti": 1,
+        "b_join_theta": 0,  # banded theta join broadcasts the tiny side at
+        # fixture sf; at 100 TB the band-key equi-prefilter co-partitions (2)
+        "b_join_interval": 1,
+        "b_join_bucketed": 1,  # the rollup; bucketed scan-to-scan join is
+        # exchange-free (pinned in test_bucketed_join_has_no_shuffle)
+        "b_join_skew_salted": 2,  # salted re-key + unsalt rollup; measured 0
+        # at fixture sf (AQE broadcasts) — budget documents the scale shape
+        "b_upsert": 1,  # priority-merge window on the key
+        "b_agg_distinct": 2,  # countDistinct expand + regroup pair
+        "b_agg_cube": 1,
+        "b_agg_cube_rollup": 1,
+        "b_agg_grouping_sets": 1,
+        "b_agg_stats": 1,
+        "b_grouped_filter": 1,
+        "b_window_rank": 1,
+        "b_window_analytic": 1,
+        "b_window_frame": 1,
+        "b_window_range": 1,
+        "b_sort_limit": 0,  # TakeOrderedAndProject, never a global sort
+        "b_set_ops": 2,  # intersect/except hash both sides once
+        "b_pivot": 2,  # pivot agg pair (partial + final over pivot values)
+        "b_unpivot": 0,  # expand is pure map-side
+        "b_sample": 0,  # Bernoulli sample is scan-local
+        "b_subquery": 2,  # scalar-subquery agg + the correlated rollup
+        "b_scalar_string": 0,
+        "b_scalar_datetime": 0,
+        "b_scalar_math": 0,
+        "b_scalar_cond": 0,
+        "b_scalar_try": 0,
+        "b_scalar_array": 0,
+        "b_scalar_json": 0,
+        "b_scalar_variant": 0,
+        "b_scalar_map": 0,
+        "b_source_csv": 1,  # round-trip write + one verification rollup
+        "b_source_json": 2,
+        "b_source_orc": 1,
+        # Layer C: the scalar/text surfaces are scan-local by design;
+        # dedup/sim families carry their blocking-bounded exchanges
+        "c_dedup_exact": 1,  # one hash groupBy — THE map-side-combine dedup
+        "c_dedup_minhash": 11,  # ml MinHashLSH internals (approxSimilarityJoin
+        # explodes + self-joins hash buckets); the certified native twin
+        # c_dedup_minhash_native does the same job in 2 — kept as the API row
+        "c_dedup_simhash": 2,  # band-key exchange + pair rollup (blocked)
+        "c_dedup_cluster": 1,  # union-find finish is bounded-driver; the one
+        # exchange is the edge rollup feeding it
+        "c_sim_knn": 1,  # per-query rank window; query block broadcasts
+        "c_sim_ivf": 3,  # cell assignment + probe rollup + rank window
+        "c_sim_lsh": 2,  # ml BucketedRandomProjectionLSH bucket join pair
+        "c_embed_centroids": 1,  # one label rollup (K×dim partials map-side)
+        "c_embed_quantize": 0,  # pure map-side rewrite
+        "c_chunking": 0,  # pinned shuffle-free in test_chunking_is_shuffle_free
+        "c_doc_fingerprint": 0,  # rolling hash is scan-local
+        "c_text_tokenize": 0,
+        "c_text_stats": 0,
+        "c_text_quality": 0,
+        "c_text_scrub": 0,
+        "c_token_count": 0,
+        "c_text_langid": 7,  # ngram profile rollups per language + argmax
+        # window — vocabulary-bounded (≤few hundred rows) exchanges
+        "c_text_lang_route": 1,  # route rollup; partitionBy sink is map-side
+        "c_lang_partitioned_sink": 1,
+        "c_quality_repetition": 0,  # scan-local repetition signals
+        "c_quality_bigram_lp": 8,  # unigram+bigram LM rollups + the smoothed
+        # score join — vocabulary-sized exchanges, corpus pass is map-side
+        "c_mix_reweight": 15,  # source rollups + the nano-quantized share
+        # redistribution chain; every exchange is ≤|sources| rows except the
+        # one doc re-key
+        "c_sample_stratified": 0,  # residue filter pushed to scan (pinned in
+        # test_stratified_sample_pushes_residue_filter)
+        "c_pack_sequences": 1,  # the lang packing window
+        "c_multimodal_ingest": 0,  # binary columns stay opaque, map-side
+        "c_multimodal_features": 0,  # mapInPandas feature extraction
+        "c_multimodal_frames": 0,  # frame sampling is per-row explode
+        "c_udf_surface": 1,  # the GROUPED_AGG key exchange
+        "c_udtf_bigrams": 0,  # UDTF lateral explode is map-side
+        "c_pipeline_corpus": 6,  # gate (0) + dedup rollup + lang windows +
+        # report rollups — each stage's standalone budget, fused
+        "c_pipeline_rerank": 1,  # candidate rank window; features broadcast
     }
+    # REGISTRY-COMPLETE enforcement (round-8): every registered
+    # non-streaming query MUST carry a budget — a new query without one
+    # fails here, so plan pins can never silently lag the registry.
+    # Streaming twins (*_stream) are excluded: their plans contain
+    # StateStore exchanges whose count is pinned by the dedicated
+    # streaming tests, not this batch table.
+    nonstream = {n for n in REGISTRY if not n.endswith("_stream")}
+    missing = nonstream - budgets.keys()
+    assert not missing, f"queries with no shuffle budget: {sorted(missing)}"
+    stale = budgets.keys() - nonstream
+    assert not stale, f"budgets for unregistered queries: {sorted(stale)}"
     over = {}
     for name, budget in budgets.items():
         n = count_exchanges(q(name, spark))
