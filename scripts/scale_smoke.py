@@ -22,6 +22,8 @@ from __future__ import annotations
 import sys
 import time
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -111,6 +113,7 @@ def main() -> None:
     bitmap_stress(spark)
     pii_batch_stress(spark)
     winnow_stress(spark)
+    semdedup_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -1510,10 +1513,6 @@ def range_binned_stress(spark, replicas: int = 100) -> None:
     spark.catalog.clearCache()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def cep_stress(spark, replicas: int = 100) -> None:
     """a_cep_pattern at 10M events / ~100k users: the one-exchange
     RANGE-window plan over the 100x-replicated log (disjoint user AND
@@ -1954,3 +1953,155 @@ def winnow_stress(spark, replicas: int = 100) -> None:
     )
     shutil.rmtree(out, ignore_errors=True)
     spark.catalog.clearCache()
+
+
+def semdedup_stress(
+    spark, n: int = 200_000, n_plant: int = 500, k: int = 2048, dim: int = 64
+) -> None:
+    """c_sim_dedup_kmeans at 200k vectors with PLANTED duplicates
+    (round-7 verdict ask #2's stress row): n deterministic unit
+    vectors + n_plant near-copies (cos ≈ 0.98 to their source, all
+    other pairs concentrate near 0 in 64 dims), K=2048 centroids so
+    clusters hold ~n/K ≈ 100 members — the K ∝ n scaling the SemDeDup
+    paper runs (50k clusters at 100M). Ground truth is exact by
+    construction: at threshold 0.8 (≈6σ of the random-pair cosine
+    spread) the only above-threshold pairs are the planted ones, so
+    the dedup must drop EXACTLY one member of each planted pair with
+    dup_of == its partner, n_plant drops total, zero incidental.
+
+    The heavy math runs the measured scale path (the _rhp_buckets_udf
+    lesson — interpreted zip_with folds lose 100x+ to Arrow numpy):
+    assignment is ONE matmul against the broadcast K×dim centroid
+    matrix per Arrow batch, and the within-cluster pairwise pass is
+    one V@V.T per cluster inside applyInPandas — per-cluster
+    quadratic, cluster-bounded, identical verdicts to the certified
+    join formulation at fixture scale."""
+    t0 = time.time()
+    total = n + n_plant
+    # id < n: base vector from a multiplicative hash; id >= n: a copy of
+    # src = (id-n)*397 % n plus a small deterministic perturbation
+    src = f"CASE WHEN id < {n} THEN id ELSE ((id - {n}) * 397) % {n} END"
+    # xxhash64 per (src, dim) cell: the affine-mod formula ann_stress
+    # uses makes every vector a cyclic shift of one pattern (pairwise
+    # cosines near 1 — fine for recall ranking, fatal for a dedup
+    # ground truth); a real hash makes non-planted pairs concentrate
+    # at cos ~ N(0, 1/sqrt(dim))
+    base_expr = (
+        f"transform(sequence(1, {dim}), d -> "
+        f"CAST(pmod(xxhash64({src}, d), 1000) AS DOUBLE) / 500.0 - 1.0)"
+    )
+    perturb = (
+        f"transform(sequence(1, {dim}), d -> CASE WHEN id < {n} THEN 0.0 "
+        f"ELSE CAST((id * 31 + d * 7) % 7 - 3 AS DOUBLE) * 0.01 END)"
+    )
+    vecs = (
+        spark.range(total)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(f"zip_with({base_expr}, {perturb}, (b, p) -> b + p)").alias("v"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_rows = vecs.count()
+    print(f"semdedup materialize {n_rows} vectors: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    # centroids: first k base vectors, unit-normalized on the driver
+    cents = np.stack(
+        [
+            np.array(r.v, dtype=np.float64)
+            for r in vecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("struct<cluster_id: long, cent_sim: double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ bc.value.T  # (batch, K) — ONE matmul per Arrow batch
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {"cluster_id": best, "cent_sim": sims[np.arange(len(x)), best]}
+        )
+
+    assigned = vecs.select("vec_id", "v", assign("v").alias("a")).select(
+        "vec_id", "v", "a.cluster_id", "a.cent_sim"
+    )
+
+    TH = 0.8
+    out_schema = (
+        "vec_id long, cluster_id long, dup_of long, cos_sim double"
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SemDeDup scan order: low centroid-similarity first (kept
+        # preferentially), vec_id tiebreak — same rule as the query
+        pdf = pdf.sort_values(["cent_sim", "vec_id"]).reset_index(drop=True)
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in pdf["v"]])
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        m = x @ x.T  # one per-cluster matmul
+        rows = []
+        for i in range(1, len(pdf)):
+            earlier = m[i, :i]
+            j = int(earlier.argmax())
+            if earlier[j] >= TH:
+                rows.append(
+                    (
+                        int(pdf.vec_id[i]),
+                        int(pdf.cluster_id[i]),
+                        int(pdf.vec_id[j]),
+                        float(earlier[j]),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cluster_id", "dup_of", "cos_sim"]
+        )
+
+    assigned = assigned.persist()
+    dropped = (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(dedup_cluster, out_schema)
+        .collect()
+    )
+    dt = time.time() - t0
+    got = {(r.vec_id, r.dup_of) for r in dropped}
+    # Cluster-aware EXACT ground truth: a planted pair is recoverable
+    # iff both members land in the same cluster — boundary-straddling
+    # pairs are SemDeDup's documented recall tradeoff (the paper's
+    # too: within-cluster pruning cannot see across cells). The
+    # within-cluster verdicts themselves must be exact: one drop per
+    # same-cluster planted pair, zero incidental.
+    pid = {j: ((j * 397) % n, n + j) for j in range(n_plant)}
+    planted_ids = {v for ab in pid.values() for v in ab}
+    cl = {
+        r.vec_id: r.cluster_id
+        for r in assigned.filter(
+            F.col("vec_id").isin([int(v) for v in planted_ids])
+        ).collect()
+    }
+    same = {j for j, (a, b) in pid.items() if cl[a] == cl[b]}
+    expect_pairs = {frozenset(pid[j]) for j in same}
+    assert len(same) >= 0.9 * n_plant, (len(same), n_plant)
+    assert len(dropped) == len(same), (len(dropped), len(same))
+    got_pairs = {frozenset((v, d)) for v, d in got}
+    assert got_pairs == expect_pairs, (
+        list(got_pairs ^ expect_pairs)[:5]
+    )
+    print(
+        f"semdedup {n_rows} vectors K={k}: dropped exactly one member of "
+        f"each of the {len(same)}/{n_plant} same-cluster planted pairs "
+        f"(zero incidental at cos>={TH}; {n_plant - len(same)} "
+        f"boundary-straddling pairs unseen by design) in {dt:.1f}s "
+        f"({n_rows / dt / 1e3:.0f}k vec/s through assign-matmul + "
+        f"per-cluster V@V.T, cluster-bounded pair space)"
+    )
+    assigned.unpersist()
+    vecs.unpersist()
+    spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()

@@ -204,3 +204,69 @@ def test_minhash_invariant_columns(spark):
     for r in rows:
         if r["exact_dist"] is not None:
             assert abs(r["exact_dist"] - r["jaccard_dist"]) <= 0.05, r
+
+
+def test_semdedup_kmeans_matches_numpy_reference(spark):
+    # Third-implementation check (repo discipline for every trained /
+    # iterative algorithm): an independent numpy replay of the full
+    # SemDeDup-on-kmeans pipeline — two-Lloyd-round training with the
+    # 6dp quantization, assignment tiebreaks, the (cent_sim ASC,
+    # vec_id) scan order, pairwise verdicts at 4dp — must produce the
+    # IDENTICAL dropped set, dup_of attribution and similarities.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )[order]
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    K = 16
+
+    def assign(cents):
+        cn = np.linalg.norm(cents, axis=1)
+        sims = np.round((u @ cents.T) / cn + 1e-10, 6) + 0.0
+        # argmax with (sim DESC, cent_id ASC) tiebreak
+        best = np.lexsort((np.arange(cents.shape[0])[None, :].repeat(len(u), 0), -sims), axis=1)[:, 0]
+        return best, sims[np.arange(len(u)), best]
+
+    c0 = u[ids < K]
+    a1, _ = assign(c0)
+    c1 = np.stack(
+        [np.round(u[a1 == c].mean(axis=0) + 1e-10, 6) + 0.0 for c in range(K)]
+    )
+    a2, cent_sim = assign(c1)
+
+    ref = {}
+    for c in range(K):
+        m_ids = ids[a2 == c]
+        m_cs = cent_sim[a2 == c]
+        m_u = u[a2 == c]
+        o = np.lexsort((m_ids, m_cs))  # cent_sim ASC, vec_id ASC
+        m_ids, m_u, m_cs = m_ids[o], m_u[o], m_cs[o]
+        sims = np.round(m_u @ m_u.T + 1e-10, 4) + 0.0
+        for i in range(1, len(m_ids)):
+            earlier = sims[i, :i]
+            if earlier.max(initial=-2.0) >= 0.35:
+                j = np.lexsort((m_ids[:i], -earlier))[0]
+                ref[int(m_ids[i])] = (
+                    int(c),
+                    int(m_ids[j]),
+                    float(np.round(m_cs[i] + 1e-10, 4) + 0.0),
+                    float(earlier[j]),
+                )
+
+    got = {
+        r.vec_id: (r.cluster_id, r.dup_of, r.cent_sim, r.cos_sim)
+        for r in REGISTRY["c_sim_dedup_kmeans"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(ref), (
+        sorted(set(got) ^ set(ref))[:5], len(got), len(ref)
+    )
+    for v, (cl, dup, cs, sim) in ref.items():
+        gcl, gdup, gcs, gsim = got[v]
+        assert (gcl, gdup) == (cl, dup), (v, got[v], ref[v])
+        assert abs(gcs - cs) < 1e-9 and abs(gsim - sim) < 1e-9, (v, got[v], ref[v])

@@ -785,6 +785,12 @@ def test_shuffle_budgets_table(spark):
         "c_pipeline_corpus": 6,  # gate (0) + dedup rollup + lang windows +
         # report rollups — each stage's standalone budget, fused
         "c_pipeline_rerank": 1,  # candidate rank window; features broadcast
+        # SemDeDup on trained clusters: the k-means training chain (the
+        # c_sim_kmeans subtrees, persisted — runtime pays each once) +
+        # the assignment window + the cluster-keyed member self-join +
+        # the best-dup window; pair space is cluster-bounded, K ∝ n at
+        # scale (see docstring)
+        "c_sim_dedup_kmeans": 13,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
