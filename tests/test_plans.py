@@ -791,6 +791,14 @@ def test_shuffle_budgets_table(spark):
         # the best-dup window; pair space is cluster-bounded, K ∝ n at
         # scale (see docstring)
         "c_sim_dedup_kmeans": 13,
+        # unigram tokenizer: ONE corpus word groupBy, then everything is
+        # distinct-word / vocab-sized — the seed rank window, the
+        # mapInPandas Viterbi exchange, the M-step piece rollup (the EM
+        # rounds' subtrees persist; the final plan reads the caches)
+        "c_token_unigram": 3,
+        # encode adds the doc rollup; the corpus piece join broadcasts
+        # the per-word segmentation table
+        "c_token_unigram_encode": 2,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one

@@ -1,0 +1,135 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: third-implementation
+check (repo discipline for every trained algorithm — the DuckDB oracle
+is replay #2, this pure-Python EM is replay #3), plus the DP-depth
+guard the UNI_LMAX unroll relies on."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from demo_segmenter_spark.operators.layer_c import (
+    UNI_LMAX,
+    UNI_MAXP,
+    UNI_ROUNDS,
+    UNI_SEED,
+)
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def _corpus():
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    return [(d, t.split(" ")) for d, t in rows]
+
+
+def _train_python(corpus):
+    """Pure-Python replay: seed -> UNI_ROUNDS hard-EM rounds. Returns
+    (uwords, [counts_r], [ilogp_r])."""
+    uwords: dict[str, int] = {}
+    for _, words in corpus:
+        for w in words:
+            uwords[w] = uwords.get(w, 0) + 1
+
+    seed: dict[str, int] = {}
+    for w, f in uwords.items():
+        for s in range(len(w)):
+            for l in range(1, min(UNI_MAXP, len(w) - s) + 1):
+                p = w[s : s + l]
+                seed[p] = seed.get(p, 0) + f
+    ranked = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))
+    cnt0 = {
+        p: c
+        for i, (p, c) in enumerate(ranked)
+        if i < UNI_SEED or len(p) == 1
+    }
+
+    def ilogp_of(cnts):
+        tot, nv = sum(cnts.values()), len(cnts)
+        return {
+            p: round(math.log((c + 1.0) / (tot + nv)) * 1_000_000 + 1e-4)
+            for p, c in cnts.items()
+        }
+
+    def viterbi(word, lp):
+        dp = [None] * (len(word) + 1)
+        dp[0] = (0, None, None)  # (score, bp_piece, bp_len)
+        for pos in range(1, len(word) + 1):
+            best = None
+            for l in range(1, min(UNI_MAXP, pos) + 1):
+                piece = word[pos - l : pos]
+                if piece in lp and dp[pos - l] is not None:
+                    cand = (-(dp[pos - l][0] + lp[piece]), l, piece)
+                    if best is None or cand < best:
+                        best = cand
+            dp[pos] = (-best[0], best[2], best[1])
+        segs, cur = [], len(word)
+        while cur >= 1:
+            _, piece, l = dp[cur]
+            segs.append(piece)
+            cur -= l
+        return list(reversed(segs))
+
+    cnts, lps = [cnt0], [ilogp_of(cnt0)]
+    for _ in range(UNI_ROUNDS):
+        used = {p: 0 for p in cnt0}
+        for w, f in uwords.items():
+            for piece in viterbi(w, lps[-1]):
+                used[piece] += f
+        cnts.append(used)
+        lps.append(ilogp_of(used))
+    return uwords, cnts, lps, viterbi
+
+
+def test_word_length_within_dp_depth(spark):
+    # The UNI_LMAX=8 unroll covers every fixture word; a longer word
+    # would silently get NO dp level at its length and drop out of the
+    # segmentation — this guard turns that into a loud failure.
+    (maxlen,) = duckdb.sql(
+        f"""SELECT max(len(w)) FROM (SELECT unnest(string_split(text, ' '))
+            AS w FROM read_parquet('{SF_SMOKE}/documents.parquet'))"""
+    ).fetchone()
+    assert maxlen <= UNI_LMAX, maxlen
+
+
+def test_unigram_train_matches_python_reference(spark):
+    corpus = _corpus()
+    _, cnts, lps, _ = _train_python(corpus)
+    expected = set()
+    for r in range(UNI_ROUNDS + 1):
+        for p, c in cnts[r].items():
+            expected.add((r, p, c, lps[r][p]))
+    got = {
+        (r.round, r.piece, r.piece_count, r.ilogp)
+        for r in REGISTRY["c_token_unigram"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected, (
+        len(got), len(expected), sorted(got ^ expected)[:5]
+    )
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    corpus = _corpus()
+    uwords, _, lps, viterbi = _train_python(corpus)
+    seg_of = {w: viterbi(w, lps[-1]) for w in uwords}
+    expected = set()
+    for doc_id, words in corpus:
+        n_pieces = sum(len(seg_of[w]) for w in words)
+        for wpos, w in enumerate(words, start=1):
+            for seg_idx, piece in enumerate(seg_of[w], start=1):
+                expected.add((doc_id, wpos, seg_idx, piece, n_pieces))
+    got = {
+        (r.doc_id, r.wpos, r.seg_idx, r.piece, r.n_pieces)
+        for r in REGISTRY["c_token_unigram_encode"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expected, (len(got), len(expected))
+    # segmentation is a real cover: pieces concatenate back to words
+    for w, segs in seg_of.items():
+        assert "".join(segs) == w
