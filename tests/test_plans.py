@@ -422,9 +422,10 @@ def test_shuffle_budgets_table(spark):
         "c_span_corruption": 1,
         # grouped k-fold: fold rollup + countDistinct expand phase
         "c_grouped_kfold": 2,
-        # fertility: the BPE train passes (minus vocab assignment) +
-        # the word/token doc rollups + the ≤5-row lang agg
-        "c_tokenizer_fertility": 15,
+        # fertility: now BOTH tokenizer families (r8) — the BPE train
+        # passes + the unigram chain's word/seed/Viterbi exchanges +
+        # the word/token doc rollups per branch + the ≤10-row lang agg
+        "c_tokenizer_fertility": 20,
         # pretrain pipeline: scrub keep-window + doc rollup + the
         # lang packing window — each stage's standalone cost, fused
         "c_pipeline_pretrain": 3,
