@@ -3344,6 +3344,137 @@ def c_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_dedup_substring_rewrite",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {SUBSTR_K - 1}, 0)))
+               AS i
+    FROM toks
+), occ AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+               || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+               AS s
+    FROM idx
+), marked AS (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn,
+           count(*) OVER (PARTITION BY s) AS n_occ
+    FROM occ
+), cov AS (
+    SELECT DISTINCT doc_id, i + off AS pos
+    FROM (SELECT doc_id, i FROM marked WHERE n_occ >= 2 AND rn > 1),
+         generate_series(0, {SUBSTR_K - 1}) AS g(off)
+), tokpos AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+           unnest(t) AS tok
+    FROM toks
+)
+SELECT tp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+                               ' ' ORDER BY tp.pos), '')) AS rewritten_md5
+FROM tokpos tp
+LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+GROUP BY tp.doc_id
+""",
+)
+def c_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE pass (round-7 verdict ask #4) —
+    the second half of the Lee et al. "Deduplicating Training Data"
+    pipeline: c_dedup_substring DETECTS documents sharing verbatim
+    {SUBSTR_K}-token spans; this query CUTS the duplicated text. Every
+    span occurrence except its GLOBAL first (total order: doc_id,
+    start position — so one copy of every duplicated passage survives,
+    including self-repeats within one document) marks its {SUBSTR_K}
+    covered token positions for removal; overlapping duplicate spans
+    union their coverage (the Lee et al. byte-range semantics at token
+    granularity). Each document is then REASSEMBLED from its surviving
+    tokens in order — c_dedup_paragraph's certified rebuild idiom
+    (array_sort(collect_list(struct)) ⟷ DuckDB string_agg ORDER BY) —
+    and fingerprinted, so the oracle certifies the rewritten text
+    itself, with token-mass accounting (n_kept + n_removed ==
+    n_tokens by construction, pinned in tests).
+
+    Unlike the detection query, NO df cap is needed: there is no
+    doc-pair join anywhere — the global-first rule is one window over
+    span occurrences, so a boilerplate block pasted into a million
+    documents costs occurrences-linear work (exactly the case the
+    pair-join formulation would go quadratic on; stressed at 1M docs
+    with a planted hot span in scripts/scale_smoke.py). Shuffles: the
+    span-keyed window pair (one exchange — rn and n_occ share the
+    partitioning), the coverage distinct, the (doc, pos) mask join,
+    and the per-doc rebuild rollup. At 100 TB spans hash to 64-bit
+    before the exchange (c_dedup_ngram's argument) and everything
+    stays key-local."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (SUBSTR_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SUBSTR_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.posexplode(grams).alias("pos0", "s")).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("i"), "s"
+    )
+    w_rank = Window.partitionBy("s").orderBy("doc_id", "i")
+    w_cnt = Window.partitionBy("s")
+    marked = occ.select(
+        "doc_id",
+        "i",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_cnt).alias("n_occ"),
+    )
+    cov = (
+        marked.filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (SUBSTR_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    keep = F.col("hit").isNull()
+    kept_struct = F.when(keep, F.struct("pos", "tok"))
+    return (
+        tokpos.join(cov, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, 0).otherwise(1))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("rewritten_md5"),
+        )
+    )
+
+
+@query(
     "c_decontaminate",
     oracle="""
 WITH toks AS (

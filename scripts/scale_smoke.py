@@ -114,6 +114,7 @@ def main() -> None:
     pii_batch_stress(spark)
     winnow_stress(spark)
     semdedup_stress(spark)
+    substring_rewrite_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -2100,6 +2101,84 @@ def semdedup_stress(
     )
     assigned.unpersist()
     vecs.unpersist()
+    spark.catalog.clearCache()
+
+
+def substring_rewrite_stress(spark, n_docs: int = 1_000_000) -> None:
+    """c_dedup_substring_rewrite's shape at 1M docs with a HOT planted
+    span: every doc = 4 unique filler tokens + the SAME verbatim
+    8-token block + 4 more unique tokens (16 tokens/doc, 16M total).
+    This is exactly the case the detection query's pair join would go
+    quadratic on (one span with 1M occurrences -> C(1M,2) pairs); the
+    rewrite path is occurrence-LINEAR by construction (global-first
+    window + coverage union, no pair join). Ground truth closed-form:
+    doc 0 keeps all 16 tokens; every other doc loses exactly the 8
+    planted tokens; kept mass = 16 + (n-1)*8; removed = (n-1)*8."""
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import SUBSTR_K
+
+    t0 = time.time()
+    span = " ".join(f"hot{i}" for i in range(SUBSTR_K))
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("ua"), F.col("id")),
+                F.concat(F.lit("ub"), F.col("id")),
+                F.concat(F.lit("uc"), F.col("id")),
+                F.concat(F.lit("ud"), F.col("id")),
+                F.lit(span),
+                F.concat(F.lit("ue"), F.col("id")),
+                F.concat(F.lit("uf"), F.col("id")),
+                F.concat(F.lit("ug"), F.col("id")),
+                F.concat(F.lit("uh"), F.col("id")),
+            ).alias("text"),
+        )
+        .repartition(64)
+    )
+    out = "/tmp/dss_scale/srw_docs"
+    docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"), F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"srw materialize {n_docs} docs: {time.time() - t0:.1f}s")
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    t0 = time.time()
+    res = (
+        REGISTRY["c_dedup_substring_rewrite"]
+        .fn(spark, out)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("n_kept").alias("kept"),
+            F.sum("n_removed").alias("removed"),
+            F.sum(F.when(F.col("n_removed") == 0, 1).otherwise(0)).alias(
+                "untouched"
+            ),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert res.docs == n_docs
+    assert res.toks == 16 * n_docs
+    assert res.removed == (n_docs - 1) * SUBSTR_K, res
+    assert res.kept == 16 * n_docs - (n_docs - 1) * SUBSTR_K
+    assert res.untouched == 1  # only the global-first doc
+    print(
+        f"substring_rewrite {n_docs} docs / {res.toks} tokens, ONE span "
+        f"duplicated {n_docs}x: removed mass exactly (n-1)*{SUBSTR_K} "
+        f"closed-form in {dt:.1f}s ({res.toks / dt / 1e6:.2f}M tokens/s "
+        f"through the pair-join-free occurrence-linear plan)"
+    )
+    from demo_segmenter_spark.functions.cache import release_persisted
+
+    release_persisted(spark, owner=True)
     spark.catalog.clearCache()
 
 

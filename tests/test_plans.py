@@ -800,6 +800,11 @@ def test_shuffle_budgets_table(spark):
         # encode adds the doc rollup; the corpus piece join broadcasts
         # the per-word segmentation table
         "c_token_unigram_encode": 2,
+        # substring REWRITE: span window pair shares ONE exchange, the
+        # coverage distinct, the per-doc rebuild rollup (the (doc,pos)
+        # mask join broadcasts at fixture sf; co-partitions at scale).
+        # NO pair join anywhere — hot spans are occurrence-linear.
+        "c_dedup_substring_rewrite": 3,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
