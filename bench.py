@@ -113,11 +113,73 @@ HEADLINE = [
     # selection class) and the mergeable bitmap exact-distinct
     "c_fingerprint_winnow",
     "b_agg_bitmap_distinct",
+    # round 8: SemDeDup on trained clusters, the unigram tokenizer
+    # encode chain (train rides inside), the Lee-et-al. substring
+    # rewrite pass
+    "c_sim_dedup_kmeans",
+    "c_token_unigram_encode",
+    "c_dedup_substring_rewrite",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;
 # bench times the approximate-only subplan (schema unchanged).
 ANN_LSH_ONLY = {"c_dedup_minhash", "c_sim_lsh"}
+
+
+def _committed_minima(sf: float) -> dict[str, float]:
+    """Per-query minima across every committed bench artifact at the
+    SAME sf (BENCH_r*.json driver runs + BENCH_self_*.json idle runs).
+    The accumulated minimum is this box's best-known steady-state per
+    query — the anchor BASELINE.md's drift protocol compares against."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    minima: dict[str, float] = {}
+    for path in glob.glob(f"{here}/BENCH_*.json"):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            if abs(doc.get("sf", -1.0) - sf) > 1e-9:
+                continue
+            for name, sec in (doc.get("queries") or {}).items():
+                if isinstance(sec, (int, float)) and sec > 0:
+                    minima[name] = min(minima.get(name, float("inf")), sec)
+        except (OSError, ValueError):
+            continue
+    return minima
+
+
+def _drift_report(timings: dict[str, float], minima: dict[str, float]) -> dict:
+    """Self-adjudication (round-8 verdict ask #7): per-query ratio to
+    the committed minima plus a uniform-vs-relative verdict, so a
+    judge can tell environmental drift (every ratio elevated by the
+    same factor — this box's documented co-tenant steal) from a real
+    regression (specific queries above the pack) from the artifact
+    alone. `relative` = ratio / median-ratio; queries with relative >
+    1.3 land in `outliers` — on a uniformly slow run that list is
+    empty even though every raw ratio is high."""
+    ratios = {
+        n: round(t / minima[n], 3)
+        for n, t in timings.items()
+        if n in minima
+    }
+    if not ratios:
+        return {"ratios": {}, "median_ratio": None, "outliers": {}}
+    vals = sorted(ratios.values())
+    median = vals[len(vals) // 2]
+    relative = {n: round(r / median, 3) for n, r in ratios.items()}
+    return {
+        "ratios": ratios,
+        "median_ratio": median,
+        "p25_ratio": vals[len(vals) // 4],
+        "p75_ratio": vals[(3 * len(vals)) // 4],
+        "outliers": {
+            n: {"ratio": ratios[n], "relative": rel}
+            for n, rel in relative.items()
+            if rel > 1.3
+        },
+        "new_queries": sorted(n for n in timings if n not in minima),
+    }
 
 
 def _machine_stamp() -> dict:
@@ -259,6 +321,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "drift": _drift_report(timings, _committed_minima(sf)),
                 "streaming": streaming,
                 "sf": sf,
                 "cpus": int(cpus),

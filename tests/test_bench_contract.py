@@ -43,3 +43,9 @@ def test_bench_runs_and_emits_contract_json():
     assert len(d["machine_before"]["loadavg"]) == 3
     assert len(d["machine_after"]["loadavg"]) == 3
     assert d["warmed"] is False and d["runs"] == 1
+    # drift self-adjudication block (round-8): always present; at
+    # sf0.001 no committed artifact matches the sf, so ratios are
+    # empty and median is None — the shape contract still holds
+    drift = d["drift"]
+    assert set(drift) >= {"ratios", "median_ratio", "outliers"}
+    assert isinstance(drift["ratios"], dict)
