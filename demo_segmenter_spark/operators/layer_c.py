@@ -7406,9 +7406,7 @@ def c_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "c_pipeline_pretrain",
-    oracle=f"""
+_PRETRAIN_ORACLE = f"""
 WITH gated AS (
     SELECT doc_id, lang, string_split(text, ' ') AS w
     FROM documents
@@ -7452,8 +7450,10 @@ SELECT lang, CAST(bin AS BIGINT) AS bin,
        max(doc_id) AS last_doc
 FROM binned
 GROUP BY lang, bin
-""",
-)
+"""
+
+
+@query("c_pipeline_pretrain", oracle=_PRETRAIN_ORACLE)
 def c_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE PRETRAINING DATA PIPELINE, end to end in ONE plan: quality
     GATE (length >= 200 chars, distinct-token ratio >= 0.3 — the two
@@ -7505,6 +7505,13 @@ def c_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("kept_words") > 0)
     )
+    return _pretrain_bins(scrubbed)
+
+
+def _pretrain_bins(scrubbed: DataFrame) -> DataFrame:
+    """PACK stage shared by the batch pipeline and its streaming twin:
+    contiguous {PACK_CAPACITY}-token bins per language over (doc_id,
+    kept_words) rows, then the per-(lang, bin) manifest rollup."""
     binned = scrubbed.withColumn(
         "bin",
         F.expr(
@@ -7518,6 +7525,176 @@ def c_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_PRETRAIN_BLOCKS_SCHEMA = "bhash string, doc_id long, blk long, nwords long, pri long"
+_PRETRAIN_DOCS_SCHEMA = "doc_id long, lang string, kept_words long, ver long"
+
+
+def pretrain_stream_sink(spark: SparkSession, blocks_path: str, docs_path: str):
+    """foreachBatch sink running c_pipeline_pretrain's GATE → SCRUB
+    incrementally into TWO versioned-manifest tables (round-7 verdict
+    ask #5 — the streaming corpus-ingestion story end to end):
+
+    - ``blocks``: the global FIRST occurrence of every paragraph-block
+      hash, maintained first-writer-wins — batch block rows anti-join
+      the current snapshot (a hash already owned is never re-upserted;
+      the CDC merge alone is last-writer-wins, which would let a later
+      batch steal ownership), then in-batch compaction on pri =
+      -(doc_id·2^20 + blk) picks the batch-local (doc_id, blk) minimum.
+      With doc_id-ordered arrival, first-arrival == global-first, so
+      the table converges to EXACTLY the batch pipeline's rn=1 set.
+    - ``docs``: per-document kept token mass, computed for the batch's
+      own documents from the post-upsert blocks snapshot (an earlier
+      doc always owns its blocks before any later doc arrives, so a
+      doc's kept_words is final the moment its batch commits).
+
+    Exactly-once: both tables commit through cdc_upsert_sink's
+    batchId idempotence gate — a replayed micro-batch (crash between
+    manifest commit and checkpoint commit) skips cleanly, and a crash
+    BETWEEN the two table commits replays into (blocks: skip, docs:
+    recompute from the identical snapshot) — pinned by the
+    crash-replay test. Scale: gate/blocking are scan-local; the
+    anti-join and the merge shuffle on the block hash; per-doc rollup
+    rides doc_id — each micro-batch costs the batch stages' standalone
+    plans over the batch's rows only, plus the copy-on-write table
+    rewrite the jsonl sink documents."""
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        register_sink,
+    )
+    from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
+
+    register_sink(spark)
+    blocks_sink = cdc_upsert_sink(blocks_path, ["bhash"], "pri")
+    docs_sink = cdc_upsert_sink(docs_path, ["doc_id"], "ver")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = F.split("text", " ")
+        gated = batch_df.filter(
+            (F.col("n_chars") >= 200)
+            & (F.size(F.array_distinct(w)) * 1.0 / F.size(w) >= 0.3)
+        ).select("doc_id", "lang", w.alias("w"))
+        nblk = F.expr(f"(size(w) + {PARA_BLOCK - 1}) DIV {PARA_BLOCK}")
+        bl = (
+            gated.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), (nblk - 1).cast("long"))
+                ).alias("blk"),
+                "w",
+            )
+            .select(
+                "doc_id",
+                "blk",
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "w",
+                        (F.col("blk") * PARA_BLOCK + 1).cast("int"),
+                        PARA_BLOCK,
+                    ),
+                ).alias("btxt"),
+            )
+            .select(
+                F.md5("btxt").alias("bhash"),
+                "doc_id",
+                "blk",
+                F.size(F.split("btxt", " ")).cast("long").alias("nwords"),
+                (-(F.col("doc_id") * 1_048_576 + F.col("blk")))
+                .cast("long")
+                .alias("pri"),
+            )
+        )
+        prev = latest_manifest(blocks_path)
+        if prev is not None:
+            owned = (
+                spark.read.schema(_PRETRAIN_BLOCKS_SCHEMA)
+                .json(manifest_files(blocks_path))
+                .select("bhash")
+            )
+            bl = bl.join(owned, "bhash", "left_anti")  # first-writer-wins
+        blocks_sink(bl, batch_id)
+        snap = spark.read.schema(_PRETRAIN_BLOCKS_SCHEMA).json(
+            manifest_files(blocks_path)
+        )
+        cur = gated.select("doc_id", "lang").distinct()
+        kept = (
+            snap.join(cur, "doc_id")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum("nwords").cast("long").alias("kept_words"))
+            .filter(F.col("kept_words") > 0)
+            .withColumn("ver", F.lit(batch_id).cast("long"))
+        )
+        docs_sink(kept, batch_id)
+
+    return sink
+
+
+@query("c_pipeline_pretrain_stream", oracle=_PRETRAIN_ORACLE)
+def c_pipeline_pretrain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of c_pipeline_pretrain, SAME oracle: the corpus
+    arrives as doc_id-ordered micro-batches (maxFilesPerTrigger=1 over
+    range-chunked files) and the gate → scrub stages run incrementally
+    through ``pretrain_stream_sink`` into the versioned-manifest
+    lakehouse tables — one immutable snapshot version per micro-batch
+    with time travel, exactly-once by batchId. The PACK stage is
+    report-time post-processing over the completed docs table (bin
+    boundaries are global running sums — they retract as docs arrive,
+    the same not-stateful-streaming-expressible split a_trending_stream
+    documents). The final manifest hash-matches the batch pipeline's
+    oracle exactly: incremental first-writer-wins block ownership ==
+    the batch rn=1 rule, because arrival order is doc_id order (the
+    production contract for append-only corpus ingestion)."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = f"/tmp/dss_pretrain_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    os.makedirs(src)
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 3, (2 * hi) // 3, hi]
+    now = _time.time()
+    for i in range(3):
+        d = f"{base}/b{i}"
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.parquet(d)
+        for fname in os.listdir(d):
+            if fname.endswith(".parquet"):
+                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
+                os.utime(
+                    f"{src}/{i}_{fname}",
+                    (now + i * 10, now + i * 10),
+                    follow_symlinks=False,
+                )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pretrain_stream_sink(spark, f"{base}/blocks", f"{base}/docs")
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    scrubbed = (
+        spark.read.schema(_PRETRAIN_DOCS_SCHEMA)
+        .json(manifest_files(f"{base}/docs"))
+        .select("doc_id", "lang", "kept_words")
+    )
+    return _pretrain_bins(scrubbed)
 
 
 @query(
