@@ -4707,20 +4707,21 @@ WITH utoks AS MATERIALIZED (
 )"""
 
 
-def _uni_vocab_sql(r: int) -> str:
+def _uni_vocab_sql(r, src: str | None = None) -> str:
     # Laplace-smoothed log-probs in integer micro-nats: zero-count
     # pieces stay in the (fixed) vocab with a floor probability, so
     # round-2 coverage can never break; ln() last-ulp noise is far
     # below the 1e-4 nudge (EPS[0]) at micro scale.
+    src = src or f"cnt{r}"
     return f"""
 , uvocab{r} AS MATERIALIZED (
     SELECT piece, l,
            CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000 + 1e-04)
                 AS BIGINT) AS ilogp
-    FROM cnt{r} CROSS JOIN (
+    FROM {src} CROSS JOIN (
         SELECT CAST(sum(cnt) AS BIGINT) AS tot,
                CAST(count(*) AS BIGINT) AS nv
-        FROM cnt{r}
+        FROM {src}
     )
 )"""
 
@@ -4789,11 +4790,11 @@ def _uni_dp_sql(tag: str, vocab: str) -> str:
     return "".join(parts)
 
 
-def _uni_mstep_sql(r: int, tag: str) -> str:
+def _uni_mstep_sql(r, tag: str, base: str = "cnt0") -> str:
     return f"""
 , cnt{r} AS MATERIALIZED (
     SELECT v.piece, v.l, COALESCE(s.c, CAST(0 AS BIGINT)) AS cnt
-    FROM cnt0 v LEFT JOIN (
+    FROM {base} v LEFT JOIN (
         SELECT p.piece, CAST(sum(w.wfreq) AS BIGINT) AS c
         FROM paths{tag} p JOIN uwords w ON p.word = w.word
         GROUP BY p.piece
@@ -5048,6 +5049,64 @@ def c_token_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+UNI_KEEP = 64  # prune: survivors = top-UNI_KEEP pieces by EM-2 count
+# (+ all single chars, the coverage floor SentencePiece also enforces)
+
+
+@query(
+    "c_token_unigram_prune",
+    oracle=_UNI_TRAIN_CHAIN_SQL
+    + f"""
+, cntp AS MATERIALIZED (
+    SELECT piece, l, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, piece) AS r
+        FROM cnt2
+    ) WHERE r <= {UNI_KEEP} OR l = 1
+)"""
+    + _uni_vocab_sql("p", "cntp")
+    + _uni_dp_sql("g", "uvocabp")
+    + _uni_mstep_sql(3, "g", "cntp")
+    + _uni_vocab_sql(3)
+    + """
+SELECT c.piece, c.cnt AS piece_count, v.ilogp
+FROM cnt3 c JOIN uvocab3 v ON c.piece = v.piece
+""",
+)
+def c_token_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer vocabulary PRUNING + re-estimation — the step
+    that makes the unigram algorithm converge to a target vocab size
+    (SentencePiece alternates EM with dropping the lowest-contribution
+    pieces until --vocab_size is reached; contribution is approximated
+    here by the EM-round-2 usage count — the first-order term of the
+    paper's likelihood-loss score, deterministic and integer): keep
+    the top {UNI_KEEP} pieces by trained count plus ALL single chars
+    (the coverage floor), renormalize over the survivors, run one more
+    Viterbi-EM round on the pruned vocabulary, and emit the final
+    (piece, piece_count, ilogp) artifact. Usage previously captured
+    by pruned pieces redistributes onto survivors in the final round —
+    counts move, which is exactly what the re-EM is for. Same
+    determinism recipe as c_token_unigram (integer micro-nats, total-
+    order argmax); the oracle replays seed, both EM rounds, the prune
+    rank and the post-prune round step for step. Scale: identical to
+    c_token_unigram — distinct-word-sized everywhere past the corpus
+    groupBy; the prune rank window is vocab-bounded."""
+    _, uwords, cnts, _ = _unigram_train(spark, sf_dir)
+    w_rank = Window.orderBy(F.col("cnt").desc(), "piece")
+    pruned = persist(
+        cnts[2]
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter((F.col("r") <= UNI_KEEP) | (F.col("l") == 1))
+        .drop("r")
+    )
+    vp = _unigram_ilogp(pruned)
+    p3 = _unigram_viterbi(uwords, vp)
+    cnt3 = _unigram_counts(p3, uwords, pruned)
+    v3 = _unigram_ilogp(cnt3)
+    return cnt3.join(v3, ["piece", "l"]).select(
+        "piece", F.col("cnt").alias("piece_count"), "ilogp"
+    )
 
 
 @query(
@@ -6853,6 +6912,119 @@ def c_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.crossJoin(F.broadcast(nc))
         .filter(cos < EMBED_OUTLIER_THRESH)
         .select("vec_id", "label", rnd(cos, 4).alias("centroid_sim"))
+    )
+
+
+MRL_DIMS = (16, 32, 64)  # Matryoshka truncation levels (full dim last)
+
+
+@query(
+    "c_embed_matryoshka",
+    oracle=_EMB_CTE
+    + f"""
+, mdims AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS d)
+, tnorm AS (
+    SELECT e.vec_id, d.d, sqrt(sum(e.x * e.x)) AS nrm
+    FROM ex e JOIN mdims d ON e.i <= d.d
+    GROUP BY e.vec_id, d.d
+), tdots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, d.d,
+           sum(a.x * b.x) AS dp
+    FROM ex a
+    JOIN ex b ON a.i = b.i
+    JOIN mdims d ON a.i <= d.d
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id, d.d
+), mscored AS (
+    SELECT t.query_id, t.neighbor_id, t.d,
+           {sql_rnd("t.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM tdots t
+    JOIN tnorm na ON na.vec_id = t.query_id AND na.d = t.d
+    JOIN tnorm nb ON nb.vec_id = t.neighbor_id AND nb.d = t.d
+), mranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, d
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM mscored
+), mtopk AS (
+    SELECT query_id, d, neighbor_id,
+           CAST(round(cos_sim * 10000) AS BIGINT) AS cos_i4
+    FROM mranked WHERE rnk <= {KNN_K}
+)
+SELECT t.query_id, CAST(t.d AS BIGINT) AS trunc_dim,
+       CAST(count(f.neighbor_id) AS BIGINT) AS overlap_at_k,
+       {sql_rnd(f"sum(t.cos_i4) / 10000.0 / {KNN_K}", 4)} AS mean_cos
+FROM mtopk t
+LEFT JOIN (SELECT query_id, neighbor_id FROM mtopk
+           WHERE d = {MRL_DIMS[-1]}) f
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY t.query_id, t.d
+""",
+)
+def c_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL-style) truncation-quality evaluation — the
+    serving decision behind truncatable embeddings: how much of the
+    full-dimension top-{KNN_K} neighborhood survives when vectors are
+    cut to their first 16 / 32 dimensions (prefix truncation, the MRL
+    contract)? Per (query, truncation level): exact brute-force
+    top-{KNN_K} under the truncated cosine, its overlap with the
+    full-dim answer set, and the mean retrieved cosine (integer-
+    quantized before the mean so sum order can't break the hash). The
+    full-dim rows read overlap == {KNN_K} by construction — in-schema
+    sanity anchors, the b_agg_approx idiom.
+
+    Scale: one scan computes all three truncations (prefix slices of
+    the same array — no re-embedding, the whole point of MRL); the
+    per-(query, dim) rank windows ride one exchange keyed on the
+    broadcast query block, exactly c_sim_knn's plan times |dims|.
+    Deterministic: 4dp cosine + (cos DESC, neighbor_id) tiebreaks."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = persist(emb.select("vec_id", vec.alias("v")))
+    parts = []
+    for d in MRL_DIMS:
+        vd = F.slice(F.col("v"), 1, d)
+        bd = base.select("vec_id", vd.alias("vd")).select(
+            "vec_id", "vd", F.sqrt(dot(F.col("vd"), F.col("vd"))).alias("nrm")
+        )
+        q = bd.filter(F.col("vec_id") < KNN_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        cos = rnd(dot(F.col("qv"), F.col("vd")) / (F.col("qn") * F.col("nrm")), 4)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), "neighbor_id"
+        )
+        parts.append(
+            bd.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select(
+                "query_id",
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "neighbor_id",
+                F.round(F.col("cos_sim") * 10000).cast("long").alias("cos_i4"),
+            )
+        )
+    topk = parts[0]
+    for p in parts[1:]:
+        topk = topk.unionByName(p)
+    topk = persist(topk)
+    full = topk.filter(F.col("trunc_dim") == MRL_DIMS[-1]).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_full")
+    )
+    return (
+        topk.join(full, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "trunc_dim")
+        .agg(
+            F.count("in_full").cast("long").alias("overlap_at_k"),
+            rnd(F.sum("cos_i4") / 10000.0 / KNN_K, 4).alias("mean_cos"),
+        )
     )
 
 

@@ -115,6 +115,7 @@ def main() -> None:
     winnow_stress(spark)
     semdedup_stress(spark)
     substring_rewrite_stress(spark)
+    unigram_stress(spark)
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
@@ -2179,6 +2180,115 @@ def substring_rewrite_stress(spark, n_docs: int = 1_000_000) -> None:
     from demo_segmenter_spark.functions.cache import release_persisted
 
     release_persisted(spark, owner=True)
+    spark.catalog.clearCache()
+
+
+def unigram_stress(spark, n_words: int = 200_000) -> None:
+    """Unigram-LM tokenizer EM at VOCABULARY scale: 200k distinct
+    8-char words (md5-derived, deduped) with spread frequencies — the
+    size regime where the 'everything after the corpus groupBy is
+    distinct-word-sized' claim in c_token_unigram's docstring has to
+    hold. Runs the exact production helpers (seed -> 2 hard-EM rounds
+    -> final Viterbi) and checks two EXACT invariants over all words:
+
+    - COVERAGE: every word's Viterbi path concatenates back to the
+      word (sum of piece lengths == word length, zero violations) —
+      the single-char floor guarantees a path exists; this proves the
+      DP found a complete one for all 200k words.
+    - MASS: total piece count mass == frequency-weighted path usage,
+      aggregated two independent ways (the M-step table vs a direct
+      paths x words join)."""
+    from demo_segmenter_spark.functions.cache import release_persisted
+    from demo_segmenter_spark.operators.layer_c import (
+        UNI_MAXP,
+        UNI_SEED,
+        _unigram_counts,
+        _unigram_ilogp,
+        _unigram_viterbi,
+    )
+
+    t0 = time.time()
+    uwords = (
+        spark.range(n_words * 2)
+        .select(
+            F.expr("substring(md5(CAST(id AS STRING)), 1, 8)").alias("word"),
+            (F.col("id") % 37 + 1).cast("long").alias("wf"),
+        )
+        .groupBy("word")
+        .agg(F.sum("wf").cast("long").alias("wfreq"))
+        .withColumn("wlen", F.length("word").cast("long"))
+        .limit(n_words)
+        .repartition(64)
+        .persist()
+    )
+    nw = uwords.count()
+    s_l = uwords.select(
+        "word", "wfreq", "wlen",
+        F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("s"),
+    ).select(
+        "word", "wfreq", "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(UNI_MAXP), F.col("wlen") - F.col("s") + 1),
+            )
+        ).alias("l"),
+    )
+    seedcnt = (
+        s_l.select(
+            F.expr("substring(word, s, l)").alias("piece"),
+            F.col("l").cast("long").alias("l"),
+            "wfreq",
+        )
+        .groupBy("piece", "l")
+        .agg(F.sum("wfreq").cast("long").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "piece")
+    cnt0 = (
+        seedcnt.withColumn("r", F.row_number().over(w_rank))
+        .filter((F.col("r") <= UNI_SEED) | (F.col("l") == 1))
+        .drop("r")
+        .persist()
+    )
+    print(
+        f"unigram materialize {nw} distinct words, seed vocab "
+        f"{cnt0.count()} pieces: {time.time() - t0:.1f}s"
+    )
+
+    t0 = time.time()
+    v0 = _unigram_ilogp(cnt0)
+    p1 = _unigram_viterbi(uwords, v0)
+    cnt1 = _unigram_counts(p1, uwords, cnt0)
+    v1 = _unigram_ilogp(cnt1)
+    p2 = _unigram_viterbi(uwords, v1)
+    # COVERAGE: zero words whose path lengths don't sum to the word
+    bad = (
+        p2.groupBy("word")
+        .agg(F.sum("l").alias("suml"))
+        .join(uwords, "word")
+        .filter(F.col("suml") != F.col("wlen"))
+        .count()
+    )
+    assert bad == 0, bad
+    # MASS two ways: the M-step table vs a direct paths-x-words join
+    cnt2 = _unigram_counts(p2, uwords, cnt0)
+    m1 = cnt2.agg(F.sum("cnt")).first()[0]
+    m2 = (
+        p2.join(uwords.select("word", "wfreq"), "word")
+        .agg(F.sum("wfreq"))
+        .first()[0]
+    )
+    assert m1 == m2, (m1, m2)
+    dt = time.time() - t0
+    print(
+        f"unigram EM {nw} words x 2 rounds + final Viterbi: coverage "
+        f"exact on all words, piece mass {m1} double-entry exact, in "
+        f"{dt:.1f}s ({nw * 3 / dt / 1e3:.0f}k word-segmentations/s "
+        f"through the mapInPandas DP)"
+    )
+    release_persisted(spark, owner=True)
+    uwords.unpersist()
+    cnt0.unpersist()
     spark.catalog.clearCache()
 
 

@@ -805,6 +805,14 @@ def test_shuffle_budgets_table(spark):
         # mask join broadcasts at fixture sf; co-partitions at scale).
         # NO pair join anywhere — hot spans are occurrence-linear.
         "c_dedup_substring_rewrite": 3,
+        # Matryoshka eval: c_sim_knn's rank-window plan x |MRL_DIMS|
+        # prefix truncations (one scan each off the persisted base) +
+        # the per-(query,dim) overlap rollup; query block broadcasts
+        "c_embed_matryoshka": 9,
+        # unigram prune: c_token_unigram's chain (persisted) + the
+        # vocab-bounded prune rank window + the post-prune EM round's
+        # mapInPandas/M-step exchanges
+        "c_token_unigram_prune": 3,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one

@@ -133,3 +133,41 @@ def test_unigram_encode_matches_python_reference(spark):
     # segmentation is a real cover: pieces concatenate back to words
     for w, segs in seg_of.items():
         assert "".join(segs) == w
+
+
+def test_unigram_prune_matches_python_reference(spark):
+    from demo_segmenter_spark.operators.layer_c import UNI_KEEP
+
+    corpus = _corpus()
+    uwords, cnts, lps, viterbi = _train_python(corpus)
+
+    # prune: top UNI_KEEP by EM-2 count (cnt DESC, piece tiebreak) +
+    # all single chars; renormalize; one more hard-EM round
+    ranked = sorted(cnts[-1].items(), key=lambda kv: (-kv[1], kv[0]))
+    pruned = {
+        p: c
+        for i, (p, c) in enumerate(ranked)
+        if i < UNI_KEEP or len(p) == 1
+    }
+
+    def ilogp_of(c):
+        tot, nv = sum(c.values()), len(c)
+        return {
+            p: round(math.log((v + 1.0) / (tot + nv)) * 1_000_000 + 1e-4)
+            for p, v in c.items()
+        }
+
+    lp_p = ilogp_of(pruned)
+    used = {p: 0 for p in pruned}
+    for w, f in uwords.items():
+        for piece in viterbi(w, lp_p):
+            used[piece] += f
+    lp3 = ilogp_of(used)
+    expected = {(p, c, lp3[p]) for p, c in used.items()}
+    got = {
+        (r.piece, r.piece_count, r.ilogp)
+        for r in REGISTRY["c_token_unigram_prune"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected, (len(got), len(expected), sorted(got ^ expected)[:5])
+    # the prune actually bit: survivor set smaller than the seed vocab
+    assert len(got) < len(cnts[0])
