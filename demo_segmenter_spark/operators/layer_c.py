@@ -7529,6 +7529,98 @@ def c_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_fim_transform",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+), cuts AS (
+    SELECT doc_id, w, n,
+           CAST(concat('0x', substr(md5('fim42:' || CAST(doc_id AS VARCHAR)
+                                        || ':a'), 1, 8)) AS BIGINT)
+               % (n + 1) AS a_raw,
+           CAST(concat('0x', substr(md5('fim42:' || CAST(doc_id AS VARCHAR)
+                                        || ':b'), 1, 8)) AS BIGINT) AS hb
+    FROM t
+), ab AS (
+    SELECT doc_id, w, n, a_raw AS a,
+           a_raw + hb % (n - a_raw + 1) AS b
+    FROM cuts
+)
+SELECT doc_id, a AS cut_a, b AS cut_b, n AS n_tokens,
+       CAST(b - a AS BIGINT) AS middle_len,
+       md5('<PRE> ' || COALESCE(array_to_string(list_slice(w, 1, a), ' '), '')
+           || ' <SUF> '
+           || COALESCE(array_to_string(list_slice(w, b + 1, n), ' '), '')
+           || ' <MID> '
+           || COALESCE(array_to_string(list_slice(w, a + 1, b), ' '), ''))
+           AS fim_md5
+FROM ab
+""",
+)
+def c_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022) — the
+    code-LLM training rewrite that completes the objective family next
+    to MLM (BERT), span corruption (T5) and SFT rendering: pick two
+    deterministic cut points 0 <= a <= b <= n per document (md5-derived
+    from the doc_id, the cross-engine RNG idiom c_mlm_mask
+    established), split the token sequence into prefix [1..a], middle
+    (a..b], suffix (b..n], and render the PSM order
+    '<PRE> prefix <SUF> suffix <MID> middle' — training on this makes
+    an autoregressive model infill. Emits the cut points, the middle
+    length, and the md5 of the rendered document, so the oracle
+    certifies the REWRITTEN text byte-for-byte. Cross-engine trap
+    pinned here: DuckDB's array_to_string([]) returns NULL (not ''),
+    which silently NULLs the whole rendered string through || — every
+    empty segment needs COALESCE(.., '') to match Spark's concat_ws,
+    found via the sf0.001 sweep (100/500 docs have an empty segment).
+    Scale: pure
+    map-side scan-local rewrite, ZERO exchanges — the c_pii_scrub
+    shape; at 100 TB this is one pass over the corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    n = F.size(w).cast("long")
+    ha = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim42:"), F.col("doc_id").cast("string"), F.lit(":a"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    hb = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim42:"), F.col("doc_id").cast("string"), F.lit(":b"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select("doc_id", w.alias("w"), n.alias("n"), ha.alias("ha"), hb.alias("hb"))
+    a = F.col("ha") % (F.col("n") + 1)
+    ab = t.select(
+        "doc_id", "w", "n",
+        a.alias("a"),
+        (a + F.col("hb") % (F.col("n") - a + 1)).alias("b"),
+    )
+    rendered = F.concat(
+        F.lit("<PRE> "),
+        F.concat_ws(" ", F.expr("slice(w, 1, CAST(a AS INT))")),
+        F.lit(" <SUF> "),
+        F.concat_ws(
+            " ", F.expr("slice(w, CAST(b + 1 AS INT), CAST(n - b AS INT))")
+        ),
+        F.lit(" <MID> "),
+        F.concat_ws(
+            " ", F.expr("slice(w, CAST(a + 1 AS INT), CAST(b - a AS INT))")
+        ),
+    )
+    return ab.select(
+        "doc_id",
+        F.col("a").alias("cut_a"),
+        F.col("b").alias("cut_b"),
+        F.col("n").alias("n_tokens"),
+        (F.col("b") - F.col("a")).cast("long").alias("middle_len"),
+        F.md5(rendered).alias("fim_md5"),
+    )
+
+
+@query(
     "c_grouped_kfold",
     oracle="""
 WITH f AS (

@@ -813,6 +813,8 @@ def test_shuffle_budgets_table(spark):
         # vocab-bounded prune rank window + the post-prune EM round's
         # mapInPandas/M-step exchanges
         "c_token_unigram_prune": 3,
+        # FIM: scan-local deterministic rewrite, the c_pii_scrub shape
+        "c_fim_transform": 0,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
