@@ -288,6 +288,100 @@ def b_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_DAYS = 8400  # staleness bound: fixture order dates sit
+# 8209-9311 days before event timestamps (TPC-H dates vs synthetic event
+# clock), so 8400 splits matches ~half fresh / ~half stale — both
+# outcomes exercised
+
+
+@query(
+    "b_join_asof_tolerance",
+    oracle=f"""
+SELECT event_id, user_id,
+       CASE WHEN age_days <= {ASOF_TOLERANCE_DAYS} THEN asof_orderkey END
+           AS asof_orderkey,
+       CASE WHEN age_days <= {ASOF_TOLERANCE_DAYS} THEN asof_totalprice END
+           AS asof_totalprice,
+       CASE WHEN age_days <= {ASOF_TOLERANCE_DAYS} THEN age_days END
+           AS age_days
+FROM (
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_totalprice,
+           CAST(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE))
+                AS BIGINT) AS age_days,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+               AS rn
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""",
+)
+def b_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE — pandas merge_asof's ``tolerance``
+    semantics on b_join_asof's plan: each event still matches its
+    latest preceding order, but a match older than
+    {ASOF_TOLERANCE_DAYS} days is considered STALE and nulls out
+    (the feature-store freshness rule: a feature older than the
+    window must not leak into training). Matched events are emitted
+    either way, with (asof_orderkey, asof_totalprice, age_days)
+    nulled past the bound — so the output exposes both outcomes and
+    the oracle certifies the staleness decision row by row.
+
+    Same scalable union-tag + running last_value rewrite as
+    b_join_asof — ONE user_id exchange and one sort; the tolerance is
+    a post-carry scan-local predicate, never a second join. The
+    oracle stays the naive window formulation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("o_date"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    u = o.unionByName(
+        e.withColumns(
+            {
+                "o_orderkey": F.lit(None).cast("long"),
+                "o_totalprice": F.lit(None).cast("double"),
+                "o_date": F.lit(None).cast("date"),
+            }
+        ),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    age = F.datediff(F.col("ts").cast("date"), F.col("asof_date")).cast("long")
+    fresh = F.col("age_days") <= ASOF_TOLERANCE_DAYS
+    return (
+        u.withColumn(
+            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .withColumn("asof_date", F.last("o_date", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("asof_orderkey").isNotNull())
+        .withColumn("age_days", age)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("asof_orderkey")).alias("asof_orderkey"),
+            F.when(fresh, F.col("asof_totalprice")).alias("asof_totalprice"),
+            F.when(fresh, F.col("age_days")).alias("age_days"),
+        )
+    )
+
+
 @query(
     "b_join_interval",
     oracle="""

@@ -449,6 +449,9 @@ def test_shuffle_budgets_table(spark):
         "b_join_range_binned": 1,
         # forward asof: union-tag + one user_id window exchange
         "b_join_asof_forward": 1,
+        # tolerance asof: b_join_asof's plan + a scan-local staleness
+        # predicate — the bound is never a second join
+        "b_join_asof_tolerance": 1,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
