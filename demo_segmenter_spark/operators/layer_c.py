@@ -2666,6 +2666,72 @@ def c_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_EPOCHS = 3  # epochs materialized by the multi-epoch shuffle
+
+
+@query(
+    "c_dataset_epoch_shuffle",
+    oracle=f"""
+WITH ep AS (
+    SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch
+), keyed AS (
+    SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+           md5('shuf42:' || CAST(ep.epoch AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents d CROSS JOIN ep
+)
+SELECT epoch, doc_id,
+       CAST(ascii(substring(shuffle_key, 1, 1)) % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY epoch, ascii(substring(shuffle_key, 1, 1)) % 8
+            ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM keyed
+""",
+)
+def c_dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-EPOCH training-order shuffle — c_train_shuffle's seeded
+    hash order re-keyed per epoch (seed:epoch:doc_id), the standard
+    way a multi-epoch run gets a DIFFERENT replayable permutation
+    each pass without ever re-materializing the corpus randomly
+    (orderBy(rand()) is neither replayable nor resumable; epoch-seeded
+    hashing is both — crash at epoch 1 step K, re-derive the exact
+    order and skip K batches). Emits (epoch, doc_id, shard, pos) for
+    {SHUFFLE_EPOCHS} epochs; the inter-epoch decorrelation and the
+    per-epoch permutation property are pinned in tests. Scale: the
+    epoch explode is map-side (×{SHUFFLE_EPOCHS} rows), the rank
+    window partitions by (epoch, shard) — 8×{SHUFFLE_EPOCHS} bounded
+    partitions, no global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("shuf42:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    shard = (F.ascii(F.substring(F.col("shuffle_key"), 1, 1)) % 8).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .select(
+            "epoch",
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
 PACK_CAPACITY = 512  # tokens per packed sequence
 
 

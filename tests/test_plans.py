@@ -474,6 +474,9 @@ def test_shuffle_budgets_table(spark):
         "b_sql_cte": 2,
         "b_topk_per_group": 1,
         "c_train_shuffle": 1,
+        # multi-epoch shuffle: epoch explode is map-side; ONE
+        # (epoch, shard)-keyed rank exchange, no global sort
+        "c_dataset_epoch_shuffle": 1,
         # interleave: lang rank window + 5-row count rollup + the
         # global schedule sort (the contract, see docstring)
         "c_dataset_interleave": 3,

@@ -66,3 +66,42 @@ def test_countmin_never_undercounts(spark):
     assert rows, "probe set must be non-empty"
     assert all(r.overestimate >= 0 for r in rows)
     assert all(r.cm_estimate == r.exact_count + r.overestimate for r in rows)
+
+
+def test_epoch_shuffle_is_decorrelated_permutation(spark):
+    # each epoch is a full permutation of the corpus (every doc exactly
+    # once, per-shard positions dense from 1), and epochs genuinely
+    # differ: the same doc's (shard, pos) changes between epochs for
+    # almost all docs (hash re-seeding), while the whole thing replays
+    # deterministically (second run identical).
+    from demo_segmenter_spark.operators.layer_c import SHUFFLE_EPOCHS
+    from demo_segmenter_spark.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["c_dataset_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs * SHUFFLE_EPOCHS
+    by_epoch: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    for ep, docs in by_epoch.items():
+        assert len(docs) == n_docs, ep  # permutation: every doc once
+        # per-shard positions dense from 1
+        from collections import defaultdict
+
+        shard_pos = defaultdict(list)
+        for shard, pos in docs.values():
+            shard_pos[shard].append(pos)
+        for shard, ps in shard_pos.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (ep, shard)
+    # decorrelation: most docs move between epoch 0 and 1
+    moved = sum(
+        1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d]
+    )
+    assert moved > 0.9 * n_docs, moved
+    # determinism: replay identical
+    rows2 = REGISTRY["c_dataset_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    assert {tuple(r) for r in rows2} == {tuple(r) for r in rows}
