@@ -270,3 +270,21 @@ def test_semdedup_kmeans_matches_numpy_reference(spark):
         gcl, gdup, gcs, gsim = got[v]
         assert (gcl, gdup) == (cl, dup), (v, got[v], ref[v])
         assert abs(gcs - cs) < 1e-9 and abs(gsim - sim) < 1e-9, (v, got[v], ref[v])
+
+
+def test_matryoshka_overlap_increases_with_dim(spark):
+    # truncation-quality eval: mean overlap with the full-dim answer
+    # must be (weakly) monotone in the truncation dim, and the full-dim
+    # rows are exactly KNN_K by construction (the in-schema anchor).
+    from demo_segmenter_spark.operators.layer_c import KNN_K, MRL_DIMS
+
+    rows = REGISTRY["c_embed_matryoshka"].fn(spark, SF_SMOKE).collect()
+    by_dim: dict[int, list[int]] = {}
+    for r in rows:
+        by_dim.setdefault(r.trunc_dim, []).append(r.overlap_at_k)
+    assert set(by_dim) == set(MRL_DIMS)
+    assert all(v == KNN_K for v in by_dim[MRL_DIMS[-1]])
+    means = [sum(by_dim[d]) / len(by_dim[d]) for d in MRL_DIMS]
+    assert means == sorted(means), means
+    # truncation genuinely loses information on this spectrum
+    assert means[0] < KNN_K
