@@ -1311,6 +1311,158 @@ def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 10  # value-histogram bins for the drift monitor
+PSI_BIN_W = 40  # bin width (fixture values span 0.03–327.5)
+
+
+@query(
+    "a_drift_psi",
+    oracle=f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS us, value FROM events
+), bnds AS (
+    SELECT min(us) AS lo, max(us) AS hi FROM e
+), tagged AS (
+    SELECT event_type,
+           CASE WHEN us < (lo + hi) // 2 THEN 0 ELSE 1 END AS wnd,
+           least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                 {PSI_BINS - 1}) AS bin
+    FROM e CROSS JOIN bnds
+), cnts AS (
+    SELECT event_type, wnd, bin, count(*) AS n
+    FROM tagged GROUP BY event_type, wnd, bin
+), tot AS (
+    SELECT event_type, wnd, sum(n) AS nt FROM cnts GROUP BY event_type, wnd
+), grid AS (
+    SELECT t.event_type, w.wnd, g.bin
+    FROM (SELECT DISTINCT event_type FROM e) t,
+         (SELECT unnest([0, 1]) AS wnd) w,
+         (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+), shares AS (
+    SELECT g.event_type, g.wnd, g.bin,
+           (COALESCE(c.n, 0) + 1.0) / (t.nt + {PSI_BINS}) AS p
+    FROM grid g
+    LEFT JOIN cnts c ON g.event_type = c.event_type AND g.wnd = c.wnd
+                    AND g.bin = c.bin
+    JOIN tot t ON g.event_type = t.event_type AND g.wnd = t.wnd
+), pq AS (
+    SELECT r.event_type, r.bin, r.p AS p, c.p AS q
+    FROM shares r JOIN shares c
+      ON r.event_type = c.event_type AND r.bin = c.bin
+    WHERE r.wnd = 0 AND c.wnd = 1
+), terms AS (
+    SELECT event_type,
+           CAST(round((q - p) * ln(q / p) * 1000000000 + 1e-04) AS BIGINT)
+               AS term_nano
+    FROM pq
+)
+SELECT t.event_type,
+       CAST(tr.nt AS BIGINT) AS n_ref,
+       CAST(tc.nt AS BIGINT) AS n_cur,
+       {sql_rnd("sum(t.term_nano) / 1000000000.0", 6)} AS psi
+FROM terms t
+JOIN tot tr ON t.event_type = tr.event_type AND tr.wnd = 0
+JOIN tot tc ON t.event_type = tc.event_type AND tc.wnd = 1
+GROUP BY t.event_type, tr.nt, tc.nt
+""",
+)
+def a_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift monitor — the standard
+    production check that a stream's value distribution has not
+    shifted: split the event-time range at its midpoint (reference =
+    first half, current = second half), histogram `value` into
+    {PSI_BINS} fixed-width bins per event type, Laplace-smooth the
+    shares (absent bins still contribute — the full type×window×bin
+    grid is generated, not inferred from observed rows), and
+    PSI = Σ (q−p)·ln(q/p) per type. PSI < 0.1 is the textbook
+    "stable" band; the fixture's halves are statistically identical so
+    values sit near zero — what is certified is the measurement
+    machinery, term by term.
+
+    Determinism: shares are exact small-rational doubles (identical
+    IEEE division), each PSI term is quantized to integer NANO-nats
+    before the order-insensitive sum (ln() ulp noise ~1e-7 of the
+    quantum — the c_quality_*_lp idiom), the midpoint is integer-µs
+    floor division. Scale: two tiny aggs (type×window×bin ≤ 100 rows,
+    map-side partials) + grid joins on bounded tables — the scan is
+    one pass, nothing corpus-sized shuffles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    bnds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(bnds)).select(
+        "event_type",
+        F.when(
+            F.col("us") < F.expr("(lo + hi) DIV 2"), 0
+        ).otherwise(1).alias("wnd"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cnts = persist(
+        tagged.groupBy("event_type", "wnd", "bin").agg(
+            F.count("*").alias("n")
+        )
+    )
+    tot = persist(
+        cnts.groupBy("event_type", "wnd").agg(F.sum("n").alias("nt"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(2).select(F.col("id").cast("int").alias("wnd"))
+        )
+        .crossJoin(
+            spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+        )
+    )
+    shares = (
+        grid.join(cnts, ["event_type", "wnd", "bin"], "left")
+        .join(tot, ["event_type", "wnd"])
+        .select(
+            "event_type",
+            "wnd",
+            "bin",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                / (F.col("nt") + PSI_BINS)
+            ).alias("p"),
+        )
+    )
+    r = shares.filter(F.col("wnd") == 0).select(
+        "event_type", "bin", F.col("p").alias("p")
+    )
+    c = shares.filter(F.col("wnd") == 1).select(
+        "event_type", "bin", F.col("p").alias("q")
+    )
+    term = F.round(
+        (F.col("q") - F.col("p"))
+        * F.ln(F.col("q") / F.col("p"))
+        * 1_000_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+    terms = r.join(c, ["event_type", "bin"]).select(
+        "event_type", term.alias("term_nano")
+    )
+    tr = tot.filter(F.col("wnd") == 0).select(
+        "event_type", F.col("nt").cast("long").alias("n_ref")
+    )
+    tc = tot.filter(F.col("wnd") == 1).select(
+        "event_type", F.col("nt").cast("long").alias("n_cur")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            rnd(F.sum("term_nano") / 1_000_000_000.0, 6).alias("psi")
+        )
+        .join(tr, "event_type")
+        .join(tc, "event_type")
+        .select("event_type", "n_ref", "n_cur", "psi")
+    )
+
+
 @query(
     "a_anomaly_zscore_stream",
     oracle=f"""

@@ -452,6 +452,10 @@ def test_shuffle_budgets_table(spark):
         # tolerance asof: b_join_asof's plan + a scan-local staleness
         # predicate — the bound is never a second join
         "b_join_asof_tolerance": 1,
+        # PSI drift: 1-row bounds agg + the (type,wnd,bin) rollup pair +
+        # the bounded grid joins + the final ≤|types| rollup — nothing
+        # corpus-sized shuffles
+        "a_drift_psi": 5,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
