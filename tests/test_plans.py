@@ -456,6 +456,11 @@ def test_shuffle_budgets_table(spark):
         # the bounded grid joins + the final ≤|types| rollup — nothing
         # corpus-sized shuffles
         "a_drift_psi": 5,
+        # RVQ: the k-means training chain + stage-2's Lloyd round
+        # (residual explode/regroup pair + K-row array rebuild) — the
+        # persisted subtrees repeat in the static plan (pca/kcore
+        # precedent), runtime pays each once; codebooks broadcast
+        "c_embed_rq": 41,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
