@@ -6322,11 +6322,13 @@ _PQ_CTES = f"""
 )"""
 
 
-@query(
-    "c_embed_rq",
-    oracle=_EMB_CTE
-    + _KMEANS_TRAIN_CTES
-    + f"""
+# Shared DuckDB CTE suffix: the full RVQ chain (stage-1 assignment on
+# the trained k-means centroids -> residuals -> seed assignment -> one
+# Euclidean Lloyd update -> final codes ra2(vec_id, code1, code2, d2)
+# + residual codebook rc1). Appended after _KMEANS_TRAIN_CTES; used by
+# BOTH c_embed_rq and c_sim_rq_adc so encode and search replay the
+# identical artifact.
+_RQ_CTES = f"""
 , s2q AS (
     SELECT u.vec_id, c.cent_id,
            {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
@@ -6371,7 +6373,76 @@ _PQ_CTES = f"""
                                      ORDER BY d2, cent_id) AS rn
         FROM rd2
     ) WHERE rn = 1
-), re1 AS (
+)"""
+
+
+def _rq_train(spark: SparkSession, sf_dir: str):
+    """Shared RVQ chain (the exact Spark twin of _RQ_CTES): returns
+    (base unit vectors, stage-1 codebook c1, trained residual codebook
+    rc1, persisted residual table r, persisted codes a2). Shared by
+    c_embed_rq (encode) and c_sim_rq_adc (search) so the artifact
+    cannot drift between the two — the _kmeans_train discipline."""
+    base, c1 = _kmeans_train(spark, sf_dir)
+    a1 = _kmeans_assign(base, c1)  # (vec_id, u, cluster_id)
+    r = persist(
+        a1.join(F.broadcast(c1), a1.cluster_id == c1.cent_id).select(
+            "vec_id",
+            F.col("cluster_id").alias("code1"),
+            F.zip_with("u", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    seeds = r.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("r").alias("sv")
+    )
+    d2 = rnd(
+        F.aggregate(
+            F.zip_with("r", "sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    a1r = (
+        r.join(F.broadcast(seeds))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("rcl"))
+    )
+    # one Euclidean Lloyd update on the residual codebook (see
+    # c_embed_rq's docstring for why the update is load-bearing)
+    rc1 = persist(
+        r.join(a1r, "vec_id")
+        .select("rcl", F.posexplode("r").alias("i", "x"))
+        .groupBy("rcl", "i")
+        .agg(rnd(F.avg("x"), 6).alias("c"))
+        .groupBy("rcl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("sv")
+        )
+        .select(F.col("rcl").alias("cent_id"), "sv")
+    )
+    a2 = persist(
+        r.join(F.broadcast(rc1))
+        .select("vec_id", "code1", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "code1", F.col("cent_id").alias("code2"), "d2")
+    )
+    return base, c1, rc1, r, a2
+
+
+@query(
+    "c_embed_rq",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + _RQ_CTES
+    + f"""
+, re1 AS (
     SELECT vec_id, {sql_rnd("sum(r * r)", 4)} AS err1
     FROM rres GROUP BY vec_id
 )
@@ -6407,66 +6478,109 @@ def c_embed_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both codebooks are K×dim broadcasts over one corpus scan each —
     map-side assignment, never a corpus shuffle (the c_sim_kmeans
     argument); real RVQ adds stages as a driver loop."""
-    base, c1 = _kmeans_train(spark, sf_dir)
-    a1 = _kmeans_assign(base, c1)  # (vec_id, u, cluster_id)
-    r = persist(
-        a1.join(
-            F.broadcast(c1), a1.cluster_id == c1.cent_id
-        ).select(
-            "vec_id",
-            F.col("cluster_id").alias("code1"),
-            F.zip_with("u", "cv", lambda x, y: x - y).alias("r"),
-        )
-    )
-    seeds = r.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("r").alias("sv")
-    )
-    d2 = rnd(
-        F.aggregate(
-            F.zip_with("r", "sv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
-    a1r = (
-        r.join(F.broadcast(seeds))
-        .select("vec_id", "cent_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("rcl"))
-    )
-    # one Euclidean Lloyd update on the residual codebook (see docstring)
-    rc1 = persist(
-        r.join(a1r, "vec_id")
-        .select("rcl", F.posexplode("r").alias("i", "x"))
-        .groupBy("rcl", "i")
-        .agg(rnd(F.avg("x"), 6).alias("c"))
-        .groupBy("rcl")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))),
-                lambda s: s["c"],
-            ).alias("sv")
-        )
-        .select(F.col("rcl").alias("cent_id"), "sv")
-    )
-    a2 = (
-        r.join(F.broadcast(rc1))
-        .select("vec_id", "code1", "cent_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    _, _, _, r, a2 = _rq_train(spark, sf_dir)
     e1 = r.select("vec_id", rnd(dot(F.col("r"), F.col("r")), 4).alias("err1"))
+    return a2.join(e1, "vec_id").select(
+        "vec_id",
+        "code1",
+        "code2",
+        "err1",
+        rnd(F.col("d2"), 4).alias("err2"),
+    )
+
+
+@query(
+    "c_sim_rq_adc",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + _RQ_CTES
+    + f"""
+, rqv AS (
+    SELECT vec_id AS query_id, i, u FROM u WHERE vec_id < {KNN_QUERIES}
+), rlut1 AS (
+    SELECT q.query_id, c.cent_id, {sql_rnd("sum(q.u * c.c)", 6)} AS v
+    FROM rqv q JOIN c1 c ON q.i = c.i
+    GROUP BY q.query_id, c.cent_id
+), rlut2 AS (
+    SELECT q.query_id, c.cent_id, {sql_rnd("sum(q.u * c.c)", 6)} AS v
+    FROM rqv q JOIN rc1 c ON q.i = c.i
+    GROUP BY q.query_id, c.cent_id
+), radc AS (
+    SELECT l1.query_id, a.vec_id AS neighbor_id, l1.v + l2.v AS score
+    FROM ra2 a
+    JOIN rlut1 l1 ON l1.cent_id = a.code1
+    JOIN rlut2 l2 ON l2.query_id = l1.query_id AND l2.cent_id = a.code2
+    WHERE a.vec_id <> l1.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       {sql_rnd("score", 4)} AS adc_score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM radc
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def c_sim_rq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RVQ ASYMMETRIC DISTANCE COMPUTATION — the serving path over
+    c_embed_rq's compressed codes (the c_sim_pq_adc idiom on the
+    residual quantizer): per query, ONE dot product against each
+    stage's K centroids builds two lookup tables; every database
+    vector is then scored WITHOUT touching its floats, as
+    score ≈ q·(c1[code1] + c2[code2]) = LUT1[code1] + LUT2[code2] —
+    two integer-indexed lookups per vector, the arithmetic shape that
+    serves billion-vector indexes from code bytes. Top-{KNN_K} per
+    query by the reconstructed score. The tests pin the ADC CONTRACT —
+    every emitted score equals q·(c1[code1] + c2[code2]) recomputed
+    independently from the codebooks (numpy) — rather than a recall
+    floor: the fixture's isotropic spectrum is near-unclusterable, so
+    2×4-bit codes retain little ranking signal (recall@5 ≈ 0.08,
+    measured; stage-1-only is statistically identical). On clusterable
+    real embeddings the same arithmetic serves production recall; the
+    knobs are K and the stage count, and the RECONSTRUCTION quality
+    gain of stage 2 is what c_embed_rq certifies (mean err2 < err1).
+
+    Determinism: LUT entries are 6dp-quantized; their SUM is an exact
+    IEEE add of two identical-across-engines doubles, ranked with a
+    (score DESC, neighbor_id) total order and emitted at 4dp. Scale:
+    LUTs are (queries × K) rows — broadcast; the scoring join touches
+    only the CODES table (2 longs/vector), and the per-query rank
+    window is the one exchange. The corpus floats are never read at
+    query time — that is the entire point."""
+    base, c1, rc1, _, a2 = _rq_train(spark, sf_dir)
+    qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    lut1 = qv.crossJoin(F.broadcast(c1)).select(
+        "query_id",
+        F.col("cent_id").alias("code1"),
+        rnd(dot(F.col("qu"), F.col("cv")), 6).alias("v1"),
+    )
+    lut2 = qv.crossJoin(F.broadcast(rc1)).select(
+        "query_id",
+        F.col("cent_id").alias("code2"),
+        rnd(dot(F.col("qu"), F.col("sv")), 6).alias("v2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
     return (
-        a2.join(e1, "vec_id")
+        a2.join(F.broadcast(lut1), "code1")
+        .join(F.broadcast(lut2), ["query_id", "code2"])
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "vec_id",
-            "code1",
-            F.col("cent_id").alias("code2"),
-            "err1",
-            rnd(F.col("d2"), 4).alias("err2"),
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("v1") + F.col("v2")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            rnd(F.col("score"), 4).alias("adc_score"),
         )
     )
 

@@ -304,3 +304,33 @@ def test_rq_stage2_reduces_mean_error(spark):
     from demo_segmenter_spark.operators.layer_c import KMEANS_K
 
     assert all(0 <= r.code1 < KMEANS_K and 0 <= r.code2 < KMEANS_K for r in rows)
+
+
+def test_rq_adc_scores_are_exact_code_reconstructions(spark):
+    # The ADC contract: every emitted score equals the query's dot
+    # product with the code-reconstructed vector c1[code1] + c2[code2],
+    # recomputed independently in numpy from the codebooks — the
+    # lookup-table arithmetic is exact, whatever the fixture's
+    # retrieval quality (see the docstring).
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import _rq_train
+
+    base, c1, rc1, _, a2 = _rq_train(spark, SF_SMOKE)
+    U = {r.vec_id: np.array(r.u) for r in base.collect()}
+    C1 = {r.cent_id: np.array(r.cv) for r in c1.collect()}
+    C2 = {r.cent_id: np.array(r.sv) for r in rc1.collect()}
+    codes = {r.vec_id: (r.code1, r.code2) for r in a2.collect()}
+    rows = REGISTRY["c_sim_rq_adc"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        k1, k2 = codes[r.neighbor_id]
+        v1 = round(float(U[r.query_id] @ C1[k1]) * 1e6 + 1e-4) / 1e6
+        v2 = round(float(U[r.query_id] @ C2[k2]) * 1e6 + 1e-4) / 1e6
+        want = round((v1 + v2) * 1e4 + 1e-8) / 1e4
+        assert abs(r.adc_score - want) < 1e-9, (r, want)
+    # every query answered with a full top-k
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}

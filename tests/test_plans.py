@@ -460,7 +460,11 @@ def test_shuffle_budgets_table(spark):
         # (residual explode/regroup pair + K-row array rebuild) — the
         # persisted subtrees repeat in the static plan (pca/kcore
         # precedent), runtime pays each once; codebooks broadcast
-        "c_embed_rq": 41,
+        "c_embed_rq": 42,
+        # RVQ-ADC search: the shared _rq_train chain's static repeats
+        # (persisted — runtime once) + the LUT crossJoins (broadcast)
+        # + the per-query rank window over the CODES table
+        "c_sim_rq_adc": 62,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
