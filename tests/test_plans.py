@@ -237,6 +237,10 @@ def test_shuffle_budgets_table(spark):
     # needs a scale justification in the operator's docstring.
     budgets = {
         "a_sessionize": 1,
+        # capped sessions: the segmented-scan repartition + the session
+        # rollup (mapInPandas output loses partitioning info to the
+        # planner, so the rollup re-exchanges — 2 total)
+        "a_session_capped": 2,
         "a_session_agg": 1,
         "a_session_agg_native": 1,
         # dynamic gap rides the same single user_id exchange

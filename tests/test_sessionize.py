@@ -72,3 +72,41 @@ def test_stream_batch_twin_equivalence(spark):
         "sum_value",
     )
     assert st == {tuple(r) for r in b.collect()}
+
+
+def test_capped_session_splits_long_session(spark):
+    # crafted: events every hour for 20 hours = ONE gap-session (gap
+    # 8h never trips) but the 16h cap must split it: events at t0..t0+16h
+    # stay in session 1 (within cap), the t0+17h event starts session 2.
+    import uuid
+
+    from demo_segmenter_spark.operators.layer_a import (
+        GAP_US,
+        SESSION_CAP_US,
+    )
+    from demo_segmenter_spark.registry import REGISTRY
+
+    h = 3_600_000_000
+    base = 1_700_000_000_000_000
+    rows = [(1, i, base + i * h) for i in range(21)]  # 0..20h hourly
+    import os
+
+    d = f"/tmp/dss_capped/{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+    df.select(
+        "user_id", "event_id", F.timestamp_micros("us").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.session_seq: (r.n_events, r.start_us, r.end_us)
+        for r in REGISTRY["a_session_capped"].fn(spark, d).collect()
+    }
+    assert GAP_US == 8 * h and SESSION_CAP_US == 16 * h
+    # session 1: hours 0..16 inclusive (16h span == cap, not over);
+    # hour 17 is 17h after start -> over cap -> new session 2: 17..20
+    assert got == {
+        1: (17, base, base + 16 * h),
+        2: (4, base + 17 * h, base + 20 * h),
+    }, got
