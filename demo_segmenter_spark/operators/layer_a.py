@@ -3328,6 +3328,34 @@ def a_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_session_capped_stream", oracle=_SESSION_CAPPED_ORACLE)
+def a_session_capped_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_session_capped via the PAPI escape hatch
+    (streaming/papi.py::_capped_sessions): the gap+cap split rule is a
+    per-key sequential fold with (prev_us, sess_start, seq) state —
+    exactly the GroupState shape, and NOT expressible as a native
+    session_window (the cap is not an inactivity rule). Each event row
+    is emitted exactly once in the micro-batch that carried it
+    (update mode, per-event outputs, forward-only fold — an earlier
+    event's session can never be re-split by later data), so the
+    completed stream aggregates to the SAME recursive-CTE oracle as
+    the batch twin. Chunk-split safety (concat before sort) is pinned
+    by the parametrized adversarial harness in
+    tests/test_papi_chunk_split.py, which a new processor cannot dodge
+    (introspection gate)."""
+    from demo_segmenter_spark.streaming.papi import papi_session_capped
+
+    return (
+        papi_session_capped(spark, sf_dir)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+
+
 @query("a_ewma", oracle=EWMA_ORACLE)
 def a_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event value in (ts, event_id) order — the

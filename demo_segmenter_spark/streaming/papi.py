@@ -886,3 +886,89 @@ def papi_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Tenth processor: capped sessionization (gap + max-duration, the GA4
+# rule a_session_capped implements in batch). The cap makes the fold
+# truly sequential — each split depends on the running session's start
+# — so unlike _assign_sessions there is no vectorized cumsum form: the
+# scan is a plain row loop over the concat-sorted batch, carrying
+# (prev_us, sess_start, seq) per user.
+# ---------------------------------------------------------------------------
+
+CAPPED_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("session_seq", LongType()),
+    ]
+)
+
+CAPPED_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_us", LongType()),
+        StructField("sess_start", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _capped_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from demo_segmenter_spark.operators.layer_a import (
+        GAP_US,
+        SESSION_CAP_US,
+    )
+
+    prev_us, sess_start, seq = (
+        state.get if state.exists else (None, None, 0)
+    )
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        seqs = []
+        for us in pdf["ts_us"].astype("int64").tolist():
+            if prev_us is None:
+                seq, sess_start = 1, us
+            elif us - prev_us > GAP_US or us - sess_start > SESSION_CAP_US:
+                seq += 1
+                sess_start = us
+            prev_us = us
+            seqs.append(seq)
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "ts_us": pdf["ts_us"].astype("int64").values,
+                "session_seq": seqs,
+            }
+        )
+    state.update((prev_us, sess_start, seq))
+
+
+def papi_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _capped_sessions,
+        outputStructType=CAPPED_OUTPUT_SCHEMA,
+        stateStructType=CAPPED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"capped_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

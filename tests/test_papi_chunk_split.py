@@ -161,6 +161,8 @@ def test_throttle_processor_survives_chunk_split(spark, desc_source):
 
 from demo_segmenter_spark.streaming.papi import (  # noqa: E402
     ABSENCE_OUTPUT_SCHEMA,
+    CAPPED_OUTPUT_SCHEMA,
+    CAPPED_STATE_SCHEMA,
     ABSENCE_STATE_SCHEMA,
     ALERT_OUTPUT_SCHEMA,
     ALERT_STATE_SCHEMA,
@@ -176,6 +178,7 @@ from demo_segmenter_spark.streaming.papi import (  # noqa: E402
     THROTTLE_STATE_SCHEMA,
     _absence_gaps,
     _advance_funnel,
+    _capped_sessions,
     _alert_hysteresis,
     _assign_sessions,
     _attribution,
@@ -215,6 +218,10 @@ def _p_throttle(df):
     )
 
 
+def _p_capped(df):
+    return df.select("user_id", "event_id", _US())
+
+
 def _p_alert(df):
     return df.select("user_id", "event_id", _US(), "value")
 
@@ -252,6 +259,7 @@ PROCESSORS = {
     "ewma": (_smooth_ewma, EWMA_OUTPUT_SCHEMA, EWMA_STATE_SCHEMA, "update", "NoTimeout", _p_ewma),
     "session_final": (_session_final, SESSION_FINAL_OUTPUT_SCHEMA, SESSION_FINAL_STATE_SCHEMA, "append", "EventTimeTimeout", _p_session_final),
     "throttle": (_throttle_final, THROTTLE_OUTPUT_SCHEMA, THROTTLE_STATE_SCHEMA, "append", "EventTimeTimeout", _p_throttle),
+    "session_capped": (_capped_sessions, CAPPED_OUTPUT_SCHEMA, CAPPED_STATE_SCHEMA, "update", "NoTimeout", _p_capped),
     "alert_hysteresis": (_alert_hysteresis, ALERT_OUTPUT_SCHEMA, ALERT_STATE_SCHEMA, "update", "NoTimeout", _p_alert),
     "absence_gaps": (_absence_gaps, ABSENCE_OUTPUT_SCHEMA, ABSENCE_STATE_SCHEMA, "update", "NoTimeout", _p_absence),
     "attribution": (_attribution, ATTR_OUTPUT_SCHEMA, ATTR_STATE_SCHEMA, "update", "NoTimeout", _p_attribution),
