@@ -510,6 +510,63 @@ def b_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_rollup_hierarchy",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({sql_cents("value")}) AS BIGINT) AS sum_cents,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+""",
+)
+def b_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL ROLLUP COMPOSITION — the continuous-aggregate /
+    hypertable story (TimescaleDB caggs, Druid rollup segments, every
+    streaming OLAP serving layer): maintain a FINE pre-aggregate
+    (hourly per event type, counts + integer-cent sums) and answer
+    coarser queries by RE-AGGREGATING THE ROLLUP, never the raw data.
+    This query materializes the hourly level and derives the DAILY
+    level strictly from it (sums of sums, counts of counts); the
+    oracle computes the daily answer from RAW events — so the hash
+    match certifies the algebraic re-aggregation property (all
+    maintained aggregates are commutative monoids; avg is derived,
+    never stored) across the hierarchy. Integer cents make the
+    two-level sum bit-exact regardless of addition order.
+
+    Scale: the raw scan happens ONCE at the finest level (map-side
+    partials into ~types×hours rows); every coarser level is a rollup
+    of a rollup — at 100 TB the hourly table is what a serving layer
+    stores per segment, and day/week/month queries never touch raw
+    events. The plan shows two tiny exchanges over rollup-sized rows
+    after the one corpus agg."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "hour")).alias("day")
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+        )
+    )
+
+
+@query(
     "b_agg_distinct",
     oracle="""
 SELECT o_orderpriority,

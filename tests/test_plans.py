@@ -253,6 +253,9 @@ def test_shuffle_budgets_table(spark):
         # 100 TB each degrades to one co-partitioned exchange
         "a_ktable_fk_join": 2,
         "b_agg_basic": 1,
+        # rollup-of-rollup: ONE raw agg (map-side partials) + the
+        # rollup-sized day re-aggregation
+        "b_rollup_hierarchy": 2,
         "b_multiway_star": 1,
         "b_join_asof": 1,
         "b_pipeline_tpch_q3": 2,
