@@ -567,6 +567,69 @@ def b_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b_rollup_hierarchy_stream",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({sql_cents("value")}) AS BIGINT) AS sum_cents,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+""",
+)
+def b_rollup_hierarchy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_rollup_hierarchy, SAME oracle: the HOURLY
+    level is maintained as a streaming windowed aggregation (the
+    continuous-aggregate refresh loop — counts and integer-cent sums
+    are the mergeable state a serving layer keeps per hour bucket),
+    run to completion with availableNow in complete mode; the DAILY
+    level is report-time re-aggregation of the completed hourly table,
+    exactly the batch twin's derivation. Certifies that incremental
+    maintenance of the fine level composes to the same coarse answers
+    as a batch rebuild — the correctness contract behind every
+    materialized-rollup refresh pipeline."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    hourly = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .select("w", "event_type", "n_events", "sum_cents", "n_purchases")
+    )
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("w.start"))).alias("day"),
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+        )
+    )
+
+
+@query(
     "b_agg_distinct",
     oracle="""
 SELECT o_orderpriority,
