@@ -119,6 +119,12 @@ HEADLINE = [
     "c_sim_dedup_kmeans",
     "c_token_unigram_encode",
     "c_dedup_substring_rewrite",
+    # round 8 continuation: the sequential gap+cap sessionizer
+    # (segmented-scan class), the continuous-aggregate composition,
+    # and the RVQ encode chain
+    "a_session_capped",
+    "b_rollup_hierarchy",
+    "c_embed_rq",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;
