@@ -4199,6 +4199,117 @@ def _pca_iter_sql(i: int, src: str = "ex", p: str = "") -> str:
 
 
 @query(
+    "c_dpo_pairs",
+    oracle="""
+WITH dsc AS (
+    SELECT doc_id, source, lang, text,
+           CAST(round(len(list_distinct(string_split(text, ' ')))
+                      * 1000000.0 / len(string_split(text, ' '))
+                      + 1e-04) AS BIGINT) AS score_micro
+    FROM documents
+), drk AS (
+    SELECT *, row_number() OVER (PARTITION BY source, lang
+                                 ORDER BY score_micro DESC, doc_id) AS rn
+    FROM dsc
+)
+SELECT a.source, a.lang, CAST((a.rn + 1) // 2 AS BIGINT) AS pair_idx,
+       a.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+       a.score_micro - b.score_micro AS margin_micro,
+       md5('<PROMPT> ' || a.source || ':' || a.lang || ':'
+           || CAST((a.rn + 1) // 2 AS VARCHAR)
+           || ' <CHOSEN> ' || a.text
+           || ' <REJECTED> ' || b.text) AS pair_md5
+FROM drk a JOIN drk b
+  ON a.source = b.source AND a.lang = b.lang AND b.rn = a.rn + 1
+WHERE a.rn % 2 = 1
+""",
+)
+def c_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR ASSEMBLY (DPO/RLHF data prep) — the
+    post-training pipeline op that turns scored candidates into
+    (chosen, rejected) training examples: within each (source, lang)
+    group, rank documents by a preference signal, pair adjacent ranks
+    (1↔2, 3↔4, …; the odd leftover is dropped), render each pair as
+    one '<PROMPT> … <CHOSEN> … <REJECTED> …' example and carry the
+    score MARGIN (the DPO loss weight / filter knob — pairs with tiny
+    margins are label noise and get dropped downstream). The
+    preference signal is pluggable; here it is the certified
+    distinct-token-ratio quality heuristic in integer micro-units
+    (eps-nudged round — exact cross-engine), standing in for a reward
+    model's scores, so the ASSEMBLY machinery — grouping, ranking,
+    pairing, margin arithmetic, byte-exact rendering — is what the
+    hash oracle certifies (the c_sft_render discipline: pair_md5
+    fingerprints the rendered example itself).
+
+    Scale: one scan computes scores map-side; the rank window
+    partitions by (source, lang) — bounded groups over one exchange —
+    and the adjacent-rank self-join stays inside the same
+    partitioning. Margins are non-negative by rank order (pinned in
+    tests)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w_toks = F.split("text", " ")
+    score = F.round(
+        F.size(F.array_distinct(w_toks)) * 1_000_000.0 / F.size(w_toks)
+        + F.lit(EPS[0])
+    ).cast("long")
+    w_rank = Window.partitionBy("source", "lang").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    rk = persist(
+        docs.select(
+            "doc_id", "source", "lang", "text", score.alias("score_micro")
+        ).withColumn("rn", F.row_number().over(w_rank))
+    )
+    a = rk.filter(F.col("rn") % 2 == 1).select(
+        "source",
+        "lang",
+        ((F.col("rn") + 1) / 2).cast("long").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score_micro").alias("sc"),
+        F.col("text").alias("tc"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = rk.select(
+        F.col("source").alias("source_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score_micro").alias("sr"),
+        F.col("text").alias("tr"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("rn_b") == F.col("rn_a") + 1),
+        )
+        .select(
+            "source",
+            "lang",
+            "pair_idx",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            (F.col("sc") - F.col("sr")).alias("margin_micro"),
+            F.md5(
+                F.concat(
+                    F.lit("<PROMPT> "),
+                    F.col("source"),
+                    F.lit(":"),
+                    F.col("lang"),
+                    F.lit(":"),
+                    F.col("pair_idx").cast("string"),
+                    F.lit(" <CHOSEN> "),
+                    F.col("tc"),
+                    F.lit(" <REJECTED> "),
+                    F.col("tr"),
+                )
+            ).alias("pair_md5"),
+        )
+    )
+
+
+@query(
     "c_embed_pca",
     oracle=_EMB_CTE
     + f"""

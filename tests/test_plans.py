@@ -256,6 +256,10 @@ def test_shuffle_budgets_table(spark):
         # rollup-of-rollup: ONE raw agg (map-side partials) + the
         # rollup-sized day re-aggregation
         "b_rollup_hierarchy": 2,
+        # DPO pairs: the (source,lang) rank window + the adjacent-rank
+        # self-join reusing that partitioning (static re-read; the
+        # persisted rk pays once)
+        "c_dpo_pairs": 2,
         "b_multiway_star": 1,
         "b_join_asof": 1,
         "b_pipeline_tpch_q3": 2,

@@ -105,3 +105,30 @@ def test_epoch_shuffle_is_decorrelated_permutation(spark):
     # determinism: replay identical
     rows2 = REGISTRY["c_dataset_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
     assert {tuple(r) for r in rows2} == {tuple(r) for r in rows}
+
+
+def test_dpo_pairs_invariants(spark):
+    # preference-pair assembly: margins non-negative (rank order),
+    # chosen != rejected, no doc appears in two pairs, and every
+    # (source, lang) group with >= 2 docs yields floor(n/2) pairs.
+    from demo_segmenter_spark.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["c_dpo_pairs"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    used: set[int] = set()
+    for r in rows:
+        assert r.margin_micro >= 0, r
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert r.chosen_doc_id not in used and r.rejected_doc_id not in used
+        used.add(r.chosen_doc_id)
+        used.add(r.rejected_doc_id)
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "source", "lang"
+    ).collect()
+    grp = Counter((d.source, d.lang) for d in docs)
+    pairs = Counter((r.source, r.lang) for r in rows)
+    for g, n in grp.items():
+        assert pairs.get(g, 0) == n // 2, (g, n, pairs.get(g))
