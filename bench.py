@@ -172,7 +172,14 @@ def _drift_report(timings: dict[str, float], minima: dict[str, float]) -> dict:
     if not ratios:
         return {"ratios": {}, "median_ratio": None, "outliers": {}}
     vals = sorted(ratios.values())
-    median = vals[len(vals) // 2]
+    # True median (average of the two middle values when even-length):
+    # taking the upper-middle element biases the drift median — and the
+    # relative-outlier denominator — upward on even-length lists.
+    mid = len(vals) // 2
+    if len(vals) % 2:
+        median = vals[mid]
+    else:
+        median = round((vals[mid - 1] + vals[mid]) / 2, 3)
     relative = {n: round(r / median, 3) for n, r in ratios.items()}
     return {
         "ratios": ratios,

@@ -917,6 +917,20 @@ CAPPED_STATE_SCHEMA = StructType(
 def _capped_sessions(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Forward-only capped-session fold.
+
+    Cross-micro-batch ORDERED-ARRIVAL CONTRACT: the fold sequences
+    events at arrival position, so an event that is event-time older
+    than the carried `prev_us` but arrives in a LATER micro-batch
+    would be folded out of order and could diverge from the batch
+    twin / recursive-CTE oracle. Within-batch reordering is handled
+    (concat-sort over ts_us, event_id; the chunk-split harness covers
+    it); cross-batch reordering is NOT — the source must deliver each
+    user's events in non-decreasing ts_us across batches (the
+    rate-limited ordered parquet source used by a_session_capped_stream
+    satisfies this). The state guard below turns a contract violation
+    into a loud failure instead of a silent divergence.
+    """
     from demo_segmenter_spark.operators.layer_a import (
         GAP_US,
         SESSION_CAP_US,
@@ -930,6 +944,14 @@ def _capped_sessions(
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts_us", "event_id"]
         )
+        if prev_us is not None and len(pdf):
+            first_us = int(pdf["ts_us"].astype("int64").iloc[0])
+            if first_us < prev_us:
+                raise ValueError(
+                    "capped-session ordered-arrival contract violated: "
+                    f"user {key[0]} event at {first_us}us arrived after "
+                    f"state prev_us={prev_us}us in a later micro-batch"
+                )
         seqs = []
         for us in pdf["ts_us"].astype("int64").tolist():
             if prev_us is None:
