@@ -9428,3 +9428,343 @@ def c_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("szb").cast("long").alias("n_fp_b"),
         rnd(jac, 4).alias("fp_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — the FAISS-style composition of the suite's two index halves:
+# trained-IVF coarse quantization (cell routing) + per-subspace PQ
+# codebooks trained on the COARSE RESIDUALS (Lloyd-updated; the RVQ
+# lesson says seed-only residual codebooks INCREASE error). Round-9
+# verdict ask #1.
+# ---------------------------------------------------------------------------
+
+def _micro(col):
+    """6dp-quantized double -> exact integer micro-units (BIGINT).
+
+    ADC scores are sums of five 6dp-quantized LUT entries; a float sum
+    is order-sensitive across engines, so every LUT value is converted
+    to integer micro-units first (the c_mix_reweight nano-unit idiom)
+    and only the final integer sum is divided back to a double — one
+    identical IEEE division on both engines."""
+    return F.round(rnd(col, 6) * 1_000_000 + F.lit(EPS[0])).cast("long")
+
+
+def _sql_micro(expr: str) -> str:
+    return f"CAST(round({sql_rnd(expr, 6)} * 1000000 + {EPS[0]!r}) AS BIGINT)"
+
+
+# Shared DuckDB CTE suffix (appended after _KMEANS_TRAIN_CTES): coarse
+# assignment on the trained centroids -> residuals -> per-subspace PQ
+# seed assignment -> one Euclidean Lloyd update -> final per-subspace
+# codes pcodes(vec_id, code1, s, code) + refined subspace codebooks pc1.
+_IVFPQ_CTES = f"""
+, s2q AS (
+    SELECT u.vec_id, c.cent_id,
+           {sql_rnd("sum(u.u * c.c) / any_value(n.cn)", 6)} AS sim
+    FROM u JOIN c1 c ON u.i = c.i JOIN c1n n ON c.cent_id = n.cent_id
+    GROUP BY u.vec_id, c.cent_id
+), rkq AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cent_id) AS r
+    FROM s2q
+), a1q AS (
+    SELECT vec_id, cent_id AS code1 FROM rkq WHERE r = 1
+), rres AS (
+    SELECT u.vec_id, a.code1, u.i, u.u - c.c AS rx
+    FROM u JOIN a1q a ON u.vec_id = a.vec_id
+    JOIN c1 c ON c.cent_id = a.code1 AND c.i = u.i
+), psx AS (
+    SELECT vec_id, code1, (i - 1) // 16 AS s, (i - 1) % 16 AS j, rx AS x
+    FROM rres
+), pc0 AS (
+    SELECT vec_id AS cent_id, s, j, x AS c FROM psx WHERE vec_id < {PQ_K}
+), pd1 AS (
+    SELECT psx.vec_id, psx.s, pc0.cent_id,
+           {sql_rnd("sum((psx.x - pc0.c) * (psx.x - pc0.c))", 6)} AS d2
+    FROM psx JOIN pc0 ON psx.s = pc0.s AND psx.j = pc0.j
+    GROUP BY psx.vec_id, psx.s, pc0.cent_id
+), pa1 AS (
+    SELECT vec_id, s, cent_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cent_id) AS rn
+        FROM pd1
+    ) WHERE rn = 1
+), pc1 AS (
+    SELECT pa1.s, pa1.code AS cent_id, psx.j, {sql_rnd("avg(psx.x)", 6)} AS c
+    FROM psx JOIN pa1 ON psx.vec_id = pa1.vec_id AND psx.s = pa1.s
+    GROUP BY pa1.s, pa1.code, psx.j
+), pd2 AS (
+    SELECT psx.vec_id, any_value(psx.code1) AS code1, psx.s, pc1.cent_id,
+           {sql_rnd("sum((psx.x - pc1.c) * (psx.x - pc1.c))", 6)} AS d2
+    FROM psx JOIN pc1 ON psx.s = pc1.s AND psx.j = pc1.j
+    GROUP BY psx.vec_id, psx.s, pc1.cent_id
+), pcodes AS (
+    SELECT vec_id, code1, s, cent_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cent_id) AS rn
+        FROM pd2
+    ) WHERE rn = 1
+)"""
+
+
+def _ivfpq_train(spark: SparkSession, sf_dir: str):
+    """Shared IVFADC training chain (exact Spark twin of _IVFPQ_CTES):
+    returns (base unit vectors, c1 trained coarse centroids, ranked
+    persisted coarse sims, pc1 refined subspace codebooks, pcodes =
+    final (vec_id, code1, s, code) index rows). The coarse quantizer
+    is the SAME trained artifact c_sim_kmeans / c_sim_ivf_trained /
+    c_embed_rq certify (_kmeans_train); the subspace codebooks are
+    trained on the coarse residuals with one Euclidean Lloyd update —
+    load-bearing per the RVQ measurement (seed-only residual books
+    INCREASE error; cluster means minimize within-cluster SSE)."""
+    base, c1 = _kmeans_train(spark, sf_dir)
+    sim = rnd(dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    ranked = persist(
+        base.join(F.broadcast(c1))
+        .select("vec_id", "cent_id", sim.alias("sim"))
+        .withColumn("r", F.row_number().over(w_assign))
+    )
+    a1 = ranked.filter(F.col("r") == 1).select(
+        "vec_id", F.col("cent_id").alias("code1")
+    )
+    res = (
+        base.join(a1, "vec_id")
+        .join(
+            F.broadcast(c1.select("cent_id", "cv")),
+            F.col("code1") == F.col("cent_id"),
+        )
+        .select(
+            "vec_id",
+            "code1",
+            F.zip_with("u", "cv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    psx = persist(
+        res.select("vec_id", "code1", F.posexplode("rv").alias("i", "x"))
+        .select(
+            "vec_id",
+            "code1",
+            F.expr("i div 16").alias("s"),
+            (F.col("i") % 16).alias("j"),
+            "x",
+        )
+    )
+    pc0 = psx.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cent_id"), "s", "j", F.col("x").alias("c")
+    )
+
+    def passign(cents: DataFrame) -> DataFrame:
+        d = (
+            psx.join(F.broadcast(cents), ["s", "j"])
+            .groupBy("vec_id", "code1", "s", "cent_id")
+            .agg(
+                rnd(
+                    F.sum(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    ),
+                    6,
+                ).alias("d2")
+            )
+        )
+        wp = Window.partitionBy("vec_id", "s").orderBy("d2", "cent_id")
+        return (
+            d.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "code1", "s", F.col("cent_id").alias("code"))
+        )
+
+    pa1 = passign(pc0)
+    pc1 = persist(
+        psx.join(pa1.select("vec_id", "s", "code"), ["vec_id", "s"])
+        .groupBy("s", F.col("code").alias("cent_id"), "j")
+        .agg(rnd(F.avg("x"), 6).alias("c"))
+    )
+    return base, c1, ranked, pc1, persist(passign(pc1))
+
+
+@query(
+    "c_sim_ivfpq_adc",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + _IVFPQ_CTES
+    + f"""
+, probes AS (
+    SELECT vec_id AS query_id, cent_id AS probe_cluster
+    FROM rkq WHERE vec_id < {KNN_QUERIES} AND r <= {IVF_NPROBE}
+), qv AS (
+    SELECT vec_id AS query_id, i, u FROM u WHERE vec_id < {KNN_QUERIES}
+), lutc AS (
+    SELECT q.query_id, c.cent_id AS code1,
+           {_sql_micro("sum(q.u * c.c)")} AS v0m
+    FROM qv q JOIN c1 c ON q.i = c.i
+    GROUP BY q.query_id, c.cent_id
+), luts AS (
+    SELECT q.query_id, p.s, p.cent_id AS code,
+           {_sql_micro("sum(q.u * p.c)")} AS vm
+    FROM (SELECT query_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j, u
+          FROM qv) q
+    JOIN pc1 p ON q.s = p.s AND q.j = p.j
+    GROUP BY q.query_id, p.s, p.cent_id
+), cand AS (
+    SELECT pr.query_id, pc.vec_id, pc.code1, pc.s, pc.code
+    FROM pcodes pc JOIN probes pr ON pc.code1 = pr.probe_cluster
+    WHERE pc.vec_id <> pr.query_id
+), subsum AS (
+    SELECT c.query_id, c.vec_id, any_value(c.code1) AS code1,
+           sum(l.vm) AS vsm
+    FROM cand c JOIN luts l ON l.query_id = c.query_id
+                           AND l.s = c.s AND l.code = c.code
+    GROUP BY c.query_id, c.vec_id
+), adct AS (
+    SELECT s.query_id, s.vec_id AS neighbor_id,
+           lc.v0m + s.vsm AS score_m,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY lc.v0m + s.vsm DESC, s.vec_id)
+               AS rank
+    FROM subsum s JOIN lutc lc ON lc.query_id = s.query_id
+                              AND lc.code1 = s.code1
+), exact AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {sql_rnd("sum(a.u * b.u)", 4)} AS cos_sim
+    FROM u a JOIN u b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), exactt AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id)
+            AS rk
+        FROM exact
+    ) WHERE rk <= {KNN_K}
+), rec AS (
+    SELECT t.query_id,
+           {sql_rnd(f"count(e.neighbor_id) * 1.0 / {KNN_K}", 4)}
+               AS recall_at_k
+    FROM adct t LEFT JOIN exactt e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    WHERE t.rank <= {KNN_K}
+    GROUP BY t.query_id
+)
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS BIGINT) AS rank,
+       {sql_rnd("t.score_m / 1000000.0", 4)} AS adc_score,
+       r.recall_at_k
+FROM adct t JOIN rec r ON t.query_id = r.query_id
+WHERE t.rank <= {KNN_K}
+""",
+)
+def c_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FAISS-style serving index composed from the
+    suite's trained halves (round-9 verdict ask #1): the coarse
+    quantizer is _kmeans_train's learned centroids (the SAME artifact
+    c_sim_kmeans / c_sim_ivf_trained certify), the fine quantizer is
+    {PQ_M} per-subspace {PQ_K}-entry codebooks trained on the COARSE
+    RESIDUALS with one Euclidean Lloyd update — load-bearing per the
+    RVQ measurement: seed-only residual codebooks INCREASE error
+    because 64-dim seed residuals are near-orthogonal, while cluster
+    means strictly reduce within-cluster SSE. Search is the production
+    path end to end: each query routes to its {IVF_NPROBE} nearest
+    coarse cells (nprobe cell routing), and every member of a probed
+    cell is scored WITHOUT touching its floats via asymmetric distance
+    computation: score = q·(c1[code1] + Σ_s cb_s[code_s]) =
+    LUT_coarse[cell] + Σ_s LUT_s[code_s] — one coarse lookup plus
+    {PQ_M} subspace lookups per candidate. recall_at_k (vs the exact
+    unit-vector top-{KNN_K}, computed in-schema) rides every row, so
+    the approximation quality is part of the certified result, not a
+    side claim.
+
+    Determinism: the whole train chain follows the 6dp/total-order
+    discipline; LUT entries are quantized to integer MICRO-units
+    before summing (float sums are order-sensitive across engines —
+    the c_mix_reweight nano-unit idiom), so candidate scores are
+    exact integer sums, ranked (score_m DESC, neighbor_id) and divided
+    back to a double once. Scale: training is K×dim / M·K×16
+    broadcasts over corpus scans (never a corpus shuffle); the serving
+    join touches only the 4-codes-per-vector index rows of the probed
+    cells — Q·nprobe·(N/K) candidates, each costing {PQ_M}+1 integer
+    lookups. The corpus floats are never read at query time; the
+    fixture's isotropic spectrum keeps absolute recall modest (the
+    c_sim_rq_adc caveat), and the 200k-vector scale smoke measures
+    recall on clusterable planted data."""
+    base, c1, ranked, pc1, pcodes = _ivfpq_train(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") < KNN_QUERIES) & (F.col("r") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("probe_cluster"),
+    )
+    qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    lutc = qv.crossJoin(F.broadcast(c1.select("cent_id", "cv"))).select(
+        "query_id",
+        F.col("cent_id").alias("code1"),
+        _micro(dot(F.col("qu"), F.col("cv"))).alias("v0m"),
+    )
+    qsx = qv.select("query_id", F.posexplode("qu").alias("i", "qx")).select(
+        "query_id",
+        F.expr("i div 16").alias("s"),
+        (F.col("i") % 16).alias("j"),
+        "qx",
+    )
+    luts = (
+        qsx.join(F.broadcast(pc1), ["s", "j"])
+        .groupBy("query_id", "s", F.col("cent_id").alias("code"))
+        .agg(_micro(F.sum(F.col("qx") * F.col("c"))).alias("vm"))
+    )
+    cand = pcodes.join(
+        F.broadcast(probes),
+        (F.col("code1") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    subsum = (
+        cand.join(F.broadcast(luts), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id", "code1")
+        .agg(F.sum("vm").alias("vsm"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_m").desc(), "neighbor_id"
+    )
+    top = persist(
+        subsum.join(F.broadcast(lutc), ["query_id", "code1"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("v0m") + F.col("vsm")).alias("score_m"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    ex_cos = rnd(dot(F.col("qu"), F.col("u")), 4)
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    exact_top = (
+        base.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ex_cos.alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    rec = (
+        top.join(exact_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            rnd(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / KNN_K, 4
+            ).alias("recall_at_k")
+        )
+    )
+    return top.join(rec, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        rnd(F.col("score_m") / 1000000.0, 4).alias("adc_score"),
+        "recall_at_k",
+    )

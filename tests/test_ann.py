@@ -334,3 +334,86 @@ def test_rq_adc_scores_are_exact_code_reconstructions(spark):
     for r in rows:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert set(per_q.values()) == {5}
+
+
+def test_ivfpq_adc_scores_are_exact_code_reconstructions(spark):
+    # IVFADC contract: every emitted score equals the query's dot
+    # product with the code-reconstructed vector c1[code1] + the
+    # per-subspace codebook entries, recomputed independently in numpy
+    # through the SAME integer micro-unit arithmetic (coarse LUT + 4
+    # subspace LUTs, each round(x*1e6 + 1e-4), summed exactly, divided
+    # back once) — the lookup-table path is exact whatever the
+    # fixture's retrieval quality.
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import (
+        KNN_K,
+        PQ_M,
+        _ivfpq_train,
+    )
+
+    base, c1, ranked, pc1, pcodes = _ivfpq_train(spark, SF_SMOKE)
+    U = {r.vec_id: np.array(r.u) for r in base.collect()}
+    C1 = {r.cent_id: np.array(r.cv) for r in c1.collect()}
+    CB: dict = {}
+    for r in pc1.collect():
+        CB.setdefault((r.s, r.cent_id), {})[r.j] = r.c
+    codes: dict = {}
+    code1: dict = {}
+    for r in pcodes.collect():
+        codes.setdefault(r.vec_id, {})[r.s] = r.code
+        code1[r.vec_id] = r.code1
+    rows = REGISTRY["c_sim_ivfpq_adc"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        qv = U[r.query_id]
+        sm = round(float(qv @ C1[code1[r.neighbor_id]]) * 1e6 + 1e-4)
+        for s in range(PQ_M):
+            cb = CB[(s, codes[r.neighbor_id][s])]
+            sub = np.array([cb[j] for j in range(16)])
+            sm += round(float(qv[s * 16 : (s + 1) * 16] @ sub) * 1e6 + 1e-4)
+        want = round(sm / 1e6 * 1e4 + 1e-8) / 1e4
+        assert abs(r.adc_score - want) < 1e-9, (r, want)
+    # per-query result sets: ranks contiguous from 1, bounded by K
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= KNN_K
+
+
+def test_ivfpq_recall_column_matches_exact_topk(spark):
+    # The in-schema recall_at_k must equal |ADC top-k ∩ exact top-k|/K
+    # recomputed from c_sim_knn-style exact ranking over unit vectors.
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import (
+        KNN_K,
+        KNN_QUERIES,
+        _ivfpq_train,
+    )
+
+    base, *_ = _ivfpq_train(spark, SF_SMOKE)
+    U = {r.vec_id: np.array(r.u) for r in base.collect()}
+    rows = REGISTRY["c_sim_ivfpq_adc"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    adc_top: dict = {}
+    recall: dict = {}
+    for r in rows:
+        adc_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recall[r.query_id] = r.recall_at_k
+    ids = sorted(U)
+    for qid in adc_top:
+        assert qid < KNN_QUERIES
+        sims = sorted(
+            (
+                (round(float(U[qid] @ U[v]) * 1e4 + 1e-6) / 1e4, -v)
+                for v in ids
+                if v != qid
+            ),
+            reverse=True,
+        )
+        exact = {-nv for _, nv in sims[:KNN_K]}
+        want = round(len(adc_top[qid] & exact) / KNN_K * 1e4 + 1e-8) / 1e4
+        assert abs(recall[qid] - want) < 1e-9, (qid, recall[qid], want)

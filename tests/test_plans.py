@@ -479,6 +479,14 @@ def test_shuffle_budgets_table(spark):
         # (persisted — runtime once) + the LUT crossJoins (broadcast)
         # + the per-query rank window over the CODES table
         "c_sim_rq_adc": 62,
+        # IVFADC: the deepest composition in the suite — _kmeans_train
+        # + coarse ranked-assign + per-subspace PQ Lloyd round + ADC
+        # scoring + the in-schema exact-recall twin; every training
+        # subtree is persisted (runtime pays each ONCE, the pca/kcore
+        # static-plan precedent), codebooks/LUTs/probes all broadcast,
+        # and the serving join touches only the 4-codes-per-vector
+        # index rows of the probed cells
+        "c_sim_ivfpq_adc": 143,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
