@@ -2101,6 +2101,126 @@ def semdedup_stress(
         f"({n_rows / dt / 1e3:.0f}k vec/s through assign-matmul + "
         f"per-cluster V@V.T, cluster-bounded pair space)"
     )
+
+    # ---- HYBRID recovery pass (round-9 ask #2): cross-cluster RHP-LSH
+    # candidates close the boundary-straddler gap — the stress must now
+    # recover ALL n_plant planted pairs, not just the same-cluster ones.
+    # 16 bands x 20 bits: a planted pair (theta ~ 0.035 rad, per-bit
+    # flip ~1.1%) agrees on a whole band w.p. ~0.80, across 16 bands
+    # collision prob ~1-0.2^16 ~ 1; random pairs (theta ~ pi/2) collide
+    # w.p. ~2^-20 per band, so the candidate set stays tiny.
+    t0 = time.time()
+    bands, rows_per_band = 16, 20
+    n_planes = bands * rows_per_band
+
+    def _mixu(x):
+        x = x.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+            x = x ^ (x >> np.uint64(33))
+        return x
+
+    hh, dd2 = np.meshgrid(np.arange(n_planes), np.arange(dim), indexing="ij")
+    planes = np.where(
+        (_mixu(hh * 64 + dd2 + 7_777_777) >> np.uint64(13)) & np.uint64(1),
+        1.0,
+        -1.0,
+    )  # (n_planes, dim)
+    bc_pl = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    def bucketize(batches):
+        pl = bc_pl.value
+        for pdf in batches:
+            x = np.stack([np.asarray(a) for a in pdf["v"]])
+            bits = (x @ pl.T) > 0  # (batch, n_planes)
+            bk = (
+                bits.reshape(len(x), bands, rows_per_band) * weights
+            ).sum(axis=2)
+            vid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, bands),
+                    "band": np.tile(np.arange(bands), len(x)),
+                    "bucket": bk.reshape(-1),
+                }
+            )
+
+    buckets = assigned.select("vec_id", "v").mapInPandas(
+        bucketize, "vec_id long, band int, bucket long"
+    )
+    wb = Window.partitionBy("band", "bucket")
+    okb = (
+        buckets.withColumn("nb", F.count("*").over(wb))
+        .filter((F.col("nb") >= 2) & (F.col("nb") <= 1000))
+        .drop("nb")
+    )
+    cand = (
+        okb.select(F.col("vec_id").alias("va"), "band", "bucket")
+        .join(
+            okb.select(F.col("vec_id").alias("vb"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    cl_a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("cluster_id").alias("cl_a"),
+        F.col("v").alias("xa"),
+    )
+    cl_b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("v").alias("xb"),
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack([np.asarray(x) for x in pdf["xa"]])
+            b = np.stack([np.asarray(x) for x in pdf["xb"]])
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "va": pdf["va"].to_numpy(),
+                    "vb": pdf["vb"].to_numpy(),
+                    "cos": np.einsum("bd,bd->b", a, b),
+                }
+            )
+
+    cross = (
+        cand.join(cl_a, "va")
+        .join(cl_b, "vb")
+        .filter(F.col("cl_a") != F.col("cl_b"))
+        .select("va", "vb", "xa", "xb")
+        .mapInPandas(verify, "va long, vb long, cos double")
+        .filter(F.col("cos") >= TH)
+        .select("va", "vb")
+        .collect()
+    )
+    dt2 = time.time() - t0
+    cross_pairs = {frozenset((r.va, r.vb)) for r in cross}
+    straddler_pairs = {frozenset(pid[j]) for j in set(pid) - same}
+    all_pairs = {frozenset(ab) for ab in pid.values()}
+    recovered = got_pairs | cross_pairs
+    # every straddler recovered by the LSH path, zero incidental
+    # cross-cluster pairs at the threshold, full 500/500 union
+    assert straddler_pairs <= cross_pairs, (
+        len(straddler_pairs - cross_pairs)
+    )
+    assert cross_pairs <= all_pairs, list(cross_pairs - all_pairs)[:5]
+    assert recovered == all_pairs, (len(recovered), len(all_pairs))
+    print(
+        f"semdedup-hybrid: cross-cluster RHP-LSH ({bands}x{rows_per_band} "
+        f"bits) recovered ALL {len(straddler_pairs)} boundary straddlers "
+        f"(union {len(recovered)}/{n_plant} planted pairs, zero "
+        f"incidental) in +{dt2:.1f}s"
+    )
     assigned.unpersist()
     vecs.unpersist()
     spark.catalog.clearCache()

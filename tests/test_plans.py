@@ -487,6 +487,11 @@ def test_shuffle_budgets_table(spark):
         # and the serving join touches only the 4-codes-per-vector
         # index rows of the probed cells
         "c_sim_ivfpq_adc": 143,
+        # hybrid SemDeDup: the kmeans-train chain + assignment window
+        # + the within-cluster pair join + the RHP banding join (both
+        # bounded shapes) + the per-victim best window; training
+        # subtrees persisted (runtime once)
+        "c_sim_dedup_kmeans_hybrid": 42,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
