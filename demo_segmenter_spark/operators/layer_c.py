@@ -6093,9 +6093,10 @@ def c_rag_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "c_dedup_incremental",
-    oracle=_SHINGLE_CTE
+# Shared by c_dedup_incremental and its streaming twin — the verdicts
+# must replay identically whichever execution shape produced them.
+_INC_DEDUP_ORACLE = (
+    _SHINGLE_CTE
     + _CAPPED_SHINGLE_SQL
     + f"""
 , bp AS (
@@ -6135,8 +6136,11 @@ FROM documents d
 LEFT JOIN ex ON d.doc_id = ex.inc_id
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.inc_id
 WHERE d.doc_id % 3 = 2
-""",
+"""
 )
+
+
+@query("c_dedup_incremental", oracle=_INC_DEDUP_ORACLE)
 def c_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup — the shape every recurring crawl/
     snapshot pipeline actually runs: dedup the INCOMING batch
@@ -9951,4 +9955,331 @@ def c_sim_dedup_kmeans_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             "via",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (round-9 verdict ask #3): the one major
+# dedup shape that had no streaming twin. Two availableNow passes over
+# versioned-manifest state, SAME oracle as c_dedup_incremental.
+# ---------------------------------------------------------------------------
+
+_INCD_SDF_SCHEMA = "lang string, source string, s long, df long, ver long"
+_INCD_CSHING_SCHEMA = (
+    "doc_id long, lang string, source string, sz long, s long, ver long"
+)
+_INCD_CHASH_SCHEMA = "h string, ex_id long, ver long"
+_INCD_VERDICT_SCHEMA = (
+    "doc_id long, verdict string, best_match long, best_jaccard double,"
+    " ver long"
+)
+
+
+def incdedup_profile_sink(
+    spark: SparkSession, sdf_path: str, cshing_path: str, chash_path: str
+):
+    """PROFILE-BUILD foreachBatch sink (phase A of the streaming
+    incremental dedup): every arriving document — corpus AND incoming —
+    updates the corpus profile the verdict phase serves from, in three
+    versioned-manifest tables:
+
+    - ``sdf``: ADDITIVE shingle document frequency per (lang, source,
+      shingle) over ALL docs — the capped-universe gate needs global
+      dfs, and a df is only final once every doc has contributed, which
+      is exactly why verdicts are a second pass. Additivity composes
+      with the CDC merge: the sink reads the current snapshot, adds the
+      batch's counts, and upserts the SUMMED rows (last-writer-wins
+      then replaces old totals); the batchId idempotence gate makes a
+      crash-replay a no-op, so a count can never be added twice.
+    - ``cshing``: corpus-side per-doc shingle rows (keyed (doc_id, s) —
+      a doc arrives in exactly one batch, so merge never collides).
+    - ``chash``: corpus content-hash ownership, FIRST-WRITER-WINS via
+      the snapshot anti-join idiom (pretrain_stream_sink's blocks
+      story): an owned hash is never re-upserted, and with
+      doc_id-ordered arrival first-writer == min corpus doc_id == the
+      batch oracle's exact-dup attribution.
+
+    Scale: each micro-batch pays scan-local shingling + one (block,
+    shingle) exchange for its own rows + the manifest merges — the
+    profile build is the ingestion cost, amortized over arrival."""
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        register_sink,
+    )
+    from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
+
+    register_sink(spark)
+    sdf_sink = cdc_upsert_sink(sdf_path, ["lang", "source", "s"], "ver")
+    cshing_sink = cdc_upsert_sink(cshing_path, ["doc_id", "s"], "ver")
+    chash_sink = cdc_upsert_sink(chash_path, ["h"], "ver")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sh = _shingle_doc_table(batch_df, _hashed_shingles())
+        add = sh.groupBy("lang", "source", "s").agg(
+            F.count("*").cast("long").alias("add")
+        )
+        prev = latest_manifest(sdf_path)
+        if prev is not None:
+            old = spark.read.schema(_INCD_SDF_SCHEMA).json(
+                manifest_files(sdf_path)
+            )
+            merged = (
+                old.select("lang", "source", "s", "df")
+                .join(add, ["lang", "source", "s"], "full_outer")
+                .select(
+                    "lang",
+                    "source",
+                    "s",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("add"), F.lit(0))
+                    ).alias("df"),
+                )
+            )
+        else:
+            merged = add.select("lang", "source", "s", F.col("add").alias("df"))
+        sdf_sink(
+            merged.withColumn("ver", F.lit(batch_id).cast("long")), batch_id
+        )
+        corp_sh = sh.filter(F.col("doc_id") % 3 != 2).withColumn(
+            "ver", F.lit(batch_id).cast("long")
+        )
+        cshing_sink(corp_sh, batch_id)
+        ch = (
+            batch_df.filter(F.col("doc_id") % 3 != 2)
+            .select(F.md5("text").alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("ex_id"))
+        )
+        if latest_manifest(chash_path) is not None:
+            owned = (
+                spark.read.schema(_INCD_CHASH_SCHEMA)
+                .json(manifest_files(chash_path))
+                .select("h")
+            )
+            ch = ch.join(owned, "h", "left_anti")  # first-writer-wins
+        chash_sink(
+            ch.withColumn("ver", F.lit(batch_id).cast("long")), batch_id
+        )
+
+    return sink
+
+
+def incdedup_verdict_sink(
+    spark: SparkSession,
+    sdf_path: str,
+    cshing_path: str,
+    chash_path: str,
+    verdicts_path: str,
+):
+    """VERDICT foreachBatch sink (phase B): incoming documents stream
+    in doc_id-ordered micro-batches and each batch is deduped against
+    the COMPLETED corpus profile — exact gate first (content hash vs
+    the first-writer-wins chash table), then capped-shingle Jaccard
+    against the corpus shingle rows, with hot shingles (global df >
+    SHINGLE_DF_CAP from the sdf table) removed from the pair universe
+    exactly as the batch query does. One verdict row per incoming doc,
+    appended idempotently (batchId gate); an incoming doc lives in
+    exactly one batch and the profile is immutable during phase B, so
+    each verdict is final on first write and the completed table equals
+    the batch oracle row for row. Scale: per batch, one bipartite
+    (block, shingle) join bounded by the same df cap — the profile's
+    corpus side streams from the manifest, never recomputed."""
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_files,
+        register_sink,
+    )
+    from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
+
+    register_sink(spark)
+    v_sink = cdc_upsert_sink(verdicts_path, ["doc_id"], "ver")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        chash = spark.read.schema(_INCD_CHASH_SCHEMA).json(
+            manifest_files(chash_path)
+        )
+        ex = (
+            batch_df.select(
+                F.col("doc_id").alias("inc_id"), F.md5("text").alias("h")
+            )
+            .join(chash, "h")
+            .select("inc_id", "ex_id")
+        )
+        hot = (
+            spark.read.schema(_INCD_SDF_SCHEMA)
+            .json(manifest_files(sdf_path))
+            .filter(F.col("df") > SHINGLE_DF_CAP)
+            .select("lang", "source", "s")
+        )
+        keys = ["lang", "source", "s"]
+        sh_i = _shingle_doc_table(batch_df, _hashed_shingles()).join(
+            hot, keys, "left_anti"
+        )
+        corp = (
+            spark.read.schema(_INCD_CSHING_SCHEMA)
+            .json(manifest_files(cshing_path))
+            .join(hot, keys, "left_anti")
+        )
+        bp = (
+            sh_i.select(
+                F.col("doc_id").alias("inc_id"),
+                F.col("sz").alias("szi"),
+                *keys,
+            )
+            .join(
+                corp.select(
+                    F.col("doc_id").alias("corp_id"),
+                    F.col("sz").alias("szc"),
+                    *keys,
+                ),
+                keys,
+            )
+            .groupBy("inc_id", "corp_id")
+            .agg(
+                F.count("*").alias("inter"),
+                F.max("szi").alias("szi"),
+                F.max("szc").alias("szc"),
+            )
+        )
+        j = F.col("inter") * 1.0 / (
+            F.col("szi") + F.col("szc") - F.col("inter")
+        )
+        wb = Window.partitionBy("inc_id").orderBy(F.col("j").desc(), "corp_id")
+        best = (
+            bp.select("inc_id", "corp_id", j.alias("j"))
+            .filter(F.col("j") >= 0.5)
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("inc_id", F.col("corp_id").alias("near_id"), "j")
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(ex, batch_df.doc_id == ex.inc_id, "left")
+            .drop("inc_id")
+            .join(best, batch_df.doc_id == best.inc_id, "left")
+            .select(
+                "doc_id",
+                F.when(F.col("ex_id").isNotNull(), F.lit("exact_dup"))
+                .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("kept"))
+                .alias("verdict"),
+                F.coalesce("ex_id", "near_id").alias("best_match"),
+                F.when(F.col("ex_id").isNull(), rnd(F.col("j"), 4)).alias(
+                    "best_jaccard"
+                ),
+                F.lit(batch_id).cast("long").alias("ver"),
+            )
+        )
+        v_sink(verdicts, batch_id)
+
+    return sink
+
+
+def _incdedup_chunked_src(
+    spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3
+) -> str:
+    """doc_id-range-chunked parquet files with increasing mtimes so
+    maxFilesPerTrigger=1 delivers them as ordered micro-batches (the
+    pretrain-stream source idiom)."""
+    import os
+    import time as _time
+
+    src = f"{base}/src"
+    os.makedirs(src)
+    hi = df.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [i * hi // n_chunks for i in range(n_chunks)] + [hi]
+    now = _time.time()
+    for i in range(n_chunks):
+        d = f"{base}/b{i}"
+        df.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.parquet(d)
+        for fname in os.listdir(d):
+            if fname.endswith(".parquet"):
+                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
+                os.utime(
+                    f"{src}/{i}_{fname}",
+                    (now + i * 10, now + i * 10),
+                    follow_symlinks=False,
+                )
+    return src
+
+
+def run_incdedup_stream(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Drive both phases of the streaming incremental dedup to
+    completion under ``base`` (separate checkpoints per phase)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    os.makedirs(base, exist_ok=True)
+    src_all = _incdedup_chunked_src(spark, docs, f"{base}/all")
+    src_inc = _incdedup_chunked_src(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), f"{base}/inc"
+    )
+    profile = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_all)
+        .writeStream.foreachBatch(
+            incdedup_profile_sink(
+                spark, f"{base}/sdf", f"{base}/cshing", f"{base}/chash"
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt_a")
+        .trigger(availableNow=True)
+        .start()
+    )
+    profile.awaitTermination()
+    verdict = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_inc)
+        .writeStream.foreachBatch(
+            incdedup_verdict_sink(
+                spark,
+                f"{base}/sdf",
+                f"{base}/cshing",
+                f"{base}/chash",
+                f"{base}/verdicts",
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt_b")
+        .trigger(availableNow=True)
+        .start()
+    )
+    verdict.awaitTermination()
+
+
+@query("c_dedup_incremental_stream", oracle=_INC_DEDUP_ORACLE)
+def c_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of c_dedup_incremental, SAME oracle (round-9
+    verdict ask #3) — the recurring-crawl dedup run as it actually
+    deploys: a PROFILE-BUILD ingestion stream (every arriving doc
+    updates additive shingle-df, corpus shingle rows and the
+    first-writer-wins content-hash ownership table — three versioned
+    manifests, exactly-once by batchId) followed by a VERDICT stream
+    (each incoming micro-batch deduped against the completed profile,
+    one final verdict row per doc on first write). Splitting profile
+    from verdict is what makes every verdict FINAL the moment it
+    commits: the capped-universe gate needs global shingle dfs, so a
+    single-pass design would have to retract verdicts whenever a late
+    arrival pushed a shingle over the cap — the same
+    not-stateful-streaming-expressible split a_trending_stream and the
+    pretrain PACK stage document. The completed verdicts table
+    hash-matches the batch query's oracle for ANY micro-batch split;
+    multibatch state accumulation and crash-replay idempotence are
+    pinned in tests/test_incdedup_stream.py."""
+    import shutil
+    import uuid
+
+    base = f"/tmp/dss_incdedup_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    run_incdedup_stream(spark, sf_dir, base)
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    return (
+        spark.read.schema(_INCD_VERDICT_SCHEMA)
+        .json(manifest_files(f"{base}/verdicts"))
+        .select("doc_id", "verdict", "best_match", "best_jaccard")
     )
