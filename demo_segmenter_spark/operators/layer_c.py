@@ -10283,3 +10283,184 @@ def c_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(manifest_files(f"{base}/verdicts"))
         .select("doc_id", "verdict", "best_match", "best_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (round-9 verdict ask #4): hashed
+# bag-of-tokens multinomial Naive Bayes — closed-form counts, so the
+# whole train+apply pipeline is integer-exact and fully oracle-able.
+# ---------------------------------------------------------------------------
+
+NB_BUCKETS = 128  # hashed feature space (md5-derived, cross-engine)
+
+
+@query(
+    "c_quality_nb",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS dup,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN {_STOPWORDS_SQL})) * 1.0
+                 / len(string_split(text, ' ')) AS sr
+    FROM documents
+), lab AS (
+    SELECT doc_id, text, nt,
+           CASE WHEN nt >= 20 AND dup <= 0.6 AND sr >= 0.01
+                THEN 'pass' ELSE 'fail' END AS label,
+           (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train
+    FROM t
+), tok AS (
+    SELECT doc_id, label, is_train,
+           CAST(concat('0x', substr(md5(unnest(string_split(text, ' '))),
+                                    1, 8)) AS BIGINT) % {NB_BUCKETS} AS b
+    FROM lab
+), cnt AS (
+    SELECT b,
+           sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS npb,
+           sum(CASE WHEN label = 'fail' THEN 1 ELSE 0 END) AS nfb
+    FROM tok WHERE is_train GROUP BY b
+), grid AS (
+    SELECT g.b, coalesce(c.npb, 0) AS npb, coalesce(c.nfb, 0) AS nfb
+    FROM (SELECT unnest(generate_series(0, {NB_BUCKETS - 1})) AS b) g
+    LEFT JOIN cnt c ON g.b = c.b
+), tot AS (
+    SELECT sum(npb) AS tp, sum(nfb) AS tf FROM grid
+), wt AS (
+    SELECT b,
+           CAST(round(ln(((npb + 1.0) * (tf + {NB_BUCKETS}))
+                         / ((nfb + 1.0) * (tp + {NB_BUCKETS})))
+                      * 1000000 + {EPS[0]!r}) AS BIGINT) AS wm
+    FROM grid CROSS JOIN tot
+), pri AS (
+    SELECT CAST(round(ln(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END)
+                         * 1.0
+                         / sum(CASE WHEN label = 'fail' THEN 1 ELSE 0 END))
+                      * 1000000 + {EPS[0]!r}) AS BIGINT) AS pm
+    FROM lab WHERE is_train
+), score AS (
+    SELECT t.doc_id, any_value(p.pm) + sum(w.wm) AS sm
+    FROM tok t JOIN wt w ON t.b = w.b CROSS JOIN pri p
+    GROUP BY t.doc_id
+)
+SELECT l.doc_id, l.label, l.is_train, l.nt AS n_toks,
+       {sql_rnd("s.sm / 1000000.0", 4)} AS log_odds,
+       CASE WHEN s.sm >= 0 THEN 'pass' ELSE 'fail' END AS pred
+FROM lab l JOIN score s ON l.doc_id = s.doc_id
+""",
+)
+def c_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality scorer — hashed bag-of-tokens multinomial NAIVE
+    BAYES trained on c_quality_gate's labels and applied corpus-wide
+    (round-9 verdict ask #4): the gate family is all hand-written
+    heuristics; every production corpus pipeline eventually distills
+    them into a learned scorer (the fastText/NB quality-classifier
+    stage in LLM data recipes). NB is the right first learner HERE
+    because training is CLOSED-FORM COUNTS — token occurrences per
+    (class, hashed bucket) over the 80% train split (c_dataset_split's
+    Knuth multiplicative hash), Laplace-smoothed per-bucket log-odds
+    weights, a class-prior log ratio — so the whole train+apply
+    pipeline is deterministic and replays exactly in SQL, no gradient
+    loop to certify. The ONLY transcendental is one ln per bucket (129
+    total) of an exact small-rational — quantized immediately to
+    integer MICRO-NATS (the c_mix_reweight idiom; cross-engine libm
+    ulp noise is ~1e-16, ten orders below the quantum), after which
+    every per-doc score is an exact integer sum over token buckets —
+    order-independent, hash-stable. Emits per doc its heuristic label,
+    split membership, token count, 4dp log-odds and the NB prediction
+    (log_odds >= 0), so downstream can both THRESHOLD and AUDIT
+    (train-split rows measure fit, held-out rows generalization).
+
+    Scale story (100 TB): tokenize+bucket is scan-local; training is
+    ONE groupBy over {NB_BUCKETS} buckets (map-side partials collapse
+    to {NB_BUCKETS} rows — the weight table is bytes, broadcast);
+    scoring is a broadcast join + per-doc sum, one doc-keyed exchange.
+    A planted-separability stress (scale_smoke) shows the classifier
+    recovers a token-distribution signal at 1M docs with near-perfect
+    held-out accuracy."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    sw = ("the", "a", "of", "and", "to", "in")
+    nt = F.size(toks).cast("long")
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    sr = F.size(F.filter(toks, lambda x: x.isin(*sw))) * 1.0 / F.size(toks)
+    lab = persist(
+        docs.select(
+            "doc_id",
+            "text",
+            nt.alias("nt"),
+            F.when(
+                (nt >= 20) & (dup <= 0.6) & (sr >= 0.01), F.lit("pass")
+            )
+            .otherwise(F.lit("fail"))
+            .alias("label"),
+            (
+                (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80
+            ).alias("is_train"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % NB_BUCKETS
+    )
+    tok = lab.select(
+        "doc_id", "label", "is_train", F.explode(toks).alias("tok")
+    ).select("doc_id", "label", "is_train", bucket.alias("b"))
+    cnt = (
+        tok.filter("is_train")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("label") == "pass", 1).otherwise(0)).alias(
+                "npb"
+            ),
+            F.sum(F.when(F.col("label") == "fail", 1).otherwise(0)).alias(
+                "nfb"
+            ),
+        )
+    )
+    grid = (
+        spark.range(NB_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(cnt, "b", "left")
+        .na.fill(0, ["npb", "nfb"])
+    )
+    tot = grid.agg(
+        F.sum("npb").alias("tp"), F.sum("nfb").alias("tf")
+    )
+    micro = lambda c: F.round(c * 1_000_000 + F.lit(EPS[0])).cast("long")
+    wt = grid.crossJoin(F.broadcast(tot)).select(
+        "b",
+        micro(
+            F.log(
+                ((F.col("npb") + 1.0) * (F.col("tf") + NB_BUCKETS))
+                / ((F.col("nfb") + 1.0) * (F.col("tp") + NB_BUCKETS))
+            )
+        ).alias("wm"),
+    )
+    pri = lab.filter("is_train").agg(
+        micro(
+            F.log(
+                F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
+                * 1.0
+                / F.sum(F.when(F.col("label") == "fail", 1).otherwise(0))
+            )
+        ).alias("pm")
+    )
+    score = (
+        tok.join(F.broadcast(wt), "b")
+        .crossJoin(F.broadcast(pri))
+        .groupBy("doc_id")
+        .agg((F.any_value("pm") + F.sum("wm")).alias("sm"))
+    )
+    return lab.join(score, "doc_id").select(
+        "doc_id",
+        "label",
+        "is_train",
+        F.col("nt").alias("n_toks"),
+        rnd(F.col("sm") / 1000000.0, 4).alias("log_odds"),
+        F.when(F.col("sm") >= 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("pred"),
+    )

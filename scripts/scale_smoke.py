@@ -115,6 +115,7 @@ def main() -> None:
     winnow_stress(spark)
     semdedup_stress(spark)
     ivfpq_stress(spark)
+    nb_stress(spark)
     substring_rewrite_stress(spark)
     unigram_stress(spark)
 
@@ -2800,6 +2801,129 @@ def ivfpq_stress(
     codes_df.unpersist()
     assigned.unpersist()
     vecs.unpersist()
+    spark.catalog.clearCache()
+
+
+
+
+def nb_stress(spark, n_docs: int = 1_000_000, toks_per_doc: int = 30) -> None:
+    """c_quality_nb's shape at 1M docs with a PLANTED token-distribution
+    signal: even docs draw token ids from [0, 600), odd docs from
+    [400, 1000) — two-thirds of every doc's tokens are class-exclusive,
+    so a correct hashed-bag NB must recover the class on held-out docs
+    near-perfectly, while a counting bug (dropped bucket, double-added
+    batch, sign flip) collapses accuracy toward 0.5. Same plan shape as
+    the query: scan-local tokenize+bucket, ONE 128-bucket count rollup
+    (map-side partials), broadcast weights, per-doc integer sums."""
+    t0 = time.time()
+    tpd = toks_per_doc
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            ii, jj = np.meshgrid(ids, np.arange(tpd), indexing="ij")
+            h = (ii * 2654435761 + jj * 40503) % 600
+            tok = np.where(ii % 2 == 0, h, 400 + (h * 997) % 600)
+            texts = [
+                " ".join(f"t{v}" for v in row) for v, row in zip(ids, tok)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "label": ids % 2, "text": texts}
+            )
+
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .mapInPandas(gen, "doc_id long, label long, text string")
+        .persist()
+    )
+    n_rows = docs.count()
+    print(f"nb materialize {n_rows} docs: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    # 4096 buckets, not the fixture query's 128: with a 1000-token
+    # vocab, 128 buckets put ~8 tokens in each bucket and hash
+    # collisions mix the two class pools (measured: held-out acc 0.93);
+    # growing the hashed feature space until buckets are ~1 token wide
+    # is exactly the knob production hashed-NB/fastText pipelines turn.
+    NB = 4096
+    lab = docs.withColumn(
+        "is_train", (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % NB
+    )
+    tok = lab.select(
+        "doc_id", "label", "is_train", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "label", "is_train", bucket.alias("b"))
+    cnt = (
+        tok.filter("is_train")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("npb"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("nfb"),
+        )
+    )
+    grid = (
+        spark.range(NB)
+        .select(F.col("id").alias("b"))
+        .join(cnt, "b", "left")
+        .na.fill(0, ["npb", "nfb"])
+    )
+    tot = grid.agg(F.sum("npb").alias("tp"), F.sum("nfb").alias("tf"))
+    micro = lambda c: F.round(c * 1_000_000 + F.lit(1e-4)).cast("long")
+    wt = grid.crossJoin(F.broadcast(tot)).select(
+        "b",
+        micro(
+            F.log(
+                ((F.col("npb") + 1.0) * (F.col("tf") + NB))
+                / ((F.col("nfb") + 1.0) * (F.col("tp") + NB))
+            )
+        ).alias("wm"),
+    )
+    pri = lab.filter("is_train").agg(
+        micro(
+            F.log(
+                F.sum(F.when(F.col("label") == 0, 1).otherwise(0)) * 1.0
+                / F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+            )
+        ).alias("pm")
+    )
+    score = (
+        tok.join(F.broadcast(wt), "b")
+        .crossJoin(F.broadcast(pri))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.any_value("is_train").alias("is_train"),
+            (F.any_value("pm") + F.sum("wm")).alias("sm"),
+        )
+    )
+    acc = score.select(
+        F.avg(
+            F.when(
+                ~F.col("is_train"),
+                ((F.col("sm") >= 0) == (F.col("label") == 0)).cast("int"),
+            )
+        ).alias("ho"),
+        F.avg(
+            F.when(
+                F.col("is_train"),
+                ((F.col("sm") >= 0) == (F.col("label") == 0)).cast("int"),
+            )
+        ).alias("tr"),
+    ).first()
+    dt = time.time() - t0
+    assert acc.ho is not None and acc.tr is not None
+    assert acc.ho >= 0.995 and acc.tr >= 0.995, (acc.ho, acc.tr)
+    print(
+        f"nb {n_rows} docs x {tpd} tokens: held-out acc {acc.ho:.4f}, "
+        f"train acc {acc.tr:.4f} in {dt:.1f}s "
+        f"({n_rows / dt / 1e3:.0f}k docs/s through tokenize -> {NB}-bucket "
+        f"rollup -> broadcast-scored integer sums)"
+    )
+    docs.unpersist()
     spark.catalog.clearCache()
 
 

@@ -492,6 +492,10 @@ def test_shuffle_budgets_table(spark):
         # bounded shapes) + the per-victim best window; training
         # subtrees persisted (runtime once)
         "c_sim_dedup_kmeans_hybrid": 42,
+        # NB quality classifier: the 128-bucket count rollup (map-side
+        # partials -> 128 rows), the broadcast-scored per-doc sum, and
+        # the final doc join; weight/prior tables broadcast
+        "c_quality_nb": 5,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
