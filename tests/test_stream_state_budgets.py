@@ -1,0 +1,122 @@
+"""Streaming STATE-SIZE budgets (round-9 verdict ask #5): the batch
+shuffle-budget table (test_plans.py) cannot see StateStore growth, so
+every ``*_stream`` query pins its maximum total state rows
+(``numRowsTotal`` summed over stateOperators, max across all
+StreamingQueryProgress events) at fixture scale. Two-way set equality
+against the streaming registry: a new ``*_stream`` query without a
+state budget fails CI, and a stale budget for a removed query fails
+too — the same enforcement the batch table got in round 8. A budget
+bump needs an explicit justification comment: unbounded-state
+regressions (a watermark dropped from a stateful op, a join key
+widened, a dedup scope extended) surface HERE long before they OOM a
+real cluster."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+# Max total state rows observed at sf0.001 (measured in a fresh
+# session, round 9). Semantics of the bigger numbers:
+# - sessionize-family (492): one state row per open session at the
+#   watermark frontier — bounded by |users| x open-sessions, the
+#   session_window contract.
+# - stream-stream joins (412): both sides buffer until the watermark
+#   passes the join window — bounded by 2 x window x rate.
+# - a_stream_dedup (1000): one row per distinct key inside the
+#   dropDuplicates watermark horizon == |events| at fixture scale;
+#   the watermark is what keeps it from being unbounded.
+# - foreachBatch/manifest twins (0): all state lives in the versioned
+#   manifest tables, not the StateStore — their growth is governed by
+#   the manifest snapshots, pinned in their own tests.
+STATE_BUDGETS = {
+    "a_absence_stream": 15,
+    "a_alert_hysteresis_stream": 15,
+    "a_anomaly_zscore_stream": 0,
+    "a_attribution_stream": 15,
+    "a_cep_pattern_stream": 15,
+    "a_cogroup_stream": 150,
+    "a_ewma_stream": 15,
+    "a_funnel_stream": 15,
+    "a_gapfill_locf_stream": 397,
+    "a_new_vs_returning_stream": 15,
+    "a_ohlc_stream": 868,
+    "a_peak_concurrency_stream": 492,
+    "a_retention_cohorts_stream": 75,
+    "a_session_capped_stream": 15,
+    "a_session_dynamic_gap_stream": 622,
+    "a_session_suppress_stream": 492,
+    "a_sessionize_stream": 492,
+    "a_sli_burn_rate_stream": 531,
+    "a_sliding_window_stream": 123,
+    "a_stream_dedup_stream": 1000,
+    "a_stream_stream_join_outer_full_stream": 412,
+    "a_stream_stream_join_outer_stream": 412,
+    "a_stream_stream_join_stream": 412,
+    "a_stream_table_join_stream": 0,
+    "a_suppress_emit_final_stream": 150,
+    "a_throttle_stream": 15,
+    "a_trending_stream": 150,
+    "a_tumbling_window_stream": 150,
+    "a_window_dau_stream": 575,
+    "b_agg_bitmap_distinct_stream": 5,
+    "b_rollup_hierarchy_stream": 868,
+    "c_dedup_incremental_stream": 0,
+    "c_pipeline_pretrain_stream": 0,
+}
+
+
+def test_budget_table_matches_streaming_registry():
+    streaming = {n for n in REGISTRY if n.endswith("_stream")}
+    missing = streaming - STATE_BUDGETS.keys()
+    assert not missing, f"streaming queries with no state budget: {sorted(missing)}"
+    stale = STATE_BUDGETS.keys() - streaming
+    assert not stale, f"state budgets for unregistered queries: {sorted(stale)}"
+
+
+def test_state_rows_within_budget(spark):
+    events: list[int] = []
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            events.append(
+                sum(op.numRowsTotal for op in e.progress.stateOperators)
+            )
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    over = {}
+    try:
+        for name in sorted(STATE_BUDGETS):
+            events.clear()
+            REGISTRY[name].fn(spark, SF_SMOKE).count()
+            # the listener is async: wait for the event stream to go
+            # quiet before reading the max
+            stable, quiet = len(events), 0
+            while quiet < 15:
+                time.sleep(0.1)
+                if len(events) == stable:
+                    quiet += 1
+                else:
+                    stable, quiet = len(events), 0
+            got = max(events, default=0)
+            if got > STATE_BUDGETS[name]:
+                over[name] = (got, STATE_BUDGETS[name])
+    finally:
+        spark.streams.removeListener(listener)
+    assert not over, f"state budget exceeded (rows, budget): {over}"
