@@ -10464,3 +10464,105 @@ def c_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fail"))
         .alias("pred"),
     )
+
+
+@query(
+    "c_token_unigram_decode",
+    oracle=_UNI_TRAIN_CHAIN_SQL
+    + _uni_dp_sql("f", "uvocab2")
+    + """
+, dseg AS (
+    SELECT word, piece,
+           CAST(row_number() OVER (PARTITION BY word ORDER BY end_pos)
+                AS BIGINT) AS seg_idx
+    FROM pathsf
+), dwords AS (
+    SELECT word, string_agg(piece, '' ORDER BY seg_idx) AS wtext,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM dseg GROUP BY word
+), ddoc AS (
+    SELECT t.doc_id,
+           string_agg(d.wtext, ' ' ORDER BY t.wpos) AS rebuilt,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_segs) AS BIGINT) AS n_pieces
+    FROM utoks t JOIN dwords d ON t.word = d.word
+    GROUP BY t.doc_id
+)
+SELECT doc.doc_id, ddoc.n_words, ddoc.n_pieces,
+       md5(ddoc.rebuilt) AS rebuilt_md5,
+       CAST(CASE WHEN ddoc.rebuilt = doc.text THEN 1 ELSE 0 END AS INT)
+           AS round_trip
+FROM documents doc JOIN ddoc ON doc.doc_id = ddoc.doc_id
+""",
+)
+def c_token_unigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer DECODE round-trip (round-9 verdict ask #6) —
+    the property that completes the tokenizer-artifact story: a
+    tokenizer whose detokenize(encode(x)) != x silently corrupts every
+    downstream training example, so the round-trip must be CERTIFIED,
+    not assumed (the BPE encode precedent). Re-derives the trained
+    round-{UNI_ROUNDS} segmentation lazily through the shared
+    _unigram_train (so the oracle replays train → encode → DECODE with
+    zero tolerance), then inverts it: pieces concatenate back into
+    words in Viterbi path order (seg_idx within word), words join with
+    single spaces in corpus position order (the ordered-rebuild idiom
+    array_sort(collect_list(struct)) ⟷ DuckDB string_agg ORDER BY,
+    proven by c_dedup_paragraph / c_sft_render). Emits per doc the
+    word/piece counts, the rebuilt text's md5 (byte-level witness) and
+    an in-schema round_trip flag comparing rebuilt == original —
+    certified 1 for every corpus doc by tests/test_unigram.py, which
+    also round-trips crafted multi-segmentation words (piece ties,
+    char-fallback-only words) where a wrong tiebreak or a lost
+    single-char piece would corrupt the rebuild.
+
+    Why decode can never lose bytes BY CONSTRUCTION: the Viterbi DP
+    walks contiguous spans covering positions 1..n exactly once, and
+    the seed vocab keeps ALL single chars (the coverage floor), so
+    every word has at least the char-by-char path — the properties the
+    crafted tests pin. Scale: one vocab-bounded segmentation pass +
+    one broadcast join to corpus positions + two ordered rollups
+    (word, then doc) — the encode plan plus one exchange."""
+    toks, uwords, _, vocabs = _unigram_train(spark, sf_dir)
+    pf = _unigram_viterbi(uwords, vocabs[-1])
+    w_seg = Window.partitionBy("word").orderBy("end_pos")
+    dwords = (
+        pf.select(
+            "word",
+            "piece",
+            F.row_number().over(w_seg).cast("long").alias("seg_idx"),
+        )
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "piece"))),
+                    lambda s: s["piece"],
+                ),
+            ).alias("wtext"),
+            F.count("*").cast("long").alias("n_segs"),
+        )
+    )
+    ddoc = (
+        toks.join(F.broadcast(dwords), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "wtext"))),
+                    lambda s: s["wtext"],
+                ),
+            ).alias("rebuilt"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_segs").cast("long").alias("n_pieces"),
+        )
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.join(ddoc, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.md5("rebuilt").alias("rebuilt_md5"),
+        (F.col("rebuilt") == F.col("text")).cast("int").alias("round_trip"),
+    )

@@ -496,6 +496,9 @@ def test_shuffle_budgets_table(spark):
         # partials -> 128 rows), the broadcast-scored per-doc sum, and
         # the final doc join; weight/prior tables broadcast
         "c_quality_nb": 5,
+        # unigram decode: the shared train chain (persisted — runtime
+        # once) + the word-rebuild rollup + the doc-rebuild rollup
+        "c_token_unigram_decode": 3,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,

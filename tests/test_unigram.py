@@ -171,3 +171,66 @@ def test_unigram_prune_matches_python_reference(spark):
     assert got == expected, (len(got), len(expected), sorted(got ^ expected)[:5])
     # the prune actually bit: survivor set smaller than the seed vocab
     assert len(got) < len(cnts[0])
+
+
+def test_unigram_decode_round_trips_whole_corpus(spark):
+    # The decode query's in-schema certificate: every corpus doc must
+    # rebuild byte-identically (round_trip == 1), with piece counts
+    # consistent with the encode query's per-doc totals.
+    rows = REGISTRY["c_token_unigram_decode"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.round_trip == 1 for r in rows)
+    enc = {}
+    for r in REGISTRY["c_token_unigram_encode"].fn(spark, SF_SMOKE).collect():
+        enc[r.doc_id] = r.n_pieces
+    for r in rows:
+        assert enc[r.doc_id] == r.n_pieces, (r.doc_id, r.n_pieces)
+
+
+def test_unigram_decode_crafted_multi_segmentation(spark):
+    # Crafted words where the Viterbi tiebreak decides the segmentation
+    # — the rebuild must be byte-exact whichever path wins, including
+    # the all-single-char fallback for words no multi-char piece
+    # covers. Feeds _unigram_viterbi a crafted vocab directly: 'abab'
+    # has paths ab|ab, a|ba|b, ... with engineered ties; 'zzz' only
+    # has the char fallback; 'aba' forces a mixed path.
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import _unigram_viterbi
+
+    words = ["abab", "aba", "zzz", "a", "baab"]
+    vocab = [
+        ("ab", 2, -100_000),
+        ("ba", 2, -100_000),  # exact tie with 'ab' on every score path
+        ("a", 1, -900_000),
+        ("b", 1, -900_000),
+        ("z", 1, -1_200_000),
+    ]
+    uwords = spark.createDataFrame(
+        [(w,) for w in words], "word string"
+    ).withColumn("wfreq", F.lit(1).cast("long"))
+    vdf = spark.createDataFrame(vocab, "piece string, l long, ilogp long")
+    paths = _unigram_viterbi(uwords, vdf).collect()
+    by_word = {}
+    for r in paths:
+        by_word.setdefault(r.word, []).append((r.end_pos, r.piece, r.l))
+    for w in words:
+        segs = sorted(by_word[w])
+        # contiguous exact cover: spans tile 1..len(w) and concatenate
+        # back to the word
+        assert "".join(p for _, p, _ in segs) == w, (w, segs)
+        cur = 0
+        for end, p, l in segs:
+            assert end - l == cur and w[cur:end] == p, (w, segs)
+            cur = end
+    # the tie case: 'abab' must pick the 2-piece path (score beats the
+    # char path) and the (score, piece_len, piece) total order makes
+    # the winner 'ab|ab' deterministically ('ab' < 'ba' at equal score
+    # and length never even ties here since 'ba' cannot tile 'abab')
+    assert [p for _, p, _ in sorted(by_word["abab"])] == ["ab", "ab"]
+    # char-fallback-only word segments into singles
+    assert [p for _, p, _ in sorted(by_word["zzz"])] == ["z", "z", "z"]
+    # mixed path: 'aba' = ab|a or a|ba — equal scores; the tiebreak at
+    # pos 3 compares (score, l, piece): 'a' (l=1) vs 'ba' (l=2) at the
+    # SAME total score -> the shorter final piece wins, giving ab|a
+    assert [p for _, p, _ in sorted(by_word["aba"])] == ["ab", "a"]
