@@ -147,9 +147,11 @@ def _committed_minima(sf: float) -> dict[str, float]:
                 doc = json.load(f)
             if abs(doc.get("sf", -1.0) - sf) > 1e-9:
                 continue
-            for name, sec in (doc.get("queries") or {}).items():
-                if isinstance(sec, (int, float)) and sec > 0:
-                    minima[name] = min(minima.get(name, float("inf")), sec)
+            sec_q = (doc.get("secondary") or {}).get("queries") or {}
+            for src in (doc.get("queries") or {}), sec_q:
+                for name, sec in src.items():
+                    if isinstance(sec, (int, float)) and sec > 0:
+                        minima[name] = min(minima.get(name, float("inf")), sec)
         except (OSError, ValueError):
             continue
     return minima
@@ -169,8 +171,31 @@ def _drift_report(timings: dict[str, float], minima: dict[str, float]) -> dict:
         for n, t in timings.items()
         if n in minima
     }
+    families: dict[str, dict] = {}
+    for n, t in timings.items():
+        fam = "_".join(n.split("_")[:2])
+        f = families.setdefault(fam, {"n": 0, "sec": 0.0, "_ratios": []})
+        f["n"] += 1
+        f["sec"] = round(f["sec"] + t, 3)
+        if n in ratios:
+            f["_ratios"].append(ratios[n])
+    for f in families.values():
+        rs = sorted(f.pop("_ratios"))
+        if rs:
+            mid = len(rs) // 2
+            f["median_ratio"] = (
+                rs[mid] if len(rs) % 2 else round((rs[mid - 1] + rs[mid]) / 2, 3)
+            )
+        else:
+            f["median_ratio"] = None
     if not ratios:
-        return {"ratios": {}, "median_ratio": None, "outliers": {}}
+        return {
+            "ratios": {},
+            "median_ratio": None,
+            "outliers": {},
+            "families": families,
+            "new_queries": sorted(n for n in timings if n not in minima),
+        }
     vals = sorted(ratios.values())
     # True median (average of the two middle values when even-length):
     # taking the upper-middle element biases the drift median — and the
@@ -191,8 +216,36 @@ def _drift_report(timings: dict[str, float], minima: dict[str, float]) -> dict:
             for n, rel in relative.items()
             if rel > 1.3
         },
+        "families": families,
         "new_queries": sorted(n for n in timings if n not in minima),
     }
+
+
+def _secondary_set(slice_size: int = 30) -> tuple[list[str], int, int]:
+    """Deterministic ROTATING secondary bench set (round-9 verdict ask
+    #7): the headline set times 60/~300 registered queries; everything
+    else gets an idle anchor within a handful of rounds by slicing the
+    sorted non-headline registry into ~slice_size chunks and picking
+    the chunk by ROUND INDEX = number of committed driver bench
+    artifacts (BENCH_r*.json) — deterministic per checkout, advances
+    exactly once per round, needs no clock (Date is banned in workflow
+    scripts and unreliable for this anyway). Secondary queries get ONE
+    timed run each (the session is already warm from the headline
+    passes); their timings accumulate into the committed minima like
+    headline rows, so later rotations drift-check against them."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        p
+        for p in glob.glob(f"{here}/BENCH_r[0-9]*.json")
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    ]
+    pool = sorted(n for n in REGISTRY if n not in HEADLINE)
+    n_slices = max(1, (len(pool) + slice_size - 1) // slice_size)
+    idx = len(rounds) % n_slices
+    return pool[idx * slice_size : (idx + 1) * slice_size], idx, n_slices
 
 
 def _machine_stamp() -> dict:
@@ -326,6 +379,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
         streaming = _streaming_throughput(spark, sf_dir)
 
+    # Rotating secondary set: one timed run per query (warm session),
+    # SPARK_GRAFT_BENCH_SECONDARY=0 skips it.
+    secondary = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
+        sec_names, rot_idx, n_slices = _secondary_set()
+        sec_timings: dict[str, float] = {}
+        for name in sec_names:
+            t0 = time.perf_counter()
+            _run_once(name, spark, sf_dir)
+            sec_timings[name] = round(time.perf_counter() - t0, 3)
+        secondary = {
+            "rotation": rot_idx,
+            "of": n_slices,
+            "queries": sec_timings,
+            "drift": _drift_report(sec_timings, _committed_minima(sf)),
+        }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -336,6 +406,7 @@ def main() -> None:
                 "queries": timings,
                 "drift": _drift_report(timings, _committed_minima(sf)),
                 "streaming": streaming,
+                "secondary": secondary,
                 "sf": sf,
                 "cpus": int(cpus),
                 "warmed": warm,
