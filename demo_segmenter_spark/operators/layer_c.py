@@ -9589,12 +9589,12 @@ def _ivfpq_train(spark: SparkSession, sf_dir: str):
     return base, c1, ranked, pc1, persist(passign(pc1))
 
 
-@query(
-    "c_sim_ivfpq_adc",
-    oracle=_EMB_CTE
-    + _KMEANS_TRAIN_CTES
-    + _IVFPQ_CTES
-    + f"""
+
+# Search-side CTE suffix shared by c_sim_ivfpq_adc and
+# c_sim_ivfpq_refine: probes -> per-query integer micro-unit LUTs ->
+# cell-routed ADC scores (adct, ranked) + the exact unit-vector
+# top-k twin (exactt) for the in-schema recall columns.
+_IVFPQ_SEARCH_CTES = f"""
 , probes AS (
     SELECT vec_id AS query_id, cent_id AS probe_cluster
     FROM rkq WHERE vec_id < {KNN_QUERIES} AND r <= {IVF_NPROBE}
@@ -9643,7 +9643,90 @@ def _ivfpq_train(spark: SparkSession, sf_dir: str):
             AS rk
         FROM exact
     ) WHERE rk <= {KNN_K}
-), rec AS (
+)
+"""
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str):
+    """Shared IVFADC SEARCH pipeline (train -> probes -> integer
+    micro-unit LUTs -> cell-routed ADC scores, ranked per query) plus
+    the exact unit-vector top-k twin — used by c_sim_ivfpq_adc (rank
+    cutoff KNN_K) and c_sim_ivfpq_refine (shortlist cutoff) so the two
+    serving paths cannot drift. Returns (ranked ADC rows WITHOUT a
+    rank cutoff, exact top-k rows with a hit marker)."""
+    base, c1, ranked, pc1, pcodes = _ivfpq_train(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") < KNN_QUERIES) & (F.col("r") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("probe_cluster"),
+    )
+    qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    lutc = qv.crossJoin(F.broadcast(c1.select("cent_id", "cv"))).select(
+        "query_id",
+        F.col("cent_id").alias("code1"),
+        _micro(dot(F.col("qu"), F.col("cv"))).alias("v0m"),
+    )
+    qsx = qv.select("query_id", F.posexplode("qu").alias("i", "qx")).select(
+        "query_id",
+        F.expr("i div 16").alias("s"),
+        (F.col("i") % 16).alias("j"),
+        "qx",
+    )
+    luts = (
+        qsx.join(F.broadcast(pc1), ["s", "j"])
+        .groupBy("query_id", "s", F.col("cent_id").alias("code"))
+        .agg(_micro(F.sum(F.col("qx") * F.col("c"))).alias("vm"))
+    )
+    cand = pcodes.join(
+        F.broadcast(probes),
+        (F.col("code1") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    subsum = (
+        cand.join(F.broadcast(luts), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id", "code1")
+        .agg(F.sum("vm").alias("vsm"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_m").desc(), "neighbor_id"
+    )
+    top = persist(
+        subsum.join(F.broadcast(lutc), ["query_id", "code1"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("v0m") + F.col("vsm")).alias("score_m"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+    )
+    ex_cos = rnd(dot(F.col("qu"), F.col("u")), 4)
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    exact_top = (
+        base.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ex_cos.alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return top, exact_top
+
+
+@query(
+    "c_sim_ivfpq_adc",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + _IVFPQ_CTES
+    + _IVFPQ_SEARCH_CTES
+    + f"""
+, rec AS (
     SELECT t.query_id,
            {sql_rnd(f"count(e.neighbor_id) * 1.0 / {KNN_K}", 4)}
                AS recall_at_k
@@ -9692,70 +9775,8 @@ def c_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's isotropic spectrum keeps absolute recall modest (the
     c_sim_rq_adc caveat), and the 200k-vector scale smoke measures
     recall on clusterable planted data."""
-    base, c1, ranked, pc1, pcodes = _ivfpq_train(spark, sf_dir)
-    probes = ranked.filter(
-        (F.col("vec_id") < KNN_QUERIES) & (F.col("r") <= IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cent_id").alias("probe_cluster"),
-    )
-    qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
-    )
-    lutc = qv.crossJoin(F.broadcast(c1.select("cent_id", "cv"))).select(
-        "query_id",
-        F.col("cent_id").alias("code1"),
-        _micro(dot(F.col("qu"), F.col("cv"))).alias("v0m"),
-    )
-    qsx = qv.select("query_id", F.posexplode("qu").alias("i", "qx")).select(
-        "query_id",
-        F.expr("i div 16").alias("s"),
-        (F.col("i") % 16).alias("j"),
-        "qx",
-    )
-    luts = (
-        qsx.join(F.broadcast(pc1), ["s", "j"])
-        .groupBy("query_id", "s", F.col("cent_id").alias("code"))
-        .agg(_micro(F.sum(F.col("qx") * F.col("c"))).alias("vm"))
-    )
-    cand = pcodes.join(
-        F.broadcast(probes),
-        (F.col("code1") == F.col("probe_cluster"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    subsum = (
-        cand.join(F.broadcast(luts), ["query_id", "s", "code"])
-        .groupBy("query_id", "vec_id", "code1")
-        .agg(F.sum("vm").alias("vsm"))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("score_m").desc(), "neighbor_id"
-    )
-    top = persist(
-        subsum.join(F.broadcast(lutc), ["query_id", "code1"])
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("v0m") + F.col("vsm")).alias("score_m"),
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= KNN_K)
-    )
-    ex_cos = rnd(dot(F.col("qu"), F.col("u")), 4)
-    wex = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    exact_top = (
-        base.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            ex_cos.alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(wex))
-        .filter(F.col("rk") <= KNN_K)
-        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    )
+    top, exact_top = _ivfpq_scored(spark, sf_dir)
+    top = top.filter(F.col("rank") <= KNN_K)
     rec = (
         top.join(exact_top, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -10565,4 +10586,104 @@ def c_token_unigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.md5("rebuilt").alias("rebuilt_md5"),
         (F.col("rebuilt") == F.col("text")).cast("int").alias("round_trip"),
+    )
+
+
+IVFPQ_SHORTLIST = 20  # refine: exact re-rank of the ADC top-20 shortlist
+
+
+@query(
+    "c_sim_ivfpq_refine",
+    oracle=_EMB_CTE
+    + _KMEANS_TRAIN_CTES
+    + _IVFPQ_CTES
+    + _IVFPQ_SEARCH_CTES
+    + f"""
+, rshort AS (
+    SELECT query_id, neighbor_id FROM adct WHERE rank <= {IVFPQ_SHORTLIST}
+), rex AS (
+    SELECT s.query_id, s.neighbor_id,
+           {sql_rnd("sum(qa.u * qb.u)", 4)} AS cos_sim
+    FROM rshort s
+    JOIN u qa ON qa.vec_id = s.query_id
+    JOIN u qb ON qb.vec_id = s.neighbor_id AND qb.i = qa.i
+    GROUP BY s.query_id, s.neighbor_id
+), rtop AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM rex
+), rrec AS (
+    SELECT t.query_id,
+           {sql_rnd(f"count(e.neighbor_id) * 1.0 / {KNN_K}", 4)}
+               AS recall_at_k
+    FROM rtop t LEFT JOIN exactt e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    WHERE t.rank <= {KNN_K}
+    GROUP BY t.query_id
+)
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS BIGINT) AS rank,
+       t.cos_sim, r.recall_at_k
+FROM rtop t JOIN rrec r ON t.query_id = r.query_id
+WHERE t.rank <= {KNN_K}
+""",
+)
+def c_sim_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + REFINE — the full FAISS serving pipeline
+    (IndexIVFPQ wrapped in IndexRefineFlat): ADC ranks the probed
+    cells from code bytes alone, the top-{IVFPQ_SHORTLIST} shortlist
+    is re-ranked with EXACT cosines against the raw vectors, and the
+    refined top-{KNN_K} is served. This two-stage shape is the
+    production answer to ADC's quantization noise — the 200k-vector
+    scale smoke measured it directly (raw ADC recall@10 collapses
+    when the q·e noise tail crosses the neighbor margin; exact
+    re-rank of the top-100 shortlist restores recall 1.00 on planted
+    clusters), and the fixture query certifies the same composition
+    end to end with a full hash oracle plus the in-schema recall
+    column (vs the exact unit-vector top-{KNN_K}, the same twin
+    c_sim_ivfpq_adc carries — tests pin refine recall >= raw ADC
+    recall per query). Scale: the refine join touches
+    queries x {IVFPQ_SHORTLIST} rows — query-proportional, never
+    corpus-proportional; the corpus floats are read for shortlist
+    members only, which is exactly the IO contract that lets the
+    index serve from code bytes while the refine stage pays one
+    random read per candidate."""
+    top, exact_top = _ivfpq_scored(spark, sf_dir)
+    short = top.filter(F.col("rank") <= IVFPQ_SHORTLIST).select(
+        "query_id", "neighbor_id"
+    )
+    base, _ = _kmeans_train(spark, sf_dir)
+    qa = base.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    qb = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    rtop = persist(
+        short.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(dot(F.col("qu"), F.col("nu")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    rec = (
+        rtop.join(exact_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            rnd(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / KNN_K, 4
+            ).alias("recall_at_k")
+        )
+    )
+    return rtop.join(rec, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos_sim",
+        "recall_at_k",
     )

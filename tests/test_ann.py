@@ -454,3 +454,22 @@ def test_hybrid_semdedup_recovers_cross_cluster_pairs(spark):
     }
     for r in lsh_rows:
         assert assign[r.vec_id] != assign[r.dup_of], r
+
+
+def test_ivfpq_refine_recall_dominates_raw_adc(spark):
+    # The refine stage exists to repair ADC quantization noise: per
+    # query, exact re-rank of the top-20 shortlist must recall at
+    # least as much of the exact top-5 as the raw ADC top-5 (it ranks
+    # a superset of those candidates by the true metric), and the
+    # refined scores must be true cosines (bounded by 1).
+    adc = {
+        r.query_id: r.recall_at_k
+        for r in REGISTRY["c_sim_ivfpq_adc"].fn(spark, SF_SMOKE).collect()
+    }
+    ref_rows = REGISTRY["c_sim_ivfpq_refine"].fn(spark, SF_SMOKE).collect()
+    assert ref_rows
+    ref = {r.query_id: r.recall_at_k for r in ref_rows}
+    assert set(ref) == set(adc)
+    for qid, rr in ref.items():
+        assert rr >= adc[qid], (qid, rr, adc[qid])
+    assert all(-1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9 for r in ref_rows)

@@ -492,6 +492,9 @@ def test_shuffle_budgets_table(spark):
         # bounded shapes) + the per-victim best window; training
         # subtrees persisted (runtime once)
         "c_sim_dedup_kmeans_hybrid": 42,
+        # IVFADC + refine: the shared _ivfpq_scored chain (persisted)
+        # + the query-proportional shortlist re-rank joins
+        "c_sim_ivfpq_refine": 145,
         # NB quality classifier: the 128-bucket count rollup (map-side
         # partials -> 128 rows), the broadcast-scored per-doc sum, and
         # the final doc join; weight/prior tables broadcast
