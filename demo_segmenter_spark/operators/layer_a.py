@@ -4962,3 +4962,83 @@ def a_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(c1 * 1.0 / n1, 4).alias("rate1"),
         rnd(z, 4).alias("z"),
     )
+
+
+@query(
+    "a_stickiness",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS daynum
+    FROM events
+), obs AS (
+    SELECT DISTINCT daynum FROM ud
+), dau AS (
+    SELECT daynum, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY daynum
+), expd AS (
+    SELECT DISTINCT ud.user_id, ud.daynum + j.j AS d
+    FROM ud CROSS JOIN (
+        SELECT unnest(generate_series(0, 29)) AS j
+    ) j
+), mau AS (
+    SELECT e.d AS daynum, CAST(count(*) AS BIGINT) AS mau
+    FROM expd e JOIN obs ON e.d = obs.daynum
+    GROUP BY e.d
+)
+SELECT dau.daynum * 86400000000 AS day_us, dau.dau, mau.mau,
+       (round(dau.dau * 1.0 / mau.mau + 1e-8, 4) + 0.0) AS stickiness
+FROM dau JOIN mau ON dau.daynum = mau.daynum
+""",
+)
+def a_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS — the engagement ratio every product
+    analytics stack reports (what fraction of the monthly audience
+    shows up on a given day): per observed day, daily active users
+    over trailing-30-day active users. The sliding DISTINCT problem
+    again (a_window_dau's 7-day WAU pinned the exact baseline) but
+    composed as a RATIO and computed on the DEDUPED (user, day)
+    activity table, not raw events — the expand trick then multiplies
+    |user-days| × 30, not |events| × 30, which is the difference
+    between feasible and not at 100 TB (events dedupe ~100:1 into
+    user-days on real traffic). Day arithmetic on exact epoch-day
+    BIGINTs (no date-library drift); stickiness is one division of
+    two exact counts, 4dp. Scale: one events scan collapsing to
+    user-days map-side, the ×30 expand shuffled once on the day key,
+    two day-sized aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 86_400_000_000)
+            .cast("long")
+            .alias("daynum"),
+        )
+        .distinct()
+    )
+    ud = persist(ud)
+    obs = ud.select("daynum").distinct()
+    dau = ud.groupBy("daynum").agg(F.count("*").cast("long").alias("dau"))
+    expd = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("j"),
+            "daynum",
+        )
+        .select("user_id", (F.col("daynum") + F.col("j")).alias("d"))
+        .distinct()
+    )
+    mau = (
+        expd.join(obs, expd.d == obs.daynum)
+        .groupBy("daynum")
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "daynum")
+        .select(
+            (F.col("daynum") * 86_400_000_000).alias("day_us"),
+            "dau",
+            "mau",
+            rnd(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
+        )
+    )

@@ -10687,3 +10687,527 @@ def c_sim_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "recall_at_k",
     )
+
+
+MIX_TAU = 0.3  # temperature exponent (mT5/XLM-R multilingual recipe)
+
+
+@query(
+    "c_mix_temperature",
+    oracle=f"""
+WITH lsrc AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+    FROM documents GROUP BY lang
+), ltot AS (
+    SELECT sum(toks) AS ttoks FROM lsrc
+), lwr AS (
+    SELECT lang, n_docs, toks, ttoks,
+           CAST(round(pow(toks * 1.0 / ttoks, {MIX_TAU}) * 1000000000
+                      + {EPS[0]!r}) AS BIGINT) AS wr_nano
+    FROM lsrc CROSS JOIN ltot
+), lwsum AS (
+    SELECT sum(wr_nano) AS swr FROM lwr
+)
+SELECT lang, n_docs, toks AS n_tokens,
+       {sql_rnd("toks * 1.0 / ttoks", 6)} AS share,
+       CAST(round(wr_nano * 1.0 / swr * 1000000 + {EPS[0]!r}) AS BIGINT)
+           AS w_micro,
+       {sql_rnd("(round(wr_nano * 1.0 / swr * 1000000 + " + repr(EPS[0])
+                + ") / 1000000.0) / (toks * 1.0 / ttoks)", 4)}
+           AS upsample_factor
+FROM lwr CROSS JOIN lwsum
+""",
+)
+def c_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED language sampling (the mT5/XLM-R multilingual
+    mixing recipe, companion to c_mix_reweight's per-source sqrt): per
+    language, sampling weight ∝ share^τ with τ={MIX_TAU} — low
+    temperature flattens the distribution so low-resource languages
+    are upsampled — plus the UPSAMPLE FACTOR w/share, the number every
+    mixing paper reports (how many effective epochs of a language one
+    pass of the mixture consumes; >1 = upsampled, the overfitting-risk
+    flag for tiny languages). Shares are exact BIGINT token counts
+    divided once; the single transcendental pow(share, τ) is quantized
+    to integer NANO-units per language BEFORE the cross-language
+    normalizing sum (the c_mix_reweight discipline — float sums are
+    order-dependent, BIGINT sums are not; libm ulp noise is ~1e-16,
+    seven orders below the quantum), and the normalized weight to
+    micro-units before the final ratios. Scale: one corpus scan
+    collapsing map-side to ≤|langs| rows, two tiny broadcasts — the
+    same one-pass shape that re-materializes a 100 TB mixture."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lsrc = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+    )
+    ltot = lsrc.agg(F.sum("toks").alias("ttoks"))
+    lwr = lsrc.crossJoin(F.broadcast(ltot)).select(
+        "lang",
+        "n_docs",
+        "toks",
+        "ttoks",
+        F.round(
+            F.pow(F.col("toks") * 1.0 / F.col("ttoks"), MIX_TAU)
+            * 1_000_000_000
+            + F.lit(EPS[0])
+        )
+        .cast("long")
+        .alias("wr_nano"),
+    )
+    lwsum = lwr.agg(F.sum("wr_nano").alias("swr"))
+    w_micro = F.round(
+        F.col("wr_nano") * 1.0 / F.col("swr") * 1_000_000 + F.lit(EPS[0])
+    ).cast("long")
+    share = F.col("toks") * 1.0 / F.col("ttoks")
+    return lwr.crossJoin(F.broadcast(lwsum)).select(
+        "lang",
+        "n_docs",
+        F.col("toks").alias("n_tokens"),
+        rnd(share, 6).alias("share"),
+        w_micro.alias("w_micro"),
+        rnd((w_micro / 1_000_000.0) / share, 4).alias("upsample_factor"),
+    )
+
+
+@query(
+    "c_token_unigram_ppl",
+    oracle=_UNI_TRAIN_CHAIN_SQL
+    + _uni_dp_sql("h", "uvocab2")
+    + """
+, pseg AS (
+    SELECT p.word, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(v.ilogp) AS BIGINT) AS ilp
+    FROM pathsh p JOIN uvocab2 v ON p.piece = v.piece
+    GROUP BY p.word
+), pdoc AS (
+    SELECT t.doc_id, any_value(d.lang) AS lang,
+           CAST(sum(s.n_segs) AS BIGINT) AS n_pieces,
+           CAST(sum(s.ilp) AS BIGINT) AS ilp_micro
+    FROM utoks t
+    JOIN pseg s ON t.word = s.word
+    JOIN documents d ON t.doc_id = d.doc_id
+    GROUP BY t.doc_id
+)
+SELECT doc_id, lang, n_pieces, ilp_micro,
+       (round(exp(-(ilp_micro * 1.0 / n_pieces) / 1000000.0) + 1e-8, 4)
+        + 0.0) AS ppl
+FROM pdoc
+""",
+)
+def c_token_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PERPLEXITY under the trained unigram LM — the
+    model-free quality/novelty score tokenizer-side pipelines get for
+    free (SentencePiece's piece probabilities ARE a language model):
+    a doc whose pieces are all high-probability reads as typical, a
+    high-ppl doc as noise or out-of-domain — the cheap first-stage
+    filter before a neural perplexity pass. Composes the shared train
+    chain + final Viterbi: per-doc total log-likelihood is an EXACT
+    BIGINT (the micro-nat ilogp sums — order-independent), and
+    ppl = exp(−mean piece log-prob) pays ONE transcendental per doc
+    on an identical-across-engines double, 4dp-quantized. Emitting
+    ilp_micro alongside keeps the integer witness in-schema, so the
+    oracle certifies the sums exactly and the exp only at the output
+    quantum. Scale: the encode chain's cost + one doc rollup; the
+    per-word (n_segs, ilp) table is vocabulary-sized and broadcast."""
+    toks, uwords, _, vocabs = _unigram_train(spark, sf_dir)
+    pf = _unigram_viterbi(uwords, vocabs[-1])
+    pseg = (
+        pf.join(F.broadcast(vocabs[-1].select("piece", "ilogp")), "piece")
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum("ilogp").cast("long").alias("ilp"),
+        )
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+    pdoc = (
+        toks.join(F.broadcast(pseg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_segs").cast("long").alias("n_pieces"),
+            F.sum("ilp").cast("long").alias("ilp_micro"),
+        )
+        .join(docs, "doc_id")
+    )
+    ppl = rnd(
+        F.exp(-(F.col("ilp_micro") * 1.0 / F.col("n_pieces")) / 1_000_000.0),
+        4,
+    )
+    return pdoc.select(
+        "doc_id", "lang", "n_pieces", "ilp_micro", ppl.alias("ppl")
+    )
+
+
+@query(
+    "c_eval_rouge",
+    oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
+    + f"""
+, rpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shc a
+    JOIN shc b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), rg1 AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+), rg2 AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+), grams AS (
+    SELECT 1 AS n, doc_id, g, CAST(count(*) AS BIGINT) AS c
+    FROM rg1 GROUP BY doc_id, g
+    UNION ALL
+    SELECT 2 AS n, doc_id, g, CAST(count(*) AS BIGINT) AS c
+    FROM rg2 GROUP BY doc_id, g
+), gtot AS (
+    SELECT n, doc_id, CAST(sum(c) AS BIGINT) AS tot FROM grams
+    GROUP BY n, doc_id
+), rov AS (
+    SELECT p.doc_a, p.doc_b, ca.n,
+           CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS ov
+    FROM rpairs p
+    JOIN grams ca ON ca.doc_id = p.doc_a
+    JOIN grams cb ON cb.doc_id = p.doc_b AND cb.g = ca.g AND cb.n = ca.n
+    GROUP BY p.doc_a, p.doc_b, ca.n
+), rfull AS (
+    SELECT p.doc_a, p.doc_b, nn.n,
+           coalesce(o.ov, 0) AS ov, ta.tot AS n_a, tb.tot AS n_b
+    FROM rpairs p
+    CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS n) nn
+    LEFT JOIN rov o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+                   AND o.n = nn.n
+    JOIN gtot ta ON ta.doc_id = p.doc_a AND ta.n = nn.n
+    JOIN gtot tb ON tb.doc_id = p.doc_b AND tb.n = nn.n
+)
+SELECT doc_a, doc_b, CAST(n AS BIGINT) AS n, ov AS overlap, n_a, n_b,
+       {sql_rnd("ov * 1.0 / n_b", 4)} AS precision_n,
+       {sql_rnd("ov * 1.0 / n_a", 4)} AS recall_n,
+       CASE WHEN ov = 0 THEN 0.0
+            ELSE {sql_rnd("2.0 * (ov * 1.0 / n_b) * (ov * 1.0 / n_a)"
+                          " / ((ov * 1.0 / n_b) + (ov * 1.0 / n_a))", 4)}
+       END AS f1_n
+FROM rfull
+""",
+)
+def c_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 scoring over candidate document pairs — the
+    n-gram overlap metric every summarization/near-dup EVAL reports,
+    run at corpus scale the only way that scales: never all-pairs,
+    only the capped-shingle candidate pairs the dedup machinery
+    already surfaces (doc_a = reference = lower id, doc_b =
+    candidate). Per pair and per n ∈ {{1, 2}}: CLIPPED multiset
+    overlap Σ_g min(count_a, count_b) — the 'modified' counting that
+    distinguishes ROUGE from raw set Jaccard (a candidate repeating a
+    reference word 50× only gets credit for the reference's count),
+    recall ov/|a|, precision ov/|b|, and F1 with the ov=0 guard.
+    Every count is an exact BIGINT; P and R are single divisions of
+    exact integers (identical IEEE), and F1 composes those two
+    identical doubles — deterministic end to end, no quantization
+    needed before the output rounding. Scale: gram counts are one
+    map-side-partial rollup per n; the overlap join shuffles on the
+    gram within candidate pairs only — pair-bounded, not
+    corpus-quadratic."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_doc_table(docs, _hashed_shingles())
+    pairs = persist(_shingle_pairs(sh).select("doc_a", "doc_b"))
+    toks = F.split("text", " ")
+    g1 = docs.select("doc_id", F.explode(toks).alias("g"))
+    g2 = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    )
+    grams = persist(
+        g1.groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("n", F.lit(1))
+        .unionByName(
+            g2.groupBy("doc_id", "g")
+            .agg(F.count("*").cast("long").alias("c"))
+            .withColumn("n", F.lit(2))
+        )
+    )
+    gtot = grams.groupBy("n", "doc_id").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    ca = grams.select(
+        F.col("doc_id").alias("doc_a"), "n", "g", F.col("c").alias("c_a")
+    )
+    cb = grams.select(
+        F.col("doc_id").alias("doc_b"), "n", "g", F.col("c").alias("c_b")
+    )
+    rov = (
+        pairs.join(ca, "doc_a")
+        .join(cb, ["doc_b", "n", "g"])
+        .groupBy("doc_a", "doc_b", "n")
+        .agg(F.sum(F.least("c_a", "c_b")).cast("long").alias("ov"))
+    )
+    nn = pairs.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("n"))
+    full = (
+        pairs.crossJoin(F.broadcast(nn))
+        .join(rov, ["doc_a", "doc_b", "n"], "left")
+        .na.fill(0, ["ov"])
+        .join(
+            gtot.select(
+                F.col("doc_id").alias("doc_a"), "n", F.col("tot").alias("n_a")
+            ),
+            ["doc_a", "n"],
+        )
+        .join(
+            gtot.select(
+                F.col("doc_id").alias("doc_b"), "n", F.col("tot").alias("n_b")
+            ),
+            ["doc_b", "n"],
+        )
+    )
+    p = F.col("ov") * 1.0 / F.col("n_b")
+    r = F.col("ov") * 1.0 / F.col("n_a")
+    f1 = F.when(F.col("ov") == 0, F.lit(0.0)).otherwise(
+        rnd(2.0 * p * r / (p + r), 4)
+    )
+    return full.select(
+        "doc_a",
+        "doc_b",
+        F.col("n").cast("long").alias("n"),
+        F.col("ov").alias("overlap"),
+        "n_a",
+        "n_b",
+        rnd(p, 4).alias("precision_n"),
+        rnd(r, 4).alias("recall_n"),
+        f1.alias("f1_n"),
+    )
+
+
+@query(
+    "c_embed_whitening",
+    oracle=_EMB_CTE
+    + f"""
+, v0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM ex
+)"""
+    + "".join(_pca_iter_sql(i) for i in range(1, PCA_ITERS + 1))
+    + f"""
+, wcoef1 AS (
+    SELECT ex.vec_id, sum(ex.x * v{PCA_ITERS}.v) AS c
+    FROM ex JOIN v{PCA_ITERS} USING (i) GROUP BY ex.vec_id
+), exd AS MATERIALIZED (
+    SELECT e.vec_id, e.i, e.x - c1.c * v.v AS x
+    FROM ex e JOIN wcoef1 c1 USING (vec_id) JOIN v{PCA_ITERS} v USING (i)
+), dv0 AS (
+    SELECT DISTINCT i, {_PCA_V0} AS v FROM exd
+)"""
+    + "".join(_pca_iter_sql(i, src="exd", p="d") for i in range(1, PCA_ITERS + 1))
+    + f"""
+, wproj AS MATERIALIZED (
+    SELECT ex.vec_id,
+           CAST(round({sql_rnd(f"sum(ex.x * v{PCA_ITERS}.v)", 6)} * 1000000
+                      + {EPS[0]!r}) AS BIGINT) AS p1m,
+           CAST(round({sql_rnd(f"sum(ex.x * dv{PCA_ITERS}.v)", 6)} * 1000000
+                      + {EPS[0]!r}) AS BIGINT) AS p2m
+    FROM ex
+    JOIN v{PCA_ITERS} USING (i)
+    JOIN dv{PCA_ITERS} USING (i)
+    GROUP BY ex.vec_id
+), wstats AS (
+    SELECT count(*) AS n,
+           CAST(sum(p1m) AS BIGINT) AS s1,
+           CAST(sum(p2m) AS BIGINT) AS s2,
+           CAST(sum(p1m * p1m) AS BIGINT) AS q1,
+           CAST(sum(p2m * p2m) AS BIGINT) AS q2
+    FROM wproj
+)
+SELECT vec_id,
+       {sql_rnd("p1m / 1000000.0", 4)} AS p1,
+       {sql_rnd("p2m / 1000000.0", 4)} AS p2,
+       {sql_rnd("(p1m - s1 * 1.0 / n)"
+                " / sqrt(q1 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))",
+                4)} AS w1,
+       {sql_rnd("(p2m - s2 * 1.0 / n)"
+                " / sqrt(q2 * 1.0 / n - (s2 * 1.0 / n) * (s2 * 1.0 / n))",
+                4)} AS w2
+FROM wproj CROSS JOIN wstats
+""",
+)
+def c_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA WHITENING of the 2-D reduced embedding — the retrieval
+    post-processing trick (Su et al.'s whitening-for-STS lineage, and
+    classical ZCA/PCA whitening): center each trained component's
+    projections and scale to unit variance, so downstream cosine/L2
+    stop being dominated by the highest-variance direction. Composes
+    the certified c_embed_pca / c_embed_pca_deflate component chains,
+    then derives mean and variance from INTEGER SUFFICIENT STATISTICS:
+    projections are 6dp-quantized to exact micro-ints per row, and
+    (Σp, Σp², n) are exact BIGINT sums (order-independent — the float
+    moment sums a naive implementation would use are summation-order
+    hazards), so mean, variance and the whitened coordinates are each
+    a short chain of identical-across-engines IEEE ops. int64
+    headroom: |p|≤5 ⇒ p²_micro ≤ 2.5e13, safe to ~3×10^5 vectors; the
+    100 TB form computes the same two moments as map-side partials
+    (they are algebraic aggregates) with a decimal accumulator.
+    Scale: training is the deflate chain's tiny per-iteration
+    shuffles; whitening itself is one broadcast of 5 scalars over a
+    map-side projection scan."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = persist(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    )
+    v1full = persist(_power_iterations(base))
+
+    def as_row(vfull: DataFrame, name: str) -> DataFrame:
+        return vfull.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))),
+                lambda t: t["v"],
+            ).alias(name)
+        )
+
+    v1row = as_row(v1full, "v1")
+    withc = base.crossJoin(F.broadcast(v1row)).select(
+        "vec_id", "x", "v1", dot(F.col("x"), F.col("v1")).alias("c")
+    )
+    based = persist(
+        withc.select(
+            "vec_id",
+            F.zip_with("x", "v1", lambda xi, vi: xi - F.col("c") * vi).alias(
+                "x"
+            ),
+        )
+    )
+    v2row = as_row(_power_iterations(based), "v2")
+    proj = persist(
+        base.crossJoin(F.broadcast(v1row))
+        .crossJoin(F.broadcast(v2row))
+        .select(
+            "vec_id",
+            _micro(dot(F.col("x"), F.col("v1"))).alias("p1m"),
+            _micro(dot(F.col("x"), F.col("v2"))).alias("p2m"),
+        )
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p1m").cast("long").alias("s1"),
+        F.sum("p2m").cast("long").alias("s2"),
+        F.sum(F.col("p1m") * F.col("p1m")).cast("long").alias("q1"),
+        F.sum(F.col("p2m") * F.col("p2m")).cast("long").alias("q2"),
+    )
+
+    def white(pm, s, q):
+        mean = F.col(s) * 1.0 / F.col("n")
+        var = F.col(q) * 1.0 / F.col("n") - mean * mean
+        return rnd((F.col(pm) - mean) / F.sqrt(var), 4)
+
+    return proj.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        rnd(F.col("p1m") / 1_000_000.0, 4).alias("p1"),
+        rnd(F.col("p2m") / 1_000_000.0, 4).alias("p2"),
+        white("p1m", "s1", "q1").alias("w1"),
+        white("p2m", "s2", "q2").alias("w2"),
+    )
+
+
+@query(
+    "c_curriculum_order",
+    oracle=f"""
+WITH ctok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cdf AS (
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM ctok
+    GROUP BY tok
+), cn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), cidf AS (
+    SELECT tok, CAST(round(ln(n * 1.0 / df) * 1000000 + {EPS[0]!r})
+                     AS BIGINT) AS idf_micro
+    FROM cdf CROSS JOIN cn
+), cdoc AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(i.idf_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS diff_mu
+    FROM ctok t JOIN cidf i ON t.tok = i.tok
+    GROUP BY t.doc_id
+), cthr AS (
+    SELECT quantile_cont(diff_mu, 0.25) AS t25,
+           quantile_cont(diff_mu, 0.50) AS t50,
+           quantile_cont(diff_mu, 0.75) AS t75
+    FROM cdoc
+)
+SELECT doc_id, n_toks, diff_mu,
+       CAST(1 + CASE WHEN diff_mu > t25 THEN 1 ELSE 0 END
+              + CASE WHEN diff_mu > t50 THEN 1 ELSE 0 END
+              + CASE WHEN diff_mu > t75 THEN 1 ELSE 0 END AS BIGINT)
+           AS phase
+FROM cdoc CROSS JOIN cthr
+""",
+)
+def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM phase assignment — order training data easy→hard
+    (the curriculum-learning recipe): difficulty = mean token RARITY
+    (corpus idf — rare-vocabulary documents read as harder), docs cut
+    into four phases at the exact difficulty quartiles. Determinism
+    chain: idf is one ln per DISTINCT token quantized to micro-nats
+    (the c_quality_nb idiom), per-doc difficulty is an exact BIGINT
+    floor-division Σidf_micro // n_toks (both engines' integer DIV),
+    and the quartile thresholds interpolate over INTEGERS — the
+    b_agg_percentiles-proven case where Spark percentile() and DuckDB
+    quantile_cont agree bit-for-bit. Phase assignment is then three
+    integer-vs-double comparisons of identical values — crucially NOT
+    a global row_number sort: ranking 100 TB of docs is a full-corpus
+    sort, whereas quantile thresholds come from one aggregate (at
+    scale, an approx-quantile sketch) and the assignment stays
+    map-side. Emits (doc, token count, difficulty, phase 1-4)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ctok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cidf = (
+        ctok.groupBy("tok")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "tok",
+            F.round(
+                F.log(F.col("n") * 1.0 / F.col("df")) * 1_000_000
+                + F.lit(EPS[0])
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    cdoc = persist(
+        ctok.join(cidf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("idf_micro").cast("long").alias("_sum"),
+        )
+        # integer DIV, not double-divide-then-cast: a double quotient
+        # that rounds up across an integer boundary would truncate to
+        # a different value than exact integer floor division
+        .withColumn("diff_mu", F.expr("_sum DIV n_toks"))
+        .drop("_sum")
+    )
+    thr = cdoc.agg(
+        F.expr("percentile(diff_mu, 0.25)").alias("t25"),
+        F.expr("percentile(diff_mu, 0.50)").alias("t50"),
+        F.expr("percentile(diff_mu, 0.75)").alias("t75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("diff_mu") > F.col("t25")).cast("int")
+        + (F.col("diff_mu") > F.col("t50")).cast("int")
+        + (F.col("diff_mu") > F.col("t75")).cast("int")
+    ).cast("long")
+    return cdoc.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_toks", "diff_mu", phase.alias("phase")
+    )

@@ -502,6 +502,22 @@ def test_shuffle_budgets_table(spark):
         # unigram decode: the shared train chain (persisted — runtime
         # once) + the word-rebuild rollup + the doc-rebuild rollup
         "c_token_unigram_decode": 3,
+        # round-9 continuation wave (fresh-session counts):
+        # temperature mixing: two tiny lang aggregates + broadcasts
+        "c_mix_temperature": 7,
+        # ppl rides the unigram encode chain + one doc rollup
+        "c_token_unigram_ppl": 3,
+        # stickiness: user-day dedup, x30 expand day-key exchange,
+        # two day-sized aggregates
+        "a_stickiness": 6,
+        # rouge: pair gen (2) + two gram-count rollups + overlap join
+        # + totals joins — all pair-/gram-bounded
+        "c_eval_rouge": 16,
+        # whitening: the two PCA component chains' static repeats
+        # (persisted — runtime once) + the 5-scalar moment aggregate
+        "c_embed_whitening": 95,
+        # curriculum: token idf rollup + doc rollup + quartile agg
+        "c_curriculum_order": 9,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
