@@ -5042,3 +5042,321 @@ def a_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
         )
     )
+
+
+@query(
+    "a_attribution_ushape",
+    oracle="""
+WITH tl AS (
+    SELECT p.event_id, p.user_id, v.event_id AS touch_id,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts, v.event_id) AS rn,
+           count(*) OVER (PARTITION BY p.event_id) AS k
+    FROM events p
+    JOIN events v ON p.user_id = v.user_id
+                 AND v.event_type = 'view'
+                 AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL 60 MINUTE
+    WHERE p.event_type = 'purchase'
+)
+SELECT event_id, user_id, touch_id,
+       CASE WHEN k = 1 THEN 'only'
+            WHEN rn = 1 THEN 'first'
+            WHEN rn = k THEN 'last'
+            ELSE 'middle' END AS pos,
+       CAST(CASE WHEN k = 1 THEN 1000
+                 WHEN k = 2 THEN 500
+                 WHEN rn = 1 OR rn = k THEN 400
+                 ELSE (200 // (k - 2))
+                      + CASE WHEN rn = 2
+                             THEN 200 - (k - 2) * (200 // (k - 2))
+                             ELSE 0 END
+            END AS BIGINT) AS credit_milli
+FROM tl
+""",
+)
+def a_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — the rule
+    marketing analytics actually fights over (a_attribution's
+    last-touch gives the closer 100%; U-shaped gives first and last
+    touch 40% each and splits 20% across the middles): every purchase
+    credits ALL its views in the 60-minute lookback. Credits are
+    integer MILLI-units summing to exactly 1000 per purchase BY
+    CONSTRUCTION — the 20% middle share uses integer floor division
+    with the remainder assigned to the earliest middle touch
+    (deterministic, no fractional-credit float drift; an auditor can
+    sum the column and get purchases×1000 exactly, pinned in tests).
+    Unlike last-touch, the middle credits need the FULL per-purchase
+    touch list, so the scalable shape is one user_id exchange with a
+    RANGE-framed conditional collect (views within [t−60min, t])
+    rather than the LOCF carry — never the purchases×views pairwise
+    join the oracle replays. Touch order is (ts, event_id) total."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("touch_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("touch_id"),
+        "event_id",
+    )
+    u = views.unionByName(buys)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    touches = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("kind") == 0, F.struct("us", "touch_id")
+            )
+        ).over(w)
+    )
+    per_p = (
+        u.withColumn("touches", touches)
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "touches")
+        .filter(F.size("touches") > 0)
+    )
+    ex = per_p.select(
+        "event_id",
+        "user_id",
+        F.size("touches").alias("k"),
+        F.posexplode("touches").alias("idx", "t"),
+    ).select(
+        "event_id",
+        "user_id",
+        "k",
+        (F.col("idx") + 1).alias("rn"),
+        F.col("t.touch_id").alias("touch_id"),
+    )
+    k, rn = F.col("k"), F.col("rn")
+    mid_base = F.expr("200 DIV (k - 2)")
+    credit = (
+        F.when(k == 1, 1000)
+        .when(k == 2, 500)
+        .when((rn == 1) | (rn == k), 400)
+        .otherwise(
+            mid_base
+            + F.when(
+                rn == 2, 200 - (k - 2) * mid_base
+            ).otherwise(0)
+        )
+    )
+    pos = (
+        F.when(k == 1, "only")
+        .when(rn == 1, "first")
+        .when(rn == k, "last")
+        .otherwise("middle")
+    )
+    return ex.select(
+        "event_id",
+        "user_id",
+        "touch_id",
+        pos.alias("pos"),
+        credit.cast("long").alias("credit_milli"),
+    )
+
+
+@query(
+    "a_time_to_convert",
+    oracle="""
+WITH fv AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_view_us FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_buy_us FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), ttc AS (
+    SELECT fv.user_id, fv.first_view_us, fp.first_buy_us,
+           fp.first_buy_us - fv.first_view_us AS ttc_us
+    FROM fv JOIN fp ON fv.user_id = fp.user_id
+    WHERE fp.first_buy_us >= fv.first_view_us
+), dist AS (
+    SELECT quantile_cont(ttc_us, 0.50) AS p50_us,
+           quantile_cont(ttc_us, 0.90) AS p90_us
+    FROM ttc
+)
+SELECT user_id, first_view_us, first_buy_us, ttc_us,
+       (round(p50_us + 1e-8, 1) + 0.0) AS p50_us,
+       (round(p90_us + 1e-8, 1) + 0.0) AS p90_us
+FROM ttc CROSS JOIN dist
+""",
+)
+def a_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT — per converting user, the lag from first view
+    to first purchase, with the corpus p50/p90 riding in-schema (the
+    funnel-velocity numbers growth teams track; a user's own ttc vs
+    the population quantiles is the standard 'slow converter' flag).
+    All timestamps are exact integer microseconds; quantiles
+    interpolate over INTEGERS (the b_agg_percentiles-proven
+    bit-identical case) and round at one decimal. Users whose first
+    purchase precedes any view (cold-start buyers) are excluded —
+    their ttc is undefined, not negative. Scale: two user-keyed
+    partial aggregates sharing one exchange shape + a 2-scalar
+    broadcast; no event-level join anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_view_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_buy_us"))
+    )
+    ttc = persist(
+        fv.join(fp, "user_id")
+        .filter(F.col("first_buy_us") >= F.col("first_view_us"))
+        .withColumn(
+            "ttc_us", F.col("first_buy_us") - F.col("first_view_us")
+        )
+    )
+    dist = ttc.agg(
+        F.expr("percentile(ttc_us, 0.50)").alias("p50"),
+        F.expr("percentile(ttc_us, 0.90)").alias("p90"),
+    )
+    return ttc.crossJoin(F.broadcast(dist)).select(
+        "user_id",
+        "first_view_us",
+        "first_buy_us",
+        "ttc_us",
+        rnd(F.col("p50"), 1).alias("p50_us"),
+        rnd(F.col("p90"), 1).alias("p90_us"),
+    )
+
+
+@query(
+    "a_bot_score",
+    oracle="""
+WITH ue AS (
+    SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events
+), gaps AS (
+    SELECT user_id,
+           us - lag(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS gap_us
+    FROM ue
+), mgap AS (
+    SELECT user_id, quantile_cont(gap_us, 0.5) AS median_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+), tc AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM ue GROUP BY user_id, event_type
+), tn AS (
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY user_id
+), ent AS (
+    SELECT tc.user_id,
+           CAST(sum(tc.c * CAST(round(ln(tn.n * 1.0 / tc.c) * 1000000
+                                      + 1e-04) AS BIGINT)) AS BIGINT)
+               // any_value(tn.n) AS entropy_micro
+    FROM tc JOIN tn ON tc.user_id = tn.user_id
+    GROUP BY tc.user_id
+), burst AS (
+    SELECT user_id, max(cnt) AS max_burst FROM (
+        SELECT a.user_id, a.event_id, count(*) AS cnt
+        FROM ue a JOIN ue b ON a.user_id = b.user_id
+                           AND b.us >= a.us - 60000000 AND b.us <= a.us
+        GROUP BY a.user_id, a.event_id
+    ) GROUP BY user_id
+)
+SELECT tn.user_id, tn.n AS n_events,
+       (round(m.median_gap_us + 1e-8, 1) + 0.0) AS median_gap_us,
+       e.entropy_micro,
+       CAST(b.max_burst AS BIGINT) AS max_burst_60s,
+       CAST(CASE WHEN m.median_gap_us < 300000000 THEN 1 ELSE 0 END
+          + CASE WHEN e.entropy_micro < 800000 THEN 1 ELSE 0 END
+          + CASE WHEN b.max_burst >= 5 THEN 1 ELSE 0 END AS BIGINT)
+           AS bot_score
+FROM tn
+JOIN mgap m ON tn.user_id = m.user_id
+JOIN ent e ON tn.user_id = e.user_id
+JOIN burst b ON tn.user_id = b.user_id
+WHERE tn.n >= 3
+""",
+)
+def a_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULE-BASED BOT SCORING — the abuse-detection triage every
+    event pipeline runs before ML: per user (≥3 events), three
+    independent automation signals composed into a 0-3 score:
+    (1) median inter-event gap below 5 minutes (machines are fast and
+    regular; quantile over exact integer-µs gaps — the
+    integer-interpolation case proven bit-identical), (2) low
+    event-type ENTROPY (bots repeat one action; computed as the
+    exact-count weighted sum of micro-nat quantized ln(n/c) terms,
+    integer-floor-divided by n — order-independent BIGINT arithmetic,
+    the c_quality_nb idiom), (3) a burst: ≥5 events inside any
+    trailing 60-second window (a RANGE-framed count in the scalable
+    plan; the oracle replays it as the naive self-join). Scale: one
+    user_id exchange carries the lag window, the range-frame burst
+    count and the per-user rollups; the type-entropy table is
+    |users|×|types| — tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type", "event_id"
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ue.withColumn("gap_us", F.col("us") - F.lag("us").over(w_lag))
+    mgap = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"))
+    )
+    tc = ue.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tn = tc.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    iln = (
+        F.round(
+            F.log(F.col("n") * 1.0 / F.col("c")) * 1_000_000 + F.lit(EPS[0])
+        )
+        .cast("long")
+    )
+    ent = (
+        tc.join(tn, "user_id")
+        .select("user_id", "n", (F.col("c") * iln).alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(sum(term) AS BIGINT) DIV any_value(n)").alias(
+                "entropy_micro"
+            )
+        )
+    )
+    w_burst = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    burst = (
+        ue.withColumn("cnt", F.count("*").over(w_burst))
+        .groupBy("user_id")
+        .agg(F.max("cnt").cast("long").alias("max_burst_60s"))
+    )
+    score = (
+        (F.col("median_gap_us") < 300_000_000).cast("int")
+        + (F.col("entropy_micro") < 800_000).cast("int")
+        + (F.col("max_burst_60s") >= 5).cast("int")
+    ).cast("long")
+    return (
+        tn.filter(F.col("n") >= 3)
+        .join(mgap, "user_id")
+        .join(ent, "user_id")
+        .join(burst, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            rnd(F.col("median_gap_us"), 1).alias("median_gap_us"),
+            "entropy_micro",
+            "max_burst_60s",
+            score.alias("bot_score"),
+        )
+    )

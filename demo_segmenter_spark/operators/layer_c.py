@@ -11211,3 +11211,187 @@ def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdoc.crossJoin(F.broadcast(thr)).select(
         "doc_id", "n_toks", "diff_mu", phase.alias("phase")
     )
+
+
+@query(
+    "c_eval_bleu",
+    oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
+    + f"""
+, bpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shc a
+    JOIN shc b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), bg1 AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+), bg2 AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+), bgrams AS (
+    SELECT 1 AS n, doc_id, g, CAST(count(*) AS BIGINT) AS c
+    FROM bg1 GROUP BY doc_id, g
+    UNION ALL
+    SELECT 2 AS n, doc_id, g, CAST(count(*) AS BIGINT) AS c
+    FROM bg2 GROUP BY doc_id, g
+), bgtot AS (
+    SELECT n, doc_id, CAST(sum(c) AS BIGINT) AS tot FROM bgrams
+    GROUP BY n, doc_id
+), bov AS (
+    SELECT p.doc_a, p.doc_b, ca.n,
+           CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS ov
+    FROM bpairs p
+    JOIN bgrams ca ON ca.doc_id = p.doc_a
+    JOIN bgrams cb ON cb.doc_id = p.doc_b AND cb.g = ca.g AND cb.n = ca.n
+    GROUP BY p.doc_a, p.doc_b, ca.n
+), bwide AS (
+    SELECT p.doc_a, p.doc_b,
+           coalesce(max(CASE WHEN o.n = 1 THEN o.ov END), 0) AS ov1,
+           coalesce(max(CASE WHEN o.n = 2 THEN o.ov END), 0) AS ov2,
+           max(CASE WHEN ta.n = 1 THEN ta.tot END) AS ra1,
+           max(CASE WHEN ta.n = 2 THEN ta.tot END) AS ra2,
+           max(CASE WHEN tb.n = 1 THEN tb.tot END) AS cb1,
+           max(CASE WHEN tb.n = 2 THEN tb.tot END) AS cb2
+    FROM bpairs p
+    LEFT JOIN bov o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+    JOIN bgtot ta ON ta.doc_id = p.doc_a
+    JOIN bgtot tb ON tb.doc_id = p.doc_b
+    GROUP BY p.doc_a, p.doc_b
+), bscore AS (
+    SELECT doc_a, doc_b, ov1, ov2, ra1 AS ref_len, cb1 AS cand_len,
+           CASE WHEN ov1 = 0 OR ov2 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round((ln(ov1 * 1.0 / cb1)
+                                 + ln(ov2 * 1.0 / cb2)) / 2.0 * 1000000
+                                + {EPS[0]!r}) AS BIGINT)
+           END AS logp_micro,
+           CASE WHEN cb1 >= ra1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round((1.0 - ra1 * 1.0 / cb1) * 1000000
+                                - {EPS[0]!r}) AS BIGINT)
+           END AS logbp_micro
+    FROM bwide
+)
+SELECT doc_a, doc_b, ov1, ov2, ref_len, cand_len,
+       CASE WHEN ov1 = 0 OR ov2 = 0 THEN 0.0
+            ELSE (round(exp((logp_micro + logbp_micro) / 1000000.0)
+                        + 1e-8, 4) + 0.0)
+       END AS bleu2
+FROM bscore
+""",
+)
+def c_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 over candidate pairs (companion to c_eval_rouge — the
+    precision-oriented half of the n-gram eval toolbox, with the
+    brevity penalty that makes gaming-by-truncation unprofitable):
+    per candidate pair (a = reference = lower id, b = candidate),
+    modified (clipped) 1/2-gram precisions, geometric mean, and
+    BP = min(1, exp(1 − ref_len/cand_len)). Transcendental hygiene:
+    each ln of an exact integer ratio and the BP exponent are
+    quantized to integer MICRO-units, summed exactly, and ONE exp of
+    the identical-across-engines double produces the score (the
+    c_token_unigram_ppl shape; zero-overlap pairs short-circuit to
+    0.0 before any ln). The BP micro-term uses a NEGATIVE nudge so
+    both engines round the (always-negative) exponent identically.
+    Scale: identical to c_eval_rouge — gram rollups map-side, the
+    overlap join bounded by the capped-shingle candidate pairs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_doc_table(docs, _hashed_shingles())
+    pairs = persist(_shingle_pairs(sh).select("doc_a", "doc_b"))
+    toks = F.split("text", " ")
+    g1 = docs.select("doc_id", F.explode(toks).alias("g"))
+    g2 = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    )
+    grams = persist(
+        g1.groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("n", F.lit(1))
+        .unionByName(
+            g2.groupBy("doc_id", "g")
+            .agg(F.count("*").cast("long").alias("c"))
+            .withColumn("n", F.lit(2))
+        )
+    )
+    gtot = grams.groupBy("n", "doc_id").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    ca = grams.select(
+        F.col("doc_id").alias("doc_a"), "n", "g", F.col("c").alias("c_a")
+    )
+    cb = grams.select(
+        F.col("doc_id").alias("doc_b"), "n", "g", F.col("c").alias("c_b")
+    )
+    ov = (
+        pairs.join(ca, "doc_a")
+        .join(cb, ["doc_b", "n", "g"])
+        .groupBy("doc_a", "doc_b", "n")
+        .agg(F.sum(F.least("c_a", "c_b")).cast("long").alias("ov"))
+    )
+    wide = (
+        pairs.join(ov, ["doc_a", "doc_b"], "left")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 1, F.col("ov"))), F.lit(0)
+            ).alias("ov1"),
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("ov"))), F.lit(0)
+            ).alias("ov2"),
+        )
+        .join(
+            gtot.filter("n = 1").select(
+                F.col("doc_id").alias("doc_a"), F.col("tot").alias("ra1")
+            ),
+            "doc_a",
+        )
+        .join(
+            gtot.filter("n = 1").select(
+                F.col("doc_id").alias("doc_b"), F.col("tot").alias("cb1")
+            ),
+            "doc_b",
+        )
+        .join(
+            gtot.filter("n = 2").select(
+                F.col("doc_id").alias("doc_b"), F.col("tot").alias("cb2")
+            ),
+            "doc_b",
+        )
+    )
+    logp = F.round(
+        (
+            F.log(F.col("ov1") * 1.0 / F.col("cb1"))
+            + F.log(F.col("ov2") * 1.0 / F.col("cb2"))
+        )
+        / 2.0
+        * 1_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+    logbp = F.when(F.col("cb1") >= F.col("ra1"), F.lit(0).cast("long")).otherwise(
+        F.round(
+            (F.lit(1.0) - F.col("ra1") * 1.0 / F.col("cb1")) * 1_000_000
+            - F.lit(EPS[0])
+        ).cast("long")
+    )
+    zero = (F.col("ov1") == 0) | (F.col("ov2") == 0)
+    bleu = F.when(zero, F.lit(0.0)).otherwise(
+        rnd(F.exp((logp + logbp) / 1_000_000.0), 4)
+    )
+    return wide.select(
+        "doc_a",
+        "doc_b",
+        "ov1",
+        "ov2",
+        F.col("ra1").alias("ref_len"),
+        F.col("cb1").alias("cand_len"),
+        bleu.alias("bleu2"),
+    )

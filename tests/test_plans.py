@@ -518,6 +518,17 @@ def test_shuffle_budgets_table(spark):
         "c_embed_whitening": 95,
         # curriculum: token idf rollup + doc rollup + quartile agg
         "c_curriculum_order": 9,
+        # U-shape attribution: ONE user_id exchange carries the
+        # range-framed conditional collect — never a purchasesxviews
+        # join
+        "a_attribution_ushape": 1,
+        # time-to-convert: two user partial aggs + quantile agg
+        "a_time_to_convert": 5,
+        # bot score: the user_id exchange shared by lag/burst windows
+        # + the per-user rollups
+        "a_bot_score": 8,
+        # BLEU: the rouge pair/gram machinery + the wide pivot
+        "c_eval_bleu": 20,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
