@@ -11395,3 +11395,142 @@ def c_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cb1").alias("cand_len"),
         bleu.alias("bleu2"),
     )
+
+
+_BLOCKLIST_SQL = "('slow', 'dup')"
+_BLOCK_CTX = "fast"  # adjacent-token context that excuses a hit
+
+
+@query(
+    "c_safety_blocklist",
+    oracle=f"""
+WITH st AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), hits AS (
+    SELECT doc_id,
+           CASE WHEN (i > 1 AND t[i-1] = '{_BLOCK_CTX}')
+                  OR (i < len(t) AND t[i+1] = '{_BLOCK_CTX}')
+                THEN 1 ELSE 0 END AS excused
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM st
+    )
+    WHERE t[i] IN {_BLOCKLIST_SQL}
+), agg AS (
+    SELECT doc_id,
+           CAST(sum(1 - excused) AS BIGINT) AS n_hits,
+           CAST(sum(excused) AS BIGINT) AS n_excused
+    FROM hits GROUP BY doc_id
+)
+SELECT st.doc_id, st.lang,
+       coalesce(a.n_hits, 0) AS n_hits,
+       coalesce(a.n_excused, 0) AS n_excused,
+       CASE WHEN coalesce(a.n_hits, 0) >= 3 THEN 'blocked'
+            WHEN coalesce(a.n_hits, 0) >= 1 THEN 'flagged'
+            ELSE 'clean' END AS verdict
+FROM st LEFT JOIN agg a ON st.doc_id = a.doc_id
+""",
+)
+def c_safety_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY BLOCKLIST FILTER with context exceptions — the
+    rule-based content-safety stage every corpus pipeline runs before
+    (and alongside) learned classifiers: exact-token blocklist hits,
+    EXCUSED when an adjacent token provides benign context (the
+    'medical/quoted/negated use' pattern — here the stand-in context
+    token '{_BLOCK_CTX}'), then a tiered verdict (clean / flagged for
+    review at ≥1 unexcused hit / blocked at ≥3). Every doc emits
+    exactly one row — auditable drop volumes by tier, the same
+    monitorability contract as c_quality_gate's attributed reasons.
+    All-integer counting; neighbor context reads the token array
+    in place (positions + index lookups, no self-join). Scale: the
+    hit scan is map-side over the token positions; one doc rollup;
+    the blocklist itself is a literal (at production size it becomes
+    a broadcast set or an Aho-Corasick pandas_udf — same plan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    st = docs.select("doc_id", "lang", toks.alias("t"))
+    ex = st.select(
+        "doc_id", F.size("t").alias("n"), F.posexplode("t").alias("i0", "tok")
+    ).filter(F.col("tok").isin("slow", "dup"))
+    # i0 is 0-based; neighbors via F.get (0-based, NULL out of range)
+    ex = (
+        st.select("doc_id", "t")
+        .join(ex.select("doc_id", "i0"), "doc_id")
+        .select(
+            "doc_id",
+            (
+                (F.get("t", F.col("i0") - 1) == _BLOCK_CTX)
+                | (F.get("t", F.col("i0") + 1) == _BLOCK_CTX)
+            )
+            .cast("int")
+            .alias("excused"),
+        )
+        .na.fill(0, ["excused"])
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.sum(1 - F.col("excused")).cast("long").alias("n_hits"),
+        F.sum("excused").cast("long").alias("n_excused"),
+    )
+    verdict = (
+        F.when(F.col("n_hits") >= 3, "blocked")
+        .when(F.col("n_hits") >= 1, "flagged")
+        .otherwise("clean")
+    )
+    return (
+        st.select("doc_id", "lang")
+        .join(agg, "doc_id", "left")
+        .na.fill(0, ["n_hits", "n_excused"])
+        .select("doc_id", "lang", "n_hits", "n_excused", verdict.alias("verdict"))
+    )
+
+
+@query(
+    "c_dedup_exact_normalized",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+           md5(coalesce(array_to_string(
+               list_filter(string_split(lower(text), ' '),
+                           x -> x NOT IN {_STOPWORDS_SQL}), ' '), ''))
+               AS h
+    FROM documents
+), grp AS (
+    SELECT h, min(doc_id) AS canon_id,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM norm GROUP BY h HAVING count(*) >= 2
+)
+SELECT n.doc_id, g.canon_id, g.group_size
+FROM norm n JOIN grp g ON n.h = g.h
+""",
+)
+def c_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED exact dedup — the canonicalization pass between
+    byte-exact dedup (c_dedup_exact) and near-dup: documents that
+    differ only by case or by stopword placement are the SAME document
+    to a training run, and web corpora are full of them (template
+    re-renders, title-case variants). Normal form here: casefold +
+    stopword removal + single-space rejoin, hashed; every member of a
+    ≥2 group is emitted with its canonical (minimum) doc_id — the
+    keep-first rule c_dedup_exact uses, applied to the equivalence
+    class. The DuckDB twin COALESCEs the rejoined string to '' because
+    array_to_string of an empty list is NULL there (the c_fim_transform
+    trap) — an all-stopword doc still forms a (shared) normal form.
+    Scale: one scan-local normalization + one hash-keyed groupBy —
+    identical cost profile to exact dedup; normalization strictness is
+    the policy knob (add punctuation folding, unicode NFKC... same
+    plan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sw = ("the", "a", "of", "and", "to", "in")
+    norm_toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: ~x.isin(*sw)
+    )
+    h = F.md5(F.coalesce(F.concat_ws(" ", norm_toks), F.lit("")))
+    norm = persist(docs.select("doc_id", h.alias("h")))
+    grp = (
+        norm.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canon_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return norm.join(grp, "h").select("doc_id", "canon_id", "group_size")

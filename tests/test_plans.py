@@ -529,6 +529,11 @@ def test_shuffle_budgets_table(spark):
         "a_bot_score": 8,
         # BLEU: the rouge pair/gram machinery + the wide pivot
         "c_eval_bleu": 20,
+        # blocklist: hit-position join rides the doc key + one rollup
+        "c_safety_blocklist": 2,
+        # normalized exact dedup: one hash-keyed groupBy (persisted
+        # norm table re-read statically)
+        "c_dedup_exact_normalized": 1,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
