@@ -263,6 +263,80 @@ def _smooth_ewma(
     state.update((y, n))
 
 
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _holt_smooth(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming Holt's linear smoothing: (level, trend, count) carried
+    in GroupState; same concat-sort-fold shape as _smooth_ewma (chunk
+    order is not guaranteed within a micro-batch) and the SAME
+    bit-exact _holt_rows core as the batch twin, so the completed
+    stream hash-matches the recursive-CTE oracle."""
+    from demo_segmenter_spark.operators.layer_a import _holt_rows
+
+    l, b, n = state.get if state.exists else (None, None, 0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        out, l, b, n = _holt_rows(pdf["value"].tolist(), l, b, n)
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "event_id": pdf["event_id"].astype("int64").values,
+                "level": [o[0] for o in out],
+                "trend": [o[1] for o in out],
+                "forecast": [o[2] for o in out],
+            }
+        )
+    state.update((l, b, n))
+
+
+def papi_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the Holt processor over the event stream to completion."""
+    import uuid
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _holt_smooth,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def papi_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the EWMA processor over the event stream to completion."""
     import uuid

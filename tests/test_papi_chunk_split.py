@@ -27,6 +27,9 @@ from demo_segmenter_spark.operators.layer_a import SESSION_GRACE_US
 from demo_segmenter_spark.registry import REGISTRY, load_all_operators
 from demo_segmenter_spark.sources import load_table
 from demo_segmenter_spark.streaming.papi import (
+    HOLT_OUTPUT_SCHEMA,
+    HOLT_STATE_SCHEMA,
+    _holt_smooth,
     EWMA_OUTPUT_SCHEMA,
     EWMA_STATE_SCHEMA,
     SESSION_FINAL_OUTPUT_SCHEMA,
@@ -264,6 +267,7 @@ PROCESSORS = {
     "absence_gaps": (_absence_gaps, ABSENCE_OUTPUT_SCHEMA, ABSENCE_STATE_SCHEMA, "update", "NoTimeout", _p_absence),
     "attribution": (_attribution, ATTR_OUTPUT_SCHEMA, ATTR_STATE_SCHEMA, "update", "NoTimeout", _p_attribution),
     "cep_pattern": (_cep_pattern, CEP_OUTPUT_SCHEMA, CEP_STATE_SCHEMA, "update", "NoTimeout", _p_cep),
+    "holt": (_holt_smooth, HOLT_OUTPUT_SCHEMA, HOLT_STATE_SCHEMA, "update", "NoTimeout", _p_ewma),
 }
 
 

@@ -534,6 +534,8 @@ def test_shuffle_budgets_table(spark):
         # normalized exact dedup: one hash-keyed groupBy (persisted
         # norm table re-read statically)
         "c_dedup_exact_normalized": 1,
+        # Holt: the a_ewma segmented-scan shape (one user repartition)
+        "a_forecast_holt": 1,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,

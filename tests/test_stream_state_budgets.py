@@ -43,6 +43,7 @@ STATE_BUDGETS = {
     "a_cep_pattern_stream": 15,
     "a_cogroup_stream": 150,
     "a_ewma_stream": 15,
+    "a_forecast_holt_stream": 15,
     "a_funnel_stream": 15,
     "a_gapfill_locf_stream": 397,
     "a_new_vs_returning_stream": 15,
