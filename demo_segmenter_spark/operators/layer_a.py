@@ -4964,9 +4964,7 @@ def a_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a_stickiness",
-    oracle="""
+_STICKINESS_ORACLE = """
 WITH ud AS (
     SELECT DISTINCT user_id,
            CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
@@ -4989,8 +4987,10 @@ WITH ud AS (
 SELECT dau.daynum * 86400000000 AS day_us, dau.dau, mau.mau,
        (round(dau.dau * 1.0 / mau.mau + 1e-8, 4) + 0.0) AS stickiness
 FROM dau JOIN mau ON dau.daynum = mau.daynum
-""",
-)
+"""
+
+
+@query("a_stickiness", oracle=_STICKINESS_ORACLE)
 def a_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU STICKINESS — the engagement ratio every product
     analytics stack reports (what fraction of the monthly audience
@@ -5479,3 +5479,73 @@ def a_forecast_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_segmenter_spark.streaming.papi import papi_holt
 
     return papi_holt(spark, sf_dir)
+
+
+@query("a_stickiness_stream", oracle=_STICKINESS_ORACLE)
+def a_stickiness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_stickiness, SAME oracle — the DAU/MAU ratio
+    maintained continuously with the a_window_dau_stream distinct
+    rebuild: two dedup branches (one per horizon) feed ONE day-keyed
+    aggregation. Branch 1 dedups (day, user) — its marker sum is DAU;
+    branch 2 expands each user-day into the 30 trailing window-end
+    days FIRST and dedups (window_day, user) — its marker sum is MAU.
+    Day arithmetic stays on exact epoch-day BIGINTs end to end.
+    Gap days (MAU > 0 but no events that day) drop via the dau >= 1
+    filter — exactly the oracle's observed-days join. Scale: dedup
+    state is one row per (user, day) and per (user, window-day) —
+    the exact distinct sets any exact 30-day MAU must hold; append
+    mode + watermark evicts both stores 30 days past the frontier in
+    the production topology (complete-mode replay here, the
+    dau-stream precedent)."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("DAY", F.col("ts"))) / 86_400_000_000)
+        .cast("long")
+        .alias("daynum"),
+    )
+    b_dau = ev.select(
+        F.col("daynum").alias("d"), "user_id"
+    ).dropDuplicates(["d", "user_id"]).select(
+        "d", F.lit(1).alias("is_dau"), F.lit(0).alias("is_mau")
+    )
+    b_mau = (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("j"),
+            "daynum",
+        )
+        .select((F.col("daynum") + F.col("j")).alias("d"), "user_id")
+        .dropDuplicates(["d", "user_id"])
+        .select("d", F.lit(0).alias("is_dau"), F.lit(1).alias("is_mau"))
+    )
+    agg = (
+        b_dau.unionByName(b_mau)
+        .groupBy("d")
+        .agg(
+            F.sum("is_dau").cast("long").alias("dau"),
+            F.sum("is_mau").cast("long").alias("mau"),
+        )
+    )
+    name = f"stick_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("dau") >= 1)
+        .select(
+            (F.col("d") * 86_400_000_000).alias("day_us"),
+            "dau",
+            "mau",
+            rnd(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
+        )
+    )

@@ -56,6 +56,10 @@ STATE_BUDGETS = {
     "a_sessionize_stream": 492,
     "a_sli_burn_rate_stream": 531,
     "a_sliding_window_stream": 123,
+    # stickiness: the two dedup stores hold (user, day) + 30x
+    # (user, window-day) distinct rows plus the day agg — the exact
+    # sets any exact 30-day MAU must hold (watermark-evicted at scale)
+    "a_stickiness_stream": 1340,
     "a_stream_dedup_stream": 1000,
     "a_stream_stream_join_outer_full_stream": 412,
     "a_stream_stream_join_outer_stream": 412,
