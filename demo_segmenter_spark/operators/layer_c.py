@@ -11534,3 +11534,237 @@ def c_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") >= 2)
     )
     return norm.join(grp, "h").select("doc_id", "canon_id", "group_size")
+
+
+@query(
+    "c_token_bpe_decode",
+    oracle="""
+WITH t0 AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+, bdec AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS rebuilt,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM t{BPE_ROUNDS} GROUP BY doc_id
+)
+SELECT d.doc_id, b.n_tokens, md5(b.rebuilt) AS rebuilt_md5,
+       CAST(CASE WHEN b.rebuilt = d.text THEN 1 ELSE 0 END AS INT)
+           AS round_trip
+FROM documents d JOIN bdec b ON d.doc_id = b.doc_id
+""",
+)
+def c_token_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE DECODE round-trip — the other tokenizer family's inverse,
+    completing the symmetry with c_token_unigram_decode: the trained
+    merges fuse adjacent words with the space kept INSIDE the merged
+    token, so detokenization is exactly the space-join of the final
+    token sequence in position order, and the rebuilt text must be
+    byte-identical to the original (in-schema round_trip flag,
+    certified 1 for every corpus doc). A wrong merge application —
+    overlapping-run double-merge, a dropped token, a greedy-order
+    bug — corrupts the rebuild loudly; the encode chain replays
+    lazily through the shared rounds, so the oracle certifies
+    train → encode → decode end to end. Scale: the encode chain's
+    cost + one ordered doc rollup (the array_sort(collect_list)
+    rebuild idiom)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t0 = _bpe_tokenize0(docs)
+    toks = t0
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    dec = toks.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("rebuilt"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    return docs.join(dec, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.md5("rebuilt").alias("rebuilt_md5"),
+        (F.col("rebuilt") == F.col("text")).cast("int").alias("round_trip"),
+    )
+
+
+HYB_W = 0.5  # convex weight on the lexical side
+
+
+@query(
+    "c_rag_hybrid_weighted",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), qry AS (
+    SELECT t, df FROM df ORDER BY df DESC, t LIMIT 3
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), bscored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT) AS s_micro
+    FROM tf
+    JOIN qry ON tf.t = qry.t
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+), bm AS (
+    SELECT doc_id, round(sum(s_micro) / 1000000.0 + 1e-06, 2) AS bm25
+    FROM bscored GROUP BY doc_id
+), lexp AS (
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+), lexmm AS (
+    SELECT min(bm25) AS lo, max(bm25) AS hi FROM lexp
+), ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+), vdots AS (
+    SELECT b.vec_id, sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id = 0 AND b.vec_id <> 0
+    GROUP BY b.vec_id
+), vscored AS (
+    SELECT d.vec_id, {sql_rnd("d.dp / (na.nrm * nb.nrm)", 4)} AS cos_sim
+    FROM vdots d
+    JOIN norms na ON na.vec_id = 0
+    JOIN norms nb ON d.vec_id = nb.vec_id
+), vecp AS (
+    SELECT vec_id AS doc_id, cos_sim FROM vscored
+    ORDER BY cos_sim DESC, vec_id LIMIT {RRF_POOL}
+), vecmm AS (
+    SELECT min(cos_sim) AS lo, max(cos_sim) AS hi FROM vecp
+), hfused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.bm25, v.cos_sim,
+           {sql_rnd(
+               f"{HYB_W} * COALESCE(CASE WHEN lm.hi > lm.lo"
+               " THEN (l.bm25 - lm.lo) / (lm.hi - lm.lo) WHEN l.bm25 IS NOT NULL THEN 1.0 END, 0.0)"
+               f" + (1.0 - {HYB_W}) * COALESCE(CASE WHEN vm.hi > vm.lo"
+               " THEN (v.cos_sim - vm.lo) / (vm.hi - vm.lo) WHEN v.cos_sim IS NOT NULL THEN 1.0 END,"
+               " 0.0)", 6)} AS hybrid
+    FROM lexp l
+    FULL OUTER JOIN vecp v ON l.doc_id = v.doc_id
+    CROSS JOIN lexmm lm CROSS JOIN vecmm vm
+)
+SELECT doc_id, bm25, cos_sim, hybrid, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rank
+    FROM hfused
+)
+WHERE rank <= 10
+""",
+)
+def c_rag_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-SCORE hybrid retrieval — the OTHER standard fusion
+    next to c_rag_fusion's RRF: min-max normalize each retriever's
+    pool scores to [0, 1] and combine convexly
+    (hybrid = {HYB_W}·norm(bm25) + {1 - HYB_W}·norm(cosine)) — the
+    calibrated-score fusion engines expose as alpha-weighted hybrid
+    search (rank fusion ignores score GAPS; weighted fusion preserves
+    them, which wins when one retriever is confidently ahead).
+    Absent-from-pool sides contribute 0 (below every normalized pool
+    member — the convention that keeps the fusion monotone); a
+    degenerate pool (max == min) normalizes to 1. Determinism: both
+    pool scores are already quantized by their proven chains
+    (micro-unit BM25, 4dp cosine); min/max over a pool of identical
+    doubles are exact, and the normalization + convex mix is a short
+    identical-IEEE chain, 6dp output. Scale: both retrievers are
+    their standalone plans; the fusion joins two {RRF_POOL}-row
+    lists with two 2-scalar broadcasts — free."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    qry = df_.orderBy(F.col("df").desc(), "t").limit(3)
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    s_micro = F.round(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1_000_000 + 1e-04
+    ).cast("long")
+    bm = (
+        tf.join(F.broadcast(qry), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("s_micro") / 1_000_000.0, 2).alias("bm25"))
+    )
+    lexp = persist(
+        bm.orderBy(F.col("bm25").desc(), "doc_id").limit(RRF_POOL)
+    )
+    lexmm = lexp.agg(F.min("bm25").alias("llo"), F.max("bm25").alias("lhi"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    )
+    qv = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = rnd(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    vecp = persist(
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    vecmm = vecp.agg(
+        F.min("cos_sim").alias("vlo"), F.max("cos_sim").alias("vhi")
+    )
+
+    def norm(score, lo, hi):
+        # degenerate pool (hi == lo): present members normalize to 1,
+        # absent docs still contribute 0 (the presence guard)
+        return F.coalesce(
+            F.when(
+                F.col(hi) > F.col(lo),
+                (F.col(score) - F.col(lo)) / (F.col(hi) - F.col(lo)),
+            ).when(F.col(score).isNotNull(), F.lit(1.0)),
+            F.lit(0.0),
+        )
+
+    hybrid = rnd(
+        HYB_W * norm("bm25", "llo", "lhi")
+        + (1.0 - HYB_W) * norm("cos_sim", "vlo", "vhi"),
+        6,
+    )
+    w_rank = Window.orderBy(F.col("hybrid").desc(), "doc_id")
+    return (
+        lexp.join(vecp, "doc_id", "full_outer")
+        .crossJoin(F.broadcast(lexmm))
+        .crossJoin(F.broadcast(vecmm))
+        .select("doc_id", "bm25", "cos_sim", hybrid.alias("hybrid"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -536,6 +536,12 @@ def test_shuffle_budgets_table(spark):
         "c_dedup_exact_normalized": 1,
         # Holt: the a_ewma segmented-scan shape (one user repartition)
         "a_forecast_holt": 1,
+        # BPE decode: the encode chain's static repeats (persisted)
+        # + the ordered doc-rebuild rollup
+        "c_token_bpe_decode": 13,
+        # weighted hybrid: both retriever plans + two pool limits,
+        # two 2-scalar broadcasts, the 20-row fusion join
+        "c_rag_hybrid_weighted": 16,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,

@@ -234,3 +234,8 @@ def test_unigram_decode_crafted_multi_segmentation(spark):
     # pos 3 compares (score, l, piece): 'a' (l=1) vs 'ba' (l=2) at the
     # SAME total score -> the shorter final piece wins, giving ab|a
     assert [p for _, p, _ in sorted(by_word["aba"])] == ["ab", "a"]
+
+
+def test_bpe_decode_round_trips_whole_corpus(spark):
+    rows = REGISTRY["c_token_bpe_decode"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r.round_trip == 1 for r in rows)
