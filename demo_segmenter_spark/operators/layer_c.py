@@ -11549,7 +11549,8 @@ WITH t0 AS (
     + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
     + f"""
 , bdec AS (
-    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS rebuilt,
+    SELECT doc_id,
+           string_agg(replace(tok, '_', ' '), ' ' ORDER BY pos) AS rebuilt,
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM t{BPE_ROUNDS} GROUP BY doc_id
 )
@@ -11562,9 +11563,11 @@ FROM documents d JOIN bdec b ON d.doc_id = b.doc_id
 def c_token_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE DECODE round-trip — the other tokenizer family's inverse,
     completing the symmetry with c_token_unigram_decode: the trained
-    merges fuse adjacent words with the space kept INSIDE the merged
-    token, so detokenization is exactly the space-join of the final
-    token sequence in position order, and the rebuilt text must be
+    merges fuse adjacent words with the reserved '_' joiner (the
+    artifact's internal representation; the corpus vocabulary is
+    underscore-free, asserted in tests), so detokenization replaces
+    the joiner and space-joins the final token sequence in position
+    order, and the rebuilt text must be
     byte-identical to the original (in-schema round_trip flag,
     certified 1 for every corpus doc). A wrong merge application —
     overlapping-run double-merge, a dropped token, a greedy-order
@@ -11585,7 +11588,7 @@ def c_token_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+                lambda s: F.replace(s["tok"], F.lit("_"), F.lit(" ")),
             ),
         ).alias("rebuilt"),
         F.count("*").cast("long").alias("n_tokens"),

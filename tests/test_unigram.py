@@ -237,5 +237,15 @@ def test_unigram_decode_crafted_multi_segmentation(spark):
 
 
 def test_bpe_decode_round_trips_whole_corpus(spark):
+    # decode inverts the reserved '_' merge joiner; that inversion is
+    # only sound if the raw vocabulary never contains it — assert both
     rows = REGISTRY["c_token_bpe_decode"].fn(spark, SF_SMOKE).collect()
     assert rows and all(r.round_trip == 1 for r in rows)
+    import duckdb
+
+    n_underscore = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) t "
+        f"FROM read_parquet('{SF_SMOKE}/documents.parquet')) "
+        "WHERE t LIKE '%\_%' ESCAPE '\\'"
+    ).fetchone()[0]
+    assert n_underscore == 0
