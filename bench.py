@@ -125,6 +125,13 @@ HEADLINE = [
     "a_session_capped",
     "b_rollup_hierarchy",
     "c_embed_rq",
+    # round 9: the IVFADC serving index, the hybrid SemDeDup recovery
+    # pass, the learned NB quality scorer, and the coupled-recurrence
+    # forecaster (segmented-scan class, two carried states)
+    "c_sim_ivfpq_adc",
+    "c_sim_dedup_kmeans_hybrid",
+    "c_quality_nb",
+    "a_forecast_holt",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

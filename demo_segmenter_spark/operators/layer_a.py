@@ -5549,3 +5549,93 @@ def a_stickiness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
         )
     )
+
+
+@query(
+    "a_trend_slope",
+    oracle="""
+WITH te AS (
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS daynum
+    FROM events
+), bounds AS (
+    SELECT min(daynum) AS lo, max(daynum) AS hi FROM te
+), grid AS (
+    SELECT t.event_type, g.d
+    FROM (SELECT DISTINCT event_type FROM te) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi)) AS d FROM bounds
+    ) g
+), daily AS (
+    SELECT g.event_type, g.d AS x,
+           CAST(count(te.daynum) AS BIGINT) AS y
+    FROM grid g
+    LEFT JOIN te ON te.event_type = g.event_type AND te.daynum = g.d
+    GROUP BY g.event_type, g.d
+), stats AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, sy AS n_events,
+       (round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) + 1e-10, 6)
+        + 0.0) AS slope_per_day,
+       (round((sy - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * sx)
+              * 1.0 / n + 1e-08, 4) + 0.0) AS intercept
+FROM stats
+""",
+)
+def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SEGMENT TREND — OLS slope of the daily event count per
+    event_type over the full observed day range (zero-filled gaps, so
+    a type that stops emitting trends DOWN instead of disappearing
+    from the regression): the growth/decay number every KPI dashboard
+    fits. Integer-OLS discipline (the c_text_zipf precedent, per
+    group): all five sufficient statistics are exact BIGINTs (epoch
+    days × counts stay far inside int64), so the slope is ONE division
+    of exact integers and the intercept a short identical-IEEE chain.
+    Scale: one events scan collapsing map-side to (type, day) partials,
+    a |types|×|days| zero-fill grid (broadcast bounds), and a ≤|types|
+    aggregate — the regression never sees event-level rows."""
+    ev = load_table(spark, sf_dir, "events")
+    te = ev.select(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 86_400_000_000)
+        .cast("long")
+        .alias("daynum"),
+    )
+    bounds = te.agg(F.min("daynum").alias("lo"), F.max("daynum").alias("hi"))
+    types = te.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("x"),
+    )
+    counts = te.groupBy("event_type", F.col("daynum").alias("x")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    daily = grid.join(counts, ["event_type", "x"], "left").na.fill(
+        0, ["y"]
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) * 1.0 / F.col("n")
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("n_events"),
+        rnd(slope, 6).alias("slope_per_day"),
+        rnd(intercept, 4).alias("intercept"),
+    )

@@ -11771,3 +11771,115 @@ def c_rag_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@query(
+    "c_dataset_repeat_upsample",
+    oracle=f"""
+WITH rsrc AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+    FROM documents GROUP BY lang
+), rtot AS (
+    SELECT sum(toks) AS ttoks FROM rsrc
+), rwr AS (
+    SELECT lang, n_docs, toks, ttoks,
+           CAST(round(pow(toks * 1.0 / ttoks, {MIX_TAU}) * 1000000000
+                      + {EPS[0]!r}) AS BIGINT) AS wr_nano
+    FROM rsrc CROSS JOIN rtot
+), rwsum AS (
+    SELECT sum(wr_nano) AS swr FROM rwr
+), rfac AS (
+    SELECT lang, n_docs, toks,
+           CAST(round((round(wr_nano * 1.0 / swr * 1000000 + {EPS[0]!r})
+                       / 1000000.0) / (toks * 1.0 / ttoks) * 1000
+                      + {EPS[0]!r}) AS BIGINT) AS f_milli
+    FROM rwr CROSS JOIN rwsum
+), rmul AS (
+    SELECT d.doc_id, d.lang,
+           (f.f_milli // 1000)
+           + CASE WHEN (d.doc_id * 2654435761) % 1000
+                       < (f.f_milli % 1000) THEN 1 ELSE 0 END AS mult
+    FROM documents d JOIN rfac f ON d.lang = f.lang
+)
+SELECT f.lang, f.n_docs, f.f_milli,
+       CAST(sum(m.mult) AS BIGINT) AS effective_docs,
+       CAST(sum(CASE WHEN m.mult = f.f_milli // 1000 + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extra_copies
+FROM rfac f JOIN rmul m ON f.lang = m.lang
+GROUP BY f.lang, f.n_docs, f.f_milli
+""",
+)
+def c_dataset_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSAMPLING MATERIALIZATION — turn c_mix_temperature's per-
+    language upsample factors into an actual per-document repeat plan
+    (the step that converts a mixing POLICY into a training MANIFEST):
+    each doc's multiplicity is the factor's integer part plus one
+    extra copy for a deterministic hash-selected fraction of docs
+    (the Knuth multiplicative hash against the factor's fractional
+    milli-part — no RNG, rerunnable, and the expected effective-docs
+    equals n_docs × factor by construction). Emits per language the
+    factor (milli), the effective doc count after repetition and how
+    many docs carry the extra copy — the numbers an epoch planner
+    audits against the policy. Chain is all-integer once the factor
+    is quantized to milli-units. Scale: the policy table is ≤|langs|
+    rows broadcast over one corpus scan; the multiplicity assignment
+    is map-side (the materialization itself would be one
+    explode(sequence(1, mult)) — deliberately not performed here, the
+    manifest is the deliverable)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lsrc = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+    )
+    ltot = lsrc.agg(F.sum("toks").alias("ttoks"))
+    lwr = lsrc.crossJoin(F.broadcast(ltot)).select(
+        "lang",
+        "n_docs",
+        "toks",
+        "ttoks",
+        F.round(
+            F.pow(F.col("toks") * 1.0 / F.col("ttoks"), MIX_TAU)
+            * 1_000_000_000
+            + F.lit(EPS[0])
+        )
+        .cast("long")
+        .alias("wr_nano"),
+    )
+    lwsum = lwr.agg(F.sum("wr_nano").alias("swr"))
+    w_micro = F.round(
+        F.col("wr_nano") * 1.0 / F.col("swr") * 1_000_000 + F.lit(EPS[0])
+    ).cast("long")
+    share = F.col("toks") * 1.0 / F.col("ttoks")
+    rfac = persist(
+        lwr.crossJoin(F.broadcast(lwsum)).select(
+            "lang",
+            "n_docs",
+            F.round(
+                (w_micro / 1_000_000.0) / share * 1000 + F.lit(EPS[0])
+            )
+            .cast("long")
+            .alias("f_milli"),
+        )
+    )
+    mult = F.expr("f_milli DIV 1000") + (
+        (F.col("doc_id") * 2654435761) % 1000 < (F.col("f_milli") % 1000)
+    ).cast("long")
+    rmul = docs.select("doc_id", "lang").join(
+        F.broadcast(rfac), "lang"
+    ).select("lang", "f_milli", mult.alias("mult"))
+    return (
+        rmul.groupBy("lang", "f_milli")
+        .agg(
+            F.sum("mult").cast("long").alias("effective_docs"),
+            F.sum(
+                (F.col("mult") == F.expr("f_milli DIV 1000") + 1).cast("int")
+            )
+            .cast("long")
+            .alias("n_extra_copies"),
+        )
+        .join(rfac.select("lang", "n_docs"), "lang")
+        .select(
+            "lang", "n_docs", "f_milli", "effective_docs", "n_extra_copies"
+        )
+    )

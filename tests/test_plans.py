@@ -542,6 +542,11 @@ def test_shuffle_budgets_table(spark):
         # weighted hybrid: both retriever plans + two pool limits,
         # two 2-scalar broadcasts, the 20-row fusion join
         "c_rag_hybrid_weighted": 16,
+        # trend: (type, day) partials + grid fill + <=|types| agg
+        "a_trend_slope": 3,
+        # upsample manifest: the temperature-policy aggregates +
+        # the broadcast per-lang multiplicity rollup
+        "c_dataset_repeat_upsample": 15,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
