@@ -11883,3 +11883,143 @@ def c_dataset_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "n_docs", "f_milli", "effective_docs", "n_extra_copies"
         )
     )
+
+
+PHASH_BITS = 60  # 60 blocks of 4 bytes (240 bytes); fits signed BIGINT
+PHASH_HAM = 10  # near-dup verification threshold
+
+
+@query(
+    "c_multimodal_phash_dedup",
+    oracle=f"""
+WITH pb AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), pbytes AS (
+    SELECT doc_id,
+           unnest(generate_series(1, least(n, {PHASH_BITS * 4}))) AS i
+    FROM pb
+), pvals AS (
+    SELECT pbytes.doc_id, (pbytes.i - 1) // 4 + 1 AS j,
+           CAST(concat('0x', substr(pb.hx, 2 * pbytes.i - 1, 2)) AS BIGINT)
+               AS v
+    FROM pbytes JOIN pb ON pbytes.doc_id = pb.doc_id
+), ptot AS (
+    SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts,
+           CAST(count(*) AS BIGINT) AS tc
+    FROM pvals GROUP BY doc_id
+), pblk AS (
+    SELECT v.doc_id, v.j, CAST(sum(v.v) AS BIGINT) AS bs,
+           CAST(count(*) AS BIGINT) AS bc
+    FROM pvals v GROUP BY v.doc_id, v.j
+), phash AS (
+    SELECT b.doc_id,
+           CAST(sum(CASE WHEN b.bs * t.tc > t.ts * b.bc
+                         THEN 1::BIGINT << (b.j - 1) ELSE 0 END) AS BIGINT)
+               AS h
+    FROM pblk b JOIN ptot t ON b.doc_id = t.doc_id
+    GROUP BY b.doc_id
+), pbands AS (
+    SELECT doc_id, h, k, (h >> (15 * k)) & 32767 AS band
+    FROM phash CROSS JOIN (
+        SELECT unnest(generate_series(0, 3)) AS k
+    )
+), pok AS (
+    SELECT k, band FROM pbands
+    GROUP BY k, band HAVING count(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+), pokb AS (
+    SELECT p.doc_id, p.h, p.k, p.band
+    FROM pbands p JOIN pok ON p.k = pok.k AND p.band = pok.band
+), pcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha,
+           b.doc_id AS doc_b, b.h AS hb
+    FROM pokb a JOIN pokb b
+      ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pcand
+WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM}
+""",
+)
+def c_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH near-dup over the BINARY modality — the image
+    dedup shape (average-hash + hamming banding) run on the opaque
+    blob column: {PHASH_BITS} blocks of 4 bytes each vote
+    block-mean > global-mean (computed as INTEGER cross-multiplies
+    bs·tc > ts·bc — no float means anywhere), the bits pack into one
+    signed-safe {PHASH_BITS}-bit BIGINT, candidates come from 4
+    15-bit hash BANDS (the simhash banding idiom with the standard
+    size cap), and pairs verify at hamming <= {PHASH_HAM} via
+    bit_count(xor). With real codecs the block means come from pixel
+    luma after decode — the plumbing, banding and verification are
+    IDENTICAL (the functions/multimodal.py stand-in contract), and
+    the Arrow-batched numpy hash below is exactly where a decoded
+    pixel matrix would slot in. Full DuckDB hash oracle: the blob
+    bytes replay through hex() arithmetic, so the certified path is
+    bytes → bits → bands → verified pairs with zero tolerance.
+    Scale: hashing is one Arrow-batched scan (map-side); the banding
+    join is the capped (band, key) exchange; verification touches two
+    BIGINTs per candidate — never the blobs."""
+    import numpy as np
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .withColumn("content_bin", F.encode("text", "utf-8"))
+        .select("doc_id", "content_bin")
+    )
+
+    @F.pandas_udf("long")
+    def ahash(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            raw = bytes(b)[: PHASH_BITS * 4]
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            ts, tc = int(arr.sum()), len(arr)
+            h = 0
+            for j in range(PHASH_BITS):
+                blk = arr[4 * j : 4 * j + 4]
+                if len(blk) and int(blk.sum()) * tc > ts * len(blk):
+                    h |= 1 << j
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    ph = persist(docs.select("doc_id", ahash("content_bin").alias("h")))
+    bands = ph.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        "doc_id",
+        "h",
+        "k",
+        F.expr("(h >> (15 * k)) & 32767").alias("band"),
+    )
+    w_cap = Window.partitionBy("k", "band")
+    okb = (
+        bands.withColumn("nb", F.count("*").over(w_cap))
+        .filter((F.col("nb") >= 2) & (F.col("nb") <= SHINGLE_DF_CAP))
+        .drop("nb")
+    )
+    cand = (
+        okb.select(
+            F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), "k", "band"
+        )
+        .join(
+            okb.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("h").alias("hb"),
+                "k",
+                "band",
+            ),
+            ["k", "band"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ha", "doc_b", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ha ^ hb")).cast("long")
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAM)

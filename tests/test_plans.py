@@ -547,6 +547,9 @@ def test_shuffle_budgets_table(spark):
         # upsample manifest: the temperature-policy aggregates +
         # the broadcast per-lang multiplicity rollup
         "c_dataset_repeat_upsample": 15,
+        # phash dedup: map-side Arrow hashing + the capped (k, band)
+        # exchange; verification touches two BIGINTs per candidate
+        "c_multimodal_phash_dedup": 2,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,

@@ -59,3 +59,29 @@ def test_blocklist_fixture_has_all_tiers(spark):
     rows = REGISTRY["c_safety_blocklist"].fn(spark, SF_SMOKE).collect()
     verdicts = {r.verdict for r in rows}
     assert "clean" in verdicts and "flagged" in verdicts, verdicts
+
+
+def test_phash_dedup_crafted_planted_pair(spark):
+    # Two blobs sharing their first 240 bytes must hash identically
+    # (hamming 0) and surface as a pair; an unrelated byte pattern
+    # must not pair with them at the threshold.
+    import os
+    import uuid
+
+    shared = ("alpha beta gamma delta " * 20)[:300]
+    rows = [
+        (0, shared + " tail one", "en", "web", 309),
+        (1, shared + " other tail entirely", "en", "web", 320),
+        (2, "zz " * 100, "en", "web", 300),
+    ]
+    base = f"/tmp/dss_crafted/{uuid.uuid4().hex[:8]}"
+    os.makedirs(base)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["c_multimodal_phash_dedup"].fn(spark, base).collect()
+    }
+    assert got.get((0, 1)) == 0, got
+    assert all(2 not in pair for pair in got), got
