@@ -479,22 +479,21 @@ def test_shuffle_budgets_table(spark):
         # (persisted — runtime once) + the LUT crossJoins (broadcast)
         # + the per-query rank window over the CODES table
         "c_sim_rq_adc": 62,
-        # IVFADC: the deepest composition in the suite — _kmeans_train
-        # + coarse ranked-assign + per-subspace PQ Lloyd round + ADC
-        # scoring + the in-schema exact-recall twin; every training
-        # subtree is persisted (runtime pays each ONCE, the pca/kcore
-        # static-plan precedent), codebooks/LUTs/probes all broadcast,
-        # and the serving join touches only the 4-codes-per-vector
-        # index rows of the probed cells
-        "c_sim_ivfpq_adc": 143,
+        # IVFADC: the deepest composition in the suite; every
+        # accumulation point is a tracked local_checkpoint (lineage
+        # truncation measured 7.8-9.3s -> 5.0-6.2s at sf0.1, identical
+        # results), so the POST-TRUNCATION plan shows only the serving
+        # exchanges — ADC rollup, rank window, recall rollup — with
+        # codebooks/LUTs/probes broadcast
+        "c_sim_ivfpq_adc": 5,
         # hybrid SemDeDup: the kmeans-train chain + assignment window
         # + the within-cluster pair join + the RHP banding join (both
         # bounded shapes) + the per-victim best window; training
         # subtrees persisted (runtime once)
         "c_sim_dedup_kmeans_hybrid": 42,
-        # IVFADC + refine: the shared _ivfpq_scored chain (persisted)
-        # + the query-proportional shortlist re-rank joins
-        "c_sim_ivfpq_refine": 145,
+        # IVFADC + refine: the checkpointed _ivfpq_scored chain + the
+        # query-proportional shortlist re-rank joins
+        "c_sim_ivfpq_refine": 2,
         # NB quality classifier: the 128-bucket count rollup (map-side
         # partials -> 128 rows), the broadcast-scored per-doc sum, and
         # the final doc join; weight/prior tables broadcast
