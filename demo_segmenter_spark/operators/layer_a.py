@@ -5639,3 +5639,128 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(slope, 6).alias("slope_per_day"),
         rnd(intercept, 4).alias("intercept"),
     )
+
+
+@query(
+    "a_lifecycle_stage",
+    oracle="""
+WITH ue AS (
+    SELECT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS daynum
+    FROM events
+), ur AS (
+    SELECT user_id, min(daynum) AS first_day, max(daynum) AS last_day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ue GROUP BY user_id
+), gmax AS (
+    SELECT max(last_day) AS gm FROM ur
+)
+SELECT user_id, first_day, last_day, n_events,
+       gm - last_day AS recency_days,
+       CASE WHEN gm - first_day <= 30 THEN 'new'
+            WHEN gm - last_day <= 7 THEN 'active'
+            WHEN gm - last_day <= 30 THEN 'at_risk'
+            ELSE 'churned' END AS stage
+FROM ur CROSS JOIN gmax
+""",
+)
+def a_lifecycle_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER LIFECYCLE STAGES — the segmentation every growth dashboard
+    keys on: per user, first/last active day and a stage derived from
+    recency vs the corpus frontier (new = first seen within 30 days of
+    the frontier, active = seen in the last 7, at_risk = 8-30 days
+    quiet, churned = older). Precedence matters and is pinned: a brand
+    new user is 'new' even though they are also trivially 'active' —
+    the CASE order IS the business rule. All exact epoch-day BIGINT
+    arithmetic against one broadcast frontier scalar. Scale: one
+    events scan collapsing to per-user (min, max, count) map-side
+    partials + a 1-row broadcast — the cheapest possible full-corpus
+    segmentation."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 86_400_000_000)
+        .cast("long")
+        .alias("daynum"),
+    )
+    ur = ue.groupBy("user_id").agg(
+        F.min("daynum").alias("first_day"),
+        F.max("daynum").alias("last_day"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    gmax = ur.agg(F.max("last_day").alias("gm"))
+    rec = F.col("gm") - F.col("last_day")
+    stage = (
+        F.when(F.col("gm") - F.col("first_day") <= 30, "new")
+        .when(rec <= 7, "active")
+        .when(rec <= 30, "at_risk")
+        .otherwise("churned")
+    )
+    return ur.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        "first_day",
+        "last_day",
+        "n_events",
+        rec.alias("recency_days"),
+        stage.alias("stage"),
+    )
+
+
+@query(
+    "a_streaks",
+    oracle="""
+WITH se AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), isl AS (
+    SELECT user_id,
+           rn - row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS grp
+    FROM se WHERE is_err = 1
+), runs AS (
+    SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_error_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_streaks_ge3
+FROM runs GROUP BY user_id
+""",
+)
+def a_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR STREAKS — the GAPS-AND-ISLANDS pattern (the one classic
+    windowing shape the suite hadn't pinned): consecutive runs of
+    'error' events per user, found by the rank-difference trick — a
+    global per-user row_number minus a row_number over only the error
+    rows is CONSTANT within a consecutive error run, so runs fall out
+    of one groupBy on that difference, no self-joins and no iterative
+    logic. Emits per affected user the longest streak, streak count,
+    and how many streaks reached the alerting threshold (>=3 — the
+    'degraded session' flag an SRE dashboard pages on). Ordering is
+    the (ts, event_id) total order throughout; all counts exact.
+    Scale: ONE user_id exchange carries both row_numbers and the run
+    groupBy (same partition keys) — the pattern's entire cost is the
+    sessionize exchange it shares."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    se = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("event_type") == "error"
+    )
+    w_err = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    isl = se.withColumn("grp", F.col("rn") - F.row_number().over(w_err))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_error_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum((F.col("run_len") >= 3).cast("int"))
+        .cast("long")
+        .alias("n_streaks_ge3"),
+    )

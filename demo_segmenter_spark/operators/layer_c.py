@@ -12033,3 +12033,56 @@ def c_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= PHASH_HAM)
+
+
+@query(
+    "c_doc_novelty",
+    oracle="""
+WITH nt AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), firsts AS (
+    SELECT tok, min(doc_id) AS first_doc FROM nt GROUP BY tok
+), per AS (
+    SELECT nt.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(CASE WHEN f.first_doc = nt.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first
+    FROM nt JOIN firsts f ON nt.tok = f.tok
+    GROUP BY nt.doc_id
+)
+SELECT doc_id, n_toks, n_first,
+       (round(n_first * 1.0 / n_toks + 1e-8, 4) + 0.0) AS novelty
+FROM per
+""",
+)
+def c_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT NOVELTY — the fraction of a doc's token occurrences
+    whose token first enters the corpus AT that doc (first-occurrence
+    mass under the doc_id ingestion order): the cheap vocabulary-
+    growth signal data curators track — high-novelty docs extend
+    coverage, a long tail of zero-novelty docs means the crawl is
+    saturating (the curriculum and dedup families both consume this).
+    Attribution is keep-first (min doc_id per token — the dedup
+    convention), counts exact BIGINTs, one final division. Scale: one
+    token-keyed exchange for the firsts table (map-side partial min),
+    re-joined to the token stream and rolled up per doc — the idf
+    plan shape with min instead of count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    nt = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = nt.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        nt.join(firsts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_first"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_toks",
+        "n_first",
+        rnd(F.col("n_first") * 1.0 / F.col("n_toks"), 4).alias("novelty"),
+    )

@@ -549,6 +549,13 @@ def test_shuffle_budgets_table(spark):
         # phash dedup: map-side Arrow hashing + the capped (k, band)
         # exchange; verification touches two BIGINTs per candidate
         "c_multimodal_phash_dedup": 2,
+        # lifecycle: per-user partials + 1-row frontier broadcast
+        "a_lifecycle_stage": 3,
+        # streaks: gaps-and-islands — both row_numbers and the run
+        # groupBy share ONE user_id exchange
+        "a_streaks": 1,
+        # novelty: token-keyed firsts + doc rollup
+        "c_doc_novelty": 2,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,
