@@ -5764,3 +5764,100 @@ def a_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_streaks_ge3"),
     )
+
+
+@query(
+    "a_cart_abandonment",
+    oracle="""
+WITH cl AS (
+    SELECT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS daynum,
+           min(epoch_us(ts)) AS first_click_us
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, daynum
+), conv AS (
+    SELECT cl.user_id, cl.daynum,
+           CAST(CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = cl.user_id
+                 AND epoch_us(p.ts) >= cl.first_click_us
+                 AND epoch_us(p.ts) < cl.first_click_us + 86400000000
+           ) THEN 1 ELSE 0 END AS INT) AS converted
+    FROM cl
+)
+SELECT daynum * 86400000000 AS day_us,
+       CAST(count(*) AS BIGINT) AS n_clickers,
+       CAST(sum(1 - converted) AS BIGINT) AS n_abandoned,
+       (round(sum(1 - converted) * 1.0 / count(*) + 1e-8, 4) + 0.0)
+           AS abandonment_rate
+FROM conv GROUP BY daynum
+""",
+)
+def a_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART ABANDONMENT — the e-commerce funnel-leak KPI: per day, the
+    fraction of clicking users (click = the add-to-cart proxy in this
+    event taxonomy) whose first click of the day is NOT followed by a
+    purchase within 24 hours. Implemented with the union-tag carry
+    shape rather than the oracle's correlated EXISTS: clicks and
+    purchases merge into one user-ordered stream, a reverse-ordered
+    window carries each row's NEXT purchase timestamp, and the 24h
+    bound is a post-filter — ONE user_id exchange, no clicksxpurchases
+    join (the a_attribution rewrite applied forward). Day arithmetic
+    on exact epoch-day BIGINTs; rate is one division of exact counts.
+    At 100 TB the same topology streams: purchase state expires 24h
+    past the watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 86_400_000_000)
+            .cast("long")
+            .alias("daynum"),
+            us.alias("us"),
+        )
+        .groupBy("user_id", "daynum")
+        .agg(F.min("us").alias("first_click_us"))
+        .select("user_id", "daynum", F.col("first_click_us").alias("us"),
+                F.lit(0).alias("kind"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("long").alias("daynum"),
+        us.alias("us"),
+        F.lit(1).alias("kind"),
+    )
+    u = clicks.unionByName(buys)
+    # next purchase at-or-after each row: reverse order, carry min of
+    # purchase timestamps seen so far (kind desc puts a purchase AT the
+    # same us before the click so an instant conversion counts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.min(F.when(F.col("kind") == 1, F.col("us"))).over(w)
+    conv = (
+        u.withColumn("next_buy_us", nxt)
+        .filter(F.col("kind") == 0)
+        .select(
+            "daynum",
+            (
+                F.col("next_buy_us").isNotNull()
+                & (F.col("next_buy_us") < F.col("us") + 86_400_000_000)
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+    )
+    return conv.groupBy("daynum").agg(
+        (F.col("daynum") * 86_400_000_000).alias("day_us"),
+        F.count("*").cast("long").alias("n_clickers"),
+        F.sum(1 - F.col("converted")).cast("long").alias("n_abandoned"),
+        rnd(
+            F.sum(1 - F.col("converted")) * 1.0 / F.count("*"), 4
+        ).alias("abandonment_rate"),
+    ).select("day_us", "n_clickers", "n_abandoned", "abandonment_rate")

@@ -12086,3 +12086,213 @@ def c_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_first",
         rnd(F.col("n_first") * 1.0 / F.col("n_toks"), 4).alias("novelty"),
     )
+
+
+@query(
+    "c_chunk_dedup",
+    oracle=f"""
+WITH cdt AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), cds AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    FROM cdt
+), cdc AS (
+    SELECT doc_id, CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           md5(array_to_string(t[start:start+{CHUNK_TOKENS - 1}], ' ')) AS h
+    FROM cds
+), cdf AS (
+    SELECT h, min(doc_id * 1048576 + chunk_id) AS canon,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM cdc GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_copies >= 2
+                      AND c.doc_id * 1048576 + c.chunk_id <> f.canon
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       (round(sum(CASE WHEN f.n_copies >= 2
+                        AND c.doc_id * 1048576 + c.chunk_id <> f.canon
+                  THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-8, 4) + 0.0)
+           AS dup_chunk_ratio
+FROM cdc c JOIN cdf f ON c.h = f.h
+GROUP BY c.doc_id
+""",
+)
+def c_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL dedup audit — the RAG-index hygiene pass: after
+    c_chunking's overlapping windows, how much of each document's
+    chunk set is a verbatim copy of a chunk seen EARLIER in the corpus
+    (keep-first on the global (doc_id, chunk_id) order — the dedup
+    attribution convention)? Retrieval indexes bloat and retrieval
+    diversity collapses when boilerplate chunks repeat across
+    documents; this emits per doc its chunk count, duplicate-chunk
+    count and ratio, the numbers an index builder thresholds before
+    embedding (embedding cost is per CHUNK, so dup_chunk_ratio is
+    literally wasted GPU spend). All-integer counting over md5 chunk
+    keys; the composite (doc_id·2^20 + chunk_id) keep-first key is
+    exact BIGINT. Scale: the chunk explode is map-side (c_chunking's
+    shape); one hash-keyed exchange for the copies table; one doc
+    rollup."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    cdc = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+        F.md5(F.concat_ws(" ", chunk)).alias("h"),
+    )
+    key = F.col("doc_id") * 1_048_576 + F.col("chunk_id")
+    cdf = cdc.groupBy("h").agg(
+        F.min(key).alias("canon"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    dup = (F.col("n_copies") >= 2) & (key != F.col("canon"))
+    per = (
+        cdc.join(cdf, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_chunks"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        rnd(F.col("n_dup_chunks") * 1.0 / F.col("n_chunks"), 4).alias(
+            "dup_chunk_ratio"
+        ),
+    )
+
+
+@query(
+    "c_dedup_report",
+    oracle=_SHINGLE_CTE
+    + _CAPPED_SHINGLE_SQL
+    + f"""
+, rp_exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_affected
+    FROM (
+        SELECT md5(text) AS h, count(*) AS c FROM documents
+        GROUP BY md5(text) HAVING count(*) >= 2
+    ) g JOIN documents d ON md5(d.text) = g.h
+), rp_norm AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_affected
+    FROM (
+        SELECT md5(coalesce(array_to_string(
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x NOT IN {_STOPWORDS_SQL}), ' '), ''))
+                   AS h,
+               count(*) AS c
+        FROM documents
+        GROUP BY 1 HAVING count(*) >= 2
+    ) g
+    JOIN documents d
+      ON md5(coalesce(array_to_string(
+             list_filter(string_split(lower(d.text), ' '),
+                         x -> x NOT IN {_STOPWORDS_SQL}), ' '), '')) = g.h
+), rp_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM shc a
+    JOIN shc b ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), rp_near AS (
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_affected FROM (
+        SELECT doc_a AS doc_id FROM rp_pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.5
+        UNION ALL
+        SELECT doc_b FROM rp_pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.5
+    )
+), rp_n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT family, n_affected, n_docs,
+       (round(n_affected * 1.0 / n_docs + 1e-8, 4) + 0.0) AS affected_ratio
+FROM (
+    SELECT 'exact' AS family, (SELECT n_affected FROM rp_exact) AS n_affected
+    UNION ALL
+    SELECT 'normalized', (SELECT n_affected FROM rp_norm)
+    UNION ALL
+    SELECT 'near_jaccard_05', (SELECT n_affected FROM rp_near)
+) CROSS JOIN rp_n
+""",
+)
+def c_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP AUDIT DASHBOARD — one row per dedup family with the
+    affected-document count and ratio: exact (byte hash), normalized
+    (case/stopword-insensitive — c_dedup_exact_normalized's normal
+    form) and near (capped-shingle Jaccard >= 0.5). This is the
+    summary a curation run publishes before anyone decides thresholds:
+    families are strictly orderable (exact ⊆ normalized by
+    construction — pinned in tests) and the near count contextualizes
+    how much more a fuzzy pass would remove. Each family reuses its
+    certified machinery; counts are exact, one division per row.
+    Scale: three hash-keyed aggregates + the capped pair join — the
+    standalone families' plans, composed; the report itself is 3
+    rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sw = ("the", "a", "of", "and", "to", "in")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def affected(keyed: DataFrame, family: str) -> DataFrame:
+        grp = keyed.groupBy("h").agg(F.count("*").alias("c")).filter(
+            "c >= 2"
+        )
+        return keyed.join(grp, "h").agg(
+            F.lit(family).alias("family"),
+            F.count(F.lit(1)).cast("long").alias("n_affected"),
+        )
+
+    exact = affected(docs.select(F.md5("text").alias("h")), "exact")
+    norm_toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: ~x.isin(*sw)
+    )
+    norm = affected(
+        docs.select(
+            F.md5(F.coalesce(F.concat_ws(" ", norm_toks), F.lit(""))).alias(
+                "h"
+            )
+        ),
+        "normalized",
+    )
+    sh = _shingle_doc_table(docs, _hashed_shingles())
+    pairs = _shingle_pairs(sh)
+    j = F.col("inter") * 1.0 / (
+        F.col("sza") + F.col("szb") - F.col("inter")
+    )
+    near_pairs = pairs.filter(j >= 0.5)
+    near = (
+        near_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(near_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .agg(
+            F.lit("near_jaccard_05").alias("family"),
+            F.count(F.lit(1)).cast("long").alias("n_affected"),
+        )
+    )
+    return (
+        exact.unionByName(norm)
+        .unionByName(near)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "family",
+            "n_affected",
+            "n_docs",
+            rnd(F.col("n_affected") * 1.0 / F.col("n_docs"), 4).alias(
+                "affected_ratio"
+            ),
+        )
+    )

@@ -556,6 +556,15 @@ def test_shuffle_budgets_table(spark):
         "a_streaks": 1,
         # novelty: token-keyed firsts + doc rollup
         "c_doc_novelty": 2,
+        # chunk dedup: map-side chunk explode + hash-keyed copies +
+        # doc rollup
+        "c_chunk_dedup": 2,
+        # dedup report: three family plans composed (hash groupBys +
+        # the capped pair join) into a 3-row union
+        "c_dedup_report": 11,
+        # cart abandonment: ONE user exchange carries the next-buy
+        # carry window; per-day rollup
+        "a_cart_abandonment": 3,
         # nearest asof: both direction frames ride ONE exchange and
         # ONE sort (verified: 1 Sort node in the physical plan)
         "b_join_asof_nearest": 1,

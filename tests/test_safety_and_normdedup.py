@@ -85,3 +85,14 @@ def test_phash_dedup_crafted_planted_pair(spark):
     }
     assert got.get((0, 1)) == 0, got
     assert all(2 not in pair for pair in got), got
+
+
+def test_dedup_report_families_are_ordered(spark):
+    # exact-affected docs are a subset of normalized-affected by
+    # construction (the normal form only merges classes)
+    rows = {
+        r.family: r.n_affected
+        for r in REGISTRY["c_dedup_report"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"exact", "normalized", "near_jaccard_05"}
+    assert rows["exact"] <= rows["normalized"], rows
