@@ -49,3 +49,55 @@ def test_bench_runs_and_emits_contract_json():
     drift = d["drift"]
     assert set(drift) >= {"ratios", "median_ratio", "outliers"}
     assert isinstance(drift["ratios"], dict)
+
+
+def test_secondary_anchor_drift_gate(tmp_path):
+    """Round-9 ADVICE: secondary timings are single-run first visits, so
+    a run whose HEADLINE median drift was >= SECONDARY_ANCHOR_DRIFT_BAR
+    must not mint secondary minima (an anchor minted on a 1.4x-drift day
+    is inflated and hides a later real regression). Headline rows stay
+    unconditional; legacy artifacts without a drift block still count."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    def art(name, doc):
+        (tmp_path / name).write_text(json.dumps(doc))
+
+    # clean-day run: headline median 1.02 -> secondary minted
+    art("BENCH_self_a.json", {
+        "sf": 0.1,
+        "queries": {"q_head": 1.0},
+        "drift": {"median_ratio": 1.02},
+        "secondary": {"queries": {"q_sec_clean": 2.0}},
+    })
+    # drifted-day run: headline median 1.40 -> secondary NOT minted,
+    # headline still harvested (and can lower q_head)
+    art("BENCH_self_b.json", {
+        "sf": 0.1,
+        "queries": {"q_head": 0.9},
+        "drift": {"median_ratio": 1.40},
+        "secondary": {"queries": {"q_sec_drifted": 1.5, "q_sec_clean": 0.1}},
+    })
+    # legacy artifact with no drift block -> everything harvested
+    art("BENCH_r1.json", {
+        "sf": 0.1,
+        "queries": {"q_legacy": 3.0},
+        "secondary": {"queries": {"q_sec_legacy": 4.0}},
+    })
+    # wrong sf -> ignored entirely
+    art("BENCH_self_c.json", {
+        "sf": 0.01,
+        "queries": {"q_other_sf": 9.0},
+        "drift": {"median_ratio": 1.0},
+    })
+
+    minima = bench._committed_minima(0.1, here=str(tmp_path))
+    assert minima == {
+        "q_head": 0.9,          # headline min across both runs
+        "q_sec_clean": 2.0,     # clean-day visit only; 0.1 from the
+                                # drifted run is rejected wholesale
+        "q_legacy": 3.0,
+        "q_sec_legacy": 4.0,    # legacy artifacts predate the gate
+    }
+    assert "q_sec_drifted" not in minima
+    assert "q_other_sf" not in minima
