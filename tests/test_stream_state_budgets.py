@@ -46,6 +46,10 @@ STATE_BUDGETS = {
     "a_forecast_holt_stream": 15,
     "a_funnel_stream": 15,
     "a_gapfill_locf_stream": 397,
+    # KIP-213 FK join twin: all KTable state lives in the three
+    # versioned manifest tables (left/right stores + compacted out),
+    # not the StateStore — growth pinned in tests/test_fkjoin_stream.py
+    "a_ktable_fk_join_stream": 0,
     "a_new_vs_returning_stream": 15,
     "a_ohlc_stream": 868,
     "a_peak_concurrency_stream": 492,
