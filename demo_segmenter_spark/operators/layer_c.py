@@ -12296,3 +12296,404 @@ def c_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer family (round-10 verdict ask #3) — the third
+# production tokenizer next to BPE and unigram-LM (Schuster & Nakajima
+# 2012 / BERT): training merges the pair maximizing the LIKELIHOOD
+# score pair_count / (cnt_left * cnt_right) (not the raw count — BPE's
+# rule), encoding is greedy longest-match-first against the final
+# vocabulary (not merge replay — the BERT runtime algorithm), and
+# decoding replaces the reserved '_' joiner and must round-trip every
+# corpus document byte-for-byte (tests/test_wordpiece.py, written
+# first — the BPE joiner lesson).
+# ---------------------------------------------------------------------------
+
+WP_ROUNDS = 2
+WP_SCALE = 1_000_000_000  # integer score resolution: (c*WP_SCALE) DIV (ca*cb)
+WP_LMAX = 2 ** WP_ROUNDS  # longest piece in word-units after WP_ROUNDS merges
+
+
+def _wp_argmax(aug: DataFrame, ucnt: DataFrame) -> DataFrame:
+    """1-row corpus argmax pair under the WordPiece likelihood score,
+    integer-exact: score_q = (pair_count * WP_SCALE) DIV (cnt_a*cnt_b)
+    — pure BIGINT floor division, bit-identical in Spark (DIV) and
+    DuckDB (//), no float ever touched (bounds: pair_count*WP_SCALE
+    <= 3e14 and cnt_a*cnt_b <= 8e10 at sf0.1, far inside int64).
+    Quantization ties resolve by the (a, b) total order — the same
+    tiebreak discipline as _bpe_argmax."""
+    ca = ucnt.select(F.col("tok").alias("_a"), F.col("uc").alias("ca"))
+    cb = ucnt.select(F.col("tok").alias("_b"), F.col("uc").alias("cb"))
+    return persist(
+        aug.filter(F.col("b").isNotNull())
+        .groupBy("tok", "b")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(ca), F.col("tok") == F.col("_a"))
+        .join(F.broadcast(cb), F.col("b") == F.col("_b"))
+        .withColumn(
+            "sq",
+            F.expr(f"(c * CAST({WP_SCALE} AS BIGINT)) DIV (ca * cb)"),
+        )
+        .orderBy(F.col("sq").desc(), "tok", "b")
+        .limit(1)
+        .select(
+            F.col("tok").alias("ba"),
+            F.col("b").alias("bb"),
+            F.col("c").alias("pair_count"),
+            "ca",
+            "cb",
+            "sq",
+        )
+    )
+
+
+def _wp_train_docs(docs: DataFrame):
+    """Shared WordPiece training chain over an arbitrary documents
+    frame: returns (docs, t0, final toks, [best rows], [mid tables]).
+    Each round: unit counts + adjacent pairs (one doc-partitioned
+    window chain, map-side-partial counts), the likelihood argmax
+    (vocab^2-bounded partials, 1-row broadcast), then the SAME greedy
+    non-overlapping merge pass as BPE (_bpe_apply — the pass semantics
+    are family-independent; only the selection rule differs)."""
+    t0 = persist(_bpe_tokenize0(docs))
+    toks = t0
+    bests, ms = [], []
+    for _ in range(WP_ROUNDS):
+        ucnt = toks.groupBy("tok").agg(F.count("*").alias("uc"))
+        aug = _bpe_aug(toks)
+        best = _wp_argmax(aug, ucnt)
+        m, toks = _bpe_apply(aug, best)
+        bests.append(best)
+        ms.append(m)
+    return docs, t0, toks, bests, ms
+
+
+def _wp_vocab_set(t0: DataFrame, bests: list) -> set:
+    """The trained vocabulary as the broadcastable tokenizer artifact:
+    every initial word unit plus the WP_ROUNDS merged pieces. Bounded
+    by |distinct words| + WP_ROUNDS — the same vocabulary-bounded
+    collect() justification as the unigram Viterbi dict."""
+    vocab = {r["tok"] for r in t0.select("tok").distinct().collect()}
+    for b in bests:
+        r = b.first()
+        vocab.add(f"{r['ba']}_{r['bb']}")
+    return vocab
+
+
+def wordpiece_encode_docs(docs: DataFrame) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding of ``docs``
+    against the vocabulary trained on the same frame: one Arrow-batched
+    mapInPandas pass per document with the vocab broadcast as a plain
+    set (the segmented-scan form — the per-document greedy walk is an
+    inherently sequential pointer chase, and WP_LMAX bounds each step's
+    lookahead). Every single word is in the vocab by construction, so
+    the walk always advances and encoding the training corpus never
+    emits UNK. Returns (doc_id, pos, tok)."""
+    import pandas as pd
+
+    _, t0, _, bests, _ = _wp_train_docs(docs)
+    sc = docs.sparkSession.sparkContext
+    bv = sc.broadcast(_wp_vocab_set(t0, bests))
+
+    def seg(batches):
+        vocab = bv.value
+        for pdf in batches:
+            out_d, out_p, out_t = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                i, outpos, n = 0, 0, len(words)
+                while i < n:
+                    for l in range(min(WP_LMAX, n - i), 0, -1):
+                        piece = "_".join(words[i : i + l])
+                        if piece in vocab:
+                            outpos += 1
+                            out_d.append(doc_id)
+                            out_p.append(outpos)
+                            out_t.append(piece)
+                            i += l
+                            break
+            yield pd.DataFrame({"doc_id": out_d, "pos": out_p, "tok": out_t})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        seg, "doc_id long, pos long, tok string"
+    )
+
+
+def _wp_round_sql(r: int) -> str:
+    """One WordPiece training round in DuckDB: unit counts + pair
+    counts + the integer-quantized likelihood argmax, then the SAME
+    greedy-merge replay sub-chain as _bpe_round_sql (o/c/i/m/d/t)."""
+    prev = f"t{r - 1}"
+    return f"""
+, ucnt{r} AS MATERIALIZED (
+    SELECT tok, count(*) AS uc FROM {prev} GROUP BY tok
+), aug{r} AS (
+    SELECT doc_id, pos, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM {prev}
+), pr{r} AS (
+    SELECT tok AS a, b, count(*) AS c
+    FROM aug{r} WHERE b IS NOT NULL
+    GROUP BY tok, b
+), best{r} AS MATERIALIZED (
+    SELECT pr{r}.a, pr{r}.b, pr{r}.c, ua.uc AS ca, ub.uc AS cb,
+           (pr{r}.c * {WP_SCALE}) // (ua.uc * ub.uc) AS sq
+    FROM pr{r}
+    JOIN ucnt{r} ua ON pr{r}.a = ua.tok
+    JOIN ucnt{r} ub ON pr{r}.b = ub.tok
+    ORDER BY sq DESC, a, b LIMIT 1
+), o{r} AS (
+    SELECT g.doc_id, g.pos, g.tok, g.b,
+           CASE WHEN g.tok = best{r}.a AND g.b = best{r}.b
+                THEN 1 ELSE 0 END AS occ
+    FROM aug{r} g CROSS JOIN best{r}
+), c{r} AS (
+    SELECT *, sum(occ) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM o{r}
+), i{r} AS (
+    SELECT *, CASE WHEN occ = 1 THEN row_number() OVER (
+                  PARTITION BY doc_id, CASE WHEN occ = 1 THEN pos - cum END
+                  ORDER BY pos) END AS occ_idx
+    FROM c{r}
+), m{r} AS (
+    SELECT *, (occ = 1 AND occ_idx % 2 = 1) AS merged FROM i{r}
+), d{r} AS (
+    SELECT *, lag(merged) OVER (PARTITION BY doc_id ORDER BY pos)
+              AS prev_merged
+    FROM m{r}
+), t{r} AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                AS BIGINT) AS pos,
+           CASE WHEN merged THEN tok || '_' || b ELSE tok END AS tok
+    FROM d{r}
+    WHERE prev_merged IS NULL OR NOT prev_merged
+), s{r} AS (
+    SELECT {r} AS round, best{r}.a AS tok_a, best{r}.b AS tok_b,
+           CAST(best{r}.c AS BIGINT) AS pair_count,
+           CAST(best{r}.ca AS BIGINT) AS cnt_a,
+           CAST(best{r}.cb AS BIGINT) AS cnt_b,
+           CAST(best{r}.sq AS BIGINT) AS score_q,
+           CAST((SELECT sum(CASE WHEN merged THEN 1 ELSE 0 END) FROM m{r})
+                AS BIGINT) AS n_merges,
+           best{r}.a || '_' || best{r}.b AS new_token
+    FROM best{r}
+)"""
+
+
+_WP_T0_SQL = """
+WITH RECURSIVE t0 AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+)"""
+
+_WP_CHAIN_SQL = _WP_T0_SQL + "".join(
+    _wp_round_sql(r) for r in range(1, WP_ROUNDS + 1)
+)
+
+# Trained vocabulary + greedy longest-match-first segmentation replay:
+# candidate pieces per start position via bounded lead() lookahead,
+# longest-match resolution via left joins to the vocab (longest wins in
+# the COALESCE), then the greedy walk itself as a recursive CTE whose
+# frontier advances each doc's cursor by the matched length — the
+# pointer chase terminates because every single word is in the vocab.
+_WP_ENCODE_TAIL_SQL = f"""
+, wvocab AS MATERIALIZED (
+    SELECT DISTINCT tok AS piece FROM t0
+    UNION
+    SELECT a || '_' || b FROM best1
+    UNION
+    SELECT a || '_' || b FROM best2
+), wvid AS MATERIALIZED (
+    SELECT piece,
+           CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS token_id
+    FROM wvocab
+), wcand AS (
+    SELECT doc_id, pos, tok AS p1,
+           tok || '_' || lead(tok, 1) OVER w AS p2,
+           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w
+               AS p3,
+           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w
+               || '_' || lead(tok, 3) OVER w AS p4
+    FROM t0
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), wbest AS MATERIALIZED (
+    SELECT c.doc_id, c.pos,
+           CASE WHEN v4.piece IS NOT NULL THEN 4
+                WHEN v3.piece IS NOT NULL THEN 3
+                WHEN v2.piece IS NOT NULL THEN 2
+                ELSE 1 END AS l,
+           COALESCE(v4.piece, v3.piece, v2.piece, c.p1) AS piece
+    FROM wcand c
+    LEFT JOIN wvocab v4 ON c.p4 = v4.piece
+    LEFT JOIN wvocab v3 ON c.p3 = v3.piece
+    LEFT JOIN wvocab v2 ON c.p2 = v2.piece
+), wwalk AS (
+    SELECT doc_id, CAST(1 AS BIGINT) AS upos
+    FROM (SELECT DISTINCT doc_id FROM t0)
+    UNION ALL
+    SELECT w.doc_id, w.upos + b.l
+    FROM wwalk w
+    JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
+), wseg AS MATERIALIZED (
+    SELECT w.doc_id,
+           CAST(row_number() OVER (PARTITION BY w.doc_id ORDER BY w.upos)
+                AS BIGINT) AS pos,
+           b.piece
+    FROM wwalk w
+    JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
+)"""
+
+
+@query(
+    "c_token_wordpiece",
+    oracle=_WP_CHAIN_SQL
+    + f"""
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, WP_ROUNDS + 1))})
+ORDER BY round
+""",
+)
+def c_token_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge TRAINING, WP_ROUNDS=2 rounds unrolled — the
+    third tokenizer family (BPE picks argmax pair COUNT; WordPiece
+    picks argmax LIKELIHOOD pair_count/(cnt_a*cnt_b), the Schuster &
+    Nakajima/BERT rule — a rare-but-exclusive pair beats a frequent-
+    but-diluted one, pinned against BPE in tests/test_wordpiece.py).
+    Scores are integer-quantized ((c*1e9) DIV (ca*cb) — pure BIGINT
+    floor division, bit-identical in both engines), and the merge pass
+    itself is the shared _bpe_apply greedy non-overlapping replay.
+    Emits the full merge lineage per round: (round, tok_a, tok_b,
+    pair_count, cnt_a, cnt_b, score_q, n_merges, new_token). Scale:
+    identical dataflow to c_token_bpe plus one vocab-sized unit-count
+    aggregate per round (map-side partial, broadcast into the argmax) —
+    nothing corpus-quadratic, no driver loop."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _, _, _, bests, ms = _wp_train_docs(docs)
+    outs = []
+    for r in range(1, WP_ROUNDS + 1):
+        best, m = bests[r - 1], ms[r - 1]
+        outs.append(
+            m.agg(
+                F.sum(F.when(F.col("merged"), 1).otherwise(0)).alias("n_merges")
+            )
+            .crossJoin(F.broadcast(best))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("ba").alias("tok_a"),
+                F.col("bb").alias("tok_b"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+                F.col("ca").cast("long").alias("cnt_a"),
+                F.col("cb").cast("long").alias("cnt_b"),
+                F.col("sq").cast("long").alias("score_q"),
+                F.col("n_merges").cast("long").alias("n_merges"),
+                F.concat_ws("_", "ba", "bb").alias("new_token"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")
+
+
+@query(
+    "c_token_wordpiece_encode",
+    oracle=_WP_CHAIN_SQL
+    + _WP_ENCODE_TAIL_SQL
+    + """
+, wnt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM wseg GROUP BY doc_id
+)
+SELECT s.doc_id, s.pos, v.token_id, s.piece AS tok, wnt.n_tokens
+FROM wseg s
+JOIN wvid v ON s.piece = v.piece
+JOIN wnt ON s.doc_id = wnt.doc_id
+""",
+)
+def c_token_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODING — greedy longest-match-first against the
+    trained vocabulary (initial word units + the merged pieces), the
+    actual BERT-runtime algorithm, NOT merge replay: at each cursor
+    position take the longest vocab piece (lookahead bounded by
+    WP_LMAX=4 units) and jump by its length. Every single word is in
+    the vocab by construction, so the walk always advances and the
+    training corpus never needs UNK. One Arrow-batched mapInPandas
+    pass with the vocab broadcast as the tokenizer artifact (the
+    unigram-Viterbi segmented-scan form), then one vocab join for
+    integer ids and a doc-sized count join. The oracle replays the
+    greedy walk as a recursive CTE over bounded lead() candidates —
+    a third, independent formulation of the same pointer chase (the
+    python reference in tests/test_wordpiece.py is the fourth).
+    Emits (doc_id, pos, token_id, tok, n_tokens). Scale: encode is a
+    scan-local pass + one broadcast vocab join; the artifact is
+    vocabulary-bounded, never corpus-sized."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    enc = persist(wordpiece_encode_docs(docs))
+    _, t0, _, bests, _ = _wp_train_docs(docs)
+    vocab_rows = [(p,) for p in sorted(_wp_vocab_set(t0, bests))]
+    vid = spark.createDataFrame(vocab_rows, "piece string").select(
+        "piece",
+        F.row_number()
+        .over(Window.orderBy("piece"))
+        .cast("long")
+        .alias("token_id"),
+    )
+    nt = enc.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        enc.join(F.broadcast(vid), enc.tok == vid.piece)
+        .join(nt, "doc_id")
+        .select("doc_id", "pos", "token_id", "tok", "n_tokens")
+    )
+
+
+@query(
+    "c_token_wordpiece_decode",
+    oracle=_WP_CHAIN_SQL
+    + _WP_ENCODE_TAIL_SQL
+    + """
+, wdec AS (
+    SELECT doc_id,
+           string_agg(replace(piece, '_', ' '), ' ' ORDER BY pos) AS rebuilt,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM wseg GROUP BY doc_id
+)
+SELECT d.doc_id, w.n_tokens, md5(w.rebuilt) AS rebuilt_md5,
+       CAST(CASE WHEN w.rebuilt = d.text THEN 1 ELSE 0 END AS INT)
+           AS round_trip
+FROM documents d JOIN wdec w ON d.doc_id = w.doc_id
+""",
+)
+def c_token_wordpiece_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece DECODE round-trip, completing the family's
+    train/encode/decode symmetry with BPE and unigram: the greedy
+    segmentation's pieces drop their '_' joiners (corpus vocabulary is
+    underscore-free, asserted for the other families in tests) and
+    space-join in position order; the rebuilt text must be
+    byte-identical to the original for EVERY document (in-schema
+    round_trip flag, certified 1 corpus-wide — greedy segmentation is
+    lossless by construction since pieces concatenate back to the
+    exact word sequence, and this query proves the implementation
+    honors that). Scale: the encode pass + one ordered doc rollup."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    enc = wordpiece_encode_docs(docs)
+    dec = enc.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: F.replace(s["tok"], F.lit("_"), F.lit(" ")),
+            ),
+        ).alias("rebuilt"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    return docs.join(dec, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.md5("rebuilt").alias("rebuilt_md5"),
+        (F.col("rebuilt") == F.col("text")).cast("int").alias("round_trip"),
+    )

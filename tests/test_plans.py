@@ -548,7 +548,13 @@ def test_shuffle_budgets_table(spark):
         "c_dataset_repeat_upsample": 15,
         # phash dedup: map-side Arrow hashing + the capped (k, band)
         # exchange; verification touches two BIGINTs per candidate
-        "c_multimodal_phash_dedup": 2,
+        # phash: spread repartition + the capped (k,band) window
+        # exchange + the candidate distinct (the self-join reuses the
+        # window's partitioning). Was minted at 2 in round 9 — a
+        # warm-session undercount (the persisted hash subtree read as
+        # InMemoryTableScan, hiding the spread exchange); fresh-session
+        # re-measure round 10 says 3, plan unchanged.
+        "c_multimodal_phash_dedup": 3,
         # lifecycle: per-user partials + 1-row frontier broadcast
         "a_lifecycle_stage": 3,
         # streaks: gaps-and-islands — both row_numbers and the run
@@ -658,6 +664,21 @@ def test_shuffle_budgets_table(spark):
         # 1-row argmax sort, and the re-densify — aug/best/m persist
         # per round so runtime pays each subtree once
         "c_token_bpe": 26,
+        # WordPiece train: the BPE dataflow + one unit-count aggregate
+        # per round, with the 1-row argmax (now carrying two ucnt-join
+        # lineages) re-referenced by both the merge pass and the round
+        # summary — the STATIC count multiplies those persisted
+        # subtrees per reference; at runtime each executes once
+        # (persisted) and the unique-exchange set is BPE's + 2 ucnt
+        # aggregates per round
+        "c_token_wordpiece": 64,
+        # greedy longest-match encode: the mapInPandas segmented scan
+        # re-exchanges (planner loses partitioning info) + the n_tokens
+        # rollup; the vocab id join broadcasts
+        "c_token_wordpiece_encode": 2,
+        # decode: encode pass + the ordered doc rollup sharing one
+        # exchange with the rebuild groupBy
+        "c_token_wordpiece_decode": 1,
         # sweep line: session build (user_id) + boundary groupBy(t) +
         # the day-partitioned running sums + the tiny day-offset table;
         # static plan repeats the pts subtree (runtime pays once)
