@@ -469,7 +469,13 @@ def test_shuffle_budgets_table(spark):
         # the STATIC plan repeats them (runtime pays once via the
         # caches — the pca/kcore precedent); nothing corpus-sized
         # shuffles beyond the one (type,wnd,bin) rollup
-        "a_drift_psi": 21,
+        # drift PSI: the round-10 refactor derives the grid's type list
+        # from the persisted cnts table (shared _psi_from_cnts tail
+        # with the streaming twin), so the STATIC plan re-counts that
+        # persisted subtree once more per reference (21 -> 25 fresh);
+        # at runtime cnts executes once and everything downstream is
+        # grid-sized
+        "a_drift_psi": 25,
         # RVQ: the k-means training chain + stage-2's Lloyd round
         # (residual explode/regroup pair + K-row array rebuild) — the
         # persisted subtrees repeat in the static plan (pca/kcore

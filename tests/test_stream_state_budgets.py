@@ -42,6 +42,11 @@ STATE_BUDGETS = {
     "a_attribution_stream": 15,
     "a_cep_pattern_stream": 15,
     "a_cogroup_stream": 150,
+    # PSI histogram: complete-mode agg state == the realized
+    # (type, wnd, bin) grid — bounded at types x 2 x PSI_BINS by
+    # construction, stream-length-independent (61 of max 100 realized
+    # at sf0.001)
+    "a_drift_psi_stream": 61,
     "a_ewma_stream": 15,
     "a_forecast_holt_stream": 15,
     "a_funnel_stream": 15,
