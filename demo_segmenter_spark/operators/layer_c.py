@@ -12697,3 +12697,220 @@ def c_token_wordpiece_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("rebuilt").alias("rebuilt_md5"),
         (F.col("rebuilt") == F.col("text")).cast("int").alias("round_trip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style learned mixture weights (round-10 verdict ask #5) —
+# multiplicative-weights domain reweighting (Xie et al. 2023), the
+# LEARNED counterpart of the static mixing policies above
+# (c_mix_temperature / c_mix_reweight): per round, score every domain's
+# per-token loss under the CURRENT mixture's unigram LM (the
+# deterministic stand-in for the proxy model's excess loss — domains
+# the mixture covers poorly read high), multiply each domain weight by
+# exp(eta * loss), renormalize, and smooth toward uniform. High-loss
+# (under-served) domains gain weight each round — exactly the
+# minimax-excess-loss dynamic of the paper, with the proxy-training
+# inner loop replaced by the closed-form reference LM so every round
+# replays exactly in DuckDB.
+# ---------------------------------------------------------------------------
+
+DOREMI_ROUNDS = 3
+# eta = 0.1: factor = exp(loss_micro / 1e7). Smoothing c = 1/10:
+# alpha <- (9 * alpha_norm) DIV 10 + (1e5 DIV n_domains) — pure-integer
+# arithmetic, so only ln/exp (quantized once each) ever touch floats.
+
+
+def _doremi_round_sql(r: int) -> str:
+    prev = f"a{r - 1}"
+    return f"""
+, term{r} AS (
+    SELECT d.t,
+           CAST(round(a.am * d.ckt * 1.0 / dt.tk * 1000000 + 1e-04)
+                AS BIGINT) AS tp
+    FROM dcnt d
+    JOIN {prev} a ON d.source = a.source
+    JOIN dtot dt ON d.source = dt.source
+), pmix{r} AS MATERIALIZED (
+    SELECT t, CAST(sum(tp) AS BIGINT) AS pm FROM term{r} GROUP BY t
+), lp{r} AS MATERIALIZED (
+    SELECT t,
+           CAST(round(ln(pm / 1000000000000.0) * 1000000 + 1e-04) AS BIGINT)
+               AS lpm
+    FROM pmix{r}
+), lnum{r} AS (
+    SELECT d.source, CAST(sum(-d.ckt * l.lpm) AS BIGINT) AS ln_num
+    FROM dcnt d JOIN lp{r} l ON d.t = l.t GROUP BY d.source
+), loss{r} AS MATERIALIZED (
+    SELECT n.source, dt.tk,
+           CAST(round(n.ln_num * 1.0 / dt.tk + 1e-04) AS BIGINT) AS lmic
+    FROM lnum{r} n JOIN dtot dt ON n.source = dt.source
+), fac{r} AS MATERIALIZED (
+    SELECT source, tk, lmic,
+           CAST(round(exp(lmic / 10000000.0) * 1000000 + 1e-04) AS BIGINT)
+               AS fmic
+    FROM loss{r}
+), raw{r} AS MATERIALIZED (
+    SELECT f.source, f.tk, f.lmic, f.fmic, a.am * f.fmic AS rw
+    FROM fac{r} f JOIN {prev} a ON f.source = a.source
+), rsum{r} AS (
+    SELECT sum(rw) AS sr FROM raw{r}
+), a{r} AS MATERIALIZED (
+    SELECT r.source,
+           (9 * CAST(round(r.rw * 1.0 / s.sr * 1000000 + 1e-04) AS BIGINT))
+               // 10 + (100000 // kk) AS am
+    FROM raw{r} r CROSS JOIN rsum{r} s CROSS JOIN ksz
+), s{r} AS (
+    SELECT {r} AS round, r.source, CAST(r.tk AS BIGINT) AS n_tokens,
+           r.lmic AS loss_micro, r.fmic AS factor_micro,
+           a.am AS alpha_micro
+    FROM raw{r} r JOIN a{r} a ON r.source = a.source
+)"""
+
+
+_DOREMI_ORACLE = (
+    """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), dcnt AS MATERIALIZED (
+    SELECT source, t, count(*) AS ckt FROM tok GROUP BY source, t
+), dtot AS MATERIALIZED (
+    SELECT source, CAST(sum(ckt) AS BIGINT) AS tk FROM dcnt GROUP BY source
+), ksz AS (
+    SELECT count(*) AS kk FROM dtot
+), a0 AS MATERIALIZED (
+    SELECT source, 1000000 // kk AS am FROM dtot CROSS JOIN ksz
+)"""
+    + "".join(_doremi_round_sql(r) for r in range(1, DOREMI_ROUNDS + 1))
+    + f"""
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, DOREMI_ROUNDS + 1))})
+"""
+)
+
+
+@query("c_mix_doremi", oracle=_DOREMI_ORACLE)
+def c_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi multiplicative-weights mixture learning, DOREMI_ROUNDS=3
+    rounds unrolled (the c_token_bpe replay pattern): starting from
+    uniform integer micro-weights, each round (1) builds the CURRENT
+    mixture's unigram LM — p_mix(t) = Σ_k α_k·p_k(t) with every
+    (domain, token) term quantized to integer pico-units before the
+    order-insensitive BIGINT sum, (2) scores each domain's per-token
+    loss under that LM (token log-probs quantized once to micro-nats,
+    counts×logprob as exact integer numerators), (3) multiplies
+    weights by exp(eta·loss) (exp quantized once per domain),
+    renormalizes, and smooths 10% toward uniform in pure-integer
+    arithmetic. Under-served domains gain weight monotonically toward
+    the minimax fixed point — the paper's dynamic with the proxy inner
+    loop replaced by the closed-form reference LM. Emits the full
+    iteration lineage: (round, source, n_tokens, loss_micro,
+    factor_micro, alpha_micro); every round replays term-for-term in
+    DuckDB with zero tolerance.
+
+    Scale (100 TB): ONE corpus pass builds the (domain, token) count
+    table; every round after that is vocabulary×domains-sized — two
+    bounded joins, one vocab-keyed aggregate, one K-row update (K-row
+    weight vector localCheckpoint'ed per round to keep the unrolled
+    static plan linear, the c_rag_mmr lesson). Real DoReMi spends its
+    cost training the proxy; the weight algebra — what this query
+    certifies — is exactly this dataflow."""
+    from demo_segmenter_spark.functions.cache import local_checkpoint
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    dcnt = persist(
+        tok.groupBy("source", "t").agg(F.count("*").alias("ckt"))
+    )
+    dtot = persist(
+        dcnt.groupBy("source").agg(F.sum("ckt").cast("long").alias("tk"))
+    )
+    ksz = dtot.agg(F.count("*").alias("kk"))
+    alpha = local_checkpoint(
+        dtot.crossJoin(F.broadcast(ksz)).select(
+            "source", F.expr("1000000 DIV kk").alias("am")
+        )
+    )
+    uni = F.expr("100000 DIV kk")  # the c/K uniform smoothing term
+    outs = []
+    for r in range(1, DOREMI_ROUNDS + 1):
+        term = (
+            dcnt.join(F.broadcast(alpha), "source")
+            .join(F.broadcast(dtot), "source")
+            .select(
+                "t",
+                F.round(
+                    F.col("am") * F.col("ckt") * 1.0 / F.col("tk") * 1_000_000
+                    + F.lit(EPS[0])
+                )
+                .cast("long")
+                .alias("tp"),
+            )
+        )
+        pmix = term.groupBy("t").agg(F.sum("tp").cast("long").alias("pm"))
+        lp = pmix.select(
+            "t",
+            F.round(
+                F.ln(F.col("pm") / 1_000_000_000_000.0) * 1_000_000
+                + F.lit(EPS[0])
+            )
+            .cast("long")
+            .alias("lpm"),
+        )
+        lnum = (
+            dcnt.join(lp, "t")
+            .groupBy("source")
+            .agg(F.sum(-F.col("ckt") * F.col("lpm")).cast("long").alias("ln_num"))
+        )
+        loss = lnum.join(F.broadcast(dtot), "source").select(
+            "source",
+            "tk",
+            F.round(F.col("ln_num") * 1.0 / F.col("tk") + F.lit(EPS[0]))
+            .cast("long")
+            .alias("lmic"),
+        )
+        fac = loss.select(
+            "source",
+            "tk",
+            "lmic",
+            F.round(
+                F.exp(F.col("lmic") / 10_000_000.0) * 1_000_000 + F.lit(EPS[0])
+            )
+            .cast("long")
+            .alias("fmic"),
+        )
+        raw = persist(
+            fac.join(F.broadcast(alpha), "source").select(
+                "source", "tk", "lmic", "fmic",
+                (F.col("am") * F.col("fmic")).alias("rw"),
+            )
+        )
+        rsum = raw.agg(F.sum("rw").alias("sr"))
+        alpha = local_checkpoint(
+            raw.crossJoin(F.broadcast(rsum))
+            .crossJoin(F.broadcast(ksz))
+            .select(
+                "source",
+                (
+                    F.expr(
+                        "(9 * CAST(round(rw * 1.0 / sr * 1000000 + 1e-04)"
+                        " AS BIGINT)) DIV 10"
+                    )
+                    + uni
+                ).alias("am"),
+            )
+        )
+        outs.append(
+            raw.join(alpha, "source").select(
+                F.lit(r).alias("round"),
+                "source",
+                F.col("tk").cast("long").alias("n_tokens"),
+                F.col("lmic").alias("loss_micro"),
+                F.col("fmic").alias("factor_micro"),
+                F.col("am").alias("alpha_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -961,6 +961,11 @@ def test_shuffle_budgets_table(spark):
         "c_token_unigram_prune": 3,
         # FIM: scan-local deterministic rewrite, the c_pii_scrub shape
         "c_fim_transform": 0,
+        # DoReMi: the K-row weight vector is localCheckpoint'ed every
+        # round (the c_rag_mmr lesson), so the returned plan only sees
+        # the final round's persisted raw table + summary joins; the
+        # per-round vocab joins execute during construction
+        "c_mix_doremi": 2,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
