@@ -12914,3 +12914,285 @@ def c_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style late-interaction retrieval (round-10 verdict ask #6):
+# MaxSim over a MULTI-VECTOR document representation — one vector per
+# overlapping token chunk (the c_chunking grid), content-addressed into
+# the embeddings fixture via md5-hex arithmetic (the deterministic
+# stand-in idiom; with a real ColBERT checkpoint the chunk encoder
+# slots in and everything downstream is identical). score(q, d) =
+# Σ_{query tokens} max_{doc chunks} dot(q_t, c) — computed from the
+# int8 integer sufficient statistics (the c_sim_knn_int8 expansion),
+# each pair dot quantized once to integer micro-units so the MAX and
+# the SUM are pure-BIGINT, order-independent operations. Never
+# all-pairs: late interaction runs on the BM25 top-MAXSIM_POOL
+# candidate shortlist, exactly how ColBERT deploys (candidate
+# generation -> MaxSim re-rank).
+# ---------------------------------------------------------------------------
+
+MAXSIM_POOL = 20  # BM25 candidate depth re-ranked by late interaction
+
+
+@query(
+    "c_rag_maxsim",
+    oracle=f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), vstats AS MATERIALIZED (
+    SELECT vec_id, min(x) AS mn, (max(x) - min(x)) / 255.0 AS scale
+    FROM ex GROUP BY vec_id
+), vcodes AS MATERIALIZED (
+    SELECT e.vec_id, e.i,
+           CAST(round((e.x - s.mn) / s.scale + 1e-8) AS BIGINT) AS c
+    FROM ex e JOIN vstats s USING (vec_id)
+), vsum AS MATERIALIZED (
+    SELECT vec_id, sum(c) AS sc FROM vcodes GROUP BY vec_id
+), nv AS (
+    SELECT count(*) AS n_vecs FROM embeddings
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), bstats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), dfreq AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), qry AS MATERIALIZED (
+    SELECT t, df FROM dfreq ORDER BY df DESC, t LIMIT 3
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), bm AS (
+    SELECT tf.doc_id, CAST(sum(CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT)) AS BIGINT) AS bm25_micro
+    FROM tf
+    JOIN qry ON tf.t = qry.t
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN bstats
+    GROUP BY tf.doc_id
+), pool AS MATERIALIZED (
+    SELECT doc_id, bm25_micro FROM bm
+    ORDER BY bm25_micro DESC, doc_id LIMIT {MAXSIM_POOL}
+), chsrc AS (
+    SELECT d.doc_id, p.bm25_micro, string_split(d.text, ' ') AS t
+    FROM documents d JOIN pool p ON d.doc_id = p.doc_id
+), chx AS (
+    SELECT doc_id, bm25_micro, t,
+           unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    FROM chsrc
+), chv AS MATERIALIZED (
+    SELECT doc_id, bm25_micro,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(concat('0x', substr(
+               md5(array_to_string(t[start:start+{CHUNK_TOKENS - 1}], ' ')),
+               1, 12)) AS BIGINT) % n_vecs AS cvid
+    FROM chx CROSS JOIN nv
+), qv AS MATERIALIZED (
+    SELECT t, CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT) % n_vecs
+               AS qvid
+    FROM qry CROSS JOIN nv
+), dint AS (
+    SELECT q.t, q.qvid, c.doc_id, c.bm25_micro, c.chunk_id, c.cvid,
+           sum(qc.c * cc.c) AS di
+    FROM chv c
+    JOIN vcodes cc ON cc.vec_id = c.cvid
+    CROSS JOIN qv q
+    JOIN vcodes qc ON qc.vec_id = q.qvid AND qc.i = cc.i
+    GROUP BY q.t, q.qvid, c.doc_id, c.bm25_micro, c.chunk_id, c.cvid
+), dq AS (
+    SELECT d.t, d.doc_id, d.bm25_micro, d.chunk_id,
+           CAST(round((64 * sq.mn * sc2.mn + sq.mn * (sc2.scale * vc.sc)
+                + sc2.mn * (sq.scale * vq.sc)
+                + (sq.scale * sc2.scale) * d.di) * 1000000 + 1e-04)
+               AS BIGINT) AS dot_micro
+    FROM dint d
+    JOIN vstats sq ON sq.vec_id = d.qvid
+    JOIN vsum vq ON vq.vec_id = d.qvid
+    JOIN vstats sc2 ON sc2.vec_id = d.cvid
+    JOIN vsum vc ON vc.vec_id = d.cvid
+), mx AS (
+    SELECT doc_id, bm25_micro, t, max(dot_micro) AS ms
+    FROM dq GROUP BY doc_id, bm25_micro, t
+), nch AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+    FROM chv GROUP BY doc_id
+), fin AS (
+    SELECT doc_id, bm25_micro, CAST(sum(ms) AS BIGINT) AS maxsim_micro
+    FROM mx GROUP BY doc_id, bm25_micro
+)
+SELECT f.doc_id, n.n_chunks, f.bm25_micro, f.maxsim_micro,
+       CAST(row_number() OVER (ORDER BY f.maxsim_micro DESC, f.doc_id)
+            AS BIGINT) AS rank
+FROM fin f JOIN nch n ON f.doc_id = n.doc_id
+""",
+)
+def c_rag_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) re-ranking of the BM25
+    candidate shortlist: each pooled document is a BAG of chunk
+    vectors (the c_chunking overlap grid, content-addressed into the
+    embeddings table by chunk-md5 hex arithmetic), each of the 3
+    deterministic query tokens is one vector (token-md5 addressed),
+    and score(d) = Σ_t max_chunks dot(q_t, chunk) with every pair dot
+    computed via the c_sim_knn_int8 integer-sufficient-statistics
+    expansion and quantized ONCE to integer micro-units — the max and
+    sum are then pure-BIGINT and order-independent, which is what
+    makes a full hash oracle possible for a float retrieval score.
+    Emits (doc_id, n_chunks, bm25_micro, maxsim_micro, rank).
+
+    Scale (100 TB): the candidate pool bounds all late-interaction
+    work — pairs = pool × chunks/doc × |query|, never corpus-sized;
+    the int8 code table is the serving index (4× smaller than
+    float32); chunk vectors join by content address (one broadcast of
+    the pool's chunk list); BM25 candidate generation is the inverted-
+    index join of c_text_bm25. This is exactly ColBERT's deployment
+    shape: cheap first-stage retrieval, bounded MaxSim re-rank."""
+    from demo_segmenter_spark.functions.vectors import as_double
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    ilsum = lambda col: F.aggregate(  # noqa: E731 — integer fold
+        col, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    v = as_double(F.col("embedding"))
+    base = persist(
+        emb.select("vec_id", v.alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            F.array_min("v").alias("mn"),
+            ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
+        )
+        .withColumn(
+            "c",
+            F.transform(
+                "v",
+                lambda x: F.round(
+                    (x - F.col("mn")) / F.col("scale") + 1e-8, 0
+                ).cast("long"),
+            ),
+        )
+        .select("vec_id", "mn", "scale", "c", ilsum(F.col("c")).alias("sc"))
+    )
+    nv = emb.agg(F.count("*").alias("n_vecs"))
+
+    # --- candidate generation: c_text_bm25's machinery, integer sum ---
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    bstats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    qry = persist(dfreq.orderBy(F.col("df").desc(), "t").limit(3))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    s_micro = F.round(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+    pool = persist(
+        tf.join(F.broadcast(qry), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(bstats))
+        .select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("s_micro").cast("long").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(MAXSIM_POOL)
+    )
+
+    # --- multi-vector doc representation: content-addressed chunks ---
+    t_arr = F.split(F.col("text"), " ")
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    hex12 = lambda s: F.conv(  # noqa: E731 — 48-bit md5 prefix
+        F.substring(F.md5(s), 1, 12), 16, 10
+    ).cast("long")
+    chv = persist(
+        docs.join(F.broadcast(pool), "doc_id")
+        .select(
+            "doc_id",
+            "bm25_micro",
+            t_arr.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(t_arr), F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            "bm25_micro",
+            F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias(
+                "chunk_id"
+            ),
+            (hex12(F.concat_ws(" ", chunk)) % F.col("n_vecs")).alias("cvid"),
+        )
+    )
+    qv = qry.crossJoin(F.broadcast(nv)).select(
+        "t", (hex12(F.col("t")) % F.col("n_vecs")).alias("qvid")
+    )
+
+    # --- late interaction: pool-bounded pair dots, integer max/sum ---
+    cvecs = base.join(F.broadcast(chv), base.vec_id == chv.cvid).select(
+        "doc_id", "bm25_micro", "chunk_id", "mn", "scale", "c", "sc"
+    )
+    qvecs = base.join(F.broadcast(qv), base.vec_id == qv.qvid).select(
+        "t",
+        F.col("mn").alias("qmn"),
+        F.col("scale").alias("qscale"),
+        F.col("c").alias("qc"),
+        F.col("sc").alias("qsc"),
+    )
+    dint = ilsum(F.zip_with("qc", "c", lambda a, b: a * b))
+    dot = (
+        F.lit(64) * F.col("qmn") * F.col("mn")
+        + F.col("qmn") * (F.col("scale") * F.col("sc"))
+        + F.col("mn") * (F.col("qscale") * F.col("qsc"))
+        + (F.col("qscale") * F.col("scale")) * F.col("di")
+    )
+    pairs = (
+        cvecs.crossJoin(F.broadcast(qvecs))
+        .withColumn("di", dint)
+        .select(
+            "t",
+            "doc_id",
+            "bm25_micro",
+            "chunk_id",
+            F.round(dot * 1_000_000 + F.lit(EPS[0]))
+            .cast("long")
+            .alias("dot_micro"),
+        )
+    )
+    mx = pairs.groupBy("doc_id", "bm25_micro", "t").agg(
+        F.max("dot_micro").alias("ms")
+    )
+    nch = chv.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    fin = mx.groupBy("doc_id", "bm25_micro").agg(
+        F.sum("ms").cast("long").alias("maxsim_micro")
+    )
+    return (
+        fin.join(nch, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "bm25_micro",
+            "maxsim_micro",
+            F.row_number()
+            .over(Window.orderBy(F.col("maxsim_micro").desc(), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )

@@ -91,3 +91,23 @@ def test_weight_moves_toward_underserved_domains(spark):
         return max(a) - min(a)
 
     assert spread(by_round[last]) > spread(by_round[1])
+
+
+def test_maxsim_reranks_within_bm25_pool(spark):
+    """c_rag_maxsim (round-10): late interaction must (a) score exactly
+    the BM25 top-MAXSIM_POOL candidate set — never the whole corpus —
+    (b) produce a dense 1..N permutation as rank, and (c) actually
+    re-rank (the MaxSim order differs from the BM25 order on the
+    fixture, i.e. the second stage is not a no-op)."""
+    from demo_segmenter_spark.operators.layer_c import MAXSIM_POOL
+
+    rows = REGISTRY["c_rag_maxsim"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= MAXSIM_POOL
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    bm_order = [
+        r["doc_id"]
+        for r in sorted(rows, key=lambda r: (-r["bm25_micro"], r["doc_id"]))
+    ]
+    ms_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert bm_order != ms_order
+    assert all(r["n_chunks"] >= 1 for r in rows)

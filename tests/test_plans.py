@@ -966,6 +966,12 @@ def test_shuffle_budgets_table(spark):
         # the final round's persisted raw table + summary joins; the
         # per-round vocab joins execute during construction
         "c_mix_doremi": 2,
+        # MaxSim: static recount of the persisted int8-code /
+        # BM25-pool / chunk-address subtrees across their references
+        # (codes feed both vector sides, the pool feeds chunks and the
+        # count rollup); at runtime each persisted stage executes once
+        # and all late-interaction work is pool-bounded
+        "c_rag_maxsim": 24,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
