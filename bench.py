@@ -132,6 +132,13 @@ HEADLINE = [
     "c_sim_dedup_kmeans_hybrid",
     "c_quality_nb",
     "a_forecast_holt",
+    # round 10: the third tokenizer family's encode pass, the learned
+    # mixture iteration, late-interaction re-ranking, and the
+    # stateful streaming drift monitor
+    "c_token_wordpiece_encode",
+    "c_mix_doremi",
+    "c_rag_maxsim",
+    "a_drift_psi_stream",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;
