@@ -13196,3 +13196,152 @@ def c_rag_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup pre-filter (round-10 widening): the classic
+# membership pre-filter every 100 TB exact-dedup deployment puts in
+# front of the expensive hash join — a bits-only, memory-resident
+# summary of the existing corpus that answers "definitely new" without
+# touching the corpus at all (no false negatives by construction), so
+# only the maybe-duplicate minority pays the verification join. The
+# filter is md5-derived (k=3 positions from three 32-bit hex windows),
+# word-packed into 63-bit words (sign bit never used, so no arithmetic-
+# shift edge cases cross engines) — integer-only end to end, hence a
+# full hash oracle including the false-positive bookkeeping.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # filter bits (k=3: ~10% fp at the sf0.1 corpus load)
+BLOOM_W = 63  # bits per word: keeps every mask positive in signed int64
+
+
+@query(
+    "c_dedup_bloom",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 2
+), incoming AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+), cpos AS (
+    SELECT DISTINCT
+           CAST(concat('0x', substr(h, 8 * j - 7, 8)) AS BIGINT) % {BLOOM_M}
+               AS pos
+    FROM corpus CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+), bloom AS (
+    SELECT pos // {BLOOM_W} AS wi,
+           bit_or(1::BIGINT << CAST(pos % {BLOOM_W} AS INT)) AS w
+    FROM cpos GROUP BY pos // {BLOOM_W}
+), probe AS (
+    SELECT i.doc_id, i.h,
+           CAST(concat('0x', substr(i.h, 8 * j - 7, 8)) AS BIGINT)
+               % {BLOOM_M} AS pos
+    FROM incoming i CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+), hits AS (
+    SELECT p.doc_id, p.h,
+           min(CASE WHEN b.w IS NOT NULL
+                    AND (b.w >> CAST(p.pos % {BLOOM_W} AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END) AS bloom_hit
+    FROM probe p
+    LEFT JOIN bloom b ON p.pos // {BLOOM_W} = b.wi
+    GROUP BY p.doc_id, p.h
+), verified AS (
+    SELECT hh.doc_id, hh.bloom_hit,
+           CASE WHEN hh.bloom_hit = 1
+                AND EXISTS (SELECT 1 FROM corpus c WHERE c.h = hh.h)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM hits hh
+)
+SELECT doc_id, CAST(bloom_hit AS INT) AS bloom_hit,
+       CAST(is_dup AS INT) AS is_dup,
+       CAST(CASE WHEN bloom_hit = 1 AND is_dup = 0 THEN 1 ELSE 0 END AS INT)
+           AS is_fp
+FROM verified
+""",
+)
+def c_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered exact dedup of an incoming batch (doc_id%3=2,
+    the c_dedup_incremental split) against the existing corpus: build
+    a {BLOOM_M}-bit k=3 filter over corpus content hashes (positions =
+    three 32-bit md5 hex windows mod m, words of {BLOOM_W} bits so the
+    sign bit is never touched), probe each incoming doc, and run the
+    exact verification join ONLY for bloom hits. No false negatives by
+    construction (every true dup is a bloom hit — asserted in
+    tests/test_doremi.py's sibling); false positives are measured
+    in-schema (is_fp), which is the number a deployment uses to size m.
+    Emits one row per incoming doc: (doc_id, bloom_hit, is_dup, is_fp).
+
+    Scale (100 TB): the filter is ~2 KB here and stays
+    broadcast-resident at any corpus size a real m implies (the whole
+    point — FAISS-scale corpora use GB-sized filters against PB-sized
+    joins); 'definitely new' docs — the vast majority in a steady-state
+    crawl — never touch the corpus-hash table, turning the dedup join
+    from corpus-sized into hit-sized. The word-packed bit_or build is
+    one map-side aggregate over 3 positions/doc."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 3 != 2).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    pos = (
+        F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast("long")
+        % BLOOM_M
+    )
+    bloom = (
+        corpus.select("h", j)
+        .select((pos % BLOOM_M).alias("pos"))
+        .distinct()
+        .groupBy(F.expr(f"pos DIV {BLOOM_W}").alias("wi"))
+        .agg(
+            F.bit_or(
+                # shiftleft's python wrapper takes a literal bit count;
+                # the column-shift spelling goes through expr
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pos % {BLOOM_W} AS INT))"
+                )
+            ).alias("w")
+        )
+    )
+    probe = incoming.select("doc_id", "h", j).select(
+        "doc_id", "h", pos.alias("pos")
+    )
+    hit_j = F.when(
+        F.col("w").isNotNull()
+        & (
+            F.expr(f"(w >> CAST(pos % {BLOOM_W} AS INT)) & 1") == 1
+        ),
+        1,
+    ).otherwise(0)
+    hits = (
+        probe.join(
+            F.broadcast(bloom),
+            F.expr(f"pos DIV {BLOOM_W}") == F.col("wi"),
+            "left",
+        )
+        .select("doc_id", "h", hit_j.alias("hj"))
+        .groupBy("doc_id", "h")
+        .agg(F.min("hj").alias("bloom_hit"))
+    )
+    # verification join: ONLY bloom hits reach the corpus hash table
+    matched = (
+        hits.filter(F.col("bloom_hit") == 1)
+        .join(corpus.select("h").distinct(), "h", "left_semi")
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+    return (
+        hits.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce("is_dup", F.lit(0)).cast("int").alias("is_dup"),
+            (
+                (F.col("bloom_hit") == 1)
+                & F.col("is_dup").isNull()
+            )
+            .cast("int")
+            .alias("is_fp"),
+        )
+    )

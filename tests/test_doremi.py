@@ -111,3 +111,35 @@ def test_maxsim_reranks_within_bm25_pool(spark):
     ms_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert bm_order != ms_order
     assert all(r["n_chunks"] >= 1 for r in rows)
+
+
+def test_bloom_has_no_false_negatives_and_gates_the_join(spark):
+    """c_dedup_bloom: every TRUE duplicate must be a bloom hit (the
+    no-false-negative guarantee the pre-filter's correctness rests
+    on), fp bookkeeping must be consistent, and the filter must
+    actually gate — definitely-new docs outnumber hits on the
+    fixture."""
+    import duckdb
+
+    rows = REGISTRY["c_dedup_bloom"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["is_dup"]:
+            assert r["bloom_hit"] == 1  # no false negatives, ever
+        assert r["is_fp"] == int(r["bloom_hit"] == 1 and r["is_dup"] == 0)
+    # independent truth: exact cross-split dup set from DuckDB
+    truth = {
+        d
+        for (d,) in duckdb.sql(
+            f"""
+            SELECT i.doc_id
+            FROM read_parquet('{SF_SMOKE}/documents.parquet') i
+            JOIN read_parquet('{SF_SMOKE}/documents.parquet') c
+              ON md5(i.text) = md5(c.text)
+             AND i.doc_id % 3 = 2 AND c.doc_id % 3 <> 2
+            """
+        ).fetchall()
+    }
+    assert {r["doc_id"] for r in rows if r["is_dup"]} == truth
+    n_hits = sum(r["bloom_hit"] for r in rows)
+    assert n_hits < len(rows)  # the pre-filter prunes the join input

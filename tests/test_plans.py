@@ -972,6 +972,10 @@ def test_shuffle_budgets_table(spark):
         # count rollup); at runtime each persisted stage executes once
         # and all late-interaction work is pool-bounded
         "c_rag_maxsim": 24,
+        # bloom pre-filter: corpus position distinct + the 256-word
+        # bit_or build (broadcast), the per-doc probe rollup, the
+        # hit-only verification semi-join, and the final assemble join
+        "c_dedup_bloom": 5,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
