@@ -10325,6 +10325,90 @@ def c_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_BUCKETS = 128  # hashed feature space (md5-derived, cross-engine)
 
 
+def _nb_lab_tok(docs):
+    """Shared NB front: heuristic labels + deterministic 80/20 split
+    (Knuth multiplicative hash) + hashed-bucket token rows. Identical
+    whether the rows arrive as a batch scan or a micro-batch stream —
+    which is what makes the sufficient-statistic state of the
+    streaming twin compose with this batch scoring front."""
+    toks = F.split("text", " ")
+    sw = ("the", "a", "of", "and", "to", "in")
+    nt = F.size(toks).cast("long")
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    sr = F.size(F.filter(toks, lambda x: x.isin(*sw))) * 1.0 / F.size(toks)
+    lab = docs.select(
+        "doc_id",
+        "text",
+        nt.alias("nt"),
+        F.when(
+            (nt >= 20) & (dup <= 0.6) & (sr >= 0.01), F.lit("pass")
+        )
+        .otherwise(F.lit("fail"))
+        .alias("label"),
+        (
+            (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80
+        ).alias("is_train"),
+    )
+    if not docs.isStreaming:  # persist() is a batch-only concept
+        lab = persist(lab)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % NB_BUCKETS
+    )
+    tok = lab.select(
+        "doc_id", "label", "is_train", F.explode(toks).alias("tok")
+    ).select("doc_id", "label", "is_train", bucket.alias("b"))
+    return lab, tok
+
+
+def _nb_tail(spark, lab, tok, cnt, pri):
+    """Shared NB scoring tail over the sufficient statistics: ``cnt``
+    is the per-bucket (npb, nfb) train-token count table (sparse —
+    the grid zero-fills), ``pri`` the 1-row (np, nf) train-doc class
+    counts. Laplace-smoothed micro-nat log-odds weights, class-prior
+    log ratio, broadcast scoring join — NB_BUCKETS-bounded past the
+    inputs."""
+    grid = (
+        spark.range(NB_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(cnt, "b", "left")
+        .na.fill(0, ["npb", "nfb"])
+    )
+    tot = grid.agg(
+        F.sum("npb").alias("tp"), F.sum("nfb").alias("tf")
+    )
+    micro = lambda c: F.round(c * 1_000_000 + F.lit(EPS[0])).cast("long")
+    wt = grid.crossJoin(F.broadcast(tot)).select(
+        "b",
+        micro(
+            F.log(
+                ((F.col("npb") + 1.0) * (F.col("tf") + NB_BUCKETS))
+                / ((F.col("nfb") + 1.0) * (F.col("tp") + NB_BUCKETS))
+            )
+        ).alias("wm"),
+    )
+    pm = pri.select(
+        micro(F.log(F.col("np") * 1.0 / F.col("nf"))).alias("pm")
+    )
+    score = (
+        tok.join(F.broadcast(wt), "b")
+        .crossJoin(F.broadcast(pm))
+        .groupBy("doc_id")
+        .agg((F.any_value("pm") + F.sum("wm")).alias("sm"))
+    )
+    return lab.join(score, "doc_id").select(
+        "doc_id",
+        "label",
+        "is_train",
+        F.col("nt").alias("n_toks"),
+        rnd(F.col("sm") / 1000000.0, 4).alias("log_odds"),
+        F.when(F.col("sm") >= 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("pred"),
+    )
+
+
+
 @query(
     "c_quality_nb",
     oracle=f"""
@@ -10412,33 +10496,7 @@ def c_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers a token-distribution signal at 1M docs with near-perfect
     held-out accuracy."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    sw = ("the", "a", "of", "and", "to", "in")
-    nt = F.size(toks).cast("long")
-    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
-    sr = F.size(F.filter(toks, lambda x: x.isin(*sw))) * 1.0 / F.size(toks)
-    lab = persist(
-        docs.select(
-            "doc_id",
-            "text",
-            nt.alias("nt"),
-            F.when(
-                (nt >= 20) & (dup <= 0.6) & (sr >= 0.01), F.lit("pass")
-            )
-            .otherwise(F.lit("fail"))
-            .alias("label"),
-            (
-                (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80
-            ).alias("is_train"),
-        )
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % NB_BUCKETS
-    )
-    tok = lab.select(
-        "doc_id", "label", "is_train", F.explode(toks).alias("tok")
-    ).select("doc_id", "label", "is_train", bucket.alias("b"))
+    lab, tok = _nb_lab_tok(docs)
     cnt = (
         tok.filter("is_train")
         .groupBy("b")
@@ -10451,50 +10509,11 @@ def c_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grid = (
-        spark.range(NB_BUCKETS)
-        .select(F.col("id").alias("b"))
-        .join(cnt, "b", "left")
-        .na.fill(0, ["npb", "nfb"])
-    )
-    tot = grid.agg(
-        F.sum("npb").alias("tp"), F.sum("nfb").alias("tf")
-    )
-    micro = lambda c: F.round(c * 1_000_000 + F.lit(EPS[0])).cast("long")
-    wt = grid.crossJoin(F.broadcast(tot)).select(
-        "b",
-        micro(
-            F.log(
-                ((F.col("npb") + 1.0) * (F.col("tf") + NB_BUCKETS))
-                / ((F.col("nfb") + 1.0) * (F.col("tp") + NB_BUCKETS))
-            )
-        ).alias("wm"),
-    )
     pri = lab.filter("is_train").agg(
-        micro(
-            F.log(
-                F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
-                * 1.0
-                / F.sum(F.when(F.col("label") == "fail", 1).otherwise(0))
-            )
-        ).alias("pm")
+        F.sum(F.when(F.col("label") == "pass", 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("label") == "fail", 1).otherwise(0)).alias("nf"),
     )
-    score = (
-        tok.join(F.broadcast(wt), "b")
-        .crossJoin(F.broadcast(pri))
-        .groupBy("doc_id")
-        .agg((F.any_value("pm") + F.sum("wm")).alias("sm"))
-    )
-    return lab.join(score, "doc_id").select(
-        "doc_id",
-        "label",
-        "is_train",
-        F.col("nt").alias("n_toks"),
-        rnd(F.col("sm") / 1000000.0, 4).alias("log_odds"),
-        F.when(F.col("sm") >= 0, F.lit("pass"))
-        .otherwise(F.lit("fail"))
-        .alias("pred"),
-    )
+    return _nb_tail(spark, lab, tok, cnt, pri)
 
 
 @query(
@@ -13345,3 +13364,104 @@ def c_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Naive-Bayes training (round-10 widening): the learned
+# quality classifier trained INCREMENTALLY — NB's whole appeal at
+# 100 TB is that its training state is a tiny additive sufficient
+# statistic (per-bucket class counts + class priors), i.e. exactly
+# what a streaming aggregation's StateStore holds natively. Documents
+# arrive as micro-batches; labels, split membership and hashed-bucket
+# token rows are computed in-stream by the SAME _nb_lab_tok front as
+# the batch query; one complete-mode aggregation keyed by bucket
+# (prior counts ride on the b = -1 key — the union-tag idiom) holds
+# the entire model; scoring runs once on the final emission through
+# the shared _nb_tail. Same oracle as c_quality_nb for ANY batch split.
+# ---------------------------------------------------------------------------
+
+_NB_CNT_SCHEMA = "b long, npb long, nfb long"
+
+
+def run_nb_stream(spark: SparkSession, src: str, schema, base: str):
+    """Drive the incremental NB trainer to completion: per-bucket
+    class counts (+ the b=-1 prior row) as complete-mode streaming
+    state, one immutable jsonl_dir snapshot per micro-batch."""
+    from demo_segmenter_spark.sources.python_source import register_sink
+
+    register_sink(spark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jsonl_dir")
+            .option("path", f"{base}/cnts")
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lab_s, tok_s = _nb_lab_tok(raw)
+    train_tok = tok_s.filter("is_train").select("b", "label")
+    train_doc = lab_s.filter("is_train").select(
+        F.lit(-1).cast("long").alias("b"), "label"
+    )
+    q = (
+        train_tok.unionByName(train_doc)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
+            .cast("long")
+            .alias("npb"),
+            F.sum(F.when(F.col("label") == "fail", 1).otherwise(0))
+            .cast("long")
+            .alias("nfb"),
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query("c_quality_nb_stream", oracle=_REGISTRY["c_quality_nb"].oracle)
+def c_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of c_quality_nb, SAME oracle: six doc_id-range
+    micro-batches through one complete-mode stateful aggregation whose
+    StateStore IS the trained model (NB_BUCKETS per-bucket class
+    counts + the b=-1 prior row — bounded at NB_BUCKETS+1 keys
+    regardless of stream length; additive counts merge across batches
+    natively, which is why NB is THE streaming-trainable classifier),
+    then the shared _nb_tail scoring pass over the static corpus.
+    Multibatch accumulation pinned in tests/test_nb_stream.py. Scale:
+    training state is bytes at any corpus size; each micro-batch costs
+    one scan-local label/tokenize/bucket pass + the bounded-key
+    aggregation update — the 100 TB/day quality-model refresh loop."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/dss_nb_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+    run_nb_stream(spark, src, docs.schema, base)
+    state = persist(
+        spark.read.schema(_NB_CNT_SCHEMA).json(manifest_files(f"{base}/cnts"))
+    )
+    cnt = state.filter(F.col("b") >= 0)
+    pri = state.filter(F.col("b") == -1).select(
+        F.col("npb").alias("np"), F.col("nfb").alias("nf")
+    )
+    lab, tok = _nb_lab_tok(spread(docs))
+    return _nb_tail(spark, lab, tok, cnt, pri)

@@ -82,6 +82,11 @@ STATE_BUDGETS = {
     "b_agg_bitmap_distinct_stream": 5,
     "b_rollup_hierarchy_stream": 868,
     "c_dedup_incremental_stream": 0,
+    # incremental NB trainer: complete-mode state == the trained model
+    # itself — realized (bucket, class-count) keys + the b=-1 prior
+    # row, bounded at NB_BUCKETS+1 regardless of stream length (28 of
+    # max 129 realized at sf0.001)
+    "c_quality_nb_stream": 28,
     "c_pipeline_pretrain_stream": 0,
 }
 
