@@ -13465,3 +13465,159 @@ def c_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lab, tok = _nb_lab_tok(spread(docs))
     return _nb_tail(spark, lab, tok, cnt, pri)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Bloom-filter build (round-10 widening): the pre-filter as
+# it actually deploys on a crawl — the corpus STREAMS in, the filter's
+# word array is MERGEABLE bit_or state (commutative, so batch splits
+# and arrival order can't change the filter), and the corpus-hash
+# verification table is a lake-side manifest (content hashes never
+# live in the StateStore — only the bytes-sized filter does). The
+# probe/verify phase then runs exactly c_dedup_bloom's gated join
+# against the final snapshots. Same oracle as the batch twin.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS_SCHEMA = "wi long, w long"
+_BLOOM_HASH_SCHEMA = "doc_id long, h string"
+
+
+def run_bloom_stream(spark: SparkSession, src: str, schema, base: str):
+    """Phase A: complete-mode bit_or aggregation — StateStore = the
+    filter's word array (<= BLOOM_M/BLOOM_W + 1 rows), one immutable
+    words snapshot per micro-batch. Phase B: exactly-once append of
+    the corpus content hashes through the cdc manifest (keyed by
+    doc_id — replays can't double-insert)."""
+    from demo_segmenter_spark.sources.python_source import register_sink
+    from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
+
+    register_sink(spark)
+
+    def words_sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jsonl_dir")
+            .option("path", f"{base}/words")
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    corpus = lambda df: df.filter(F.col("doc_id") % 3 != 2).select(  # noqa: E731
+        "doc_id", F.md5("text").alias("h")
+    )
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    pos = (
+        F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast("long")
+        % BLOOM_M
+    )
+    qa = (
+        corpus(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .select("h", j)
+        .select(pos.alias("pos"))
+        .groupBy(F.expr(f"pos DIV {BLOOM_W}").alias("wi"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pos % {BLOOM_W} AS INT))"
+                )
+            ).alias("w")
+        )
+        .writeStream.foreachBatch(words_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt_a")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination()
+    qb = (
+        corpus(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.foreachBatch(
+            cdc_upsert_sink(f"{base}/hashes", ["doc_id"], "h")
+        )
+        .option("checkpointLocation", f"{base}/ckpt_b")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb.awaitTermination()
+
+
+@query("c_dedup_bloom_stream", oracle=_REGISTRY["c_dedup_bloom"].oracle)
+def c_dedup_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of c_dedup_bloom, SAME oracle: the corpus
+    arrives as six micro-batches; the filter accumulates as bit_or
+    word state (mergeable and commutative — ANY batch split or
+    arrival order yields the identical filter, pinned in
+    tests/test_nb_stream.py's sibling) while the verification hashes
+    land exactly-once in a manifest table; the incoming split then
+    probes the FINAL filter snapshot and only bloom hits touch the
+    hash table — c_dedup_bloom's gated join against streamed-in
+    state. Scale: StateStore holds the bytes-sized filter only; the
+    hash table is lake-side; probe work is per-arriving-doc
+    constant."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/dss_bloom_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+    run_bloom_stream(spark, src, docs.schema, base)
+    bloom = spark.read.schema(_BLOOM_WORDS_SCHEMA).json(
+        manifest_files(f"{base}/words")
+    )
+    corpus_h = spark.read.schema(_BLOOM_HASH_SCHEMA).json(
+        manifest_files(f"{base}/hashes")
+    )
+    incoming = spread(docs).filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    pos = (
+        F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast("long")
+        % BLOOM_M
+    )
+    probe = incoming.select("doc_id", "h", j).select(
+        "doc_id", "h", pos.alias("pos")
+    )
+    hit_j = F.when(
+        F.col("w").isNotNull()
+        & (F.expr(f"(w >> CAST(pos % {BLOOM_W} AS INT)) & 1") == 1),
+        1,
+    ).otherwise(0)
+    hits = (
+        probe.join(
+            F.broadcast(bloom),
+            F.expr(f"pos DIV {BLOOM_W}") == F.col("wi"),
+            "left",
+        )
+        .select("doc_id", "h", hit_j.alias("hj"))
+        .groupBy("doc_id", "h")
+        .agg(F.min("hj").alias("bloom_hit"))
+    )
+    matched = (
+        hits.filter(F.col("bloom_hit") == 1)
+        .join(corpus_h.select("h").distinct(), "h", "left_semi")
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+    return (
+        hits.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce("is_dup", F.lit(0)).cast("int").alias("is_dup"),
+            ((F.col("bloom_hit") == 1) & F.col("is_dup").isNull())
+            .cast("int")
+            .alias("is_fp"),
+        )
+    )

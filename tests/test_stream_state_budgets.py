@@ -81,6 +81,11 @@ STATE_BUDGETS = {
     "a_window_dau_stream": 575,
     "b_agg_bitmap_distinct_stream": 5,
     "b_rollup_hierarchy_stream": 868,
+    # streaming bloom build: complete-mode state == the filter's word
+    # array — realized 63-bit words, hard-bounded at
+    # ceil(BLOOM_M/63)+1 = 261 regardless of corpus size (250 realized
+    # at sf0.001); corpus hashes live in the manifest, never here
+    "c_dedup_bloom_stream": 250,
     "c_dedup_incremental_stream": 0,
     # incremental NB trainer: complete-mode state == the trained model
     # itself — realized (bucket, class-count) keys + the b=-1 prior
