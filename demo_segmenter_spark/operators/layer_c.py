@@ -13621,3 +13621,71 @@ def c_dedup_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_fp"),
         )
     )
+
+
+@query(
+    "c_token_wordpiece_fertility",
+    oracle=_WP_CHAIN_SQL
+    + _WP_ENCODE_TAIL_SQL
+    + f"""
+, wpn AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+    FROM wseg GROUP BY doc_id
+), wrd AS (
+    SELECT doc_id, count(*) AS n_words FROM t0 GROUP BY doc_id
+)
+SELECT d.lang, 'wordpiece' AS tokenizer,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens,
+       {sql_rnd("sum(p.n_toks) * 1.0 / sum(w.n_words)", 4)} AS fertility
+FROM documents d
+JOIN wrd w ON d.doc_id = w.doc_id
+JOIN wpn p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+""",
+)
+def c_token_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece fertility by language — the third tokenizer family's
+    row of the bake-off table (c_tokenizer_fertility carries bpe +
+    unigram; kept as its own query because the WP oracle chain's
+    recursive greedy walk shares CTE names with the BPE replay — a
+    user unions the two results for the full three-family
+    comparison). Same schema and semantics: tokens-per-whitespace-word
+    under the trained tokenizer, per-doc counts as exact BIGINTs, one
+    final division. Greedy longest-match can only FUSE words (every
+    single word is in the vocab), so WordPiece fertility <= 1 like
+    BPE's and contrasts with unigram's >= 1 — the split-vs-merge
+    family signature measured on one corpus. Scale: the encode pass +
+    two doc-sized rollups + a <=5-row agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wpn = (
+        wordpiece_encode_docs(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_toks"))
+    )
+    wrd = _bpe_tokenize0(docs).groupBy("doc_id").agg(
+        F.count("*").alias("n_words")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(wrd, "doc_id")
+        .join(wpn, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            rnd(F.sum("n_toks") * 1.0 / F.sum("n_words"), 4).alias(
+                "fertility"
+            ),
+        )
+        .select(
+            "lang",
+            F.lit("wordpiece").alias("tokenizer"),
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "fertility",
+        )
+    )

@@ -976,6 +976,9 @@ def test_shuffle_budgets_table(spark):
         # bit_or build (broadcast), the per-doc probe rollup, the
         # hit-only verification semi-join, and the final assemble join
         "c_dedup_bloom": 5,
+        # wordpiece fertility: encode segmented-scan exchange + the
+        # doc rollup/lang agg chain
+        "c_token_wordpiece_fertility": 2,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
