@@ -13689,3 +13689,169 @@ def c_token_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Binary-signature similarity search (round-10 widening): the 32x
+# memory compression every billion-vector serving tier runs FIRST —
+# sign-binarize each embedding against its own mean into a 64-bit
+# signature (packed as two 32-bit words so the sign bit is never
+# touched), shortlist by Hamming distance via bit_count(xor), and
+# refine only the shortlist with the exact cosine. The quantization,
+# the bit packing, the popcount and the refine dot are all integer
+# arithmetic, so the ENTIRE pipeline hash-certifies — including the
+# Hamming column itself.
+# ---------------------------------------------------------------------------
+
+HAM_SHORTLIST = 20  # Hamming-stage candidates per query, refined to KNN_K
+
+
+@query(
+    "c_sim_hamming",
+    oracle=f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), mic AS (
+    SELECT vec_id, i, CAST(round(x * 1000000 + 0.0001) AS BIGINT) AS m
+    FROM ex
+), tv AS (
+    SELECT vec_id, sum(m) AS tot, sum(m * m) AS dself
+    FROM mic GROUP BY vec_id
+), wrd AS (
+    SELECT m.vec_id, (m.i - 1) // 32 AS wi,
+           sum(CASE WHEN 64 * m.m > t.tot
+                    THEN 1::BIGINT << CAST((m.i - 1) % 32 AS INT)
+                    ELSE 0 END) AS w
+    FROM mic m JOIN tv t USING (vec_id)
+    GROUP BY m.vec_id, (m.i - 1) // 32
+), sig AS (
+    SELECT vec_id,
+           max(CASE WHEN wi = 0 THEN w END) AS w0,
+           max(CASE WHEN wi = 1 THEN w END) AS w1
+    FROM wrd GROUP BY vec_id
+), ham AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.w0, c.w0))
+                + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+    FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {KNN_QUERIES}
+), short AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS hr
+    FROM ham
+), dots AS (
+    SELECT s.query_id, s.neighbor_id, s.hamming, sum(a.m * b.m) AS dint
+    FROM short s
+    JOIN mic a ON a.vec_id = s.query_id
+    JOIN mic b ON b.vec_id = s.neighbor_id AND b.i = a.i
+    WHERE s.hr <= {HAM_SHORTLIST}
+    GROUP BY s.query_id, s.neighbor_id, s.hamming
+), scored AS (
+    SELECT d.query_id, d.neighbor_id, d.hamming,
+           {sql_rnd("d.dint / sqrt(CAST(qa.dself AS DOUBLE)"
+                    " * CAST(qb.dself AS DOUBLE))", 4)} AS cos_q
+    FROM dots d
+    JOIN tv qa ON qa.vec_id = d.query_id
+    JOIN tv qb ON qb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, cos_q, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_q DESC, neighbor_id) AS rank
+    FROM scored
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def c_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SIGNATURE ANN — sign-binarized embeddings searched by
+    Hamming distance, then cosine-refined: each vector is quantized to
+    integer micro-units (round(x*1e6), the repo's exact-sum idiom),
+    bit j is set iff 64*m_j > Σm (the component exceeds the vector's
+    own mean — integer compare, no division), and the 64 bits pack
+    into TWO 32-bit words via an ordered fold (acc*2 + bit walks bits
+    high→low, so no column-shift primitive is needed and the sign bit
+    of the i64 word is never used). Hamming = bit_count(w^w') summed
+    over the two words shortlists HAM_SHORTLIST candidates per query
+    (ties broken by neighbor_id); only the shortlist pays the exact
+    integer-micro dot, cos = dint/sqrt(dself_q*dself_c) rounded at 4dp.
+
+    Scale (100 TB): the signature table is 16 bytes/vector — 2 TB per
+    hundred billion vectors, memory-resident where the float table is
+    not; popcount-xor is the cheapest similarity primitive a CPU has
+    (1-2 cycles/word), so the Hamming stage scans candidates at memory
+    bandwidth while the float fetch + exact dot happen only for
+    HAM_SHORTLIST rows per query. The plan: signatures are expression-
+    only over the scan (zero exchanges), the query block broadcasts,
+    and BOTH rank windows share the one query_id exchange. Recall vs
+    the exact float top-k is measured and pinned in tests/test_ann.py."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    ilsum = lambda col: F.aggregate(  # noqa: E731 — integer fold
+        col, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    micro = F.transform(
+        F.col("v"),
+        lambda x: F.round(x * 1_000_000 + F.lit(EPS[0])).cast("long"),
+    )
+
+    def word(lo: int):
+        # ordered fold high→low: acc*2 + bit  ==  Σ bit_j << (j - lo)
+        return F.aggregate(
+            F.sequence(F.lit(lo + 31), F.lit(lo), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(F.col("m"), j + 1) * 64 > F.col("tot"),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    base = (
+        emb.select("vec_id", v.alias("v"))
+        .select("vec_id", micro.alias("m"))
+        .select(
+            "vec_id",
+            "m",
+            ilsum(F.col("m")).alias("tot"),
+            ilsum(F.zip_with("m", "m", lambda a, b: a * b)).alias("dself"),
+        )
+        .select("vec_id", "m", "dself", word(0).alias("w0"), word(32).alias("w1"))
+    )
+    q = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("dself").alias("qd"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = F.expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("long")
+    w_short = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    dint = ilsum(F.zip_with("qm", "m", lambda a, b: a * b))
+    cos_q = rnd(
+        F.col("dint")
+        / F.sqrt(F.col("dself").cast("double") * F.col("qd").cast("double")),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), "neighbor_id"
+    )
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+            "m",
+            "qm",
+            "dself",
+            "qd",
+        )
+        .withColumn("hr", F.row_number().over(w_short))
+        .filter(F.col("hr") <= HAM_SHORTLIST)
+        .withColumn("dint", dint)
+        .select("query_id", "neighbor_id", "hamming", cos_q.alias("cos_q"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )

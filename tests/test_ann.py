@@ -473,3 +473,26 @@ def test_ivfpq_refine_recall_dominates_raw_adc(spark):
     for qid, rr in ref.items():
         assert rr >= adc[qid], (qid, rr, adc[qid])
     assert all(-1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9 for r in ref_rows)
+
+
+def test_hamming_recall_and_refine_consistency(spark):
+    # Binary signatures on the fixture's SHALLOW cosine spectrum (max
+    # cos ~0.51; sign-bit agreement p = 1 - acos(c)/pi is only 0.667
+    # there) — recall is structurally modest HERE and measured, not
+    # assumed; on a real near-dup corpus (cos >= 0.9 -> p >= 0.856) a
+    # 64-bit signature separates cleanly (scale_smoke::hamming_stress
+    # pins recall ~1.0 on planted clusters). What must hold on ANY
+    # fixture: the refine stage scores with the SAME cosine as the
+    # exact engine, so every overlapping pair agrees on cos to 4dp.
+    exact_df = REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE).collect()
+    ham_df = REGISTRY["c_sim_hamming"].fn(spark, SF_SMOKE).collect()
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_df}
+    ham = {(r["query_id"], r["neighbor_id"]): r["cos_q"] for r in ham_df}
+    assert ham, "hamming search returned no neighbors"
+    overlap = set(ham) & set(exact)
+    assert len(overlap) / len(exact) >= 0.4, len(overlap) / len(exact)
+    for pair in overlap:
+        assert abs(ham[pair] - exact[pair]) <= 2e-4, (pair, ham[pair], exact[pair])
+    for r in ham_df:
+        assert 0 <= r["hamming"] <= 64
+        assert 1 <= r["rank"] <= 5

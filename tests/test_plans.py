@@ -979,6 +979,10 @@ def test_shuffle_budgets_table(spark):
         # wordpiece fertility: encode segmented-scan exchange + the
         # doc rollup/lang agg chain
         "c_token_wordpiece_fertility": 2,
+        # binary-signature ANN: signatures are expression-only over
+        # the scan, queries broadcast, and the Hamming-shortlist and
+        # cosine-refine windows SHARE the one query_id exchange
+        "c_sim_hamming": 1,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
