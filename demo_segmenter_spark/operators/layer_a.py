@@ -6294,3 +6294,128 @@ def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _psi_from_cnts(spark, cnts)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift (round-10 widening): PSI's
+# histogram binning trades resolution for bounded state; KS is the
+# binless complement ops teams run next — the supremum gap between the
+# two windows' empirical CDFs, sensitive to ANY distributional change,
+# not just mass moving across fixed bin edges. The empirical sup is
+# attained at an observed value, so evaluating at every distinct
+# observed point is EXACT, and with integer-cents values + integer
+# cross-multiplied CDFs (|n_cur·cum_ref − n_ref·cum_cur|) the whole
+# statistic is computed in BIGINT — one final division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_drift_ks",
+    oracle=f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS us, {sql_cents('value')} AS c
+    FROM events
+), bnds AS (
+    SELECT min(us) AS lo, max(us) AS hi FROM e
+), tagged AS (
+    SELECT event_type,
+           CASE WHEN us < (lo + hi) // 2 THEN 0 ELSE 1 END AS wnd, c
+    FROM e CROSS JOIN bnds
+), cnt AS (
+    SELECT event_type, c,
+           sum(CASE WHEN wnd = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN wnd = 1 THEN 1 ELSE 0 END) AS n1
+    FROM tagged GROUP BY event_type, c
+), cum AS (
+    SELECT event_type, c,
+           sum(n0) OVER (PARTITION BY event_type ORDER BY c) AS cum0,
+           sum(n1) OVER (PARTITION BY event_type ORDER BY c) AS cum1,
+           sum(n0) OVER (PARTITION BY event_type) AS nt0,
+           sum(n1) OVER (PARTITION BY event_type) AS nt1
+    FROM cnt
+), d AS (
+    SELECT event_type, c, nt0, nt1,
+           abs(nt1 * cum0 - nt0 * cum1) AS dint,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(nt1 * cum0 - nt0 * cum1) DESC,
+                                       c) AS rn
+    FROM cum
+)
+SELECT event_type,
+       CAST(nt0 AS BIGINT) AS n_ref,
+       CAST(nt1 AS BIGINT) AS n_cur,
+       CAST(c AS BIGINT) AS ks_at_cents,
+       {sql_rnd("dint * 1.0 / (nt0 * nt1)", 6)} AS ks
+FROM d WHERE rn = 1
+""",
+)
+def a_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV drift monitor per event type —
+    the binless companion to a_drift_psi (same reference/current split
+    at the event-time midpoint): KS = sup_x |F_ref(x) − F_cur(x)|,
+    computed EXACTLY by evaluating both empirical CDFs at every
+    distinct observed value (the sup of step functions is attained at
+    a step). Values quantize to integer cents, cumulative counts are
+    BIGINT window sums, and the gap compares via the cross-multiplied
+    integer |n_cur·cum_ref − n_ref·cum_cur| — division happens once,
+    on the winning row (argmax value reported as ks_at_cents,
+    smallest-value tiebreak). The fixture's halves are statistically
+    identical so ks sits near its sampling floor; the machinery is
+    certified term by term like PSI's.
+
+    Scale: one groupBy(type, cents) collapses the corpus to distinct
+    observed values map-side; the CDF windows and the argmax rank all
+    ride ONE event_type exchange. The BIGINT cross-product bounds n at
+    ~3·10⁹ per window pair (n_ref·n_cur < 2⁶³); past that, a
+    deployment switches the comparison to double after the integer
+    cumsums — the cumulative counts themselves stay exact far beyond
+    (2⁵³ rows)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        cents(F.col("value")).alias("c"),
+    )
+    bnds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(bnds)).select(
+        "event_type",
+        F.when(F.col("us") < F.expr("(lo + hi) DIV 2"), 0)
+        .otherwise(1)
+        .alias("wnd"),
+        "c",
+    )
+    cnt = tagged.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("wnd") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("wnd") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "c",
+        F.sum("n0").over(w_cum).alias("cum0"),
+        F.sum("n1").over(w_cum).alias("cum1"),
+        F.sum("n0").over(w_tot).alias("nt0"),
+        F.sum("n1").over(w_tot).alias("nt1"),
+    )
+    dint = F.abs(F.col("nt1") * F.col("cum0") - F.col("nt0") * F.col("cum1"))
+    w_arg = Window.partitionBy("event_type").orderBy(
+        F.col("dint").desc(), "c"
+    )
+    return (
+        cum.withColumn("dint", dint)
+        .withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("nt0").cast("long").alias("n_ref"),
+            F.col("nt1").cast("long").alias("n_cur"),
+            F.col("c").cast("long").alias("ks_at_cents"),
+            rnd(F.col("dint") * 1.0 / (F.col("nt0") * F.col("nt1")), 6).alias(
+                "ks"
+            ),
+        )
+    )

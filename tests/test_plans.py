@@ -983,6 +983,9 @@ def test_shuffle_budgets_table(spark):
         # the scan, queries broadcast, and the Hamming-shortlist and
         # cosine-refine windows SHARE the one query_id exchange
         "c_sim_hamming": 1,
+        # KS drift: the 1-row bounds agg + the (type,cents) collapse +
+        # the type-keyed CDF/argmax windows (one exchange, two sorts)
+        "a_drift_ks": 3,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
