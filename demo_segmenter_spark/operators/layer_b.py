@@ -4853,3 +4853,201 @@ def b_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir sampling (round-10 widening): uniform
+# sampling without replacement as BOTTOM-K OVER A HASH RANK — the
+# distributed/streaming formulation of reservoir sampling. Classic
+# reservoir (Vitter's R) is sequential and RNG-stateful; ranking every
+# row by an id-derived 60-bit md5 value and keeping the k smallest is
+# the same uniform draw, but the "keep k smallest" operator is an
+# idempotent, commutative, associative bounded semilattice: any
+# partitioning, arrival order, or replay of the data yields the
+# IDENTICAL sample — which is what makes it a partition-parallel
+# TakeOrdered at 100 TB and an exactly-once streaming state for free.
+# ---------------------------------------------------------------------------
+
+RES_K = 100  # reservoir size
+
+_RES_RANK_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+_RES_ORACLE = f"""
+WITH r AS (
+    SELECT event_id, user_id, event_type, {_RES_RANK_SQL} AS rk
+    FROM events
+)
+SELECT event_id, user_id, event_type, rk, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rk, event_id) AS rank FROM r
+)
+WHERE rank <= {RES_K}
+"""
+
+
+def _res_rank() -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+@query("b_sample_reservoir", oracle=_RES_ORACLE)
+def b_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {RES_K}-row sample without replacement as deterministic
+    HASH-RANK BOTTOM-K: rank every event by the first 15 hex chars of
+    md5(event_id) (60 bits, sign-safe BIGINT), keep the k smallest
+    (event_id tiebreak). Identical in distribution to reservoir
+    sampling, but deterministic, mergeable and replayable — the form
+    every distributed engine actually ships (Spark's takeOrdered /
+    the bottom-k sketch). Full hash oracle — including the rank keys.
+
+    Scale: orderBy(...).limit(k) plans as TakeOrderedAndProject —
+    each partition keeps its local k, only p·k rows move, no global
+    sort (pinned in test_sort_limit_is_top_k_not_global_sort's
+    sibling below); the final k-row rank window is on a single
+    bounded partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _res_rank().alias("rk")
+    )
+    samp = ev.orderBy("rk", "event_id").limit(RES_K)
+    w = Window.orderBy("rk", "event_id")
+    return samp.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "rk",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+_RES_STATE_SCHEMA = (
+    "event_id long, user_id long, event_type string, rk long"
+)
+
+
+def _events_chunked_src(
+    spark: SparkSession, sf_dir: str, base: str, n_chunks: int = 6
+) -> str:
+    """events replayed as event_id-range-chunked parquet files with
+    increasing mtimes so maxFilesPerTrigger=1 delivers ordered
+    micro-batches (the _incdedup_chunked_src idiom on the events
+    table; ts is projected away up front so the ns-encoding question
+    never reaches the stream reader)."""
+    import os
+    import time as _time
+
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _res_rank().alias("rk")
+    )
+    src = f"{base}/src"
+    os.makedirs(src)
+    hi = df.agg(F.max("event_id")).first()[0] + 1
+    cuts = [i * hi // n_chunks for i in range(n_chunks)] + [hi]
+    now = _time.time()
+    for i in range(n_chunks):
+        d = f"{base}/b{i}"
+        df.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        ).coalesce(1).write.parquet(d)
+        for fname in os.listdir(d):
+            if fname.endswith(".parquet"):
+                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
+                os.utime(
+                    f"{src}/{i}_{fname}",
+                    (now + i * 10, now + i * 10),
+                    follow_symlinks=False,
+                )
+    return src
+
+
+def run_reservoir_stream(spark: SparkSession, src: str, base: str) -> None:
+    """Drive the streaming reservoir to completion: per micro-batch,
+    merge the batch's local bottom-k with the previous snapshot and
+    keep the k smallest — the semilattice step. State = the k-row
+    snapshot, versioned through the jsonl_dir manifest; no replay
+    bookkeeping is needed because merging already-absorbed rows is a
+    set-union no-op (idempotence IS the exactly-once story here)."""
+    from pyspark.sql import types as T
+
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("rk", T.LongType()),
+        ]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cand = batch_df.orderBy("rk", "event_id").limit(RES_K)
+        prev_files = manifest_files(f"{base}/res")
+        if prev_files:
+            prev = sp.read.schema(_RES_STATE_SCHEMA).json(prev_files)
+            cand = prev.unionByName(cand).distinct()
+        merged = cand.orderBy("rk", "event_id").limit(RES_K)
+        (
+            merged.write.format("jsonl_dir")
+            .option("path", f"{base}/res")
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query("b_sample_reservoir_stream", oracle=_REGISTRY["b_sample_reservoir"].oracle)
+def b_sample_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_sample_reservoir, SAME oracle: events
+    arrive as six event_id-range micro-batches; each batch's local
+    bottom-k merges with the snapshot and the k smallest survive —
+    because hash-rank bottom-k is an idempotent commutative
+    semilattice, ANY chunking (or a crash-replayed batch) converges
+    to the batch query's exact sample, pinned per-batch in
+    tests/test_reservoir_stream.py. State is k rows regardless of
+    stream length — the property that makes this THE uniform-sample
+    operator for unbounded streams. The final k-row snapshot gets its
+    rank column batch-side, like the batch twin."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/dss_res_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = _events_chunked_src(spark, sf_dir, base)
+    run_reservoir_stream(spark, src, base)
+    res = spark.read.schema(_RES_STATE_SCHEMA).json(
+        manifest_files(f"{base}/res")
+    )
+    w = Window.orderBy("rk", "event_id")
+    return res.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "rk",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

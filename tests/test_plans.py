@@ -986,6 +986,9 @@ def test_shuffle_budgets_table(spark):
         # KS drift: the 1-row bounds agg + the (type,cents) collapse +
         # the type-keyed CDF/argmax windows (one exchange, two sorts)
         "a_drift_ks": 3,
+        # reservoir sample: TakeOrderedAndProject (per-partition local
+        # k, no global sort) + the k-row rank window — ZERO exchanges
+        "b_sample_reservoir": 0,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one

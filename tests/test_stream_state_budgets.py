@@ -80,6 +80,10 @@ STATE_BUDGETS = {
     "a_tumbling_window_stream": 150,
     "a_window_dau_stream": 575,
     "b_agg_bitmap_distinct_stream": 5,
+    # streaming reservoir: all state is the k-row snapshot in the
+    # versioned manifest (foreachBatch semilattice merge), never the
+    # StateStore — k-row bound pinned in tests/test_reservoir_stream.py
+    "b_sample_reservoir_stream": 0,
     "b_rollup_hierarchy_stream": 868,
     # streaming bloom build: complete-mode state == the filter's word
     # array — realized 63-bit words, hard-bounded at
