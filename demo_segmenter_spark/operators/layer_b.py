@@ -5051,3 +5051,79 @@ def b_sample_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+@query("b_agg_countmin_stream", oracle=_REGISTRY["b_agg_countmin"].oracle)
+def b_agg_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_agg_countmin, SAME oracle: the count-min
+    grid is THE textbook streaming sketch — a complete-mode
+    aggregation keyed by (depth, bucket) whose StateStore is the
+    sketch itself, hard-bounded at 3x{CM_W} counters regardless of
+    stream length (the memory guarantee that is the sketch's entire
+    reason to exist). Counter updates are commutative sums, so any
+    micro-batch split or arrival order yields the identical grid
+    (cell-wise mergeability is pinned separately in
+    tests/test_sketch_sample.py's countmin split test). The probe
+    phase (min over the three hashed counters + the exact twin for
+    the overestimate invariant) runs batch-side on the final grid —
+    exactly the batch query's gated join. Scale: state 192 rows, the
+    exchange carries map-side partials only."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (((F.lit(a) * F.col("user_id") + b) % CM_P) % CM_W).alias(
+                    "b"
+                ),
+            )
+            for d, (a, b) in enumerate(zip(CM_A, CM_B))
+        ]
+    )
+    grid = (
+        stream_events(spark, sf_dir)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.d", "p.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        grid.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.table(name)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    probes = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    probe_b = [
+        (((F.lit(a) * F.col("user_id") + b) % CM_P) % CM_W)
+        for a, b in zip(CM_A, CM_B)
+    ]
+    cond = None
+    for d in range(3):
+        c = (F.col("d") == d) & (F.col("b") == probe_b[d])
+        cond = c if cond is None else (cond | c)
+    return (
+        probes.join(F.broadcast(sketch), cond)
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

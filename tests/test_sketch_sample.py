@@ -132,3 +132,44 @@ def test_dpo_pairs_invariants(spark):
     pairs = Counter((r.source, r.lang) for r in rows)
     for g, n in grp.items():
         assert pairs.get(g, 0) == n // 2, (g, n, pairs.get(g))
+
+
+def test_countmin_stream_twin_and_mergeability(spark):
+    # twin equality: the streaming sketch's probe output must match
+    # the batch query's exactly (same oracle, same grid)
+    got = {tuple(r) for r in REGISTRY["b_agg_countmin_stream"].fn(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in REGISTRY["b_agg_countmin"].fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
+    # cell-wise mergeability: sketch(all) == sketch(half1) + sketch(half2)
+    # — the property that makes the grid a valid streaming/partitioned
+    # state (counter updates are commutative sums)
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_b import CM_A, CM_B, CM_P, CM_W
+    from demo_segmenter_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (((F.lit(a) * F.col("user_id") + b) % CM_P) % CM_W).alias("b"),
+            )
+            for d, (a, b) in enumerate(zip(CM_A, CM_B))
+        ]
+    )
+
+    def sketch(df):
+        return {
+            (r["d"], r["b"]): r["c"]
+            for r in df.select(F.explode(pairs).alias("p"))
+            .groupBy("p.d", "p.b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    full = sketch(ev)
+    h1 = sketch(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = sketch(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)}
+    assert merged == full

@@ -80,6 +80,10 @@ STATE_BUDGETS = {
     "a_tumbling_window_stream": 150,
     "a_window_dau_stream": 575,
     "b_agg_bitmap_distinct_stream": 5,
+    # streaming count-min: complete-mode state == the sketch grid —
+    # realized (d, bucket) cells, hard-bounded at 3 x CM_W = 192
+    # regardless of stream length (45 realized at sf0.001)
+    "b_agg_countmin_stream": 45,
     # streaming reservoir: all state is the k-row snapshot in the
     # versioned manifest (foreachBatch semilattice merge), never the
     # StateStore — k-row bound pinned in tests/test_reservoir_stream.py
