@@ -13855,3 +13855,169 @@ def c_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (round-10 widening): importance-weighted
+# selection of pretraining documents toward a target domain — the
+# hashed-n-gram importance-resampling recipe (Data Selection via
+# Importance Resampling): fit two bag-of-hashed-features unigram
+# models (target distribution vs the raw crawl), score every raw doc
+# by Σ_features log(p_target/p_raw), keep the top slice. The bucket
+# log-ratios are quantized once to integer micro-nats, so each doc's
+# score is an order-free BIGINT sum and the whole selection — model
+# fit, scoring, ranking — hash-certifies end to end.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed feature space (uni+bigrams, md5-derived)
+DSIR_TARGET_LANG = "en"  # the target domain: English docs
+DSIR_KEEP_DEN = 5  # keep the top 1/5 of docs by importance weight
+
+
+@query(
+    "c_select_dsir",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+), feat AS (
+    SELECT doc_id, lang, w AS f FROM tok
+    UNION ALL
+    SELECT a.doc_id, a.lang, concat(a.w, ' ', b.w)
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), fb AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+    FROM feat
+), cnt AS (
+    SELECT b,
+           count(*) AS cr,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS ct
+    FROM fb GROUP BY b
+), tot AS (
+    SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt
+), rat AS (
+    SELECT b,
+           CAST(round(ln(((ct + 1.0) * (nr + {DSIR_BUCKETS}))
+                         / ((cr + 1.0) * (nt + {DSIR_BUCKETS})))
+                      * 1000000 + 1e-04) AS BIGINT) AS lr_micro
+    FROM cnt CROSS JOIN tot
+), doc AS (
+    SELECT fb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(r.lr_micro) AS BIGINT) AS logw_micro
+    FROM fb JOIN rat r USING (b)
+    GROUP BY fb.doc_id
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+    SELECT d.doc_id, dd.lang, d.n_feats, d.logw_micro,
+           row_number() OVER (ORDER BY d.logw_micro DESC, d.doc_id)
+               AS sel_rank,
+           n.n_docs
+    FROM doc d JOIN documents dd ON d.doc_id = dd.doc_id
+    CROSS JOIN n
+)
+SELECT doc_id, lang, n_feats, logw_micro,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(CASE WHEN sel_rank * {DSIR_KEEP_DEN} <= n_docs + {DSIR_KEEP_DEN} - 1
+                 THEN 1 ELSE 0 END AS INT) AS selected
+FROM ranked
+""",
+)
+def c_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted data selection — steer a raw crawl
+    toward a target domain (lang={DSIR_TARGET_LANG!r} stands in for
+    "formal English") without training a classifier: hash every
+    unigram and adjacent bigram into {DSIR_BUCKETS} md5-derived
+    buckets, fit Laplace-smoothed bag-of-features models for the
+    target slice and the full raw corpus IN ONE PASS (per-bucket
+    (raw, target) counts from a single groupBy), quantize each
+    bucket's log(p_t/p_r) once to integer MICRO-NATS, and score each
+    doc by the order-free BIGINT sum over its features (multiplicity
+    included). Selection keeps the top ceil(n/{DSIR_KEEP_DEN}) by
+    (logw_micro desc, doc_id) — the deterministic rank variant;
+    production resampling adds Gumbel noise to the same score column.
+    Target-language docs should dominate the kept slice (pinned in
+    tests/test_dsir.py) — the paper's sanity check.
+
+    Scale: bigrams are expression-only (zip_with over adjacent
+    slices — no self-join, no extra scan); the feature stream
+    collapses map-side into ≤{DSIR_BUCKETS} cells; the ratio table
+    broadcasts back into the same feature stream; one doc_id rollup.
+    The global rank window is the a_rfm_segments single-partition
+    pattern — at 100 TB the cutoff comes from an approx-quantile
+    sketch on logw_micro instead, everything else unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    feats = persist(feats)
+    cnt = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    rat = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) * (F.col("nr") + DSIR_BUCKETS))
+                / ((F.col("cr") + 1.0) * (F.col("nt") + DSIR_BUCKETS))
+            )
+            * 1_000_000
+            + F.lit(EPS[0])
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    doc = (
+        feats.join(F.broadcast(rat), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("logw_micro"),
+        )
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.col("logw_micro").desc(), "doc_id")
+    return (
+        doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "logw_micro",
+            "sel_rank",
+            (
+                F.col("sel_rank") * DSIR_KEEP_DEN
+                <= F.col("n_docs") + DSIR_KEEP_DEN - 1
+            )
+            .cast("int")
+            .alias("selected"),
+        )
+    )

@@ -989,6 +989,11 @@ def test_shuffle_budgets_table(spark):
         # reservoir sample: TakeOrderedAndProject (per-partition local
         # k, no global sort) + the k-row rank window — ZERO exchanges
         "b_sample_reservoir": 0,
+        # DSIR: persisted feature stream pays once (bucket collapse +
+        # totals are <=512-cell aggs), ratio table broadcasts back, one
+        # doc rollup + lang join, global rank single-partition window
+        # (sketch-quantile cutoff at 100 TB, per docstring)
+        "c_select_dsir": 6,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
