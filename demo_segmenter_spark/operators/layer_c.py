@@ -14021,3 +14021,165 @@ def c_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (round-10 widening): the
+# Rocchio/RM recipe every lexical retrieval stack layers on BM25 —
+# run the original query, treat its top documents as pseudo-relevant,
+# mine them for the highest-offer-weight new terms (tf-in-feedback x
+# idf), and re-run the expanded query. Both retrieval rounds and the
+# term-offer weights use the repo's integer micro-unit BM25, so the
+# full two-round pipeline hash-certifies.
+# ---------------------------------------------------------------------------
+
+PRF_DOCS = 10  # pseudo-relevant feedback set size
+PRF_TERMS = 3  # expansion terms added to the 3-term base query
+
+
+@query(
+    "c_rag_query_expansion",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n_docs, sum(len) * 1.0 / count(*) AS avgdl FROM dl
+), df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), sc AS (
+    SELECT tf.doc_id, tf.t,
+           CAST(round(
+               ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.len / avgdl))
+               * 1000000 + 1e-04) AS BIGINT) AS s_micro
+    FROM tf
+    JOIN df ON tf.t = df.t
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+), q0 AS (
+    SELECT t FROM df ORDER BY df DESC, t LIMIT 3
+), r1 AS (
+    SELECT doc_id, sum(s_micro) AS s1
+    FROM sc JOIN q0 USING (t) GROUP BY doc_id
+), rel AS (
+    SELECT doc_id, s1 FROM r1 ORDER BY s1 DESC, doc_id LIMIT {PRF_DOCS}
+), idfm AS (
+    SELECT t, CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * 1000000 + 1e-04) AS BIGINT) AS idfm
+    FROM df CROSS JOIN stats
+), qx AS (
+    SELECT tf.t, sum(tf.tf) * max(i.idfm) AS w
+    FROM tf
+    JOIN rel USING (doc_id)
+    JOIN idfm i ON tf.t = i.t
+    WHERE tf.t NOT IN (SELECT t FROM q0)
+    GROUP BY tf.t
+    ORDER BY w DESC, tf.t LIMIT {PRF_TERMS}
+), q2 AS (
+    SELECT t FROM q0 UNION SELECT t FROM qx
+), r2 AS (
+    SELECT doc_id, sum(s_micro) AS s2
+    FROM sc JOIN q2 USING (t) GROUP BY doc_id
+)
+SELECT r2.doc_id,
+       {sql_rnd("r2.s2 / 1000000.0", 2)} AS bm25_exp,
+       {sql_rnd("COALESCE(r1.s1, 0) / 1000000.0", 2)} AS bm25_orig,
+       CAST(row_number() OVER (ORDER BY r2.s2 DESC, r2.doc_id) AS BIGINT)
+           AS rank
+FROM r2 LEFT JOIN r1 ON r2.doc_id = r1.doc_id
+ORDER BY r2.s2 DESC, r2.doc_id LIMIT 10
+""",
+)
+def c_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback QUERY EXPANSION (Rocchio/RM shape):
+    round 1 scores c_text_bm25's deterministic base query (the 3
+    highest-df tokens), the top {PRF_DOCS} docs become the feedback
+    set, candidate terms are offer-weighted by Σ tf-in-feedback ×
+    idf_micro (pure BIGINT — the idf is quantized once), the top
+    {PRF_TERMS} new terms (weight desc, term tiebreak) join the base
+    query, and round 2 re-scores with the 6-term expanded query.
+    Output: final top-10 with both scores (bm25_orig = 0 when a doc
+    matched only expansion terms — the recall the expansion BOUGHT,
+    pinned in tests/test_rag_expansion.py).
+
+    Scale: one inverted-index build (tok/dl/df/tf persisted, each
+    exchange paid once); every retrieval round is the broadcast
+    posting-list shape — the tiny term set joins INTO tf, never a
+    corpus re-scan; feedback mining joins tf against the broadcast
+    {PRF_DOCS}-row feedback set. Scoring all terms of all docs never
+    happens (the oracle's sc-over-everything is replay convenience,
+    not the plan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = persist(dl_ := tok.groupBy("doc_id").agg(F.count("*").alias("len")))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    df_ = persist(
+        tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tf = persist(tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s_micro = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl"))
+        )
+        * 1_000_000
+        + F.lit(EPS[0])
+    ).cast("long")
+
+    def round_scores(terms):
+        # terms: (t, df) — the broadcast posting-list lookup
+        return (
+            tf.join(F.broadcast(terms), "t")
+            .join(dl, "doc_id")
+            .join(F.broadcast(stats))
+            .select("doc_id", s_micro.alias("s_micro"))
+            .groupBy("doc_id")
+            .agg(F.sum("s_micro").alias("s"))
+        )
+
+    q0 = persist(df_.orderBy(F.col("df").desc(), "t").limit(3))
+    r1 = persist(round_scores(q0))
+    rel = r1.orderBy(F.col("s").desc(), "doc_id").limit(PRF_DOCS)
+    idfm = df_.join(F.broadcast(stats)).select(
+        "t",
+        "df",
+        F.round(idf * 1_000_000 + F.lit(EPS[0])).cast("long").alias("idfm"),
+    )
+    qx = (
+        tf.join(F.broadcast(rel.select("doc_id")), "doc_id")
+        .join(F.broadcast(q0.select("t")), "t", "left_anti")
+        .join(idfm, "t")
+        .groupBy("t")
+        .agg((F.sum("tf") * F.max("idfm")).alias("w"), F.max("df").alias("df"))
+        .orderBy(F.col("w").desc(), "t")
+        .limit(PRF_TERMS)
+    )
+    q2 = q0.select("t", "df").unionByName(qx.select("t", "df"))
+    r2 = round_scores(q2)
+    w_rank = Window.orderBy(F.col("s").desc(), "doc_id")
+    return (
+        r2.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .join(r1.withColumnRenamed("s", "s1"), "doc_id", "left")
+        .select(
+            "doc_id",
+            rnd(F.col("s") / 1_000_000.0, 2).alias("bm25_exp"),
+            rnd(F.coalesce("s1", F.lit(0)) / 1_000_000.0, 2).alias(
+                "bm25_orig"
+            ),
+            "rank",
+        )
+    )

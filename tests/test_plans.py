@@ -994,6 +994,12 @@ def test_shuffle_budgets_table(spark):
         # doc rollup + lang join, global rank single-partition window
         # (sketch-quantile cutoff at 100 TB, per docstring)
         "c_select_dsir": 6,
+        # PRF expansion: static recount of the persisted tok/dl/df/tf
+        # index subtrees across their two retrieval rounds + feedback
+        # mining (the c_rag_maxsim accounting); at runtime each
+        # persisted stage executes once and every round is a broadcast
+        # posting-list join, never a corpus re-scan
+        "c_rag_query_expansion": 31,
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
