@@ -13953,6 +13953,21 @@ def c_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — at 100 TB the cutoff comes from an approx-quantile
     sketch on logw_micro instead, everything else unchanged."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    feats = persist(_dsir_feats(docs))
+    cnt = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    return _dsir_tail(docs, feats, cnt)
+
+
+def _dsir_feats(docs: DataFrame) -> DataFrame:
+    """Shared DSIR front: hashed uni+bigram feature rows
+    (doc_id, lang, bucket). Identical whether the docs arrive as a
+    batch scan or a micro-batch stream — the streaming twin's
+    per-bucket count state composes with this exact feature stream."""
     toks = F.split("text", " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -13960,7 +13975,7 @@ def c_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         "lang",
         F.explode(F.concat(toks, bigrams)).alias("f"),
@@ -13972,13 +13987,16 @@ def c_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    feats = persist(feats)
-    cnt = feats.groupBy("b").agg(
-        F.count("*").alias("cr"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("ct"),
-    )
+
+
+def _dsir_tail(
+    docs: DataFrame, feats: DataFrame, cnt: DataFrame
+) -> DataFrame:
+    """Shared DSIR scoring tail over the sufficient statistic: ``cnt``
+    is the per-bucket (cr, ct) feature-count table (from the batch
+    groupBy or the streaming StateStore — same algebra). Smoothed
+    micro-nat log-ratios, order-free BIGINT doc scores, top-1/den
+    selection."""
     tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     rat = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -14183,3 +14201,82 @@ def c_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_DSIR_CNT_SCHEMA = "b long, cr long, ct long"
+
+
+def run_dsir_stream(spark: SparkSession, src: str, schema, base: str):
+    """Drive the incremental DSIR model fit to completion: per-bucket
+    (raw, target) feature counts as complete-mode streaming state —
+    the two bag-of-features models ARE the StateStore, bounded at
+    DSIR_BUCKETS keys — one immutable jsonl_dir snapshot per
+    micro-batch."""
+    from demo_segmenter_spark.sources.python_source import register_sink
+
+    register_sink(spark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jsonl_dir")
+            .option("path", f"{base}/cnts")
+            .option("batch_id", str(batch_id))
+            .mode("overwrite")
+            .save()
+        )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        _dsir_feats(raw)
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ct"),
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query("c_select_dsir_stream", oracle=_REGISTRY["c_select_dsir"].oracle)
+def c_select_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of c_select_dsir, SAME oracle: the corpus
+    arrives as six doc_id-range micro-batches and the importance
+    model fits INCREMENTALLY — per-bucket (raw, target) feature
+    counts as complete-mode streaming state (sums are commutative, so
+    any batch split yields the identical model; the StateStore is
+    bounded at DSIR_BUCKETS keys no matter how much data streams
+    through). Scoring and selection run once on the final snapshot
+    through the shared _dsir_tail, over the same _dsir_feats front
+    the stream used. The production shape: the model updates
+    continuously as the crawl lands; selection is a cheap batch pass
+    whenever a training snapshot is cut. Multibatch sufficient-
+    statistic accumulation pinned in tests/test_dsir.py."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/dss_dsir_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+    run_dsir_stream(spark, src, docs.schema, base)
+    cnt = spark.read.schema(_DSIR_CNT_SCHEMA).json(
+        manifest_files(f"{base}/cnts")
+    )
+    sdocs = spread(docs)
+    feats = persist(_dsir_feats(sdocs))
+    return _dsir_tail(sdocs, feats, cnt)

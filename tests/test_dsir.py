@@ -85,3 +85,63 @@ def test_selected_slice_is_target_dominated(spark):
     for r in out:
         if r["selected"] == 0:
             assert (r["logw_micro"], -r["doc_id"]) < floor_sel
+
+
+def test_stream_twin_equals_batch(spark):
+    got = {
+        tuple(r)
+        for r in REGISTRY["c_select_dsir_stream"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["c_select_dsir"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_counts_accumulate(spark):
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_c import (
+        _DSIR_CNT_SCHEMA,
+        _incdedup_chunked_src,
+        run_dsir_stream,
+    )
+    from demo_segmenter_spark.sources import load_table
+    from demo_segmenter_spark.sources.python_source import (
+        latest_manifest,
+        manifest_files,
+    )
+
+    base = f"/tmp/dss_dsir_stream/mb_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+    run_dsir_stream(spark, src, docs.schema, base)
+    assert latest_manifest(f"{base}/cnts")["batch_id"] == 5
+
+    def totals(version):
+        r = (
+            spark.read.schema(_DSIR_CNT_SCHEMA)
+            .json(manifest_files(f"{base}/cnts", version))
+            .agg(F.sum("cr"), F.sum("ct"))
+            .first()
+        )
+        return r[0], r[1]
+
+    hist = [totals(v) for v in range(1, 7)]
+    # sufficient statistics grow monotonically (strictly for cr —
+    # every chunk carries features) and target <= raw at every step
+    assert all(a[0] < b[0] for a, b in zip(hist, hist[1:]))
+    assert all(ct <= cr for cr, ct in hist)
+    # final snapshot == the whole-corpus feature counts
+    from demo_segmenter_spark.operators.layer_c import _dsir_feats
+    from demo_segmenter_spark.sources import spread
+
+    feats = _dsir_feats(spread(docs))
+    n_all = feats.count()
+    n_tgt = feats.filter(F.col("lang") == "en").count()
+    assert hist[-1] == (n_all, n_tgt)

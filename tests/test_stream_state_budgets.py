@@ -95,6 +95,11 @@ STATE_BUDGETS = {
     # at sf0.001); corpus hashes live in the manifest, never here
     "c_dedup_bloom_stream": 250,
     "c_dedup_incremental_stream": 0,
+    # incremental DSIR fit: complete-mode state == the two hashed
+    # feature models — realized (bucket -> raw/target count) keys,
+    # bounded at DSIR_BUCKETS regardless of stream length (430 of max
+    # 512 realized at sf0.001)
+    "c_select_dsir_stream": 430,
     # incremental NB trainer: complete-mode state == the trained model
     # itself — realized (bucket, class-count) keys + the b=-1 prior
     # row, bounded at NB_BUCKETS+1 regardless of stream length (28 of
