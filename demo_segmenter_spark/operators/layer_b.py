@@ -5127,3 +5127,194 @@ def b_agg_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native HyperLogLog (round-10 widening): b_agg_sketch_merge exercises
+# Spark's built-in HLL++ but can only be checked rows-only (the
+# sketch internals are engine-private). This is the repo's own HLL
+# over the proven cross-engine primitive (md5): register index =
+# low 6 hash bits, rank = trailing-zero count of the remaining 54
+# bits (the integer-only (w & -w) - 1 popcount trick — no float, no
+# log), register maxima are the mergeable state, and the harmonic
+# sum Σ 2^(-M_j) is scaled by 2^55 into an EXACT BIGINT before the
+# one division — so the full estimate path hash-certifies, like
+# c_dedup_minhash_native does for MinHash.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6)
+HLL_WBITS = 55  # max rank: 54 payload bits -> rho in [1, 55]
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. bias constant)
+
+_HLL_REG_SQL = f"""
+WITH h AS (
+    SELECT event_type,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hv
+    FROM events
+), reg AS (
+    SELECT event_type, hv % {HLL_M} AS j,
+           max(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_WBITS}
+                    ELSE bit_count(((hv // {HLL_M}) & -(hv // {HLL_M})) - 1)
+                         + 1 END) AS rho
+    FROM h GROUP BY event_type, hv % {HLL_M}
+)
+"""
+
+_HLL_TAIL_SQL = f"""
+, s AS (
+    SELECT event_type,
+           sum(1::BIGINT << CAST({HLL_WBITS} - rho AS INT)) AS s_part,
+           count(*) AS n_reg
+    FROM reg GROUP BY event_type
+), e0 AS (
+    SELECT event_type, n_reg, {HLL_M} - n_reg AS v,
+           {HLL_ALPHA} * {HLL_M} * {HLL_M}
+           * CAST(1::BIGINT << {HLL_WBITS} AS DOUBLE)
+           / (s_part + ({HLL_M} - n_reg) * (1::BIGINT << {HLL_WBITS}))
+               AS e_raw
+    FROM s
+), fin AS (
+    SELECT event_type, v,
+           CASE WHEN e_raw < 2.5 * {HLL_M} AND v > 0
+                THEN {HLL_M} * ln({HLL_M} * 1.0 / v) ELSE e_raw END AS e,
+           CASE WHEN e_raw < 2.5 * {HLL_M} AND v > 0 THEN 1 ELSE 0 END AS lc
+    FROM e0
+), ex AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT f.event_type,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       {{est}} AS hll_estimate,
+       CAST(f.lc AS INT) AS used_linear_counting,
+       CAST(f.v AS BIGINT) AS n_zero_registers
+FROM fin f JOIN ex USING (event_type)
+"""
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, j, rho) register maxima — the mergeable HLL state,
+    identical on batch and streaming rows."""
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"hv DIV {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_WBITS)).otherwise(
+        F.expr(
+            f"bit_count(((hv DIV {HLL_M}) & -(hv DIV {HLL_M})) - 1) + 1"
+        )
+    )
+    return (
+        ev.select("event_type", hv.alias("hv"))
+        .select("event_type", (F.col("hv") % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _hll_estimate(reg: DataFrame, ex: DataFrame) -> DataFrame:
+    """Shared HLL estimate tail over the register table: exact BIGINT
+    harmonic sum, one double division, small-range linear-counting
+    switch on the identical IEEE comparison both engines make."""
+    s = reg.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, CAST({HLL_WBITS} - rho AS INT))")
+        ).alias("s_part"),
+        F.count("*").alias("n_reg"),
+    )
+    e_raw = (
+        HLL_ALPHA
+        * HLL_M
+        * HLL_M
+        * float(1 << HLL_WBITS)
+        / (
+            F.col("s_part")
+            + (HLL_M - F.col("n_reg")) * F.lit(1 << HLL_WBITS)
+        )
+    )
+    e0 = s.select(
+        "event_type",
+        (HLL_M - F.col("n_reg")).alias("v"),
+        e_raw.alias("e_raw"),
+    )
+    lc_cond = (F.col("e_raw") < 2.5 * HLL_M) & (F.col("v") > 0)
+    fin = e0.select(
+        "event_type",
+        "v",
+        F.when(
+            lc_cond, HLL_M * F.log(HLL_M * 1.0 / F.col("v"))
+        ).otherwise(F.col("e_raw")).alias("e"),
+        lc_cond.cast("int").alias("lc"),
+    )
+    return fin.join(F.broadcast(ex), "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        rnd(F.col("e"), 2).alias("hll_estimate"),
+        F.col("lc").alias("used_linear_counting"),
+        F.col("v").cast("long").alias("n_zero_registers"),
+    )
+
+
+@query(
+    "b_agg_hll_native",
+    oracle=_HLL_REG_SQL
+    + _HLL_TAIL_SQL.format(est=sql_rnd("f.e", 2)),
+)
+def b_agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HYPERLOGLOG distinct-count per event_type, fully
+    hash-certified: md5-derived 60-bit hashes split into a {HLL_M}-way
+    register index + 54 payload bits; rank = trailing zeros + 1 via
+    the integer-only (w & -w) - 1 popcount; per-register maxima are
+    the sketch; the harmonic mean's Σ 2^(-rho) scales by 2^{HLL_WBITS}
+    into an exact BIGINT sum (dyadic terms — no float accumulation at
+    all), leaving ONE double division and the standard small-range
+    linear-counting switch. n_exact rides in-schema as the
+    certification twin; the +/-1.04/sqrt(m) (~13%) error band is
+    pinned in tests/test_sketch_sample.py. Scale: the register table
+    is the mergeable artifact — daily sketches union with a further
+    max, the exchange carries <=types x {HLL_M} rows regardless of
+    corpus size (the exact twin rides along only for the invariant;
+    at 100 TB you keep the registers, not the countDistinct)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    reg = _hll_registers(ev)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return _hll_estimate(reg, ex)
+
+
+@query(
+    "b_agg_hll_native_stream",
+    oracle=_HLL_REG_SQL + _HLL_TAIL_SQL.format(est=sql_rnd("f.e", 2)),
+)
+def b_agg_hll_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_agg_hll_native, SAME oracle: the register
+    maxima are maintained as complete-mode streaming state — max is
+    commutative/idempotent, so any micro-batch split, arrival order
+    or crash-replay yields the identical sketch, and the StateStore
+    is bounded at types x {HLL_M} rows no matter how much data
+    streams through (THE canonical streaming-sketch contract). The
+    estimate tail (+ the exact twin column for certification) runs
+    batch-side on the final register emission."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    reg_s = _hll_registers(
+        stream_events(spark, sf_dir).select("event_type", "user_id")
+    )
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        reg_s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return _hll_estimate(spark.table(name), ex)

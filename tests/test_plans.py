@@ -994,6 +994,10 @@ def test_shuffle_budgets_table(spark):
         # doc rollup + lang join, global rank single-partition window
         # (sketch-quantile cutoff at 100 TB, per docstring)
         "c_select_dsir": 6,
+        # native HLL: register groupBy + the <=types x 64 estimate
+        # rollup + the exact-twin expand pair (certification only —
+        # at 100 TB you keep the registers); twin join broadcasts
+        "b_agg_hll_native": 4,
         # PRF expansion: static recount of the persisted tok/dl/df/tf
         # index subtrees across their two retrieval rounds + feedback
         # mining (the c_rag_maxsim accounting); at runtime each

@@ -173,3 +173,37 @@ def test_countmin_stream_twin_and_mergeability(spark):
     h2 = sketch(ev.filter(F.col("event_id") % 2 == 1))
     merged = {k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)}
     assert merged == full
+
+
+def test_hll_native_error_band_and_stream_twin(spark):
+    # estimator quality: within the 3-sigma HLL band (sigma =
+    # 1.04/sqrt(64) ~ 13%) on every type, and the linear-counting
+    # switch engages exactly when the raw estimate is small
+    rows = REGISTRY["b_agg_hll_native"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel <= 3 * 1.04 / 8, (r["event_type"], rel)
+        assert (r["n_zero_registers"] > 0) or r["used_linear_counting"] == 0
+    # streaming twin: identical sketch (max is commutative/idempotent)
+    got = {tuple(r) for r in REGISTRY["b_agg_hll_native_stream"].fn(spark, SF_SMOKE).collect()}
+    assert got == {tuple(r) for r in rows}
+    # register-level mergeability: sketch(all) == cellwise max of the
+    # two halves' sketches — the daily-rollup union property
+    from demo_segmenter_spark.operators.layer_b import _hll_registers
+    from demo_segmenter_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    def sk(df):
+        return {
+            (r["event_type"], r["j"]): r["rho"]
+            for r in _hll_registers(df.select("event_type", "user_id")).collect()
+        }
+    full = sk(ev)
+    h1 = sk(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = sk(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: max(h1.get(k, 0), h2.get(k, 0)) for k in set(h1) | set(h2)}
+    assert merged == full

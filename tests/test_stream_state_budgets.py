@@ -80,6 +80,11 @@ STATE_BUDGETS = {
     "a_tumbling_window_stream": 150,
     "a_window_dau_stream": 575,
     "b_agg_bitmap_distinct_stream": 5,
+    # streaming native HLL: complete-mode state == the register
+    # maxima — realized (type, register) keys, hard-bounded at
+    # types x HLL_M = 320 regardless of stream length (70 realized at
+    # sf0.001: 14 of 64 registers hit by the 15 distinct users)
+    "b_agg_hll_native_stream": 70,
     # streaming count-min: complete-mode state == the sketch grid —
     # realized (d, bucket) cells, hard-bounded at 3 x CM_W = 192
     # regardless of stream length (45 realized at sf0.001)
