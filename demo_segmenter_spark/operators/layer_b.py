@@ -5318,3 +5318,144 @@ def b_agg_hll_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return _hll_estimate(spark.table(name), ex)
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (round-10 widening): multi-dimensional
+# clustering for data skipping — the OPTIMIZE ZORDER operation every
+# lake format ships. Interleave the bits of two filter columns into a
+# Morton code, lay rows out in z order, cut the sequence into files,
+# and emit each file's per-column [min, max] zone map: point/range
+# predicates on EITHER column can then prune most files, which a
+# single-column sort only delivers for its leading column. Bit
+# interleaving is pure integer arithmetic (an unrolled 16-term sum
+# shared verbatim with the oracle), so layout, file assignment and
+# zone maps all hash-certify.
+# ---------------------------------------------------------------------------
+
+ZORD_BITS = 16  # per-dimension bits in the Morton code
+ZORD_FILES = 16  # target file count
+
+
+def _zord_expr(div: str) -> str:
+    """The unrolled Morton interleave as engine SQL (div = '//' for
+    DuckDB, 'DIV' for Spark) — one shared arithmetic string, so the
+    two engines cannot drift."""
+    return " + ".join(
+        f"((a {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((b {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZORD_BITS)
+    )
+
+
+@query(
+    "b_layout_zorder",
+    oracle=f"""
+WITH src AS (
+    SELECT l_orderkey, l_linenumber,
+           l_partkey AS av, l_suppkey AS bv
+    FROM lineitem
+), bkt AS (
+    SELECT l_orderkey, l_linenumber, av, bv,
+           (rank() OVER (ORDER BY av) - 1) * {1 << ZORD_BITS}
+               // count(*) OVER () AS a,
+           (rank() OVER (ORDER BY bv) - 1) * {1 << ZORD_BITS}
+               // count(*) OVER () AS b
+    FROM src
+), zt AS (
+    SELECT l_orderkey, l_linenumber, av, bv,
+           {_zord_expr('//')} AS z
+    FROM bkt
+), ranked AS (
+    SELECT av, bv,
+           row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER () AS n
+    FROM zt
+)
+SELECT CAST((rn - 1) * {ZORD_FILES} // n AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(av) AS BIGINT) AS amin, CAST(max(av) AS BIGINT) AS amax,
+       CAST(min(bv) AS BIGINT) AS bmin, CAST(max(bv) AS BIGINT) AS bmax
+FROM ranked
+GROUP BY (rn - 1) * {ZORD_FILES} // n
+""",
+)
+def b_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering of lineitem on (l_partkey, l_suppkey) with
+    per-file ZONE MAPS — the layout half of the data-skipping story
+    (the jsonl_dir sink's manifest stats are the reader half). Each
+    column is first normalized to a rank-derived {ZORD_BITS}-bit
+    bucket ((rank-1)*2^bits DIV n; rank() keeps equal values in equal
+    buckets) — the normalization real OPTIMIZE ZORDER does, because
+    interleaving RAW values lets the wider column's high bits dominate
+    and the narrow column degenerates to a trailing sort key (measured
+    here: raw interleave pruned 1% on l_suppkey, rank interleave
+    prunes both dims — tests/test_zorder.py). Morton codes come from
+    an unrolled integer sum shared verbatim with the oracle, the file
+    cut is the exact ((rank-1)*{ZORD_FILES} DIV n) integer split (no
+    ntile tie ambiguity), and each file reports min/max of both RAW
+    columns. The payoff test: a point predicate on either column
+    prunes most z files; a single-column sort's trailing dim prunes
+    (almost) nothing.
+
+    Scale: at 100 TB the rank buckets come from range-partitioner
+    sample boundaries and the global z sort becomes
+    repartitionByRange(z) + sortWithinPartitions (the engines' actual
+    OPTIMIZE path — boundaries need not be exact ranks); the fixture
+    form keeps exact integer ranks so the layout itself
+    hash-certifies. Zone-map emission is one groupBy over the
+    laid-out scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").alias("av"),
+        F.col("l_suppkey").alias("bv"),
+    )
+    n_all = F.count("*").over(Window.partitionBy())
+    bkt = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "av",
+        "bv",
+        # rank() is INT in Spark: widen BEFORE the 2^bits multiply or
+        # ANSI mode overflows past ~32k rows
+        F.expr(
+            f"(CAST(rank() OVER (ORDER BY av) AS BIGINT) - 1)"
+            f" * {1 << ZORD_BITS}"
+        ).alias("ra"),
+        F.expr(
+            f"(CAST(rank() OVER (ORDER BY bv) AS BIGINT) - 1)"
+            f" * {1 << ZORD_BITS}"
+        ).alias("rb"),
+        n_all.alias("n"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "av",
+        "bv",
+        F.expr("ra DIV n").alias("a"),
+        F.expr("rb DIV n").alias("b"),
+    )
+    zt = bkt.withColumn("z", F.expr(_zord_expr("DIV")))
+    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    ranked = zt.select(
+        "av",
+        "bv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.select(
+            F.expr(f"(rn - 1) * {ZORD_FILES} DIV n").alias("file_id"),
+            "av",
+            "bv",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("av").cast("long").alias("amin"),
+            F.max("av").cast("long").alias("amax"),
+            F.min("bv").cast("long").alias("bmin"),
+            F.max("bv").cast("long").alias("bmax"),
+        )
+    )

@@ -994,6 +994,11 @@ def test_shuffle_budgets_table(spark):
         # doc rollup + lang join, global rank single-partition window
         # (sketch-quantile cutoff at 100 TB, per docstring)
         "c_select_dsir": 6,
+        # z-order layout: the rank/z windows collapse into ONE
+        # single-partition exchange at fixture sf (range-partitioned
+        # z sort at 100 TB, per docstring); zone maps aggregate
+        # map-side into <=ZORD_FILES rows
+        "b_layout_zorder": 1,
         # native HLL: register groupBy + the <=types x 64 estimate
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts
