@@ -124,6 +124,148 @@ def main() -> None:
     nb_stress(spark)
     substring_rewrite_stress(spark)
     unigram_stress(spark)
+    hamming_stress(spark)
+
+
+def hamming_stress(
+    spark, n: int = 1_000_000, g: int = 100_000, n_q: int = 20, k: int = 10
+) -> None:
+    """Binary-signature ANN at 1M vectors on PLANTED clusters — the
+    corpus where sign-bit search must shine (the sf0.1 fixture's
+    shallow spectrum structurally caps its recall at ~0.47, measured
+    and documented in tests/test_ann.py): vector i = center(i % g) +
+    small noise, so true neighbors share the center and therefore the
+    sign pattern. Cluster size n/g = 10 stays below the shortlist (a
+    1000-member first cut showed WHY that matters: with the whole
+    shortlist at hamming~0 inside one cluster, the tie order is
+    arbitrary and recall collapsed to 0.35 — the shortlist must
+    exceed the duplicate-class size, or nprobe-style widening has to
+    kick in). Runs c_sim_hamming's exact shape — integer-micro
+    mean-threshold bits, two 32-bit packed words, bit_count(xor)
+    shortlist@100, exact-cosine refine@k — and pins recall@k against
+    brute force. The Hamming stage touches 16 bytes/vector; the float
+    fetch happens only for the 100-row-per-query shortlist."""
+    from pyspark.sql import Window
+
+    from demo_segmenter_spark.functions.vectors import dot
+
+    t0 = time.time()
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            # splitmix-style (c,d) hash: multiply, XOR-fold, multiply
+            # again mod a large prime before the small modulus. The
+            # xor is load-bearing — ANY chain of multiplies/mods alone
+            # stays LINEAR in d ((A + dB) mod p, same stride B for
+            # every center), making all vectors shifted copies of one
+            # sawtooth: the first two attempts collapsed recall to
+            # 0.35/0.015 exactly that way. Statistics validated in
+            # numpy over thousands of pairs: sibling cos >= 0.9992 /
+            # ham <= 2, cross-center cos p99 0.297 / ham >= 23.
+            F.expr(
+                f"transform("
+                f"  transform(sequence(1, 64), d -> struct("
+                f"    ((id % {g}) * 64 + d) * 2654435761 % 1000003 AS z,"
+                f"    d AS d)),"
+                f"  s -> CAST(((s.z ^ (s.z DIV 4096)) * 48271 % 1000003)"
+                f"       % 2000 AS DOUBLE) / 1000.0 - 1.0"
+                f"     + CAST(((id * 48271 + s.d * 9973) % 1000003) % 100"
+                f"       AS DOUBLE) / 2000.0 - 0.025)"
+            ).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .withColumn(
+            "m",
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * 1_000_000 + F.lit(1e-4)).cast("long"),
+            ),
+        )
+        .withColumn(
+            "tot",
+            F.aggregate(
+                F.col("m"), F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+        )
+        .withColumn(
+            "w0",
+            F.aggregate(
+                F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 2
+                + F.when(
+                    F.element_at(F.col("m"), j + 1) * 64 > F.col("tot"),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+        .withColumn(
+            "w1",
+            F.aggregate(
+                F.sequence(F.lit(63), F.lit(32), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 2
+                + F.when(
+                    F.element_at(F.col("m"), j + 1) * 64 > F.col("tot"),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+        .drop("m", "tot")
+        .persist()
+    )
+    n_built = base.count()
+    t_build = time.time() - t0
+
+    qs = base.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    t0 = time.time()
+    exact = (
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "vec_id")
+    )
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    ham = F.expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)")
+    short_w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    hm = (
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", ham.alias("hamming"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("hr", F.row_number().over(short_w))
+        .filter(F.col("hr") <= 100)
+        .withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "vec_id")
+    )
+    hm_set = {(r.query_id, r.vec_id) for r in hm.collect()}
+    t_ham = time.time() - t0
+    recall = len(hm_set & exact_set) / len(exact_set)
+    print(
+        f"hamming {n_built} vectors x {n_q} queries top-{k} "
+        f"(planted g={g}): build+sign {t_build:.1f}s, exact {t_exact:.1f}s, "
+        f"hamming shortlist@100+refine {t_ham:.1f}s "
+        f"({n_built / t_ham / 1e6:.2f}M vec/s), recall@{k} {recall:.2f}"
+    )
+    assert recall >= 0.95, recall
+    base.unpersist()
 
 
 def papi_stress(spark, replicas: int = 10) -> None:
