@@ -139,6 +139,14 @@ HEADLINE = [
     "c_mix_doremi",
     "c_rag_maxsim",
     "a_drift_psi_stream",
+    # round 10 continuation: binary-signature ANN (popcount class),
+    # DSIR importance selection (the hashed-feature scoring class),
+    # the two-round PRF retrieval pipeline, and the z-order layout
+    # (global-clustering class)
+    "c_sim_hamming",
+    "c_select_dsir",
+    "c_rag_query_expansion",
+    "b_layout_zorder",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;
