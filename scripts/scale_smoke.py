@@ -125,6 +125,79 @@ def main() -> None:
     substring_rewrite_stress(spark)
     unigram_stress(spark)
     hamming_stress(spark)
+    dsir_stress(spark)
+
+
+def dsir_stress(spark, n_docs: int = 1_000_000, keep_den: int = 5) -> None:
+    """DSIR importance selection at 1M docs with a PLANTED target
+    domain: 20% of docs are lang=en drawing 20 words from vocab ids
+    0..299, the rest draw from 200..499 (a 100-word overlap so the
+    models must actually separate, not memorize). Runs c_select_dsir's
+    exact shape — hashed uni+bigram features, one-pass two-model fit
+    into 512 buckets, micro-nat log-ratio broadcast scoring, top-1/5
+    cut — and pins that the kept slice is en-dominated plus the
+    docs/s rate of the whole fit+score+rank pipeline."""
+    from pyspark.sql import Window
+
+    from demo_segmenter_spark.operators.layer_c import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        _dsir_feats,
+        _dsir_tail,
+    )
+
+    t0 = time.time()
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when((F.col("id") % 5) == 0, F.lit("en"))
+            .otherwise(F.lit("xx"))
+            .alias("lang"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 20), w -> concat('w',"
+                " CAST((id * 48271 + w * 2654435761) % 1000003 % 300"
+                " + CASE WHEN id % 5 = 0 THEN 0 ELSE 200 END AS STRING))))"
+            ).alias("text"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_built = docs.count()
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    # NO persist on the 39M-row feature stream: the fit and scoring
+    # passes recompute the expression-only explode+md5 instead of
+    # caching 39M rows (persist-vs-recompute measured within box
+    # noise here; warm steady-state 11.4s/1M docs either way, and at
+    # 100 TB the cache write is the cost a deployment avoids).
+    feats = _dsir_feats(docs)
+    cnt = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    out = _dsir_tail(docs, feats, cnt)
+    sel = (
+        out.filter(F.col("selected") == 1)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    dt = time.time() - t0
+    shares = {r["lang"]: r["count"] for r in sel}
+    n_sel = sum(shares.values())
+    en_share = shares.get("en", 0) / n_sel
+    print(
+        f"dsir {n_built} docs (20% planted en): build {t_build:.1f}s,"
+        f" fit+score+rank {dt:.1f}s ({n_built / dt / 1e6:.2f}M docs/s),"
+        f" kept {n_sel} docs, en share {en_share:.3f}"
+    )
+    assert n_sel == -(-n_built // keep_den)
+    assert en_share >= 0.95, en_share
+    docs.unpersist()
 
 
 def hamming_stress(
