@@ -5459,3 +5459,249 @@ def b_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bv").cast("long").alias("bmax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (round-10 widening): mergeable approximate
+# quantiles — the streaming/partitioned answer to "p50/p95 per key"
+# when an exact sort is off the table. A fixed 64-bin grid is the
+# simplest mergeable quantile state (counts add across partitions,
+# days, micro-batches); the estimate is rank interpolation inside the
+# covering bin. Both the bin targets and the covering-bin choice are
+# pure integer arithmetic (ceil via (a + b - 1) DIV b), the exact
+# order-statistic twin rides in-schema (rank-based, engine-neutral —
+# Spark percentile() and DuckDB quantile() interpolate differently,
+# k-th order statistics do not), so the whole thing hash-certifies.
+# ---------------------------------------------------------------------------
+
+QSK_BINS = 64
+QSK_W = 8  # bin width over the fixture's value span (0.03 - 327.5)
+
+_QSK_REG_SQL = f"""
+WITH e AS (
+    SELECT event_id, event_type, {sql_cents('value')} AS c FROM events
+), hist AS (
+    SELECT event_type,
+           least(c // {100 * QSK_W}, {QSK_BINS - 1}) AS bin,
+           count(*) AS bn
+    FROM e GROUP BY event_type, least(c // {100 * QSK_W}, {QSK_BINS - 1})
+)
+"""
+
+_QSK_TAIL_SQL = f"""
+, tot AS (
+    SELECT event_type, sum(bn) AS n FROM hist GROUP BY event_type
+), cum AS (
+    SELECT h.event_type, h.bin, h.bn, t.n,
+           sum(h.bn) OVER (PARTITION BY h.event_type ORDER BY h.bin)
+               AS cum
+    FROM hist h JOIN tot t USING (event_type)
+), tgt AS (
+    SELECT event_type, n,
+           (n + 1) // 2 AS t50, (19 * n + 19) // 20 AS t95
+    FROM tot
+), pick AS (
+    SELECT c.event_type, g.q, g.t, c.bin, c.bn, c.cum,
+           row_number() OVER (PARTITION BY c.event_type, g.q
+                              ORDER BY c.bin) AS rn
+    FROM cum c
+    JOIN (SELECT event_type, 50 AS q, t50 AS t FROM tgt
+          UNION ALL
+          SELECT event_type, 95, t95 FROM tgt) g
+      ON c.event_type = g.event_type AND c.cum >= g.t
+), est AS (
+    SELECT event_type, q,
+           bin * {QSK_W}
+           + {QSK_W} * (t - (cum - bn)) * 1.0 / bn AS e
+    FROM pick WHERE rn = 1
+), ranked AS (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c, event_id) AS r
+    FROM e
+), ex AS (
+    SELECT r.event_type,
+           max(CASE WHEN r.r = t.t50 THEN r.c END) AS x50,
+           max(CASE WHEN r.r = t.t95 THEN r.c END) AS x95
+    FROM ranked r JOIN tgt t USING (event_type)
+    GROUP BY r.event_type
+)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+       {{e50}} AS est_p50,
+       CAST(ex.x50 AS BIGINT) AS exact_p50_cents,
+       {{e95}} AS est_p95,
+       CAST(ex.x95 AS BIGINT) AS exact_p95_cents
+FROM tgt t
+JOIN (SELECT event_type, e AS e50 FROM est WHERE q = 50) a
+  USING (event_type)
+JOIN (SELECT event_type, e AS e95 FROM est WHERE q = 95) b
+  USING (event_type)
+JOIN ex USING (event_type)
+"""
+
+
+def _qsk_hist(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, bn) fixed-grid histogram — the mergeable
+    quantile state, identical on batch and streaming rows."""
+    b = F.least(
+        F.expr(f"c DIV {100 * QSK_W}"), F.lit(QSK_BINS - 1)
+    )
+    return (
+        ev.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("bn"))
+    )
+
+
+def _qsk_tail(hist: DataFrame, e: DataFrame) -> DataFrame:
+    """Shared estimate tail over the histogram state + the in-schema
+    exact order-statistic twin over the raw rows."""
+    tot = hist.groupBy("event_type").agg(F.sum("bn").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.join(tot, "event_type")
+        .withColumn("cum", F.sum("bn").over(w_cum))
+    )
+    tgt = tot.select(
+        "event_type",
+        "n",
+        F.expr("(n + 1) DIV 2").alias("t50"),
+        F.expr("(19 * n + 19) DIV 20").alias("t95"),
+    )
+    g = tgt.selectExpr("event_type", "50 AS q", "t50 AS t").unionByName(
+        tgt.selectExpr("event_type", "95 AS q", "t95 AS t")
+    )
+    w_pick = Window.partitionBy("event_type", "q").orderBy("bin")
+    est = (
+        cum.join(F.broadcast(g), "event_type")
+        .filter(F.col("cum") >= F.col("t"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            (
+                F.col("bin") * QSK_W
+                + QSK_W
+                * (F.col("t") - (F.col("cum") - F.col("bn")))
+                * 1.0
+                / F.col("bn")
+            ).alias("e"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ex = (
+        e.withColumn("r", F.row_number().over(w_rank))
+        .join(F.broadcast(tgt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == F.col("t50"), F.col("c"))).alias(
+                "x50"
+            ),
+            F.max(F.when(F.col("r") == F.col("t95"), F.col("c"))).alias(
+                "x95"
+            ),
+        )
+    )
+    # one conditional-agg pivot instead of an e50/e95 self-join of the
+    # est subtree (the self-join form hit a conflicting-references
+    # resolution error when hist comes from a memory-sink table)
+    epiv = est.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 50, F.col("e"))).alias("e50"),
+        F.max(F.when(F.col("q") == 95, F.col("e"))).alias("e95"),
+    )
+    return (
+        tgt.select("event_type", F.col("n").cast("long").alias("n"))
+        .join(F.broadcast(epiv), "event_type")
+        .join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type",
+            "n",
+            rnd(F.col("e50"), 4).alias("est_p50"),
+            F.col("x50").cast("long").alias("exact_p50_cents"),
+            rnd(F.col("e95"), 4).alias("est_p95"),
+            F.col("x95").cast("long").alias("exact_p95_cents"),
+        )
+    )
+
+
+@query(
+    "b_agg_quantile_sketch",
+    oracle=_QSK_REG_SQL
+    + _QSK_TAIL_SQL.format(
+        e50=sql_rnd("a.e50", 4), e95=sql_rnd("b.e95", 4)
+    ),
+)
+def b_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH per event_type — p50/p95 from a fixed
+    {QSK_BINS}-bin integer-cents histogram with rank interpolation
+    inside the covering bin: rank targets are exact integer ceils
+    ((n+1) DIV 2, (19n+19) DIV 20), the covering bin is the first with
+    cum >= target, and the only float op is the final one-division
+    interpolation (identical IEEE both engines). The exact k-th order
+    statistics ride in-schema as the certification twin — rank-based
+    rather than percentile() because Spark and DuckDB INTERPOLATE
+    differently but agree perfectly on order statistics. The |est −
+    exact| <= bin-width guarantee is pinned in tests.
+
+    Scale: the histogram is the whole point — counts ADD across
+    partitions/days/micro-batches (unlike an exact sort), the exchange
+    carries <=types x {QSK_BINS} cells with map-side partials, and
+    daily histograms roll up with a further sum. The exact twin's
+    per-type rank window exists only for certification (at 100 TB you
+    keep the histogram)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    return _qsk_tail(_qsk_hist(e), e)
+
+
+@query(
+    "b_agg_quantile_sketch_stream",
+    oracle=_QSK_REG_SQL
+    + _QSK_TAIL_SQL.format(
+        e50=sql_rnd("a.e50", 4), e95=sql_rnd("b.e95", 4)
+    ),
+)
+def b_agg_quantile_sketch_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of b_agg_quantile_sketch, SAME oracle: the
+    histogram is maintained as complete-mode streaming state — counts
+    are commutative sums, so any batch split yields the identical
+    grid and the StateStore is bounded at types x {QSK_BINS} cells no
+    matter how much data streams through (THE production shape for
+    latency percentiles on a live stream). The estimate tail + exact
+    certification twin run batch-side on the final grid emission."""
+    import uuid
+
+    from demo_segmenter_spark.streaming.sources import stream_events
+
+    hist_s = _qsk_hist(
+        stream_events(spark, sf_dir).select(
+            "event_type", cents(F.col("value")).alias("c")
+        )
+    )
+    name = f"qsk_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist_s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    # the memory-sink View hands out the SAME attribute ids on every
+    # spark.table() reference, so the tail's hist ⋈ agg(hist)
+    # self-join dies with conflicting-references; localCheckpoint
+    # (tracked, <= types x QSK_BINS rows) re-roots the plan
+    from demo_segmenter_spark.functions.cache import local_checkpoint
+
+    return _qsk_tail(local_checkpoint(spark.table(name)), e)

@@ -999,6 +999,11 @@ def test_shuffle_budgets_table(spark):
         # z sort at 100 TB, per docstring); zone maps aggregate
         # map-side into <=ZORD_FILES rows
         "b_layout_zorder": 1,
+        # quantile sketch: static recount of the <=types x 64 hist /
+        # tot / target subtrees across the estimate + exact-twin
+        # joins (every exchange past the hist build and the exact
+        # twin's rank window is cell-count-sized)
+        "b_agg_quantile_sketch": 12,
         # native HLL: register groupBy + the <=types x 64 estimate
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts

@@ -207,3 +207,39 @@ def test_hll_native_error_band_and_stream_twin(spark):
     h2 = sk(ev.filter(F.col("event_id") % 2 == 1))
     merged = {k: max(h1.get(k, 0), h2.get(k, 0)) for k in set(h1) | set(h2)}
     assert merged == full
+
+
+def test_quantile_sketch_error_band_and_stream_twin(spark):
+    # histogram-quantile guarantee: the rank-interpolated estimate
+    # lives inside the covering bin, so |est - exact| <= bin width
+    # (cents compared in value units) on every type and both quantiles
+    from demo_segmenter_spark.operators.layer_b import QSK_W
+
+    rows = REGISTRY["b_agg_quantile_sketch"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_p50"] - r["exact_p50_cents"] / 100.0) <= QSK_W
+        assert abs(r["est_p95"] - r["exact_p95_cents"] / 100.0) <= QSK_W
+        assert r["est_p50"] <= r["est_p95"]
+    got = {tuple(r) for r in REGISTRY["b_agg_quantile_sketch_stream"].fn(spark, SF_SMOKE).collect()}
+    assert got == {tuple(r) for r in rows}
+    # histogram mergeability: hist(all) == cellwise sum of the halves
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.functions.compat import cents
+    from demo_segmenter_spark.operators.layer_b import _qsk_hist
+    from demo_segmenter_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    def hh(df):
+        return {
+            (r["event_type"], r["bin"]): r["bn"]
+            for r in _qsk_hist(df).collect()
+        }
+    full = hh(ev)
+    h1 = hh(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = hh(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)}
+    assert merged == full

@@ -85,6 +85,11 @@ STATE_BUDGETS = {
     # types x HLL_M = 320 regardless of stream length (70 realized at
     # sf0.001: 14 of 64 registers hit by the 15 distinct users)
     "b_agg_hll_native_stream": 70,
+    # streaming quantile sketch: complete-mode state == the histogram
+    # grid — realized (type, bin) cells, hard-bounded at
+    # types x QSK_BINS = 320 regardless of stream length (115 realized
+    # at sf0.001)
+    "b_agg_quantile_sketch_stream": 115,
     # streaming count-min: complete-mode state == the sketch grid —
     # realized (d, bucket) cells, hard-bounded at 3 x CM_W = 192
     # regardless of stream length (45 realized at sf0.001)
