@@ -6419,3 +6419,132 @@ def a_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "a_drift_chi2",
+    oracle=f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS us, value FROM events
+), bnds AS (
+    SELECT min(us) AS lo, max(us) AS hi FROM e
+), tagged AS (
+    SELECT event_type,
+           CASE WHEN us < (lo + hi) // 2 THEN 0 ELSE 1 END AS wnd,
+           least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                 {PSI_BINS - 1}) AS bin
+    FROM e CROSS JOIN bnds
+), piv AS (
+    SELECT event_type, bin,
+           sum(CASE WHEN wnd = 0 THEN 1 ELSE 0 END) AS o0,
+           sum(CASE WHEN wnd = 1 THEN 1 ELSE 0 END) AS o1
+    FROM tagged GROUP BY event_type, bin
+), tot AS (
+    SELECT event_type, sum(o0) AS n0, sum(o1) AS n1,
+           sum(o0) + sum(o1) AS n
+    FROM piv GROUP BY event_type
+), terms AS (
+    SELECT p.event_type,
+           CAST(round(
+               (CAST(p.o0 * t.n - t.n0 * (p.o0 + p.o1) AS DOUBLE)
+                * CAST(p.o0 * t.n - t.n0 * (p.o0 + p.o1) AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * t.n0 * (p.o0 + p.o1))
+               * 1000000000 + 1e-04) AS BIGINT)
+           + CAST(round(
+               (CAST(p.o1 * t.n - t.n1 * (p.o0 + p.o1) AS DOUBLE)
+                * CAST(p.o1 * t.n - t.n1 * (p.o0 + p.o1) AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * t.n1 * (p.o0 + p.o1))
+               * 1000000000 + 1e-04) AS BIGINT) AS term_nano
+    FROM piv p JOIN tot t USING (event_type)
+)
+SELECT t.event_type,
+       CAST(t.n0 AS BIGINT) AS n_ref,
+       CAST(t.n1 AS BIGINT) AS n_cur,
+       CAST(c.df AS BIGINT) AS df,
+       {sql_rnd("s.chi_nano / 1000000000.0", 6)} AS chi2
+FROM tot t
+JOIN (SELECT event_type, sum(term_nano) AS chi_nano
+      FROM terms GROUP BY event_type) s USING (event_type)
+JOIN (SELECT event_type, count(*) - 1 AS df
+      FROM piv GROUP BY event_type) c USING (event_type)
+""",
+)
+def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample CHI-SQUARED homogeneity drift test — the third
+    member of the drift family (PSI: symmetric-KL on smoothed shares;
+    KS: binless CDF sup; chi2: the classical frequency test with a
+    known null distribution, which is what lets a deployment set
+    p-value thresholds): same event-time-midpoint split and the same
+    {PSI_BINS}-bin grid as a_drift_psi, per-(window, bin) term
+    (o−e)²/e computed as the integer cross-difference
+    (o_w·N − N_w·t_b)² / (N·N_w·t_b) — the numerator BIGINT is exact
+    (≤2e10 at sf0.1) and the one double square/divide is identical
+    IEEE on both engines — quantized to nano units before the
+    order-insensitive sum. df = observed bins − 1 rides in-schema.
+    The fixture's halves are statistically identical so chi2 sits
+    near df — the machinery is certified term by term.
+
+    Scale: one map-side (type, bin) collapse (≤ types×{PSI_BINS}×2
+    cells), everything below is grid-sized; the same counts table a
+    streaming deployment already holds for PSI serves both statistics."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    bnds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(bnds)).select(
+        "event_type",
+        F.when(F.col("us") < F.expr("(lo + hi) DIV 2"), 0)
+        .otherwise(1)
+        .alias("wnd"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    piv = persist(
+        tagged.groupBy("event_type", "bin").agg(
+            F.sum(F.when(F.col("wnd") == 0, 1).otherwise(0)).alias("o0"),
+            F.sum(F.when(F.col("wnd") == 1, 1).otherwise(0)).alias("o1"),
+        )
+    )
+    tot = piv.groupBy("event_type").agg(
+        F.sum("o0").alias("n0"),
+        F.sum("o1").alias("n1"),
+        (F.sum("o0") + F.sum("o1")).alias("n"),
+    )
+
+    def term(o, nw):
+        d = (F.col(o) * F.col("n") - F.col(nw) * (F.col("o0") + F.col("o1"))).cast(
+            "double"
+        )
+        return F.round(
+            d * d
+            / (
+                F.col("n").cast("double")
+                * F.col(nw)
+                * (F.col("o0") + F.col("o1"))
+            )
+            * 1_000_000_000
+            + F.lit(EPS[0])
+        ).cast("long")
+
+    terms = piv.join(F.broadcast(tot), "event_type").select(
+        "event_type", (term("o0", "n0") + term("o1", "n1")).alias("term_nano")
+    )
+    chi = terms.groupBy("event_type").agg(
+        F.sum("term_nano").alias("chi_nano")
+    )
+    dfb = piv.groupBy("event_type").agg(
+        (F.count("*") - 1).alias("df")
+    )
+    return (
+        tot.join(F.broadcast(chi), "event_type")
+        .join(F.broadcast(dfb), "event_type")
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_ref"),
+            F.col("n1").cast("long").alias("n_cur"),
+            F.col("df").cast("long").alias("df"),
+            rnd(F.col("chi_nano") / 1_000_000_000.0, 6).alias("chi2"),
+        )
+    )

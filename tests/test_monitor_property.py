@@ -149,3 +149,49 @@ def test_gapfill_interp_matches_reference(spark, raw):
                     want[key] = (None, "edge")
             dcur += dt.timedelta(days=1)
     assert got == want
+
+
+def test_chi2_python_third_implementation(spark):
+    # pure-python replay of the chi-squared drift test from the raw
+    # fixture (duckdb only for the scan): same midpoint split, same
+    # binning, same nano-quantized terms — and the null sanity that
+    # statistically-identical halves score chi2 in the df ballpark
+    import duckdb
+
+    from demo_segmenter_spark.operators.layer_a import PSI_BIN_W, PSI_BINS
+    from demo_segmenter_spark.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        "SELECT event_type, epoch_us(ts), value FROM"
+        f" read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    lo = min(r[1] for r in rows)
+    hi = max(r[1] for r in rows)
+    mid = (lo + hi) // 2
+    cnt: dict = {}
+    for t, us, v in rows:
+        w = 0 if us < mid else 1
+        b = min(int(v // PSI_BIN_W), PSI_BINS - 1)
+        cnt[(t, b, w)] = cnt.get((t, b, w), 0) + 1
+    want = {}
+    for t in {r[0] for r in rows}:
+        bins = sorted({b for (tt, b, _w) in cnt if tt == t})
+        n0 = sum(cnt.get((t, b, 0), 0) for b in bins)
+        n1 = sum(cnt.get((t, b, 1), 0) for b in bins)
+        n = n0 + n1
+        nano = 0
+        for b in bins:
+            o0, o1 = cnt.get((t, b, 0), 0), cnt.get((t, b, 1), 0)
+            tb = o0 + o1
+            for o, nw in ((o0, n0), (o1, n1)):
+                d = float(o * n - nw * tb)
+                nano += round(d * d / (float(n) * nw * tb) * 1e9 + 1e-4)
+        want[t] = (n0, n1, len(bins) - 1, round(nano / 1e9 + 1e-10, 6) + 0.0)
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["df"], r["chi2"])
+        for r in REGISTRY["a_drift_chi2"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for n0, n1, df, chi2 in got.values():
+        assert 0 < chi2 < 5 * max(df, 1)  # null band on identical halves

@@ -986,6 +986,10 @@ def test_shuffle_budgets_table(spark):
         # KS drift: the 1-row bounds agg + the (type,cents) collapse +
         # the type-keyed CDF/argmax windows (one exchange, two sorts)
         "a_drift_ks": 3,
+        # chi2 drift: static recount of the persisted <=types x bins
+        # grid across tot/terms/df references + the 1-row bounds agg;
+        # every exchange past the grid collapse is grid-sized
+        "a_drift_chi2": 12,
         # reservoir sample: TakeOrderedAndProject (per-partition local
         # k, no global sort) + the k-row rank window — ZERO exchanges
         "b_sample_reservoir": 0,
