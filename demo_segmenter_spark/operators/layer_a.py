@@ -6345,7 +6345,9 @@ SELECT event_type,
        CAST(nt0 AS BIGINT) AS n_ref,
        CAST(nt1 AS BIGINT) AS n_cur,
        CAST(c AS BIGINT) AS ks_at_cents,
-       {sql_rnd("dint * 1.0 / (nt0 * nt1)", 6)} AS ks
+       {sql_rnd(
+           "CASE WHEN nt0 = 0 OR nt1 = 0 THEN 1.0 "
+           "ELSE dint * 1.0 / (nt0 * nt1) END", 6)} AS ks
 FROM d WHERE rn = 1
 """,
 )
@@ -6361,7 +6363,12 @@ def a_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the winning row (argmax value reported as ks_at_cents,
     smallest-value tiebreak). The fixture's halves are statistically
     identical so ks sits near its sampling floor; the machinery is
-    certified term by term like PSI's.
+    certified term by term like PSI's. An event type observed in only
+    ONE window (the brand-new-event-type drift case) makes the
+    normalizer n_ref·n_cur zero — both engines emit the defined
+    maximal drift ks = 1.0 there (the sup of |F_ref − F_cur| as the
+    absent window's mass vanishes), instead of an engine-dependent
+    null/error.
 
     Scale: one groupBy(type, cents) collapses the corpus to distinct
     observed values map-side; the CDF windows and the argmax rank all
@@ -6414,9 +6421,14 @@ def a_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt0").cast("long").alias("n_ref"),
             F.col("nt1").cast("long").alias("n_cur"),
             F.col("c").cast("long").alias("ks_at_cents"),
-            rnd(F.col("dint") * 1.0 / (F.col("nt0") * F.col("nt1")), 6).alias(
-                "ks"
-            ),
+            rnd(
+                F.when(
+                    (F.col("nt0") == 0) | (F.col("nt1") == 0), F.lit(1.0)
+                ).otherwise(
+                    F.col("dint") * 1.0 / (F.col("nt0") * F.col("nt1"))
+                ),
+                6,
+            ).alias("ks"),
         )
     )
 
@@ -6445,16 +6457,16 @@ WITH e AS (
     FROM piv GROUP BY event_type
 ), terms AS (
     SELECT p.event_type,
-           CAST(round(
+           CASE WHEN t.n0 = 0 THEN 0 ELSE CAST(round(
                (CAST(p.o0 * t.n - t.n0 * (p.o0 + p.o1) AS DOUBLE)
                 * CAST(p.o0 * t.n - t.n0 * (p.o0 + p.o1) AS DOUBLE))
                / (CAST(t.n AS DOUBLE) * t.n0 * (p.o0 + p.o1))
-               * 1000000000 + 1e-04) AS BIGINT)
-           + CAST(round(
+               * 1000000000 + 1e-04) AS BIGINT) END
+           + CASE WHEN t.n1 = 0 THEN 0 ELSE CAST(round(
                (CAST(p.o1 * t.n - t.n1 * (p.o0 + p.o1) AS DOUBLE)
                 * CAST(p.o1 * t.n - t.n1 * (p.o0 + p.o1) AS DOUBLE))
                / (CAST(t.n AS DOUBLE) * t.n1 * (p.o0 + p.o1))
-               * 1000000000 + 1e-04) AS BIGINT) AS term_nano
+               * 1000000000 + 1e-04) AS BIGINT) END AS term_nano
     FROM piv p JOIN tot t USING (event_type)
 )
 SELECT t.event_type,
@@ -6482,7 +6494,11 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE on both engines — quantized to nano units before the
     order-insensitive sum. df = observed bins − 1 rides in-schema.
     The fixture's halves are statistically identical so chi2 sits
-    near df — the machinery is certified term by term.
+    near df — the machinery is certified term by term. A window with
+    zero total count for a type (the brand-new-event-type case)
+    contributes a guarded zero term in BOTH engines — its expected
+    frequency is identically 0 and lim (0−e)²/e = 0 — mirroring
+    PSI's degenerate-window smoothing instead of 0/0 NaN.
 
     Scale: one map-side (type, bin) collapse (≤ types×{PSI_BINS}×2
     cells), everything below is grid-sized; the same counts table a
@@ -6514,10 +6530,17 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def term(o, nw):
+        # An event_type present in only ONE window (the canonical
+        # brand-new-event-type drift case) makes N_w = 0 and the
+        # expected count 0/0 = NaN — Spark would emit null where
+        # DuckDB's CAST(round(nan)) errors. Mirror a_drift_psi's
+        # degenerate-window handling: a zero-count window contributes
+        # a zero term (its expected frequency is identically 0, and
+        # lim_{e→0} (0−e)²/e = 0 for o_w = 0 in that window).
         d = (F.col(o) * F.col("n") - F.col(nw) * (F.col("o0") + F.col("o1"))).cast(
             "double"
         )
-        return F.round(
+        raw = F.round(
             d * d
             / (
                 F.col("n").cast("double")
@@ -6527,6 +6550,7 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1_000_000_000
             + F.lit(EPS[0])
         ).cast("long")
+        return F.when(F.col(nw) == 0, F.lit(0).cast("long")).otherwise(raw)
 
     terms = piv.join(F.broadcast(tot), "event_type").select(
         "event_type", (term("o0", "n0") + term("o1", "n1")).alias("term_nano")

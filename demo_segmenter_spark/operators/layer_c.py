@@ -12400,7 +12400,7 @@ def _wp_vocab_set(t0: DataFrame, bests: list) -> set:
     return vocab
 
 
-def wordpiece_encode_docs(docs: DataFrame) -> DataFrame:
+def wordpiece_encode_docs(docs: DataFrame, vocab: set | None = None) -> DataFrame:
     """Greedy longest-match-first WordPiece encoding of ``docs``
     against the vocabulary trained on the same frame: one Arrow-batched
     mapInPandas pass per document with the vocab broadcast as a plain
@@ -12408,12 +12408,20 @@ def wordpiece_encode_docs(docs: DataFrame) -> DataFrame:
     inherently sequential pointer chase, and WP_LMAX bounds each step's
     lookahead). Every single word is in the vocab by construction, so
     the walk always advances and encoding the training corpus never
-    emits UNK. Returns (doc_id, pos, tok)."""
+    emits UNK. Returns (doc_id, pos, tok).
+
+    ``vocab``: a pre-trained piece set. When given, the training chain
+    is NOT rebuilt here — callers that also need the artifact (the
+    encode query's token-id table) train ONCE and share it (round-11:
+    c_token_wordpiece_encode used to pay the per-round argmax
+    aggregations twice, the second-heaviest headline cost)."""
     import pandas as pd
 
-    _, t0, _, bests, _ = _wp_train_docs(docs)
+    if vocab is None:
+        _, t0, _, bests, _ = _wp_train_docs(docs)
+        vocab = _wp_vocab_set(t0, bests)
     sc = docs.sparkSession.sparkContext
-    bv = sc.broadcast(_wp_vocab_set(t0, bests))
+    bv = sc.broadcast(vocab)
 
     def seg(batches):
         vocab = bv.value
@@ -12652,9 +12660,10 @@ def c_token_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-local pass + one broadcast vocab join; the artifact is
     vocabulary-bounded, never corpus-sized."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    enc = persist(wordpiece_encode_docs(docs))
     _, t0, _, bests, _ = _wp_train_docs(docs)
-    vocab_rows = [(p,) for p in sorted(_wp_vocab_set(t0, bests))]
+    vocab = _wp_vocab_set(t0, bests)
+    enc = persist(wordpiece_encode_docs(docs, vocab))
+    vocab_rows = [(p,) for p in sorted(vocab)]
     vid = spark.createDataFrame(vocab_rows, "piece string").select(
         "piece",
         F.row_number()
@@ -14134,7 +14143,7 @@ def c_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the plan)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    dl = persist(dl_ := tok.groupBy("doc_id").agg(F.count("*").alias("len")))
+    dl = persist(tok.groupBy("doc_id").agg(F.count("*").alias("len")))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),

@@ -316,14 +316,16 @@ def hamming_stress(
     t0 = time.time()
     ham = F.expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)")
     short_w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    # The float cosine is computed AFTER the hr<=100 shortlist filter —
+    # exactly as the real operator (c_sim_hamming) defers its dot to the
+    # shortlist — so the timed stage measures popcount-shortlist + a
+    # 100-row-per-query refine, not n·n_q exact cosines.
     hm = (
         base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", ham.alias("hamming"),
-            cos.alias("cos_sim"),
-        )
+        .select("query_id", "vec_id", ham.alias("hamming"), "qv", "v", "qn", "nrm")
         .withColumn("hr", F.row_number().over(short_w))
         .filter(F.col("hr") <= 100)
+        .withColumn("cos_sim", cos)
         .withColumn("r", F.row_number().over(rank_w))
         .filter(F.col("r") <= k)
         .select("query_id", "vec_id")
