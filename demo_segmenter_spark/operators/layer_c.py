@@ -12400,7 +12400,9 @@ def _wp_vocab_set(t0: DataFrame, bests: list) -> set:
     return vocab
 
 
-def wordpiece_encode_docs(docs: DataFrame, vocab: set | None = None) -> DataFrame:
+def wordpiece_encode_docs(
+    docs: DataFrame, vocab: set | None = None, unk: str | None = None
+) -> DataFrame:
     """Greedy longest-match-first WordPiece encoding of ``docs``
     against the vocabulary trained on the same frame: one Arrow-batched
     mapInPandas pass per document with the vocab broadcast as a plain
@@ -12414,7 +12416,14 @@ def wordpiece_encode_docs(docs: DataFrame, vocab: set | None = None) -> DataFram
     is NOT rebuilt here — callers that also need the artifact (the
     encode query's token-id table) train ONCE and share it (round-11:
     c_token_wordpiece_encode used to pay the per-round argmax
-    aggregations twice, the second-heaviest headline cost)."""
+    aggregations twice, the second-heaviest headline cost).
+
+    ``unk``: the out-of-vocabulary policy for encoding UNSEEN text (a
+    held-out split, production traffic): a word with no vocab match at
+    the cursor emits this sentinel and advances one word — the BERT
+    runtime rule. With ``unk=None`` (training-corpus encode, where the
+    vocab is complete by construction) an unmatched word raises
+    instead of spinning the cursor forever."""
     import pandas as pd
 
     if vocab is None:
@@ -12440,6 +12449,17 @@ def wordpiece_encode_docs(docs: DataFrame, vocab: set | None = None) -> DataFram
                             out_t.append(piece)
                             i += l
                             break
+                    else:
+                        if unk is None:
+                            raise ValueError(
+                                f"word {words[i]!r} not in vocab and no "
+                                "unk policy given"
+                            )
+                        outpos += 1
+                        out_d.append(doc_id)
+                        out_p.append(outpos)
+                        out_t.append(unk)
+                        i += 1
             yield pd.DataFrame({"doc_id": out_d, "pos": out_p, "tok": out_t})
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -14289,3 +14309,155 @@ def c_select_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdocs = spread(docs)
     feats = persist(_dsir_feats(sdocs))
     return _dsir_tail(sdocs, feats, cnt)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary tokenizer encode (round-11, verdict r10 ask #3):
+# every tokenizer family's encode path was certified only on its own
+# training corpus — where the vocabulary is complete by construction
+# and UNK can never fire. A production tokenizer encodes UNSEEN text
+# under a FIXED-SIZE vocabulary. This query certifies that path:
+# deterministic corpus split (even doc_id trains, odd doc_id is held
+# out), WordPiece trained on the train half only, the vocabulary
+# CAPPED at the WP_VOCAB_CAP most frequent train-half units (the
+# production vocab_size knob — BERT ships 30k pieces, not "every word
+# ever seen"; the fixture corpus draws from a small closed word set,
+# so the cap is what makes OOV reachable at all) plus the trained
+# merges, and the held-out half encoded greedy-longest-match with the
+# explicit BERT UNK rule (no vocab match at the cursor -> emit
+# '[UNK]', advance one word). Rare held-out words fall outside the
+# capped vocabulary and surface as is_unk rows in BOTH engines; tests
+# pin that the held-out UNK rate is strictly positive.
+# ---------------------------------------------------------------------------
+
+WP_UNK = "[UNK]"
+WP_VOCAB_CAP = 24  # top-K train-half units by count (desc, tok tiebreak)
+
+_WP_T0_TRAIN_SQL = """
+WITH RECURSIVE t0 AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id % 2 = 0
+)"""
+
+_WP_OOV_CHAIN_SQL = _WP_T0_TRAIN_SQL + "".join(
+    _wp_round_sql(r) for r in range(1, WP_ROUNDS + 1)
+)
+
+# Held-out greedy walk with UNK: identical machinery to
+# _WP_ENCODE_TAIL_SQL except the token stream is the ODD half (h0) and
+# the length-1 fallback checks vocab membership — an unmatched single
+# word becomes the '[UNK]' sentinel with l=1, so the walk still
+# advances every step and the recursion terminates.
+_WP_OOV_TAIL_SQL = f"""
+, h0 AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id % 2 = 1
+), wvocab AS MATERIALIZED (
+    SELECT piece FROM (
+        SELECT tok AS piece, count(*) AS c FROM t0 GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {WP_VOCAB_CAP}
+    )
+    UNION
+    SELECT a || '_' || b FROM best1
+    UNION
+    SELECT a || '_' || b FROM best2
+), wcand AS (
+    SELECT doc_id, pos, tok AS p1,
+           tok || '_' || lead(tok, 1) OVER w AS p2,
+           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w
+               AS p3,
+           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w
+               || '_' || lead(tok, 3) OVER w AS p4
+    FROM h0
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), wbest AS MATERIALIZED (
+    SELECT c.doc_id, c.pos,
+           CASE WHEN v4.piece IS NOT NULL THEN 4
+                WHEN v3.piece IS NOT NULL THEN 3
+                WHEN v2.piece IS NOT NULL THEN 2
+                ELSE 1 END AS l,
+           CASE WHEN v4.piece IS NOT NULL THEN v4.piece
+                WHEN v3.piece IS NOT NULL THEN v3.piece
+                WHEN v2.piece IS NOT NULL THEN v2.piece
+                WHEN v1.piece IS NOT NULL THEN c.p1
+                ELSE '{WP_UNK}' END AS piece
+    FROM wcand c
+    LEFT JOIN wvocab v4 ON c.p4 = v4.piece
+    LEFT JOIN wvocab v3 ON c.p3 = v3.piece
+    LEFT JOIN wvocab v2 ON c.p2 = v2.piece
+    LEFT JOIN wvocab v1 ON c.p1 = v1.piece
+), wwalk AS (
+    SELECT doc_id, CAST(1 AS BIGINT) AS upos
+    FROM (SELECT DISTINCT doc_id FROM h0)
+    UNION ALL
+    SELECT w.doc_id, w.upos + b.l
+    FROM wwalk w
+    JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
+), wseg AS MATERIALIZED (
+    SELECT w.doc_id,
+           CAST(row_number() OVER (PARTITION BY w.doc_id ORDER BY w.upos)
+                AS BIGINT) AS pos,
+           b.piece
+    FROM wwalk w
+    JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
+)
+SELECT doc_id, pos, piece AS tok,
+       CAST(CASE WHEN piece = '{WP_UNK}' THEN 1 ELSE 0 END AS INT) AS is_unk
+FROM wseg
+"""
+
+
+@query("c_token_oov_encode", oracle=_WP_OOV_CHAIN_SQL + _WP_OOV_TAIL_SQL)
+def c_token_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT (out-of-vocabulary) WordPiece encode — the first
+    encode certification on text the tokenizer did NOT train on:
+    train on the even-doc_id half, cap the vocabulary at the
+    WP_VOCAB_CAP most frequent train units (the production
+    vocab_size knob; the fixture's closed word set makes OOV
+    unreachable without it), and encode the odd half with the BERT
+    UNK rule (greedy longest-match; an unmatched word emits the
+    '[UNK]' sentinel and the cursor advances one word, so the
+    segmented-scan walk always terminates). Held-out words outside
+    the capped vocabulary surface as is_unk = 1 rows; the UNK rate is
+    pinned strictly positive in tests/test_wordpiece.py, which also
+    replays the walk in pure python as the third implementation.
+    Emits (doc_id, pos, tok, is_unk) — the full held-out
+    segmentation, hash-certified against the oracle's recursive-CTE
+    replay of the same split-trained walk.
+
+    Scale: the train chain is half the corpus (same dataflow as
+    c_token_wordpiece); encode is one Arrow-batched mapInPandas pass
+    over the held-out half with the vocabulary-bounded artifact
+    broadcast — scan-local, never corpus-joined."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    # capped vocabulary: top WP_VOCAB_CAP units by train-half count
+    # (count desc, token tiebreak — same total order as the oracle's
+    # LIMIT) + the trained merges; vocabulary-bounded collect, the
+    # unigram-Viterbi justification
+    units = (
+        t0.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(WP_VOCAB_CAP)
+        .collect()
+    )
+    vocab = {r["tok"] for r in units}
+    for b in bests:
+        r = b.first()
+        vocab.add(f"{r['ba']}_{r['bb']}")
+    enc = wordpiece_encode_docs(held, vocab, unk=WP_UNK)
+    return enc.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("tok") == WP_UNK).cast("int").alias("is_unk"),
+    )

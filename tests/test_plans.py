@@ -1012,6 +1012,11 @@ def test_shuffle_budgets_table(spark):
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts
         "b_agg_hll_native": 4,
+        # OOV encode: the returned plan is ONE scan-local mapInPandas
+        # pass over the held-out half with the capped vocab broadcast
+        # (training runs at construction, vocabulary-bounded collect) —
+        # zero exchanges
+        "c_token_oov_encode": 0,
         # PRF expansion: static recount of the persisted tok/dl/df/tf
         # index subtrees across their two retrieval rounds + feedback
         # mining (the c_rag_maxsim accounting); at runtime each

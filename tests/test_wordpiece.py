@@ -116,3 +116,65 @@ def test_greedy_encode_matches_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i + 1] == ref(t.split(" ")), t
+
+
+def test_oov_encode_unk_rate_positive_and_matches_reference(spark):
+    """Round-11: the first encode certification on UNSEEN text. On the
+    fixture's held-out (odd doc_id) half, at least one word must be
+    absent from the even-half vocabulary (is_unk fires), every UNK row
+    carries the sentinel, and a pure-python replay of the split-trained
+    greedy UNK walk reproduces the Spark segmentation exactly on a
+    crafted corpus where the held-out half contains both seen and
+    unseen words."""
+    from demo_segmenter_spark.operators.layer_c import (
+        WP_LMAX,
+        WP_UNK,
+        _wp_train_docs,
+        wordpiece_encode_docs,
+    )
+
+    # fixture: strictly positive held-out UNK rate, sane bounds
+    out = REGISTRY["c_token_oov_encode"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    n_unk = sum(r["is_unk"] for r in rows)
+    assert n_unk > 0, "held-out half produced no UNK — vocab leak?"
+    assert 0 < n_unk < len(rows)
+    assert all(r["tok"] == WP_UNK for r in rows if r["is_unk"] == 1)
+    assert all(r["tok"] != WP_UNK for r in rows if r["is_unk"] == 0)
+
+    # crafted corpus third implementation: doc 2/4 held out; 'zz' and
+    # 'qq' never occur in docs 1/3 (the train half: even ids after the
+    # %2 split is doc_id%2==0 -> docs 2,4 train... doc_id is 1-based
+    # here, so TRAIN = {2, 4}, HELD = {1, 3})
+    texts = ["the r zz the r", "the r the r x y", "qq solo x", "x y solo the r"]
+    docs = _docs(spark, texts)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    vocab = {r["tok"] for r in t0.select("tok").distinct().collect()}
+    for b in bests:
+        r = b.first()
+        vocab.add(f"{r['ba']}_{r['bb']}")
+
+    def ref(words):
+        out, i = [], 0
+        while i < len(words):
+            for l in range(min(WP_LMAX, len(words) - i), 0, -1):
+                piece = "_".join(words[i : i + l])
+                if piece in vocab:
+                    out.append(piece)
+                    i += l
+                    break
+            else:
+                out.append(WP_UNK)
+                i += 1
+        return out
+
+    enc = wordpiece_encode_docs(held, vocab, unk=WP_UNK)
+    got = {}
+    for r in sorted(enc.collect(), key=lambda r: (r["doc_id"], r["pos"])):
+        got.setdefault(r["doc_id"], []).append(r["tok"])
+    for doc_id in (1, 3):
+        want = ref(texts[doc_id - 1].split(" "))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        assert WP_UNK in got[doc_id]  # 'zz' / 'qq' are genuinely unseen
