@@ -6433,6 +6433,60 @@ def a_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_from_piv(piv: DataFrame) -> DataFrame:
+    """Shared chi-squared scoring tail over the (event_type, bin)
+    observed-count grid piv(event_type, bin, o0, o1) — used by BOTH
+    the batch query (map-side grid collapse) and the streaming twin
+    (the PSI histogram StateStore snapshot re-pivoted): everything
+    below the grid is grid-sized. A window with zero total count for
+    a type (the brand-new-event-type case) contributes a guarded zero
+    term in BOTH engines — its expected frequency is identically 0
+    and lim (0-e)^2/e = 0 — mirroring PSI's degenerate-window
+    smoothing instead of 0/0 NaN."""
+    tot = piv.groupBy("event_type").agg(
+        F.sum("o0").alias("n0"),
+        F.sum("o1").alias("n1"),
+        (F.sum("o0") + F.sum("o1")).alias("n"),
+    )
+
+    def term(o, nw):
+        d = (F.col(o) * F.col("n") - F.col(nw) * (F.col("o0") + F.col("o1"))).cast(
+            "double"
+        )
+        raw = F.round(
+            d * d
+            / (
+                F.col("n").cast("double")
+                * F.col(nw)
+                * (F.col("o0") + F.col("o1"))
+            )
+            * 1_000_000_000
+            + F.lit(EPS[0])
+        ).cast("long")
+        return F.when(F.col(nw) == 0, F.lit(0).cast("long")).otherwise(raw)
+
+    terms = piv.join(F.broadcast(tot), "event_type").select(
+        "event_type", (term("o0", "n0") + term("o1", "n1")).alias("term_nano")
+    )
+    chi = terms.groupBy("event_type").agg(
+        F.sum("term_nano").alias("chi_nano")
+    )
+    dfb = piv.groupBy("event_type").agg(
+        (F.count("*") - 1).alias("df")
+    )
+    return (
+        tot.join(F.broadcast(chi), "event_type")
+        .join(F.broadcast(dfb), "event_type")
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_ref"),
+            F.col("n1").cast("long").alias("n_cur"),
+            F.col("df").cast("long").alias("df"),
+            rnd(F.col("chi_nano") / 1_000_000_000.0, 6).alias("chi2"),
+        )
+    )
+
+
 @query(
     "a_drift_chi2",
     oracle=f"""
@@ -6523,52 +6577,4 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("wnd") == 1, 1).otherwise(0)).alias("o1"),
         )
     )
-    tot = piv.groupBy("event_type").agg(
-        F.sum("o0").alias("n0"),
-        F.sum("o1").alias("n1"),
-        (F.sum("o0") + F.sum("o1")).alias("n"),
-    )
-
-    def term(o, nw):
-        # An event_type present in only ONE window (the canonical
-        # brand-new-event-type drift case) makes N_w = 0 and the
-        # expected count 0/0 = NaN — Spark would emit null where
-        # DuckDB's CAST(round(nan)) errors. Mirror a_drift_psi's
-        # degenerate-window handling: a zero-count window contributes
-        # a zero term (its expected frequency is identically 0, and
-        # lim_{e→0} (0−e)²/e = 0 for o_w = 0 in that window).
-        d = (F.col(o) * F.col("n") - F.col(nw) * (F.col("o0") + F.col("o1"))).cast(
-            "double"
-        )
-        raw = F.round(
-            d * d
-            / (
-                F.col("n").cast("double")
-                * F.col(nw)
-                * (F.col("o0") + F.col("o1"))
-            )
-            * 1_000_000_000
-            + F.lit(EPS[0])
-        ).cast("long")
-        return F.when(F.col(nw) == 0, F.lit(0).cast("long")).otherwise(raw)
-
-    terms = piv.join(F.broadcast(tot), "event_type").select(
-        "event_type", (term("o0", "n0") + term("o1", "n1")).alias("term_nano")
-    )
-    chi = terms.groupBy("event_type").agg(
-        F.sum("term_nano").alias("chi_nano")
-    )
-    dfb = piv.groupBy("event_type").agg(
-        (F.count("*") - 1).alias("df")
-    )
-    return (
-        tot.join(F.broadcast(chi), "event_type")
-        .join(F.broadcast(dfb), "event_type")
-        .select(
-            "event_type",
-            F.col("n0").cast("long").alias("n_ref"),
-            F.col("n1").cast("long").alias("n_cur"),
-            F.col("df").cast("long").alias("df"),
-            rnd(F.col("chi_nano") / 1_000_000_000.0, 6).alias("chi2"),
-        )
-    )
+    return _chi2_from_piv(piv)

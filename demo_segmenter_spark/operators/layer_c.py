@@ -14461,3 +14461,315 @@ def c_token_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         (F.col("tok") == WP_UNK).cast("int").alias("is_unk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction via NN-descent (round-11, verdict r10 ask #4;
+# Dong, Moses & Li 2011): the graph-BUILD counterpart of the six
+# serving indexes above, and the precursor to HNSW-class ANN at scale.
+# Initialize each vector's neighbor list from the certified RHP-LSH
+# candidate pairs, then run ND_ROUNDS bounded neighbor-of-neighbor
+# refinement rounds: a vector's next candidates are its neighbors'
+# neighbors over the SYMMETRIZED adjacency (forward edges + reverse
+# edges capped at ND_RCAP per vector — the paper's reverse-neighbor
+# sampling, made deterministic by the (sim, id) total order). Every
+# similarity is an integer micro-unit BIGINT (one IEEE divide +
+# round), ranks break ties by neighbor id, and each round's candidate
+# set contains the previous round's edges — so neighbor lists improve
+# MONOTONICALLY (pinned in tests). Recall vs the exact graph rides
+# in-schema on the KNN_QUERIES sample block.
+# ---------------------------------------------------------------------------
+
+ND_K = 5        # neighbor-list size (the graph's out-degree)
+ND_ROUNDS = 2   # bounded refinement rounds, unrolled
+ND_RCAP = 5     # reverse-neighbor cap per vector per round
+
+_ND_SM_SQL = "CAST(round(dp / (na.nrm * nb.nrm) * 1000000 + 0.0001) AS BIGINT)"
+
+
+def _nd_round_sql(r: int) -> str:
+    """One NN-descent round in DuckDB: reverse-cap -> symmetrized
+    adjacency -> neighbor-of-neighbor candidate pairs (unordered,
+    deduped, ALWAYS including the current edges) -> exact rescore in
+    micro units -> per-vector top-ND_K."""
+    prev = f"g{r - 1}"
+    return f"""
+, rev{r} AS (
+    SELECT u AS v, v AS u FROM (
+        SELECT v, u, sm,
+               row_number() OVER (PARTITION BY u ORDER BY sm DESC, v) AS rk
+        FROM {prev}
+    ) WHERE rk <= {ND_RCAP}
+), adj{r} AS (
+    SELECT v, u FROM {prev}
+    UNION
+    SELECT v, u FROM rev{r}
+), np{r} AS MATERIALIZED (
+    SELECT DISTINCT va, vb FROM (
+        SELECT least(v, u) AS va, greatest(v, u) AS vb FROM adj{r}
+        UNION ALL
+        SELECT least(a.v, b.u), greatest(a.v, b.u)
+        FROM adj{r} a JOIN adj{r} b ON a.u = b.v AND a.v <> b.u
+    )
+), d{r} AS (
+    SELECT p.va, p.vb, sum(ea.x * eb.x) AS dp
+    FROM np{r} p
+    JOIN ex ea ON ea.vec_id = p.va
+    JOIN ex eb ON eb.vec_id = p.vb AND eb.i = ea.i
+    GROUP BY p.va, p.vb
+), ps{r} AS MATERIALIZED (
+    SELECT va, vb, {_ND_SM_SQL} AS sm
+    FROM d{r}
+    JOIN norms na ON va = na.vec_id
+    JOIN norms nb ON vb = nb.vec_id
+), g{r} AS MATERIALIZED (
+    SELECT v, u, sm FROM (
+        SELECT v, u, sm,
+               row_number() OVER (PARTITION BY v ORDER BY sm DESC, u) AS rk
+        FROM (
+            SELECT va AS v, vb AS u, sm FROM ps{r}
+            UNION ALL
+            SELECT vb AS v, va AS u, sm FROM ps{r}
+        )
+    ) WHERE rk <= {ND_K}
+)"""
+
+
+_ND_ORACLE = (
+    _EMB_CTE
+    + _RHP_CAND_CTES
+    + f"""
+, d0 AS (
+    SELECT c.va, c.vb, sum(ea.x * eb.x) AS dp
+    FROM cand c
+    JOIN ex ea ON ea.vec_id = c.va
+    JOIN ex eb ON eb.vec_id = c.vb AND eb.i = ea.i
+    GROUP BY c.va, c.vb
+), ps0 AS MATERIALIZED (
+    SELECT va, vb, {_ND_SM_SQL} AS sm
+    FROM d0
+    JOIN norms na ON va = na.vec_id
+    JOIN norms nb ON vb = nb.vec_id
+), g0 AS MATERIALIZED (
+    SELECT v, u, sm FROM (
+        SELECT v, u, sm,
+               row_number() OVER (PARTITION BY v ORDER BY sm DESC, u) AS rk
+        FROM (
+            SELECT va AS v, vb AS u, sm FROM ps0
+            UNION ALL
+            SELECT vb AS v, va AS u, sm FROM ps0
+        )
+    ) WHERE rk <= {ND_K}
+)"""
+    + "".join(_nd_round_sql(r) for r in range(1, ND_ROUNDS + 1))
+    + f"""
+, xd AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(a.x * b.x) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i
+    WHERE a.vec_id < {KNN_QUERIES} AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+), exq AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                   {_ND_SM_SQL} DESC, neighbor_id) AS rk
+        FROM xd
+        JOIN norms na ON query_id = na.vec_id
+        JOIN norms nb ON neighbor_id = nb.vec_id
+    ) WHERE rk <= {ND_K}
+)
+SELECT g.v AS vec_id, CAST(g.rk AS BIGINT) AS rank, g.u AS neighbor_id,
+       g.sm AS sim_micro,
+       CAST(CASE WHEN g.v < {KNN_QUERIES}
+                 THEN CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+            END AS INT) AS hit
+FROM (
+    SELECT v, u, sm,
+           row_number() OVER (PARTITION BY v ORDER BY sm DESC, u) AS rk
+    FROM g{ND_ROUNDS}
+) g
+LEFT JOIN exq e ON g.v = e.query_id AND g.u = e.neighbor_id
+"""
+)
+
+
+def _nd_sm(cos_col):
+    """Integer micro-unit similarity: one IEEE divide, the cents
+    idiom at 1e6 scale — identical round+nudge on both engines."""
+    return F.round(cos_col * 1_000_000 + F.lit(EPS[0])).cast("long")
+
+
+def _nd_score_pairs(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(va, vb) -> (va, vb, sm): exact cosine for each unordered
+    candidate pair, quantized to micro units. The pair table is
+    candidate-bounded (LSH buckets / K²-per-vector), never all-pairs."""
+    va = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        pairs.join(va, "va").join(vb, "vb").select(
+            "va", "vb", _nd_sm(cos).alias("sm")
+        )
+    )
+
+
+def _nd_round(base: DataFrame, g: DataFrame) -> DataFrame:
+    """ONE NN-descent round (shared by the registered query and the
+    planted-cluster scale smoke): reverse-cap the current graph,
+    symmetrize the adjacency, propose adjacency + neighbor-of-neighbor
+    pairs (unordered, deduped — always a superset of g's edges),
+    rescore exactly in micro units, keep each vector's top-ND_K. The
+    returned graph is a tracked local_checkpoint: each round
+    references g ~6x through sym/adj/non, so the static plan tree
+    compounds exponentially without lineage truncation (explainString
+    itself OOMs — the c_rag_mmr_multi lesson)."""
+    w_rev = Window.partitionBy("u").orderBy(F.col("sm").desc(), "v")
+    rev = (
+        g.withColumn("rk", F.row_number().over(w_rev))
+        .filter(F.col("rk") <= ND_RCAP)
+        .select(F.col("u").alias("v"), F.col("v").alias("u"))
+    )
+    adj = local_checkpoint(g.select("v", "u").unionByName(rev).distinct())
+    a = adj.select(F.col("v").alias("av_"), F.col("u").alias("m"))
+    b = adj.select(F.col("v").alias("m2"), F.col("u").alias("bu_"))
+    non = (
+        a.join(b, F.col("m") == F.col("m2"))
+        .filter(F.col("av_") != F.col("bu_"))
+        .select(
+            F.least("av_", "bu_").alias("va"),
+            F.greatest("av_", "bu_").alias("vb"),
+        )
+    )
+    pairs = (
+        adj.select(
+            F.least("v", "u").alias("va"), F.greatest("v", "u").alias("vb")
+        )
+        .unionByName(non)
+        .distinct()
+    )
+    ps = persist(_nd_score_pairs(base, pairs))
+    return local_checkpoint(_nd_topk(_nd_sym(ps)))
+
+
+def _nd_topk(sym: DataFrame) -> DataFrame:
+    """Per-vector top-ND_K over symmetrized scored edges (v, u, sm),
+    total order (sm desc, u)."""
+    w = Window.partitionBy("v").orderBy(F.col("sm").desc(), "u")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ND_K)
+        .select("v", "u", "sm")
+    )
+
+
+def _nd_sym(ps: DataFrame) -> DataFrame:
+    """Both directions of unordered scored pairs (va, vb, sm)."""
+    return ps.select(
+        F.col("va").alias("v"), F.col("vb").alias("u"), "sm"
+    ).unionByName(
+        ps.select(F.col("vb").alias("v"), F.col("va").alias("u"), "sm")
+    )
+
+
+@query("c_sim_nndescent", oracle=_ND_ORACLE)
+def c_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction by NN-descent (Dong et al. 2011) — the
+    index-BUILD operator the serving family (IVF/PQ/Hamming/LSH) sits
+    on top of at HNSW scale: every vector ends with its ND_K nearest
+    neighbors (by exact cosine over the explored candidate set), found
+    WITHOUT an all-pairs scan. Init: the certified RHP-LSH banding's
+    candidate pairs (_rhp_candidate_pairs — the same machinery as
+    c_sim_lsh_native, so init recall is the LSH recall). Each of the
+    ND_ROUNDS unrolled rounds then exploits the graph's diameter:
+    symmetrize the current lists (reverse edges capped at ND_RCAP per
+    vector by the (sim, id) order — the paper's reverse sampling,
+    determinized), propose every neighbor-of-neighbor pair, rescore
+    candidates exactly in integer micro-units, and keep each vector's
+    top-ND_K. The candidate set always contains the previous round's
+    edges, so list quality is MONOTONE non-decreasing round over
+    round (pinned in tests/test_ann.py). Emits the final graph
+    (vec_id, rank, neighbor_id, sim_micro) with in-schema recall
+    flags: for the KNN_QUERIES sample block, hit = 1 iff the edge is
+    in the vector's EXACT top-ND_K (computed brute-force on the
+    sample only — the production recall probe), null off-sample.
+
+    Scale (the 100 TB question): round cost is Θ(n·(K+RCAP)²)
+    candidate scorings — never n² — as one co-partitioned self-join
+    of the node-sized adjacency on the shared-neighbor key plus one
+    candidate-bounded rescore; the exact-sample recall probe is
+    |sample|·n with the sample block broadcast (c_sim_knn's plan). At
+    a billion vectors the same unrolled dataflow runs with the
+    incremental 'new-edge only' NN-descent delta (flag candidates
+    whose pair wasn't scored in a prior round) — the fixture form
+    rescores for hash-exactness, identical results."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            vec.alias("v"),
+            F.sqrt(dot(vec, vec)).alias("nrm"),
+        )
+    )
+    # init: LSH candidate pairs, scored once, symmetrized, top-K.
+    # Each round's g is a TRACKED local_checkpoint, not a mere persist:
+    # one round references g through sym/adj/non ~6 times, so the
+    # static plan tree compounds ~6^rounds without lineage truncation —
+    # explainString itself OOMs (the c_rag_mmr_multi lesson). The
+    # checkpointed graph is node-sized (≤ n·ND_K rows of three longs).
+    ps0 = persist(_nd_score_pairs(base, _rhp_candidate_pairs(base)))
+    g = local_checkpoint(_nd_topk(_nd_sym(ps0)))
+    for _ in range(ND_ROUNDS):
+        g = _nd_round(base, g)
+    # exact top-K on the sample block (broadcast queries, c_sim_knn's plan)
+    q = base.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    xcos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w_x = Window.partitionBy("query_id").orderBy(
+        F.col("xsm").desc(), "neighbor_id"
+    )
+    exq = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _nd_sm(xcos).alias("xsm"),
+        )
+        .withColumn("rk", F.row_number().over(w_x))
+        .filter(F.col("rk") <= ND_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("found"))
+    )
+    w_f = Window.partitionBy("v").orderBy(F.col("sm").desc(), "u")
+    return (
+        g.withColumn("rank", F.row_number().over(w_f).cast("long"))
+        .join(
+            exq,
+            (F.col("v") == F.col("query_id")) & (F.col("u") == F.col("neighbor_id")),
+            "left",
+        )
+        .select(
+            F.col("v").alias("vec_id"),
+            "rank",
+            F.col("u").alias("neighbor_id"),
+            F.col("sm").alias("sim_micro"),
+            F.when(
+                F.col("v") < KNN_QUERIES,
+                F.when(F.col("found").isNotNull(), 1).otherwise(0),
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )

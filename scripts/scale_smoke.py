@@ -126,7 +126,122 @@ def main() -> None:
     unigram_stress(spark)
     hamming_stress(spark)
     dsir_stress(spark)
+    nndescent_stress(spark)
 
+
+def nndescent_stress(
+    spark,
+    n: int = 200_000,
+    g: int = 20_000,
+    rounds: int = 2,
+    nd_rows: int = 18,
+    nd_bands: int = 8,
+) -> None:
+    """NN-descent kNN-graph build at 200k vectors on PLANTED clusters
+    (round-11 verdict ask #4): vector i = center(i % g) + small noise
+    (hamming_stress's splitmix generator — sibling cos >= 0.9992,
+    cross-center p99 0.297), cluster size n/g = 10, so every vector's
+    true 5-NN are its siblings. Runs the REAL operator machinery
+    (_nd_score_pairs / _nd_topk / _nd_sym / _nd_round from layer_c) —
+    only the LSH seeding widens to nd_rows=18 sign bits x 8 bands: the
+    fixture's 6-bit bands mean 64 buckets/band, which saturate past
+    ~6.4k vectors (cap x buckets) — RHP_ROWS ~ log2(n) is the
+    documented production scaling and this smoke is where it is
+    EXERCISED. Pins planted recall@5 (graph edges landing inside the
+    vector's true cluster) and prints build rate."""
+    from demo_segmenter_spark.operators.layer_c import (
+        ND_K,
+        SHINGLE_DF_CAP,
+        _nd_round,
+        _nd_score_pairs,
+        _nd_sym,
+        _nd_topk,
+        _rhp_plane,
+    )
+    from demo_segmenter_spark.functions.vectors import dot
+
+    t0 = time.time()
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform("
+                f"  transform(sequence(1, 64), d -> struct("
+                f"    ((id % {g}) * 64 + d) * 2654435761 % 1000003 AS z,"
+                f"    d AS d)),"
+                f"  s -> CAST(((s.z ^ (s.z DIV 4096)) * 48271 % 1000003)"
+                f"       % 2000 AS DOUBLE) / 1000.0 - 1.0"
+                f"     + CAST(((id * 48271 + s.d * 9973) % 1000003) % 100"
+                f"       AS DOUBLE) / 2000.0 - 0.025)"
+            ).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .repartition(64)
+        .persist()
+    )
+    n_built = base.count()
+    t_build = time.time() - t0
+
+    # wide RHP seeding: md5-derived planes (the fixture's _rhp_plane,
+    # just more of them), one numpy matmul per Arrow batch, nd_rows
+    # sign bits packed per band key
+    w = np.array([_rhp_plane(h) for h in range(nd_rows * nd_bands)])
+    weights = 1 << np.arange(nd_rows)
+
+    @F.pandas_udf("array<long>")
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(val, dtype=np.float64) for val in emb])
+        bits = (x @ w.T) > 0
+        bk = (bits.reshape(len(x), nd_bands, nd_rows) * weights).sum(axis=2)
+        return pd.Series(list(bk))
+
+    t0 = time.time()
+    bk = base.select(
+        "vec_id", F.posexplode(buckets_udf("v")).alias("band", "bucket")
+    )
+    w_cap = Window.partitionBy("band", "bucket")
+    ok = (
+        bk.withColumn("nb", F.count("*").over(w_cap))
+        .filter((F.col("nb") >= 2) & (F.col("nb") <= SHINGLE_DF_CAP))
+        .drop("nb")
+    )
+    cand = (
+        ok.select(F.col("vec_id").alias("va"), "band", "bucket")
+        .join(
+            ok.select(F.col("vec_id").alias("vb"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    gdf = _nd_topk(_nd_sym(_nd_score_pairs(base, cand))).localCheckpoint()
+    for _ in range(rounds):
+        gdf = _nd_round(base, gdf)
+    planted = gdf.select(
+        "v",
+        (F.col("v") % g == F.col("u") % g).cast("int").alias("in_cluster"),
+    )
+    per_vec = planted.groupBy("v").agg(
+        F.sum("in_cluster").alias("hits"), F.count("*").alias("deg")
+    )
+    agg = per_vec.agg(
+        F.count("*").alias("n_vec"),
+        (F.sum("hits") / (F.count("*") * ND_K)).alias("recall"),
+        F.min("deg").alias("min_deg"),
+    ).first()
+    t_graph = time.time() - t0
+    print(
+        f"nndescent {n_built} vectors (planted g={g}, {rounds} rounds,"
+        f" {nd_rows}x{nd_bands} seeding): build {t_build:.1f}s,"
+        f" graph {t_graph:.1f}s ({n_built / t_graph / 1e3:.1f}k vec/s),"
+        f" covered {agg.n_vec}/{n_built}, planted recall@{ND_K}"
+        f" {agg.recall:.3f}, min_deg {agg.min_deg}"
+    )
+    assert agg.n_vec == n_built, (agg.n_vec, n_built)
+    assert agg.recall >= 0.98, agg.recall
+    base.unpersist()
 
 def dsir_stress(spark, n_docs: int = 1_000_000, keep_den: int = 5) -> None:
     """DSIR importance selection at 1M docs with a PLANTED target

@@ -496,3 +496,61 @@ def test_hamming_recall_and_refine_consistency(spark):
     for r in ham_df:
         assert 0 <= r["hamming"] <= 64
         assert 1 <= r["rank"] <= 5
+
+
+def test_nndescent_recall_floor_and_graph_shape(spark):
+    # Round-11: NN-descent kNN-graph. On the fixture's shallow spectrum
+    # the LSH-seeded graph search is structurally capped (measured
+    # 0.69 at saturation — rounds 3 and 4 add nothing); what must hold
+    # on ANY fixture: every vector's list is <= ND_K with dense ranks,
+    # sims are valid micro-cosines, hit flags exist exactly on the
+    # sample block, and recall clears the measured floor.
+    from demo_segmenter_spark.operators.layer_c import KNN_QUERIES, ND_K
+
+    rows = REGISTRY["c_sim_nndescent"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+        assert -1_000_000 - 1 <= r["sim_micro"] <= 1_000_000 + 1
+        assert (r["hit"] is not None) == (r["vec_id"] < KNN_QUERIES)
+    for vec_id, lst in by_vec.items():
+        ranks = sorted(x["rank"] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1)), vec_id
+        assert len(lst) <= ND_K
+        assert vec_id not in {x["neighbor_id"] for x in lst}
+    hits = [r["hit"] for r in rows if r["hit"] is not None]
+    assert sum(hits) / len(hits) >= 0.6, sum(hits) / len(hits)
+
+
+def test_nndescent_rounds_monotone_improve(spark):
+    # The defining NN-descent property: each round's candidate set
+    # contains the previous round's edges, so per-vector list quality
+    # (sum of kept sims) can only improve. Compare rounds=0 (LSH init
+    # only) vs the registered rounds=2 graph.
+    import demo_segmenter_spark.operators.layer_c as lc
+
+    old = lc.ND_ROUNDS
+    try:
+        lc.ND_ROUNDS = 0
+        g0 = REGISTRY["c_sim_nndescent"].fn(spark, SF_SMOKE).collect()
+    finally:
+        lc.ND_ROUNDS = old
+    g2 = REGISTRY["c_sim_nndescent"].fn(spark, SF_SMOKE).collect()
+
+    def quality(rows):
+        q: dict = {}
+        for r in rows:
+            q[r["vec_id"]] = q.get(r["vec_id"], 0) + r["sim_micro"]
+        return q
+
+    q0, q2 = quality(g0), quality(g2)
+    assert set(q0) <= set(q2)  # rounds can only ADD reachable vectors
+    worse = {v: (q0[v], q2[v]) for v in q0 if q2[v] < q0[v]}
+    assert not worse, worse
+    # and the rounds genuinely find something: strict improvement
+    # somewhere, plus recall not below the init recall
+    assert any(q2[v] > q0[v] for v in q0)
+    r0 = [r["hit"] for r in g0 if r["hit"] is not None]
+    r2 = [r["hit"] for r in g2 if r["hit"] is not None]
+    assert sum(r2) / len(r2) >= sum(r0) / len(r0)

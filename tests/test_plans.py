@@ -1012,6 +1012,13 @@ def test_shuffle_budgets_table(spark):
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts
         "b_agg_hll_native": 4,
+        # NN-descent: the per-round graphs are tracked localCheckpoints
+        # (lineage truncation is mandatory — the sym/adj/non references
+        # compound ~6x/round and explainString itself OOMs untruncated),
+        # so the returned plan shows only the serving tail: the final
+        # rank window, the exact-sample probe's rank window (broadcast
+        # query block), the sample score rollup and the hit join
+        "c_sim_nndescent": 4,
         # OOV encode: the returned plan is ONE scan-local mapInPandas
         # pass over the held-out half with the capped vocab broadcast
         # (training runs at construction, vocabulary-bounded collect) —
