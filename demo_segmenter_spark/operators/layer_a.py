@@ -6296,6 +6296,7 @@ def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi_from_cnts(spark, cnts)
 
 
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov–Smirnov drift (round-10 widening): PSI's
 # histogram binning trades resolution for bounded state; KS is the
@@ -6575,6 +6576,48 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.groupBy("event_type", "bin").agg(
             F.sum(F.when(F.col("wnd") == 0, 1).otherwise(0)).alias("o0"),
             F.sum(F.when(F.col("wnd") == 1, 1).otherwise(0)).alias("o1"),
+        )
+    )
+    return _chi2_from_piv(piv)
+
+
+@query("a_drift_chi2_stream", oracle=_REGISTRY["a_drift_chi2"].oracle)
+def a_drift_chi2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of a_drift_chi2, SAME oracle (round-11, verdict
+    r10 ask #5): the chi-squared statistic needs exactly the
+    (event_type, wnd, bin) count grid the PSI monitor already holds as
+    complete-mode StateStore state — so this twin DRIVES THE SAME
+    STREAM (run_psi_stream: six event-time-ordered micro-batches,
+    per-cell counts as the mergeable sufficient statistic, state
+    bounded at types x 2 x PSI_BINS regardless of stream length),
+    re-pivots the final snapshot to the observed-count grid, and
+    scores it through the shared _chi2_from_piv tail. One histogram
+    StateStore serves PSI and chi2 simultaneously — the operational
+    point of keeping drift statistics sufficient-statistic-shaped.
+    Multibatch accumulation rides the same snapshot history the PSI
+    tests pin; chi2-specific equality with the batch query is pinned
+    in tests/test_psi_stream.py. Scale: identical to
+    a_drift_psi_stream — grid-sized state, constant-sized scoring."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/dss_chi2_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, mid = _psi_chunked_src(spark, sf_dir, base)
+    run_psi_stream(spark, src, mid, base)
+    cnts = spark.read.schema(_PSI_CNTS_SCHEMA).json(
+        manifest_files(f"{base}/cnts")
+    )
+    piv = persist(
+        cnts.groupBy("event_type", "bin").agg(
+            F.sum(F.when(F.col("wnd") == 0, F.col("n")).otherwise(0)).alias(
+                "o0"
+            ),
+            F.sum(F.when(F.col("wnd") == 1, F.col("n")).otherwise(0)).alias(
+                "o1"
+            ),
         )
     )
     return _chi2_from_piv(piv)

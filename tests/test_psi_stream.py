@@ -64,3 +64,13 @@ def test_counts_accumulate_across_batches(spark):
     )
     assert first.filter(F.col("wnd") == 1).count() == 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_chi2_stream_twin_equals_batch(spark):
+    # Round-11: the chi2 streaming twin scores the SAME histogram
+    # StateStore the PSI stream maintains (one sufficient statistic,
+    # two drift monitors) — its output must equal the batch chi2 query
+    # row for row.
+    got = _rows(REGISTRY["a_drift_chi2_stream"].fn(spark, SF_SMOKE))
+    want = _rows(REGISTRY["a_drift_chi2"].fn(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
