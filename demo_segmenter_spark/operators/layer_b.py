@@ -5705,3 +5705,274 @@ def b_agg_quantile_sketch_stream(
     from demo_segmenter_spark.functions.cache import local_checkpoint
 
     return _qsk_tail(local_checkpoint(spark.table(name)), e)
+
+
+# Two-level refinement (round-11, verdict r10 ask #7): the flat grid's
+# |est - exact| <= QSK_W guarantee is loose when mass concentrates in
+# one bin (skewed latency distributions — exactly where percentiles
+# matter). Round 1 is the SAME mergeable coarse histogram; the covering
+# bin per (type, q) is a deterministic function of the MERGED grid, so
+# round 2 — a per-hot-bin sub-histogram at QSK_W/16 resolution,
+# counts again, integer-exact — is equally mergeable. This is the
+# standard two-round distributed-quantile protocol: each round's state
+# adds across partitions/days/micro-batches; only the ≤2-bins-per-type
+# hot set crosses rounds.
+
+QSK_SUB = 16   # sub-bins per refined coarse bin
+QSK_SUBW = QSK_W / QSK_SUB   # 0.5 value units — the refined bound
+
+_QSK2_TAIL_SQL = f"""
+, tot AS (
+    SELECT event_type, sum(bn) AS n FROM hist GROUP BY event_type
+), cum AS (
+    SELECT h.event_type, h.bin, h.bn, t.n,
+           sum(h.bn) OVER (PARTITION BY h.event_type ORDER BY h.bin)
+               AS cum
+    FROM hist h JOIN tot t USING (event_type)
+), tgt AS (
+    SELECT event_type, n,
+           (n + 1) // 2 AS t50, (19 * n + 19) // 20 AS t95
+    FROM tot
+), pick AS (
+    SELECT c.event_type, g.q, c.bin, c.bn, c.cum, g.t,
+           g.t - (c.cum - c.bn) AS tl,
+           c.bin * {QSK_W}
+           + {QSK_W} * (g.t - (c.cum - c.bn)) * 1.0 / c.bn AS e1,
+           row_number() OVER (PARTITION BY c.event_type, g.q
+                              ORDER BY c.bin) AS rn
+    FROM cum c
+    JOIN (SELECT event_type, 50 AS q, t50 AS t FROM tgt
+          UNION ALL
+          SELECT event_type, 95, t95 FROM tgt) g
+      ON c.event_type = g.event_type AND c.cum >= g.t
+), hot AS MATERIALIZED (
+    SELECT event_type, q, bin, tl, e1 FROM pick WHERE rn = 1
+), fine AS (
+    SELECT h.event_type, h.q,
+           least(e.c // {100 * QSK_W // QSK_SUB},
+                 {QSK_BINS * QSK_SUB - 1}) - h.bin * {QSK_SUB} AS sub,
+           count(*) AS sn
+    FROM e
+    JOIN hot h ON e.event_type = h.event_type
+       AND least(e.c // {100 * QSK_W}, {QSK_BINS - 1}) = h.bin
+    GROUP BY h.event_type, h.q,
+             least(e.c // {100 * QSK_W // QSK_SUB},
+                   {QSK_BINS * QSK_SUB - 1}) - h.bin * {QSK_SUB}
+), cum2 AS (
+    SELECT event_type, q, sub, sn,
+           sum(sn) OVER (PARTITION BY event_type, q ORDER BY sub) AS cm
+    FROM fine
+), pick2 AS (
+    SELECT c2.event_type, c2.q, h.bin, c2.sub, c2.sn, c2.cm, h.tl, h.e1,
+           row_number() OVER (PARTITION BY c2.event_type, c2.q
+                              ORDER BY c2.sub) AS rn
+    FROM cum2 c2
+    JOIN hot h ON c2.event_type = h.event_type AND c2.q = h.q
+    WHERE c2.cm >= h.tl
+), est2 AS (
+    SELECT event_type, q, e1,
+           bin * {QSK_W} + sub * {QSK_SUBW!r}
+           + {QSK_SUBW!r} * (tl - (cm - sn)) * 1.0 / sn AS e2
+    FROM pick2 WHERE rn = 1
+), ranked AS (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c, event_id) AS r
+    FROM e
+), ex AS (
+    SELECT r.event_type,
+           max(CASE WHEN r.r = t.t50 THEN r.c END) AS x50,
+           max(CASE WHEN r.r = t.t95 THEN r.c END) AS x95
+    FROM ranked r JOIN tgt t USING (event_type)
+    GROUP BY r.event_type
+), piv AS (
+    SELECT event_type,
+           max(CASE WHEN q = 50 THEN e1 END) AS e150,
+           max(CASE WHEN q = 50 THEN e2 END) AS e250,
+           max(CASE WHEN q = 95 THEN e1 END) AS e195,
+           max(CASE WHEN q = 95 THEN e2 END) AS e295
+    FROM est2 GROUP BY event_type
+)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+       {{e150}} AS est_p50, {{e250}} AS est2_p50,
+       CAST(ex.x50 AS BIGINT) AS exact_p50_cents,
+       {{e195}} AS est_p95, {{e295}} AS est2_p95,
+       CAST(ex.x95 AS BIGINT) AS exact_p95_cents
+FROM tgt t
+JOIN piv USING (event_type)
+JOIN ex USING (event_type)
+"""
+
+
+def _qsk2_tail(hist: DataFrame, e: DataFrame) -> DataFrame:
+    """Two-level estimate tail: covering bin + local rank target from
+    the merged coarse grid, sub-histogram refinement pass over the hot
+    bins only, exact order-statistic twin in-schema."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    tot = hist.groupBy("event_type").agg(F.sum("bn").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.join(tot, "event_type").withColumn(
+        "cum", F.sum("bn").over(w_cum)
+    )
+    tgt = tot.select(
+        "event_type",
+        "n",
+        F.expr("(n + 1) DIV 2").alias("t50"),
+        F.expr("(19 * n + 19) DIV 20").alias("t95"),
+    )
+    g = tgt.selectExpr("event_type", "50 AS q", "t50 AS t").unionByName(
+        tgt.selectExpr("event_type", "95 AS q", "t95 AS t")
+    )
+    w_pick = Window.partitionBy("event_type", "q").orderBy("bin")
+    hot = persist(
+        cum.join(F.broadcast(g), "event_type")
+        .filter(F.col("cum") >= F.col("t"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            "bin",
+            (F.col("t") - (F.col("cum") - F.col("bn"))).alias("tl"),
+            (
+                F.col("bin") * QSK_W
+                + QSK_W
+                * (F.col("t") - (F.col("cum") - F.col("bn")))
+                * 1.0
+                / F.col("bn")
+            ).alias("e1"),
+        )
+    )
+    coarse = F.least(F.expr(f"c DIV {100 * QSK_W}"), F.lit(QSK_BINS - 1))
+    fine_idx = F.least(
+        F.expr(f"c DIV {100 * QSK_W // QSK_SUB}"),
+        F.lit(QSK_BINS * QSK_SUB - 1),
+    )
+    hb = hot.select("event_type", "q", F.col("bin").alias("hbin"))
+    fine = (
+        e.withColumn("cb", coarse)
+        .join(
+            F.broadcast(hb),
+            (F.col("cb") == F.col("hbin"))
+            & (e["event_type"] == hb["event_type"]),
+        )
+        .drop(hb["event_type"])
+        .select(
+            "event_type",
+            "q",
+            (fine_idx - F.col("hbin") * QSK_SUB).alias("sub"),
+        )
+        .groupBy("event_type", "q", "sub")
+        .agg(F.count("*").alias("sn"))
+    )
+    w_cum2 = (
+        Window.partitionBy("event_type", "q")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pick2 = Window.partitionBy("event_type", "q").orderBy("sub")
+    est2 = (
+        fine.withColumn("cm", F.sum("sn").over(w_cum2))
+        .join(F.broadcast(hot), ["event_type", "q"])
+        .filter(F.col("cm") >= F.col("tl"))
+        .withColumn("rn", F.row_number().over(w_pick2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            "e1",
+            (
+                F.col("bin") * QSK_W
+                + F.col("sub") * F.lit(QSK_SUBW)
+                + F.lit(QSK_SUBW)
+                * (F.col("tl") - (F.col("cm") - F.col("sn")))
+                * 1.0
+                / F.col("sn")
+            ).alias("e2"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ex = (
+        e.withColumn("r", F.row_number().over(w_rank))
+        .join(F.broadcast(tgt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == F.col("t50"), F.col("c"))).alias(
+                "x50"
+            ),
+            F.max(F.when(F.col("r") == F.col("t95"), F.col("c"))).alias(
+                "x95"
+            ),
+        )
+    )
+    epiv = est2.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 50, F.col("e1"))).alias("e150"),
+        F.max(F.when(F.col("q") == 50, F.col("e2"))).alias("e250"),
+        F.max(F.when(F.col("q") == 95, F.col("e1"))).alias("e195"),
+        F.max(F.when(F.col("q") == 95, F.col("e2"))).alias("e295"),
+    )
+    return (
+        tgt.select("event_type", F.col("n").cast("long").alias("n"))
+        .join(F.broadcast(epiv), "event_type")
+        .join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type",
+            "n",
+            rnd(F.col("e150"), 4).alias("est_p50"),
+            rnd(F.col("e250"), 4).alias("est2_p50"),
+            F.col("x50").cast("long").alias("exact_p50_cents"),
+            rnd(F.col("e195"), 4).alias("est_p95"),
+            rnd(F.col("e295"), 4).alias("est2_p95"),
+            F.col("x95").cast("long").alias("exact_p95_cents"),
+        )
+    )
+
+
+@query(
+    "b_agg_quantile_refined",
+    oracle=_QSK_REG_SQL
+    + _QSK2_TAIL_SQL.format(
+        e150=sql_rnd("piv.e150", 4),
+        e250=sql_rnd("piv.e250", 4),
+        e195=sql_rnd("piv.e195", 4),
+        e295=sql_rnd("piv.e295", 4),
+    ),
+)
+def b_agg_quantile_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL refined quantile sketch — b_agg_quantile_sketch's
+    coarse grid plus a per-hot-bin refinement round (verdict r10 ask
+    #7): the flat grid guarantees |est − exact| <= QSK_W, which is
+    loose exactly where percentiles matter (mass piled into one bin —
+    skewed latencies). Round 1 is the identical mergeable coarse
+    histogram; the covering bin and local rank target per (type, q)
+    are deterministic functions of the MERGED grid; round 2
+    histograms ONLY the rows of those <=2 bins per type at
+    QSK_W/QSK_SUB resolution (integer sub-bin ids, counts again — as
+    mergeable as round 1), and the estimate interpolates inside the
+    covering SUB-bin: |est2 − exact| <= QSK_SUBW = QSK_W/16.
+    Both estimates plus the exact order statistics ride in-schema so
+    the tightening is measurable per row; the refined-beats-flat
+    bound on a skew-crafted fixture is pinned in
+    tests/test_sketch_sample.py.
+
+    Scale: the standard two-round distributed-quantile protocol —
+    each round's state is an additive count grid (<= types x
+    64 then <= types x 2 x 16 cells), rounds merge
+    across partitions/days/micro-batches, and only the hot-bin ids
+    cross rounds (broadcast). The second corpus pass reads only the
+    hot bins' rows (predicate on the scan at 100 TB when the data is
+    value-partitioned; a full re-scan otherwise — still two passes
+    for a 16x tighter bound than one)."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    e = persist(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", cents(F.col("value")).alias("c")
+        )
+    )
+    return _qsk2_tail(persist(_qsk_hist(e)), e)

@@ -1008,6 +1008,12 @@ def test_shuffle_budgets_table(spark):
         # joins (every exchange past the hist build and the exact
         # twin's rank window is cell-count-sized)
         "b_agg_quantile_sketch": 12,
+        # two-level quantile: the flat tail's static recount (persisted
+        # hist/e subtrees re-read by hot/fine/exact references — runtime
+        # pays each once) + the <=types x 2 x 16-cell refinement rollup
+        # and its rank windows — every exchange past the hist build and
+        # the exact twin's rank window is hot-cell-sized
+        "b_agg_quantile_refined": 24,
         # native HLL: register groupBy + the <=types x 64 estimate
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts

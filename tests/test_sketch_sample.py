@@ -243,3 +243,64 @@ def test_quantile_sketch_error_band_and_stream_twin(spark):
     h2 = hh(ev.filter(F.col("event_id") % 2 == 1))
     merged = {k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)}
     assert merged == full
+
+
+def test_quantile_refined_tightens_bound_on_skew(spark):
+    # Round-11 two-level refinement: (a) on the standard fixture both
+    # estimates honor their bounds (flat <= QSK_W, refined <=
+    # QSK_SUBW) and agree on the flat estimate with the flat query;
+    # (b) on a SKEW-CRAFTED corpus (every value piled inside one
+    # coarse bin) the flat grid's interpolation error is visible while
+    # the refined estimate stays inside the sub-bin — strictly better.
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.operators.layer_b import QSK_SUBW, QSK_W
+    from demo_segmenter_spark.registry import REGISTRY
+
+    rows = REGISTRY["b_agg_quantile_refined"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    flat = {
+        r["event_type"]: r
+        for r in REGISTRY["b_agg_quantile_sketch"].fn(spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        assert abs(r["est_p50"] - r["exact_p50_cents"] / 100.0) <= QSK_W
+        assert abs(r["est2_p50"] - r["exact_p50_cents"] / 100.0) <= QSK_SUBW
+        assert abs(r["est_p95"] - r["exact_p95_cents"] / 100.0) <= QSK_W
+        assert abs(r["est2_p95"] - r["exact_p95_cents"] / 100.0) <= QSK_SUBW
+        f = flat[r["event_type"]]
+        assert r["est_p50"] == f["est_p50"] and r["est_p95"] == f["est_p95"]
+
+    # skewed corpus: 1000 events, all values in [80, 88) — ONE coarse
+    # bin (bin 10) — spread non-uniformly so interpolation is off:
+    # 90% of mass in [80, 80.5), the tail stretched to 87.99
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [80.0 + (i % 10) * 0.049 for i in range(900)] + [
+        80.5 + (i / 100.0) * 7.4 for i in range(100)
+    ]
+    d = f"/tmp/dss_qsk_skew/{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(seconds=i), i % 7, "lat", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    try:
+        sk = REGISTRY["b_agg_quantile_refined"].fn(spark, d).collect()
+        assert len(sk) == 1
+        r = sk[0]
+        for q in ("p50", "p95"):
+            exact = r[f"exact_{q}_cents"] / 100.0
+            err_flat = abs(r[f"est_{q}"] - exact)
+            err_ref = abs(r[f"est2_{q}"] - exact)
+            assert err_ref <= QSK_SUBW, (q, err_ref)
+            assert err_ref < err_flat, (q, err_ref, err_flat)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
