@@ -1018,6 +1018,12 @@ def test_shuffle_budgets_table(spark):
         # rollup + the exact-twin expand pair (certification only —
         # at 100 TB you keep the registers); twin join broadcasts
         "b_agg_hll_native": 4,
+        # logreg: training runs at construction (4-row checkpointed
+        # weights); the returned plan is the persisted 4-rows/doc
+        # feature table joined to the broadcast weights + one doc
+        # rollup + the lab join (measured 0 fresh — the persisted
+        # subtrees absorb; budget carries slack for cache-cold reads)
+        "c_quality_logreg": 3,
         # NN-descent: the per-round graphs are tracked localCheckpoints
         # (lineage truncation is mandatory — the sym/adj/non references
         # compound ~6x/round and explainString itself OOMs untruncated),
