@@ -108,3 +108,31 @@ def test_chi2_one_sided_window_is_defined(spark, degen_dir):
     assert nc["chi2"] == pytest.approx(0.0)
     st = rows["steady"]
     assert st["chi2"] is not None and not math.isnan(st["chi2"])
+
+
+def test_ks_binned_le_exact_and_stream_twin(spark):
+    # Relational pin: the binned sup is the exact sup restricted to a
+    # coarser evaluation set, so binned <= exact per type (fixture),
+    # and the degenerate one-sided window still reads 1.0 in both.
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r["event_type"]: r["ks"]
+        for r in REGISTRY["a_drift_ks"].fn(spark, SF_SMOKE).collect()
+    }
+    binned_rows = REGISTRY["a_drift_ks_binned"].fn(spark, SF_SMOKE).collect()
+    assert binned_rows and set(exact) == {r["event_type"] for r in binned_rows}
+    for r in binned_rows:
+        assert r["ks_binned"] <= exact[r["event_type"]] + 1e-9, r
+        assert 0.0 <= r["ks_binned"] <= 1.0
+    got = {
+        tuple(r)
+        for r in REGISTRY["a_drift_ks_binned_stream"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == {tuple(r) for r in binned_rows}
+
+
+def test_ks_binned_degenerate_window(spark, degen_dir):
+    rows = _agree(REGISTRY["a_drift_ks_binned"], spark, degen_dir)
+    assert rows["newcomer"]["ks_binned"] == pytest.approx(1.0)
+    assert rows["steady"]["ks_binned"] is not None

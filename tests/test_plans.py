@@ -986,6 +986,10 @@ def test_shuffle_budgets_table(spark):
         # KS drift: the 1-row bounds agg + the (type,cents) collapse +
         # the type-keyed CDF/argmax windows (one exchange, two sorts)
         "a_drift_ks": 3,
+        # binned KS: 1-row bounds agg + the (type,wnd,bin) collapse +
+        # the grid re-pivot + the type-keyed CDF/argmax windows — all
+        # grid-sized past the map-side collapse
+        "a_drift_ks_binned": 4,
         # chi2 drift: static recount of the persisted <=types x bins
         # grid across tot/terms/df references + the 1-row bounds agg;
         # every exchange past the grid collapse is grid-sized

@@ -47,9 +47,11 @@ STATE_BUDGETS = {
     # construction, stream-length-independent (61 of max 100 realized
     # at sf0.001)
     "a_drift_psi_stream": 61,
-    # chi2 twin drives the SAME complete-mode histogram stream (one
-    # sufficient statistic serves PSI and chi2) — identical state
+    # chi2 + binned-KS twins drive the SAME complete-mode histogram
+    # stream (one sufficient statistic serves all three drift
+    # monitors) — identical state
     "a_drift_chi2_stream": 61,
+    "a_drift_ks_binned_stream": 61,
     "a_ewma_stream": 15,
     "a_forecast_holt_stream": 15,
     "a_funnel_stream": 15,
