@@ -128,6 +128,7 @@ def main() -> None:
     dsir_stress(spark)
     nndescent_stress(spark)
     bloom_stress(spark)
+    logreg_stress(spark)
 
 
 def nndescent_stress(
@@ -378,6 +379,70 @@ def bloom_stress(
     corpus.unpersist()
     incoming.unpersist()
     hits.unpersist()
+
+def logreg_stress(spark, n_docs: int = 1_000_000) -> None:
+    """Unrolled-GD logistic regression at 1M docs with a PLANTED
+    linearly-separable margin (round-11): half the corpus has nt = 40
+    (label pass — distinct words keep dup = 0, one leading stopword
+    keeps sr = 1/nt >= 0.01), half nt = 12 (label fail via the length
+    rule), so the heuristic label reduces to the single length margin
+    and a correct GD must drive held-out accuracy to ~1.0. Runs the
+    REGISTERED query end-to-end against a generated documents.parquet
+    (the operator is corpus-agnostic), pinning accuracy and the
+    docs/s rate of the full 3-round train + corpus-wide score."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    base = f"/tmp/dss_lr_stress/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = time.time()
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("the "),
+                F.expr(
+                    "concat_ws(' ', transform("
+                    " sequence(1, CASE WHEN id % 2 = 0 THEN 39 ELSE 11 END),"
+                    " j -> concat('w', CAST(id AS STRING), '_',"
+                    "             CAST(j AS STRING))))"
+                ),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .write.parquet(f"{base}/documents.parquet")
+    )
+    t_build = time.time() - t0
+    t0 = time.time()
+    rows = (
+        REGISTRY["c_quality_logreg"]
+        .fn(spark, base)
+        .groupBy("is_train", (F.col("pred") == F.col("label")).alias("ok"))
+        .count()
+        .collect()
+    )
+    t_run = time.time() - t0
+    cnt = {(r["is_train"], r["ok"]): r["count"] for r in rows}
+    acc_t = cnt.get((True, True), 0) / (
+        cnt.get((True, True), 0) + cnt.get((True, False), 0)
+    )
+    acc_h = cnt.get((False, True), 0) / (
+        cnt.get((False, True), 0) + cnt.get((False, False), 0)
+    )
+    print(
+        f"logreg {n_docs} docs (planted separable length margin):"
+        f" build {t_build:.1f}s, train+score {t_run:.1f}s"
+        f" ({n_docs / t_run / 1e3:.0f}k docs/s),"
+        f" train acc {acc_t:.4f}, heldout acc {acc_h:.4f}"
+    )
+    assert acc_t >= 0.99, acc_t
+    assert acc_h >= 0.99, acc_h
+    shutil.rmtree(base, ignore_errors=True)
 
 def dsir_stress(spark, n_docs: int = 1_000_000, keep_den: int = 5) -> None:
     """DSIR importance selection at 1M docs with a PLANTED target
