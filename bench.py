@@ -147,6 +147,14 @@ HEADLINE = [
     "c_select_dsir",
     "c_rag_query_expansion",
     "b_layout_zorder",
+    # round 11: NN-descent graph build (checkpointed unrolled rounds),
+    # the integer-replay GD classifier, the two-level quantile
+    # refinement, and the held-out OOV tokenizer encode
+    "c_sim_nndescent",
+    "c_quality_logreg",
+    "b_agg_quantile_refined",
+    "c_token_oov_encode",
+    "c_sim_graph_search",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

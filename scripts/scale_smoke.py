@@ -127,6 +127,7 @@ def main() -> None:
     hamming_stress(spark)
     dsir_stress(spark)
     nndescent_stress(spark)
+    graph_search_ring_stress(spark)
     bloom_stress(spark)
     logreg_stress(spark)
 
@@ -243,6 +244,7 @@ def nndescent_stress(
     )
     assert agg.n_vec == n_built, (agg.n_vec, n_built)
     assert agg.recall >= 0.98, agg.recall
+
     base.unpersist()
 
 def bloom_stress(
@@ -443,6 +445,143 @@ def logreg_stress(spark, n_docs: int = 1_000_000) -> None:
     assert acc_t >= 0.99, acc_t
     assert acc_h >= 0.99, acc_h
     shutil.rmtree(base, ignore_errors=True)
+
+def graph_search_ring_stress(
+    spark, n: int = 200_000, n_q: int = 50, tol: int = 64
+) -> None:
+    """Graph SEARCH at 200k vectors on a NAVIGABLE geometry (round-11;
+    c_sim_graph_search's serving machinery): the cluster-planted build
+    smoke is deliberately NON-navigable for search — orthogonal
+    clusters give a disconnected kNN graph with zero similarity
+    gradient between clusters, where no graph algorithm (HNSW
+    included) can do better than random exploration (measured: beam
+    search recall 0.000 there — recorded as the diagnosis, not a
+    bug). Serving claims need the geometry real embeddings have:
+    smooth local structure. Here vectors sit on a unit circle
+    (sim(i,j) = cos of the ring gap — monotone gradient everywhere),
+    the graph is the true ring kNN (i±1, i±2) PLUS multi-scale
+    small-world skips (i+7^k — Kleinberg's navigability construction,
+    what HNSW's layer hierarchy supplies in production), and the
+    EXACT search machinery from c_sim_graph_search (fixed entries,
+    beam, bounded hops, micro-unit scores) must land every query
+    inside the micro-quantization plateau of its true neighborhood
+    (ring distance <= tol; cos gaps below 1e-6 quantize equal, so
+    'exact top-5' is undefined inside ~45 ring steps by design).
+    Pins recall and the per-query bounded work claim (hops x beam x
+    degree scorings, corpus-size-independent)."""
+    from pyspark.sql import Window
+
+    from demo_segmenter_spark.functions.vectors import dot
+    from demo_segmenter_spark.operators.layer_c import GS_BEAM, GS_ENTRIES
+
+    hops = 12  # log_7(n) + slack: each hop can shrink the gap ~7x
+    t0 = time.time()
+    two_pi = 6.283185307179586
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"array(cos({two_pi!r} * id / {n}),"
+                f" sin({two_pi!r} * id / {n}),"
+                " CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+            ).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .repartition(64)
+        .persist()
+    )
+    n_built = base.count()
+    # ring kNN edges + multi-scale skips (both directions)
+    scales = [1, 2, 7, 49, 343, 2401, 16807, 117649]
+    gdf = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("v"),
+            F.explode(
+                F.array(*[F.lit(x) for s in scales for x in (s, -s)])
+            ).alias("d"),
+        )
+        .select("v", ((F.col("v") + F.col("d")) % n + n) % n)
+        .toDF("v", "u")
+        .filter(F.col("u") != F.col("v"))
+        .persist()
+    )
+    gdf.count()
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    qs = base.filter(F.col("vec_id") % (n // n_q) == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cs = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+
+    def beam(cand):
+        sm = F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+            * 1_000_000
+            + F.lit(1e-4)
+        ).cast("long")
+        w_b = Window.partitionBy("query_id").orderBy(
+            F.col("sm").desc(), "vec_id"
+        )
+        return (
+            cand.join(cs, cand["vec_id"] == cs["cid"])
+            .join(F.broadcast(qs), "query_id")
+            .select("query_id", "vec_id", sm.alias("sm"))
+            .withColumn("rk", F.row_number().over(w_b))
+            .filter(F.col("rk") <= GS_BEAM)
+            .select("query_id", "vec_id", "sm")
+        )
+
+    ent = base.filter(F.col("vec_id") < GS_ENTRIES).select("vec_id")
+    f = beam(
+        qs.select("query_id")
+        .crossJoin(F.broadcast(ent))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    ).localCheckpoint()
+    for _ in range(hops):
+        expand = (
+            f.join(gdf, f["vec_id"] == gdf["v"])
+            .filter(F.col("u") != F.col("query_id"))
+            .select("query_id", F.col("u").alias("vec_id"))
+        )
+        cand = f.select("query_id", "vec_id").unionByName(expand).distinct()
+        f = beam(cand).localCheckpoint()
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("sm").desc(), "vec_id"
+    )
+    ring_gap = F.least(
+        F.abs(F.col("query_id") - F.col("vec_id")),
+        F.lit(n) - F.abs(F.col("query_id") - F.col("vec_id")),
+    )
+    top = (
+        f.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", (ring_gap <= tol).cast("int").alias("ok"))
+    )
+    agg = top.agg(
+        (F.sum("ok") / F.count("*")).alias("recall"),
+        F.count("*").alias("n_rows"),
+    ).first()
+    t_search = time.time() - t0
+    print(
+        f"graph search (ring + small-world skips) {n_built} vectors,"
+        f" {n_q} queries, beam {GS_BEAM}, {hops} hops: build"
+        f" {t_build:.1f}s, search {t_search:.1f}s, recall@5(tol={tol})"
+        f" {agg.recall:.3f}"
+    )
+    assert agg.n_rows == n_q * 5, agg.n_rows
+    assert agg.recall >= 0.95, agg.recall
+    base.unpersist()
+    gdf.unpersist()
 
 def dsir_stress(spark, n_docs: int = 1_000_000, keep_den: int = 5) -> None:
     """DSIR importance selection at 1M docs with a PLANTED target

@@ -554,3 +554,39 @@ def test_nndescent_rounds_monotone_improve(spark):
     r0 = [r["hit"] for r in g0 if r["hit"] is not None]
     r2 = [r["hit"] for r in g2 if r["hit"] is not None]
     assert sum(r2) / len(r2) >= sum(r0) / len(r0)
+
+
+def test_graph_search_recall_floor_and_beam_shape(spark):
+    # Round-11 serving half: beam search over the NN-descent graph.
+    # On the fixture's shallow spectrum the measured ceiling is the
+    # GRAPH's own build recall (~0.69); search at beam 32 reaches
+    # ~0.63 — pin a floor under it. Shape: exactly the sample block's
+    # queries, dense ranks <= ND_K, sims valid micro-cosines, and
+    # search can never beat the exact probe (hit is against exact
+    # top-K, so per-query hits <= ND_K trivially; the real relational
+    # pin: every returned sim <= the exact top-1 sim for that query).
+    from demo_segmenter_spark.operators.layer_c import KNN_QUERIES, ND_K
+
+    rows = REGISTRY["c_sim_graph_search"].fn(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in rows} == set(range(KNN_QUERIES))
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1_000_000 - 1 <= r["sim_micro"] <= 1_000_000 + 1
+        assert r["neighbor_id"] != r["query_id"]
+    for q, lst in by_q.items():
+        assert sorted(x["rank"] for x in lst) == list(
+            range(1, len(lst) + 1)
+        )
+        assert len(lst) <= ND_K
+    hits = [r["hit"] for r in rows]
+    assert sum(hits) / len(hits) >= 0.55, sum(hits) / len(hits)
+    # relational: the graph walk's best sim per query cannot exceed
+    # the exact brute-force best
+    exact = {}
+    for r in REGISTRY["c_sim_knn"].fn(spark, SF_SMOKE).collect():
+        if r["rank"] == 1:
+            exact[r["query_id"]] = r["cos_sim"]
+    for q, lst in by_q.items():
+        best = max(x["sim_micro"] for x in lst) / 1e6
+        assert best <= exact[q] + 2e-4, (q, best, exact[q])

@@ -1035,6 +1035,11 @@ def test_shuffle_budgets_table(spark):
         # rank window, the exact-sample probe's rank window (broadcast
         # query block), the sample score rollup and the hit join
         "c_sim_nndescent": 4,
+        # graph search: per-hop beams are tracked localCheckpoints (the
+        # nndescent lesson), so the returned plan is the final beam's
+        # rank window + the exact-probe windows + the hit join — all
+        # query-sample-sized
+        "c_sim_graph_search": 4,
         # OOV encode: the returned plan is ONE scan-local mapInPandas
         # pass over the held-out half with the capped vocab broadcast
         # (training runs at construction, vocabulary-bounded collect) —
