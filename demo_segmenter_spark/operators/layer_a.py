@@ -6790,3 +6790,79 @@ def a_drift_ks_binned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest_files(f"{base}/cnts")
     )
     return _ks_binned_from_cnts(cnts)
+
+
+@query(
+    "a_drift_report",
+    oracle=f"""
+SELECT event_type, n_ref, n_cur, 'psi' AS statistic, psi AS value,
+       CAST(NULL AS BIGINT) AS detail
+FROM ({_REGISTRY["a_drift_psi"].oracle}) psi_t
+UNION ALL
+SELECT event_type, n_ref, n_cur, 'ks', ks, ks_at_cents
+FROM ({_REGISTRY["a_drift_ks"].oracle}) ks_t
+UNION ALL
+SELECT event_type, n_ref, n_cur, 'ks_binned', ks_binned, ks_at_bin
+FROM ({_KSB_ORACLE}) ksb_t
+UNION ALL
+SELECT event_type, n_ref, n_cur, 'chi2', chi2, df
+FROM ({_REGISTRY["a_drift_chi2"].oracle}) chi2_t
+""",
+)
+def a_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED DRIFT REPORT — the whole monitor family in one long
+    table, which is what a dashboard or alert rule actually consumes:
+    per event_type, one row per statistic (psi: symmetric-KL on
+    smoothed shares; ks: exact binless CDF sup; ks_binned: the
+    bounded-state sup on the shared histogram; chi2: the classical
+    frequency test, df in detail) with the shared (n_ref, n_cur)
+    window sizes and the statistic's location/df in ``detail``
+    (argmax cents / bin for the KS pair, degrees of freedom for chi2,
+    null for psi). Each leg is the REGISTERED query's exact dataflow;
+    the oracle unions the four legs' full oracles, so the report
+    hash-certifies the whole family in one shot. The different
+    statistics answer different questions on the same split — psi is
+    threshold-friendly and bounded-state, exact KS is the most
+    sensitive offline check, binned KS is its streaming stand-in,
+    chi2 carries a null distribution for p-values — and a real
+    monitoring rollout runs ALL of them off the one histogram +
+    one distinct-value table this report derives from.
+
+    Scale: the psi/ks_binned/chi2 legs are grid-sized past one
+    map-side collapse each (and share the same counts at deployment);
+    the exact-ks leg's distinct-value collapse dominates — identical
+    to a_drift_ks alone. Nothing new shuffles; the union is
+    map-side."""
+    psi = a_drift_psi(spark, sf_dir).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.lit("psi").alias("statistic"),
+        F.col("psi").alias("value"),
+        F.lit(None).cast("long").alias("detail"),
+    )
+    ks = a_drift_ks(spark, sf_dir).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.lit("ks").alias("statistic"),
+        F.col("ks").alias("value"),
+        F.col("ks_at_cents").alias("detail"),
+    )
+    ksb = a_drift_ks_binned(spark, sf_dir).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.lit("ks_binned").alias("statistic"),
+        F.col("ks_binned").alias("value"),
+        F.col("ks_at_bin").alias("detail"),
+    )
+    chi2 = a_drift_chi2(spark, sf_dir).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.lit("chi2").alias("statistic"),
+        F.col("chi2").alias("value"),
+        F.col("df").alias("detail"),
+    )
+    return psi.unionByName(ks).unionByName(ksb).unionByName(chi2)

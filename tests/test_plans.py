@@ -986,6 +986,11 @@ def test_shuffle_budgets_table(spark):
         # KS drift: the 1-row bounds agg + the (type,cents) collapse +
         # the type-keyed CDF/argmax windows (one exchange, two sorts)
         "a_drift_ks": 3,
+        # unified drift report: the four legs' static plans composed
+        # (psi's persisted-subtree recounts dominate at 25; + ks 3 +
+        # binned-ks 4 + chi2 12); runtime pays each persisted stage
+        # once and the union is map-side
+        "a_drift_report": 44,
         # binned KS: 1-row bounds agg + the (type,wnd,bin) collapse +
         # the grid re-pivot + the type-keyed CDF/argmax windows — all
         # grid-sized past the map-side collapse
