@@ -6265,6 +6265,36 @@ def run_psi_stream(spark: SparkSession, src: str, mid: int, base: str):
     q.awaitTermination()
 
 
+def _psi_stream_cnts(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Run the shared complete-mode histogram stream in a throwaway
+    /tmp dir and return the FINAL snapshot as a driver-local DataFrame
+    — grid-bounded by construction (≤ types × 2 × PSI_BINS rows, the
+    StateStore's own size bound), so the collect is a constant-sized
+    monitoring readout, not a corpus materialization. The dir (source
+    chunks, checkpoint, snapshots) is removed BEFORE returning: the
+    returned DataFrame is a LocalTableScan with no file dependency, so
+    repeated bench/correctness invocations leave zero /tmp state
+    behind (ADVICE r11 — the twins used to leak one uuid dir each)."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import manifest_files
+
+    base = f"/tmp/{prefix}/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        src, mid = _psi_chunked_src(spark, sf_dir, base)
+        run_psi_stream(spark, src, mid, base)
+        rows = (
+            spark.read.schema(_PSI_CNTS_SCHEMA)
+            .json(manifest_files(f"{base}/cnts"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, _PSI_CNTS_SCHEMA)
+
+
 @query("a_drift_psi_stream", oracle=_REGISTRY["a_drift_psi"].oracle)
 def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of a_drift_psi, SAME oracle (round-9 verdict ask
@@ -6279,20 +6309,7 @@ def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor's memory), scoring is constant-sized; at 100 TB/day the
     same query runs with a processing-time trigger and the boundary
     as config."""
-    import shutil
-    import uuid
-
-    from demo_segmenter_spark.sources.python_source import manifest_files
-
-    base = f"/tmp/dss_psi_stream/{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
-    src, mid = _psi_chunked_src(spark, sf_dir, base)
-    run_psi_stream(spark, src, mid, base)
-    cnts = persist(
-        spark.read.schema(_PSI_CNTS_SCHEMA).json(
-            manifest_files(f"{base}/cnts")
-        )
-    )
+    cnts = _psi_stream_cnts(spark, sf_dir, "dss_psi_stream")
     return _psi_from_cnts(spark, cnts)
 
 
@@ -6598,18 +6615,7 @@ def a_drift_chi2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin; chi2-specific equality with the batch query is pinned
     in tests/test_psi_stream.py. Scale: identical to
     a_drift_psi_stream — grid-sized state, constant-sized scoring."""
-    import shutil
-    import uuid
-
-    from demo_segmenter_spark.sources.python_source import manifest_files
-
-    base = f"/tmp/dss_chi2_stream/{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
-    src, mid = _psi_chunked_src(spark, sf_dir, base)
-    run_psi_stream(spark, src, mid, base)
-    cnts = spark.read.schema(_PSI_CNTS_SCHEMA).json(
-        manifest_files(f"{base}/cnts")
-    )
+    cnts = _psi_stream_cnts(spark, sf_dir, "dss_chi2_stream")
     piv = persist(
         cnts.groupBy("event_type", "bin").agg(
             F.sum(F.when(F.col("wnd") == 0, F.col("n")).otherwise(0)).alias(
@@ -6777,24 +6783,15 @@ def a_drift_ks_binned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic) and scores the final snapshot through the shared
     _ks_binned_from_cnts tail. State bounded at the grid, multibatch
     accumulation pinned by the PSI snapshot-history tests."""
-    import shutil
-    import uuid
-
-    from demo_segmenter_spark.sources.python_source import manifest_files
-
-    base = f"/tmp/dss_ksb_stream/{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
-    src, mid = _psi_chunked_src(spark, sf_dir, base)
-    run_psi_stream(spark, src, mid, base)
-    cnts = spark.read.schema(_PSI_CNTS_SCHEMA).json(
-        manifest_files(f"{base}/cnts")
-    )
+    cnts = _psi_stream_cnts(spark, sf_dir, "dss_ksb_stream")
     return _ks_binned_from_cnts(cnts)
 
 
 @query(
     "a_drift_report",
     oracle=f"""
+SELECT u.*, CAST(n_ref = 0 OR n_cur = 0 AS BIGINT) AS degenerate
+FROM (
 SELECT event_type, n_ref, n_cur, 'psi' AS statistic, psi AS value,
        CAST(NULL AS BIGINT) AS detail
 FROM ({_REGISTRY["a_drift_psi"].oracle}) psi_t
@@ -6807,6 +6804,7 @@ FROM ({_KSB_ORACLE}) ksb_t
 UNION ALL
 SELECT event_type, n_ref, n_cur, 'chi2', chi2, df
 FROM ({_REGISTRY["a_drift_chi2"].oracle}) chi2_t
+) u
 """,
 )
 def a_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6827,6 +6825,16 @@ def a_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 carries a null distribution for p-values — and a real
     monitoring rollout runs ALL of them off the one histogram +
     one distinct-value table this report derives from.
+
+    The ``degenerate`` flag (ADVICE r11) marks the one-sided-window
+    case (n_ref = 0 or n_cur = 0 — e.g. a brand-new event type) where
+    the statistics' guard conventions DISAGREE by design: ks and
+    ks_binned report maximal drift 1.0 (the sup as the absent window's
+    mass vanishes), chi2 reports a guarded 0.0 (expected frequency
+    identically 0), psi reports the smoothed value. A threshold rule
+    must treat degenerate = 1 rows as "new/removed category" rather
+    than reading any single statistic's value at face value — the flag
+    spares dashboard consumers from knowing each guard convention.
 
     Scale: the psi/ks_binned/chi2 legs are grid-sized past one
     map-side collapse each (and share the same counts at deployment);
@@ -6865,4 +6873,12 @@ def a_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2").alias("value"),
         F.col("df").alias("detail"),
     )
-    return psi.unionByName(ks).unionByName(ksb).unionByName(chi2)
+    return (
+        psi.unionByName(ks)
+        .unionByName(ksb)
+        .unionByName(chi2)
+        .withColumn(
+            "degenerate",
+            ((F.col("n_ref") == 0) | (F.col("n_cur") == 0)).cast("long"),
+        )
+    )

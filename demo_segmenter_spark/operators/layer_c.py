@@ -14687,14 +14687,18 @@ def _nd_sym(ps: DataFrame) -> DataFrame:
     )
 
 
-def _nd_build_graph(base: DataFrame) -> DataFrame:
+def _nd_build_graph(base: DataFrame, rounds: int | None = None) -> DataFrame:
     """LSH-seeded NN-descent graph over ``base`` (vec_id, v, nrm):
     score the RHP candidate pairs once, symmetrize, keep top-ND_K,
-    then ND_ROUNDS shared _nd_round refinements. Returned graph is a
-    tracked local_checkpoint (node-sized)."""
+    then ``rounds`` (default ND_ROUNDS) shared _nd_round refinements.
+    Returned graph is a tracked local_checkpoint (node-sized). The
+    explicit parameter exists so tests can build a rounds=0 (LSH-init
+    only) graph without patching the module global (ADVICE r11)."""
+    if rounds is None:
+        rounds = ND_ROUNDS
     ps0 = persist(_nd_score_pairs(base, _rhp_candidate_pairs(base)))
     g = local_checkpoint(_nd_topk(_nd_sym(ps0)))
-    for _ in range(ND_ROUNDS):
+    for _ in range(rounds):
         g = _nd_round(base, g)
     return g
 
@@ -14756,6 +14760,16 @@ def c_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental 'new-edge only' NN-descent delta (flag candidates
     whose pair wasn't scored in a prior round) — the fixture form
     rescores for hash-exactness, identical results."""
+    return _nndescent_result(spark, sf_dir)
+
+
+def _nndescent_result(
+    spark: SparkSession, sf_dir: str, rounds: int | None = None
+) -> DataFrame:
+    """c_sim_nndescent's full dataflow with an explicit ``rounds``
+    knob (default ND_ROUNDS — the registered query) so the monotone-
+    improvement test can compare a rounds=0 LSH-init-only build
+    against the registered graph without patching module globals."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = persist(
@@ -14772,7 +14786,7 @@ def c_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # static plan tree compounds ~6^rounds without lineage truncation —
     # explainString itself OOMs (the c_rag_mmr_multi lesson). The
     # checkpointed graph is node-sized (≤ n·ND_K rows of three longs).
-    g = _nd_build_graph(base)
+    g = _nd_build_graph(base, rounds=rounds)
     exq = _nd_exact_sample(base)
     w_f = Window.partitionBy("v").orderBy(F.col("sm").desc(), "u")
     return (

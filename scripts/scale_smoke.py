@@ -247,6 +247,7 @@ def nndescent_stress(
 
     base.unpersist()
 
+
 def bloom_stress(
     spark,
     n_corpus: int = 1_000_000,
@@ -382,6 +383,7 @@ def bloom_stress(
     incoming.unpersist()
     hits.unpersist()
 
+
 def logreg_stress(spark, n_docs: int = 1_000_000) -> None:
     """Unrolled-GD logistic regression at 1M docs with a PLANTED
     linearly-separable margin (round-11): half the corpus has nt = 40
@@ -445,6 +447,7 @@ def logreg_stress(spark, n_docs: int = 1_000_000) -> None:
     assert acc_t >= 0.99, acc_t
     assert acc_h >= 0.99, acc_h
     shutil.rmtree(base, ignore_errors=True)
+
 
 def graph_search_ring_stress(
     spark, n: int = 200_000, n_q: int = 50, tol: int = 64

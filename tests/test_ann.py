@@ -528,14 +528,9 @@ def test_nndescent_rounds_monotone_improve(spark):
     # contains the previous round's edges, so per-vector list quality
     # (sum of kept sims) can only improve. Compare rounds=0 (LSH init
     # only) vs the registered rounds=2 graph.
-    import demo_segmenter_spark.operators.layer_c as lc
+    from demo_segmenter_spark.operators.layer_c import _nndescent_result
 
-    old = lc.ND_ROUNDS
-    try:
-        lc.ND_ROUNDS = 0
-        g0 = REGISTRY["c_sim_nndescent"].fn(spark, SF_SMOKE).collect()
-    finally:
-        lc.ND_ROUNDS = old
+    g0 = _nndescent_result(spark, SF_SMOKE, rounds=0).collect()
     g2 = REGISTRY["c_sim_nndescent"].fn(spark, SF_SMOKE).collect()
 
     def quality(rows):

@@ -142,10 +142,9 @@ def test_oov_encode_unk_rate_positive_and_matches_reference(spark):
     assert all(r["tok"] == WP_UNK for r in rows if r["is_unk"] == 1)
     assert all(r["tok"] != WP_UNK for r in rows if r["is_unk"] == 0)
 
-    # crafted corpus third implementation: doc 2/4 held out; 'zz' and
-    # 'qq' never occur in docs 1/3 (the train half: even ids after the
-    # %2 split is doc_id%2==0 -> docs 2,4 train... doc_id is 1-based
-    # here, so TRAIN = {2, 4}, HELD = {1, 3})
+    # crafted corpus, third implementation: 'zz'/'qq' appear only in
+    # the held-out docs 1 and 3; TRAIN = {2, 4} (doc_id % 2 == 0,
+    # doc_id is 1-based), HELD = {1, 3}
     texts = ["the r zz the r", "the r the r x y", "qq solo x", "x y solo the r"]
     docs = _docs(spark, texts)
     train = docs.filter(F.col("doc_id") % 2 == 0)
