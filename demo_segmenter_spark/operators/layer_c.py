@@ -12467,6 +12467,66 @@ def wordpiece_encode_docs(
     )
 
 
+def wordpiece_encode_docs_bytes(docs: DataFrame, vocab: set) -> DataFrame:
+    """Greedy longest-match WordPiece encode with BYTE FALLBACK — the
+    production-tokenizer contract that NO token is ever lost: a word
+    with no vocab match at the cursor decomposes into its UTF-8 bytes
+    as ``<0xNN>`` pieces (the SentencePiece byte-fallback convention)
+    instead of collapsing to a lossy ``[UNK]`` sentinel. Same
+    Arrow-batched mapInPandas walk as ``wordpiece_encode_docs``
+    (vocab broadcast, WP_LMAX-bounded lookahead, cursor always
+    advances); emission is the only difference. Returns
+    (doc_id, pos, tok, byte_ix) where byte_ix = 0 marks a vocab piece
+    and byte_ix >= 1 is the byte's 1-based index within its word — the
+    index is what makes decode exact (byte_ix = 1 starts a new word,
+    so two adjacent OOV words never merge on round-trip)."""
+    import pandas as pd
+
+    sc = docs.sparkSession.sparkContext
+    bv = sc.broadcast(vocab)
+
+    def seg(batches):
+        vocab = bv.value
+        for pdf in batches:
+            out_d, out_p, out_t, out_b = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                i, outpos, n = 0, 0, len(words)
+                while i < n:
+                    for l in range(min(WP_LMAX, n - i), 0, -1):
+                        piece = "_".join(words[i : i + l])
+                        if piece in vocab:
+                            outpos += 1
+                            out_d.append(doc_id)
+                            out_p.append(outpos)
+                            out_t.append(piece)
+                            out_b.append(0)
+                            i += l
+                            break
+                    else:
+                        for bix, byte in enumerate(
+                            words[i].encode("utf-8"), start=1
+                        ):
+                            outpos += 1
+                            out_d.append(doc_id)
+                            out_p.append(outpos)
+                            out_t.append(f"<0x{byte:02X}>")
+                            out_b.append(bix)
+                        i += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_d,
+                    "pos": out_p,
+                    "tok": out_t,
+                    "byte_ix": out_b,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        seg, "doc_id long, pos long, tok string, byte_ix int"
+    )
+
+
 def _wp_round_sql(r: int) -> str:
     """One WordPiece training round in DuckDB: unit counts + pair
     counts + the integer-quantized likelihood argmax, then the SAME
@@ -14350,8 +14410,11 @@ _WP_OOV_CHAIN_SQL = _WP_T0_TRAIN_SQL + "".join(
 # _WP_ENCODE_TAIL_SQL except the token stream is the ODD half (h0) and
 # the length-1 fallback checks vocab membership — an unmatched single
 # word becomes the '[UNK]' sentinel with l=1, so the walk still
-# advances every step and the recursion terminates.
-_WP_OOV_TAIL_SQL = f"""
+# advances every step and the recursion terminates. The walk part
+# (h0 → wwalk) is shared verbatim by the UNK tail and the
+# byte-fallback tail below — same training, same capped vocabulary,
+# same cursor path; only the OOV emission differs.
+_WP_OOV_WALK_SQL = f"""
 , h0 AS MATERIALIZED (
     SELECT doc_id,
            CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
@@ -14399,7 +14462,10 @@ _WP_OOV_TAIL_SQL = f"""
     SELECT w.doc_id, w.upos + b.l
     FROM wwalk w
     JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
-), wseg AS MATERIALIZED (
+)"""
+
+_WP_OOV_TAIL_SQL = _WP_OOV_WALK_SQL + f"""
+, wseg AS MATERIALIZED (
     SELECT w.doc_id,
            CAST(row_number() OVER (PARTITION BY w.doc_id ORDER BY w.upos)
                 AS BIGINT) AS pos,
@@ -14411,6 +14477,58 @@ SELECT doc_id, pos, piece AS tok,
        CAST(CASE WHEN piece = '{WP_UNK}' THEN 1 ELSE 0 END AS INT) AS is_unk
 FROM wseg
 """
+
+# Byte-fallback emission over the SAME walk: an UNK step joins back to
+# the held-out token at the cursor and unnests one row per character
+# (the corpus is pure ASCII — pinned in tests — so per-character
+# codepoints ARE the UTF-8 bytes; the Spark side implements the true
+# byte rule via word.encode('utf-8')). Positions renumber over the
+# expanded piece stream; byte_ix carries the 1-based byte index within
+# its word (0 for vocab pieces) so decode can re-join byte runs into
+# words without ambiguity.
+_WP_BYTE_TAIL_SQL = _WP_OOV_WALK_SQL + f"""
+, bstep AS MATERIALIZED (
+    SELECT w.doc_id, w.upos, b.piece, h.tok AS w_tok
+    FROM wwalk w
+    JOIN wbest b ON w.doc_id = b.doc_id AND w.upos = b.pos
+    JOIN h0 h ON h.doc_id = w.doc_id AND h.pos = w.upos
+), bexp AS (
+    SELECT doc_id, upos, CAST(0 AS BIGINT) AS j, piece, w_tok
+    FROM bstep WHERE piece <> '{WP_UNK}'
+    UNION ALL
+    SELECT doc_id, upos,
+           unnest(generate_series(1, length(w_tok))) AS j, piece, w_tok
+    FROM bstep WHERE piece = '{WP_UNK}'
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY upos, j)
+            AS BIGINT) AS pos,
+       CASE WHEN j = 0 THEN piece
+            ELSE '<0x' || lpad(upper(to_hex(ascii(substring(w_tok,
+                 CAST(j AS INT), 1)))), 2, '0') || '>' END AS tok,
+       CAST(j AS INT) AS byte_ix
+FROM bexp
+"""
+
+
+def _wp_capped_vocab(t0: DataFrame, bests: list) -> set:
+    """The CAPPED trained vocabulary (production vocab_size knob):
+    top WP_VOCAB_CAP train-half units by count (count desc, token
+    tiebreak — the same total order as the oracle's LIMIT) plus the
+    WP_ROUNDS trained merges. Vocabulary-bounded collect — the same
+    artifact-materialization justification as _wp_vocab_set."""
+    units = (
+        t0.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(WP_VOCAB_CAP)
+        .collect()
+    )
+    vocab = {r["tok"] for r in units}
+    for b in bests:
+        r = b.first()
+        vocab.add(f"{r['ba']}_{r['bb']}")
+    return vocab
 
 
 @query("c_token_oov_encode", oracle=_WP_OOV_CHAIN_SQL + _WP_OOV_TAIL_SQL)
@@ -14439,21 +14557,7 @@ def c_token_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 2 == 0)
     held = docs.filter(F.col("doc_id") % 2 == 1)
     _, t0, _, bests, _ = _wp_train_docs(train)
-    # capped vocabulary: top WP_VOCAB_CAP units by train-half count
-    # (count desc, token tiebreak — same total order as the oracle's
-    # LIMIT) + the trained merges; vocabulary-bounded collect, the
-    # unigram-Viterbi justification
-    units = (
-        t0.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "tok")
-        .limit(WP_VOCAB_CAP)
-        .collect()
-    )
-    vocab = {r["tok"] for r in units}
-    for b in bests:
-        r = b.first()
-        vocab.add(f"{r['ba']}_{r['bb']}")
+    vocab = _wp_capped_vocab(t0, bests)
     enc = wordpiece_encode_docs(held, vocab, unk=WP_UNK)
     return enc.select(
         "doc_id",
@@ -14461,6 +14565,40 @@ def c_token_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         (F.col("tok") == WP_UNK).cast("int").alias("is_unk"),
     )
+
+
+@query("c_token_byte_fallback", oracle=_WP_OOV_CHAIN_SQL + _WP_BYTE_TAIL_SQL)
+def c_token_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FALLBACK held-out WordPiece encode (round-12, verdict r11
+    ask #2) — the lossless companion to c_token_oov_encode: the SAME
+    split (even doc_id trains, odd held out), the SAME capped
+    vocabulary and the SAME greedy cursor walk, but an out-of-
+    vocabulary word decomposes into its UTF-8 bytes as ``<0xNN>``
+    pieces (SentencePiece's byte-fallback convention) instead of the
+    lossy ``[UNK]`` sentinel — the production-tokenizer contract that
+    NO input is ever unrepresentable. Emits (doc_id, pos, tok,
+    byte_ix): positions renumber over the expanded stream; byte_ix is
+    0 for vocab pieces and the 1-based byte index within its word for
+    byte pieces, which is exactly what makes decode unambiguous
+    (byte_ix = 1 opens a new word, so adjacent OOV words never merge
+    on round-trip). tests/test_byte_fallback.py pins UNK rate = 0,
+    strictly positive byte-piece rate, and EXACT round-trip decode
+    equality on every held-out doc; the oracle replays the identical
+    walk with the UNK steps unnested per character (the corpus is
+    pure ASCII — pinned — so characters are the UTF-8 bytes; the
+    Spark side implements the true byte rule).
+
+    Scale: identical to c_token_oov_encode — half-corpus training
+    chain, then ONE Arrow-batched mapInPandas pass over the held-out
+    half with the vocabulary-bounded artifact broadcast; the byte
+    expansion is in-batch (≤ word-length rows per OOV word),
+    scan-local, never corpus-joined."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    vocab = _wp_capped_vocab(t0, bests)
+    return wordpiece_encode_docs_bytes(held, vocab)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Byte-fallback held-out encode (round-12, verdict r11 ask #2): the
+production-tokenizer contract is that NO input is ever unrepresentable
+— an out-of-vocabulary word decomposes into ``<0xNN>`` byte pieces
+(SentencePiece convention) instead of collapsing to a lossy [UNK].
+The round-trip decode test is the tokenizer's real spec (the BPE
+'_'-joiner lesson), so it is pinned on EVERY held-out fixture doc."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from demo_segmenter_spark.registry import REGISTRY, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+_BYTE_RE = re.compile(r"^<0x([0-9A-F]{2})>$")
+
+
+def _decode(rows):
+    """Replay the decode rule: vocab pieces expand '_'-joined words;
+    byte runs re-join into one word per byte_ix=1 boundary."""
+    words: list[str] = []
+    for r in sorted(rows, key=lambda r: r["pos"]):
+        if r["byte_ix"] == 0:
+            words.extend(r["tok"].split("_"))
+        else:
+            ch = chr(int(_BYTE_RE.match(r["tok"]).group(1), 16))
+            if r["byte_ix"] == 1:
+                words.append(ch)
+            else:
+                words[-1] += ch
+    return " ".join(words)
+
+
+def test_unk_rate_zero_and_byte_pieces_wellformed(spark):
+    from demo_segmenter_spark.operators.layer_c import WP_UNK
+
+    rows = REGISTRY["c_token_byte_fallback"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    # the lossless contract: no UNK anywhere
+    assert not any(r["tok"] == WP_UNK for r in rows)
+    # OOV is actually exercised: strictly positive byte-piece rate
+    n_bytes = sum(1 for r in rows if r["byte_ix"] >= 1)
+    assert 0 < n_bytes < len(rows), n_bytes
+    # every byte piece is a well-formed <0xNN> token with a sane index
+    for r in rows:
+        if r["byte_ix"] >= 1:
+            assert _BYTE_RE.match(r["tok"]), r["tok"]
+        else:
+            assert r["byte_ix"] == 0 and not _BYTE_RE.match(r["tok"]), r
+
+
+def test_round_trip_every_held_out_doc(spark):
+    from demo_segmenter_spark.sources import load_table
+
+    out = REGISTRY["c_token_byte_fallback"].fn(spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    held = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .collect()
+    }
+    assert set(by_doc) == set(held)
+    for doc_id, text in held.items():
+        assert _decode(by_doc[doc_id]) == text, doc_id
+
+
+def test_byte_runs_match_oov_unk_positions(spark):
+    """The byte-fallback walk is the SAME cursor path as
+    c_token_oov_encode: each UNK row there corresponds to exactly one
+    byte run (a byte_ix=1 opener) here, and the vocab pieces agree
+    piece for piece."""
+    from demo_segmenter_spark.operators.layer_c import WP_UNK
+
+    unk_rows = [
+        r
+        for r in REGISTRY["c_token_oov_encode"].fn(spark, SF_SMOKE).collect()
+        if r["tok"] == WP_UNK
+    ]
+    bf = REGISTRY["c_token_byte_fallback"].fn(spark, SF_SMOKE).collect()
+    openers = [r for r in bf if r["byte_ix"] == 1]
+    assert len(openers) == len(unk_rows)
+    # vocab-piece streams agree (strip byte rows / UNK rows, compare
+    # per-doc in order)
+    def stream(rows, drop):
+        by_doc: dict = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["pos"])):
+            if not drop(r):
+                by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+        return by_doc
+
+    oov = REGISTRY["c_token_oov_encode"].fn(spark, SF_SMOKE).collect()
+    assert stream(oov, lambda r: r["tok"] == WP_UNK) == stream(
+        bf, lambda r: r["byte_ix"] >= 1
+    )
+
+
+def test_fixture_corpus_is_ascii(spark):
+    """The oracle's per-character decomposition equals UTF-8 bytes
+    only on ASCII text — pin the precondition so a fixture change
+    that introduces non-ASCII docs fails HERE with a clear message
+    rather than as an opaque hash mismatch."""
+    from demo_segmenter_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.filter(~F.col("text").rlike("^[\\x20-\\x7e]*$")).count()
+    assert n == 0, f"{n} non-ASCII docs — byte-fallback oracle invalid"
+
+
+def test_crafted_adjacent_oov_words_do_not_merge(spark):
+    """Two ADJACENT OOV words are the case a naive byte decode gets
+    wrong (their byte runs concatenate into one word without the
+    byte_ix=1 boundary). Craft them and pin the round-trip."""
+    from demo_segmenter_spark.operators.layer_c import (
+        _wp_capped_vocab,
+        _wp_train_docs,
+        wordpiece_encode_docs_bytes,
+    )
+
+    texts = [
+        "zz qq the r",          # held (doc 1): adjacent OOV pair
+        "the r the r x y",      # train (doc 2)
+        "zz the r qq",          # held (doc 3): separated OOV
+        "x y the r x y the r",  # train (doc 4)
+    ]
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    vocab = _wp_capped_vocab(t0, bests)
+    assert "zz" not in vocab and "qq" not in vocab
+    rows = wordpiece_encode_docs_bytes(held, vocab).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert _decode(by_doc[1]) == texts[0]
+    assert _decode(by_doc[3]) == texts[2]
+    # and the adjacent pair really is two byte runs, not one
+    d1 = sorted(by_doc[1], key=lambda r: r["pos"])
+    assert [r["byte_ix"] for r in d1[:4]] == [1, 2, 1, 2]

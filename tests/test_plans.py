@@ -1050,6 +1050,10 @@ def test_shuffle_budgets_table(spark):
         # (training runs at construction, vocabulary-bounded collect) —
         # zero exchanges
         "c_token_oov_encode": 0,
+        # byte-fallback: identical returned plan to c_token_oov_encode
+        # (one scan-local mapInPandas pass over the held-out half; the
+        # byte expansion happens in-batch) — zero exchanges
+        "c_token_byte_fallback": 0,
         # PRF expansion: static recount of the persisted tok/dl/df/tf
         # index subtrees across their two retrieval rounds + feedback
         # mining (the c_rag_maxsim accounting); at runtime each
