@@ -128,6 +128,7 @@ def main() -> None:
     dsir_stress(spark)
     nndescent_stress(spark)
     graph_search_ring_stress(spark)
+    graph_layers_stress(spark)
     bloom_stress(spark)
     logreg_stress(spark)
 
@@ -155,6 +156,7 @@ def nndescent_stress(
     from demo_segmenter_spark.operators.layer_c import (
         ND_K,
         SHINGLE_DF_CAP,
+        _nd_matrix,
         _nd_round,
         _nd_score_pairs,
         _nd_sym,
@@ -203,25 +205,37 @@ def nndescent_stress(
     bk = base.select(
         "vec_id", F.posexplode(buckets_udf("v")).alias("band", "bucket")
     )
-    w_cap = Window.partitionBy("band", "bucket")
-    ok = (
-        bk.withColumn("nb", F.count("*").over(w_cap))
-        .filter((F.col("nb") >= 2) & (F.col("nb") <= SHINGLE_DF_CAP))
-        .drop("nb")
+    # per-bucket sorted id lists, pairs expanded IN-PARTITION (i < j)
+    # — one grouped exchange instead of window-count + self-join; the
+    # same (va < vb) pair set with the same SHINGLE_DF_CAP bound
+    grp = (
+        bk.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= SHINGLE_DF_CAP))
+    )
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("va"), y.alias("vb")),
+            ),
+        )
     )
     cand = (
-        ok.select(F.col("vec_id").alias("va"), "band", "bucket")
-        .join(
-            ok.select(F.col("vec_id").alias("vb"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
+        grp.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.va").alias("va"), F.col("p.vb").alias("vb"))
         .distinct()
     )
-    gdf = _nd_topk(_nd_sym(_nd_score_pairs(base, cand))).localCheckpoint()
+    # block-matrix scoring (n=200k ≤ ND_MAT_CAP) + incremental rounds
+    # threading the cumulative scored-pair table — the round-12 build
+    # machinery, same final graph as the full-rescore form
+    mat = _nd_matrix(base)
+    ps0 = _nd_score_pairs(base, cand, mat).localCheckpoint()
+    gdf = _nd_topk(_nd_sym(ps0)).localCheckpoint()
+    scored = ps0
     for _ in range(rounds):
-        gdf = _nd_round(base, gdf)
+        gdf, scored = _nd_round(base, gdf, scored, mat)
     planted = gdf.select(
         "v",
         (F.col("v") % g == F.col("u") % g).cast("int").alias("in_cluster"),
@@ -246,6 +260,15 @@ def nndescent_stress(
     assert agg.recall >= 0.98, agg.recall
 
     base.unpersist()
+    for b in mat:
+        b.unpersist()
+    from demo_segmenter_spark.functions.cache import release_persisted
+
+    # the incremental build leaves per-round checkpoints (graph +
+    # cumulative scored table) — release them so later smoke rows in
+    # the shared session don't inherit the memory pressure (measured:
+    # a second un-released build in one session GC-thrashed to 5x)
+    release_persisted(spark, owner=True)
 
 
 def bloom_stress(
@@ -514,6 +537,31 @@ def graph_search_ring_stress(
     t_build = time.time() - t0
 
     t0 = time.time()
+    recall, n_rows = _ring_serve(base, gdf, n, n_q, hops, tol)
+    t_search = time.time() - t0
+    print(
+        f"graph search (ring + small-world skips) {n_built} vectors,"
+        f" {n_q} queries, beam {GS_BEAM}, {hops} hops: build"
+        f" {t_build:.1f}s, search {t_search:.1f}s, recall@5(tol={tol})"
+        f" {recall:.3f}"
+    )
+    assert n_rows == n_q * 5, n_rows
+    assert recall >= 0.95, recall
+    base.unpersist()
+    gdf.unpersist()
+
+
+def _ring_serve(base, gdf, n, n_q, hops, tol):
+    """Shared ring-geometry beam serve: spread queries (one per
+    n//n_q arc), GS_ENTRIES fixed entries, GS_BEAM beam, bounded
+    hops over the given (v, u) graph; returns (recall@5 within ring
+    distance tol, rows). The walk is the registered queries' exact
+    beam dataflow with the query block generalized to spread ids."""
+    from pyspark.sql import Window
+
+    from demo_segmenter_spark.functions.vectors import dot
+    from demo_segmenter_spark.operators.layer_c import GS_BEAM, GS_ENTRIES
+
     qs = base.filter(F.col("vec_id") % (n // n_q) == 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -574,17 +622,104 @@ def graph_search_ring_stress(
         (F.sum("ok") / F.count("*")).alias("recall"),
         F.count("*").alias("n_rows"),
     ).first()
+    return agg.recall, agg.n_rows
+
+
+def graph_layers_stress(
+    spark, n: int = 200_000, n_q: int = 50, tol: int = 64
+) -> None:
+    """LAYERED skip-edge ANN at 200k on the ring (round-12, verdict
+    r11 ask #1's scale half) — the REGISTERED c_sim_graph_layers
+    construction end to end at 100x the fixture: the base kNN graph
+    is built by the REAL NN-descent machinery (block-matrix scoring,
+    one incremental _nd_round refinement over id-window seeds), the
+    REGISTERED _gl_skip_edges helper adds 7 stride levels
+    (~log7(200k) — the production scales~log(n) rule the fixture
+    query pins at 4 levels), and the shared beam walk must land every
+    spread query inside its true ring neighborhood. The FLAT
+    NN-descent graph provably cannot (ring kNN reaches ±2 ids per
+    hop; 12 hops cover ≤24 of 200k) — printed as the contrast — so
+    the recall gap IS the navigability the skip layers buy."""
+    from demo_segmenter_spark.functions.cache import release_persisted
+    from demo_segmenter_spark.functions.vectors import dot
+    from demo_segmenter_spark.operators.layer_c import (
+        GS_BEAM,
+        _gl_skip_edges,
+        _nd_matrix,
+        _nd_round,
+        _nd_score_pairs,
+        _nd_sym,
+        _nd_topk,
+    )
+
+    hops = 12
+    t0 = time.time()
+    two_pi = 6.283185307179586
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"array(cos({two_pi!r} * id / {n}),"
+                f" sin({two_pi!r} * id / {n}),"
+                " CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+            ).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .repartition(64)
+        .persist()
+    )
+    n_built = base.count()
+    # id-window seeds (i, i+k) k<=4 — deliberately weak local seeding
+    # (RHP-LSH saturates on a 2D manifold: ~36 sign regions per band);
+    # the REAL build machinery scores/refines them exactly as the
+    # registered query does
+    cand = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("va"),
+            F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+        )
+        .select("va", ((F.col("va") + F.col("k")) % n).alias("vb"))
+        .select(
+            F.least("va", "vb").alias("va"), F.greatest("va", "vb").alias("vb")
+        )
+        .distinct()
+    )
+    mat = _nd_matrix(base)
+    ps0 = _nd_score_pairs(base, cand, mat).localCheckpoint()
+    gdf = _nd_topk(_nd_sym(ps0)).localCheckpoint()
+    gdf, _ = _nd_round(base, gdf, ps0, mat)
+    scales = tuple(7**k for k in range(7))  # 1 .. 117649
+    gl = (
+        gdf.select("v", "u")
+        .unionByName(_gl_skip_edges(base, n, scales))
+        .distinct()
+        .persist()
+    )
+    gl.count()
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    recall_flat, _ = _ring_serve(base, gdf.select("v", "u"), n, n_q, hops, tol)
+    recall_lay, n_rows = _ring_serve(base, gl, n, n_q, hops, tol)
     t_search = time.time() - t0
     print(
-        f"graph search (ring + small-world skips) {n_built} vectors,"
-        f" {n_q} queries, beam {GS_BEAM}, {hops} hops: build"
-        f" {t_build:.1f}s, search {t_search:.1f}s, recall@5(tol={tol})"
-        f" {agg.recall:.3f}"
+        f"graph layers (NN-descent + {len(scales)} skip levels)"
+        f" {n_built} vectors, {n_q} queries, beam {GS_BEAM}, {hops}"
+        f" hops: build {t_build:.1f}s, search {t_search:.1f}s,"
+        f" recall@5(tol={tol}) layered {recall_lay:.3f} vs flat"
+        f" {recall_flat:.3f}"
     )
-    assert agg.n_rows == n_q * 5, agg.n_rows
-    assert agg.recall >= 0.95, agg.recall
+    assert n_rows == n_q * 5, n_rows
+    assert recall_lay >= 0.95, recall_lay
+    assert recall_lay > recall_flat + 0.5, (recall_lay, recall_flat)
     base.unpersist()
-    gdf.unpersist()
+    gl.unpersist()
+    for b in mat:
+        b.unpersist()
+    release_persisted(spark, owner=True)
+
 
 def dsir_stress(spark, n_docs: int = 1_000_000, keep_den: int = 5) -> None:
     """DSIR importance selection at 1M docs with a PLANTED target

@@ -585,3 +585,163 @@ def test_graph_search_recall_floor_and_beam_shape(spark):
     for q, lst in by_q.items():
         best = max(x["sim_micro"] for x in lst) / 1e6
         assert best <= exact[q] + 2e-4, (q, best, exact[q])
+
+
+def test_nd_matrix_scoring_matches_join_path(spark):
+    # Round-12: the block-gather scoring path (broadcast matrix +
+    # mapInPandas cumsum fold) must be BIT-identical to the join/HOF
+    # path — the cumulative sum's last element is the same left fold,
+    # the divide has the same operands, and rounding stays JVM-side.
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.functions.vectors import as_double, dot
+    from demo_segmenter_spark.operators.layer_c import (
+        _nd_matrix,
+        _nd_score_pairs,
+        _rhp_candidate_pairs,
+    )
+    from demo_segmenter_spark.sources import load_table, spread
+
+    emb = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", "embedding", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    ).persist()
+    pairs = _rhp_candidate_pairs(base).localCheckpoint()
+    mat = _nd_matrix(base)
+    via_join = _nd_score_pairs(base, pairs)
+    via_mat = _nd_score_pairs(base, pairs, mat)
+    assert via_join.count() == pairs.count() == via_mat.count()
+    diff = (
+        via_join.withColumnRenamed("sm", "s1")
+        .join(via_mat.withColumnRenamed("sm", "s2"), ["va", "vb"])
+        .filter("s1 <> s2")
+        .count()
+    )
+    assert diff == 0
+    base.unpersist()
+
+
+def test_nd_incremental_round_matches_full_rescore(spark):
+    # Round-12: the incremental round (anti-join vs the cumulative
+    # scored table, top-K over g ∪ fresh) must produce the SAME graph
+    # as the r11 full-rescore form, replayed here as the reference:
+    # rescore EVERY proposed pair, top-K over the full sym candidate
+    # set. This is the monotonicity argument made executable.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.functions.vectors import as_double, dot
+    from demo_segmenter_spark.operators.layer_c import (
+        ND_K,
+        ND_RCAP,
+        ND_ROUNDS,
+        _nd_build_graph,
+        _nd_score_pairs,
+        _nd_sym,
+        _rhp_candidate_pairs,
+    )
+    from demo_segmenter_spark.sources import load_table, spread
+
+    emb = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", "embedding", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    ).persist()
+
+    def topk_ref(sym):
+        w = Window.partitionBy("v").orderBy(F.col("sm").desc(), "u")
+        return (
+            sym.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= ND_K)
+            .select("v", "u", "sm")
+        )
+
+    # reference: the round-11 full-rescore dataflow, window top-K
+    ps0 = _nd_score_pairs(base, _rhp_candidate_pairs(base))
+    g_ref = topk_ref(_nd_sym(ps0)).localCheckpoint()
+    for _ in range(ND_ROUNDS):
+        w_rev = Window.partitionBy("u").orderBy(F.col("sm").desc(), "v")
+        rev = (
+            g_ref.withColumn("rk", F.row_number().over(w_rev))
+            .filter(F.col("rk") <= ND_RCAP)
+            .select(F.col("u").alias("v"), F.col("v").alias("u"))
+        )
+        adj = g_ref.select("v", "u").unionByName(rev).distinct().localCheckpoint()
+        a = adj.select(F.col("v").alias("av_"), F.col("u").alias("m"))
+        b = adj.select(F.col("v").alias("m2"), F.col("u").alias("bu_"))
+        non = (
+            a.join(b, F.col("m") == F.col("m2"))
+            .filter(F.col("av_") != F.col("bu_"))
+            .select(
+                F.least("av_", "bu_").alias("va"),
+                F.greatest("av_", "bu_").alias("vb"),
+            )
+        )
+        pairs = (
+            adj.select(
+                F.least("v", "u").alias("va"), F.greatest("v", "u").alias("vb")
+            )
+            .unionByName(non)
+            .distinct()
+        )
+        ps = _nd_score_pairs(base, pairs)
+        g_ref = topk_ref(_nd_sym(ps)).localCheckpoint()
+
+    g_new = _nd_build_graph(base)
+    diff = g_new.exceptAll(g_ref).count() + g_ref.exceptAll(g_new).count()
+    assert diff == 0
+    base.unpersist()
+
+
+def test_graph_layers_beats_flat_search_and_edge_ceiling(spark):
+    # Round-12 (verdict r11 ask #1): the layered skip-edge graph must
+    # lift SEARCH recall above BOTH the flat graph's search recall and
+    # the flat graph's own edge ceiling (0.69 measured on this
+    # fixture) — the whole point of long-range links. Measured 0.940
+    # vs flat 0.628 at sf0.001; pinned with slack for fixture drift.
+    from demo_segmenter_spark.operators.layer_c import KNN_QUERIES, ND_K
+
+    flat = REGISTRY["c_sim_graph_search"].fn(spark, SF_SMOKE).collect()
+    lay = REGISTRY["c_sim_graph_layers"].fn(spark, SF_SMOKE).collect()
+
+    def rec(rows):
+        h = [r["hit"] for r in rows if r["hit"] is not None]
+        return sum(h) / len(h)
+
+    r_flat, r_lay = rec(flat), rec(lay)
+    assert r_lay >= r_flat, (r_lay, r_flat)
+    assert r_lay >= 0.85, r_lay  # > the flat graph's 0.69 edge ceiling
+    # same shape contract as the flat query
+    by_q: dict = {}
+    for r in lay:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1_000_001 <= r["sim_micro"] <= 1_000_001
+    assert set(by_q) == set(range(KNN_QUERIES))
+    for q, lst in by_q.items():
+        ranks = sorted(x["rank"] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1)), q
+        assert len(lst) <= ND_K
+        assert q not in {x["neighbor_id"] for x in lst}
+
+
+def test_gl_skip_edges_shape(spark):
+    # The skip-edge generator: ≤ 2·|scales| per vector (self-wraps
+    # dropped), every target a valid id, every vector covered —
+    # deterministic id arithmetic, so this is exact.
+    from demo_segmenter_spark.operators.layer_c import (
+        GL_SCALES,
+        _gl_skip_edges,
+        _nd_base,
+    )
+
+    base = _nd_base(spark, SF_SMOKE)
+    n = base.count()
+    rows = _gl_skip_edges(base, n).collect()
+    assert all(0 <= r["u"] < n and r["u"] != r["v"] for r in rows)
+    per_v: dict = {}
+    for r in rows:
+        per_v[r["v"]] = per_v.get(r["v"], 0) + 1
+    assert len(per_v) == n
+    assert max(per_v.values()) <= 2 * len(GL_SCALES)
+    base.unpersist()

@@ -1045,6 +1045,9 @@ def test_shuffle_budgets_table(spark):
         # rank window + the exact-probe windows + the hit join — all
         # query-sample-sized
         "c_sim_graph_search": 4,
+        # layered skip-edge serve: identical returned plan to the flat
+        # graph search (the skips only change the checkpointed walk)
+        "c_sim_graph_layers": 4,
         # OOV encode: the returned plan is ONE scan-local mapInPandas
         # pass over the held-out half with the capped vocab broadcast
         # (training runs at construction, vocabulary-bounded collect) —

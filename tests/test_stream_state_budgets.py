@@ -52,6 +52,9 @@ STATE_BUDGETS = {
     # monitors) — identical state
     "a_drift_chi2_stream": 61,
     "a_drift_ks_binned_stream": 61,
+    # unified report twin: the SAME single histogram stream, three
+    # constant-sized scoring tails off one snapshot — identical state
+    "a_drift_report_stream": 61,
     "a_ewma_stream": 15,
     "a_forecast_holt_stream": 15,
     "a_funnel_stream": 15,
@@ -120,6 +123,10 @@ STATE_BUDGETS = {
     # row, bounded at NB_BUCKETS+1 regardless of stream length (28 of
     # max 129 realized at sf0.001)
     "c_quality_nb_stream": 28,
+    # logreg sufficient-statistic stream: one state row per realized
+    # integer margin profile (x2, x3, x4, y) — 363 of the train docs'
+    # 400 at sf0.001; bounded by the margin grid, not the corpus
+    "c_quality_logreg_stream": 363,
     "c_pipeline_pretrain_stream": 0,
 }
 
