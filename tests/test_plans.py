@@ -1012,6 +1012,11 @@ def test_shuffle_budgets_table(spark):
         # z sort at 100 TB, per docstring); zone maps aggregate
         # map-side into <=ZORD_FILES rows
         "b_layout_zorder": 1,
+        # compaction plan: one groupBy to per-file stats, one
+        # single-partition window for the prefix-sum packing (the file
+        # LIST is file-count-sized, so the 1-partition window is the
+        # right plan), final bin rollup rides the same exchange
+        "b_layout_compaction": 2,
         # quantile sketch: static recount of the <=types x 64 hist /
         # tot / target subtrees across the estimate + exact-twin
         # joins (every exchange past the hist build and the exact
