@@ -155,6 +155,15 @@ HEADLINE = [
     "b_agg_quantile_refined",
     "c_token_oov_encode",
     "c_sim_graph_search",
+    # round 12: the layered skip-edge graph serve (HNSW-class
+    # construction), the lossless byte-fallback encode, the
+    # sufficient-statistic streaming GD trainer, the one-stream
+    # three-statistic drift dashboard, and the compaction planner
+    "c_sim_graph_layers",
+    "c_token_byte_fallback",
+    "c_quality_logreg_stream",
+    "a_drift_report_stream",
+    "b_layout_compaction",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;

@@ -13543,11 +13543,20 @@ def c_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/dss_nb_stream/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
-    run_nb_stream(spark, src, docs.schema, base)
-    state = persist(
-        spark.read.schema(_NB_CNT_SCHEMA).json(manifest_files(f"{base}/cnts"))
-    )
+    # model-bounded snapshot (≤ NB_BUCKETS+1 rows) materialized
+    # driver-side so the /tmp stream dir can be removed before
+    # returning — the no-leak convention from the drift twins (r12)
+    try:
+        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+        run_nb_stream(spark, src, docs.schema, base)
+        rows = (
+            spark.read.schema(_NB_CNT_SCHEMA)
+            .json(manifest_files(f"{base}/cnts"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    state = persist(spark.createDataFrame(rows, _NB_CNT_SCHEMA))
     cnt = state.filter(F.col("b") >= 0)
     pri = state.filter(F.col("b") == -1).select(
         F.col("npb").alias("np"), F.col("nfb").alias("nf")
@@ -14361,11 +14370,20 @@ def c_select_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/dss_dsir_stream/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
-    run_dsir_stream(spark, src, docs.schema, base)
-    cnt = spark.read.schema(_DSIR_CNT_SCHEMA).json(
-        manifest_files(f"{base}/cnts")
-    )
+    # model-bounded snapshot (≤ DSIR_BUCKETS rows) materialized
+    # driver-side so the /tmp stream dir can be removed before
+    # returning — the no-leak convention from the drift twins (r12)
+    try:
+        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+        run_dsir_stream(spark, src, docs.schema, base)
+        rows = (
+            spark.read.schema(_DSIR_CNT_SCHEMA)
+            .json(manifest_files(f"{base}/cnts"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    cnt = spark.createDataFrame(rows, _DSIR_CNT_SCHEMA)
     sdocs = spread(docs)
     feats = persist(_dsir_feats(sdocs))
     return _dsir_tail(sdocs, feats, cnt)
@@ -14599,6 +14617,124 @@ def c_token_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, t0, _, bests, _ = _wp_train_docs(train)
     vocab = _wp_capped_vocab(t0, bests)
     return wordpiece_encode_docs_bytes(held, vocab)
+
+
+_WP_BYTE_DECODE_SQL = (
+    _WP_OOV_CHAIN_SQL
+    + _WP_BYTE_TAIL_SQL.replace(
+        "\nSELECT doc_id,\n       CAST(row_number()",
+        "\n, benc AS MATERIALIZED (\nSELECT doc_id,\n       CAST(row_number()",
+        1,
+    )
+    + f"""
+), seg AS (
+    SELECT doc_id, pos,
+           CASE WHEN byte_ix = 0 THEN
+                    (CASE WHEN pos = 1 THEN '' ELSE ' ' END)
+                    || replace(tok, '_', ' ')
+                WHEN byte_ix = 1 THEN
+                    (CASE WHEN pos = 1 THEN '' ELSE ' ' END)
+                    || decode(from_hex(substr(tok, 4, 2)))
+                ELSE decode(from_hex(substr(tok, 4, 2)))
+           END AS s
+    FROM benc
+), dec AS (
+    SELECT doc_id, string_agg(s, '' ORDER BY pos) AS decoded
+    FROM seg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN b.byte_ix >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bytes,
+       CAST(CASE WHEN max(dc.decoded) = max(doc.text) THEN 1 ELSE 0 END
+            AS INT) AS round_trip
+FROM (SELECT DISTINCT doc_id FROM benc) d
+JOIN benc b USING (doc_id)
+JOIN dec dc USING (doc_id)
+JOIN documents doc USING (doc_id)
+GROUP BY d.doc_id
+"""
+)
+
+
+@query("c_token_byte_fallback_decode", oracle=_WP_BYTE_DECODE_SQL)
+def c_token_byte_fallback_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-TRIP DECODE of the byte-fallback encode — the lossless
+    contract CERTIFIED as a query, not just pinned in tests: re-run
+    c_token_byte_fallback's held-out encode, decode the piece stream
+    back to text entirely with engine expressions (vocab pieces expand
+    their '_' joins to spaces; a byte piece opens a new word when
+    byte_ix = 1 and appends otherwise — the boundary rule that keeps
+    adjacent OOV words apart; word starts are space-separated except
+    at pos 1), and emit per held-out doc its piece count, byte-piece
+    count and round_trip = (decoded == original text). The hash oracle
+    replays encode AND decode, so a 1 in round_trip certifies the
+    whole encode→decode loop is the identity on that doc; tests pin
+    round_trip = 1 on EVERY doc.
+
+    Scale: decode is one per-doc ordered aggregation over the encoded
+    stream (array_sort + array_join — scan-local after the encode's
+    own pass); nothing joins the corpus beyond fetching the reference
+    text."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    vocab = _wp_capped_vocab(t0, bests)
+    enc = persist(wordpiece_encode_docs_bytes(held, vocab))
+    seg = enc.select(
+        "doc_id",
+        "pos",
+        "byte_ix",
+        F.when(
+            F.col("byte_ix") == 0,
+            F.concat(
+                F.when(F.col("pos") == 1, F.lit("")).otherwise(F.lit(" ")),
+                F.regexp_replace("tok", "_", " "),
+            ),
+        )
+        .when(
+            F.col("byte_ix") == 1,
+            F.concat(
+                F.when(F.col("pos") == 1, F.lit("")).otherwise(F.lit(" ")),
+                F.expr("char(conv(substring(tok, 4, 2), 16, 10))"),
+            ),
+        )
+        .otherwise(F.expr("char(conv(substring(tok, 4, 2), 16, 10))"))
+        .alias("s"),
+    )
+    dec = (
+        seg.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "s"))
+                    ),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("decoded")
+        )
+    )
+    stats = enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pieces"),
+        F.sum((F.col("byte_ix") >= 1).cast("int")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    return (
+        stats.join(dec, "doc_id")
+        .join(held.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_pieces",
+            "n_bytes",
+            (F.col("decoded") == F.col("text")).cast("int").alias(
+                "round_trip"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,16 @@ def test_crafted_adjacent_oov_words_do_not_merge(spark):
     # and the adjacent pair really is two byte runs, not one
     d1 = sorted(by_doc[1], key=lambda r: r["pos"])
     assert [r["byte_ix"] for r in d1[:4]] == [1, 2, 1, 2]
+
+
+def test_certified_round_trip_flag_is_all_ones(spark):
+    # The certified decode query must read round_trip = 1 on EVERY
+    # held-out doc — the lossless contract as the driver's own gate.
+    rows = (
+        REGISTRY["c_token_byte_fallback_decode"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    assert all(r["round_trip"] == 1 for r in rows)
+    # byte pieces exist somewhere (OOV exercised) and counts are sane
+    assert sum(r["n_bytes"] for r in rows) > 0
+    assert all(0 <= r["n_bytes"] < r["n_pieces"] for r in rows)

@@ -1062,6 +1062,10 @@ def test_shuffle_budgets_table(spark):
         # (one scan-local mapInPandas pass over the held-out half; the
         # byte expansion happens in-batch) — zero exchanges
         "c_token_byte_fallback": 0,
+        # round-trip decode: the per-doc ordered decode aggregation +
+        # the stats/text joins over the persisted encode — two
+        # doc-keyed exchanges
+        "c_token_byte_fallback_decode": 2,
         # PRF expansion: static recount of the persisted tok/dl/df/tf
         # index subtrees across their two retrieval rounds + feedback
         # mining (the c_rag_maxsim accounting); at runtime each
