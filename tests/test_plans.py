@@ -307,7 +307,14 @@ def test_shuffle_budgets_table(spark):
         # Q2: the per-part argmin window is the one exchange (EU
         # supplier prefilter broadcasts into the derived supply
         # expansion); top-100 is TakeOrderedAndProject
-        "b_pipeline_tpch_q2": 1,
+        # r12: the linear partsupp generator reads |supplier| via an
+        # uncorrelated scalar subquery referenced three times in the
+        # stride formula — the SIMPLE plan prints the 2-exchange
+        # count(*) subplan per reference (6) though the runtime
+        # executes ONE ReusedSubquery; +1 for the per-part argmin
+        # window. Runtime exchanges observed: 1 (plus the one-row
+        # subquery) — down from the removed supplier×part cross join.
+        "b_pipeline_tpch_q2": 7,
         # Q11: cell groupBy + its subtree re-read on the total side
         # (AQE reuses) + the 1-row total agg
         "b_pipeline_tpch_q11": 3,
