@@ -1284,10 +1284,13 @@ def labelprop_stress(spark, n: int = 1_000_000, chain: int = 8) -> None:
     spark.catalog.clearCache()
 
 
-def skew_stress(spark, n_events: int = 10_000_000, n_users: int = 100_000) -> None:
-    """Hot-key join stress at 10M rows with ONE key holding ~30% of
-    the stream (round-12, verdict r11 ask #7 shape), joined against a
-    user dim too big to broadcast. Reports THREE wall-clocks on
+def skew_stress(spark, n_events: int = 40_000_000, n_users: int = 100_000) -> None:
+    """Hot-key join stress at 40M rows with ONE key holding ~30% of
+    the stream (round-12, verdict r11 ask #7 shape — sized so the hot
+    partition's ~12M probe rows dominate the stage even on a warm JVM;
+    at 10M the hot task ran ~2s warm and fixed salting overhead could
+    flip the comparison), joined against a user dim too big to
+    broadcast. Reports THREE wall-clocks on
     identical no-broadcast settings: (1) UNSALTED with AQE's skew
     split disabled — the naive plan, whose hot partition serializes
     ~3M probe rows in one task; (2) unsalted with AQE's runtime skew
