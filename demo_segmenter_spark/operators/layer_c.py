@@ -3240,6 +3240,114 @@ def c_quality_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_quality_kneser_ney",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t[i] AS a, t[i+1] AS b
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok
+    )
+), big AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM idx GROUP BY a, b
+), ctx AS (
+    SELECT a, CAST(sum(cnt) AS BIGINT) AS ca,
+           CAST(count(*) AS BIGINT) AS n1a
+    FROM big GROUP BY a
+), cont AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS nb FROM big GROUP BY b
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM big
+), scored AS (
+    SELECT big.a, big.b,
+           CAST(round(ln(
+               (4 * cnt - 3) * 1.0 / (4 * ca)
+               + 3 * n1a * 1.0 / (4 * ca) * (nb * 1.0 / n)
+           ) * 1000000 + 1e-04) AS BIGINT) AS lp
+    FROM big JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN nn
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / 1000000.0 / count(*) + 1e-06, 2) AS avg_logprob
+FROM idx JOIN scored USING (a, b)
+GROUP BY doc_id
+""",
+)
+def c_quality_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram quality score — the smoothing
+    that actually ships in n-gram LMs (Kneser & Ney 1995; Chen &
+    Goodman 1998's interpolated form; what SRILM/KenLM default to),
+    completing the LM-filter ladder unigram → add-1 bigram → KN
+    bigram: p(b|a) = max(c(a,b)−D, 0)/c(a·) + D·N1+(a·)/c(a·) ·
+    p_cont(b), with the standard discount D = 0.75 and the
+    CONTINUATION probability p_cont(b) = N1+(·b)/N1+(··) — "how many
+    contexts does b follow?" rather than "how often does b occur?" —
+    the distinction that stops high-frequency-but-one-context tokens
+    (the "San Francisco" effect) from inflating fluency scores.
+    Cross-engine float discipline: D = 3/4 is integerized away —
+    (c−0.75)/ca ≡ (4c−3)/(4ca) and D·N1+(a·)/ca ≡ 3·n1a/(4ca) — so
+    every numerator/denominator is an exact BIGINT and the only
+    floats are the two divisions, one product, one sum and the final
+    ln, quantized to integer micro-nats per DISTINCT bigram before
+    the order-free BIGINT sum per doc. All scored transitions come
+    from the training corpus itself, so c(a,b) ≥ 1 > D and the max()
+    never binds. Scale: the model is three token-keyed aggregates of
+    the bigram table (context totals, fan-out N1+(a·), fan-in
+    N1+(·b)) — each one shuffle on a key the tokenize already
+    produced; scoring joins the per-bigram table once, broadcast at
+    fixture scale and a (a,b)-keyed shuffle join at 100 TB vocab."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    idx = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "a")
+        )
+        .withColumn("b", F.lead("a").over(wdoc))
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "a", "b")
+    )
+    idx = persist(idx)
+    big = persist(
+        idx.groupBy("a", "b").agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ctx = big.groupBy("a").agg(
+        F.sum("cnt").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("n1a"),
+    )
+    cont = big.groupBy("b").agg(F.count("*").cast("long").alias("nb"))
+    nn = big.agg(F.count("*").cast("long").alias("n"))
+    p = (F.col("cnt") * 4 - 3) * F.lit(1.0) / (F.col("ca") * 4) + (
+        F.col("n1a") * 3
+    ) * F.lit(1.0) / (F.col("ca") * 4) * (
+        F.col("nb") * F.lit(1.0) / F.col("n")
+    )
+    scored = (
+        big.join(F.broadcast(ctx), "a")
+        .join(F.broadcast(cont), "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "a",
+            "b",
+            F.round(F.ln(p) * 1_000_000 + F.lit(EPS[0]))
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        idx.join(F.broadcast(scored), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            rnd(F.sum("lp") / 1_000_000.0 / F.count(F.lit(1)), 2).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

@@ -925,6 +925,11 @@ def test_shuffle_budgets_table(spark):
         "c_quality_repetition": 0,  # scan-local repetition signals
         "c_quality_bigram_lp": 8,  # unigram+bigram LM rollups + the smoothed
         # score join — vocabulary-sized exchanges, corpus pass is map-side
+        "c_quality_kneser_ney": 13,  # the KN model is THREE aggregates of
+        # the persisted bigram table (context totals, fan-out, fan-in) +
+        # the distinct-bigram count — all vocabulary-sized exchanges; the
+        # transition extraction window and the per-doc rollup are the only
+        # corpus-sized ones, same two as c_quality_bigram_lp
         "c_mix_reweight": 15,  # source rollups + the nano-quantized share
         # redistribution chain; every exchange is ≤|sources| rows except the
         # one doc re-key
