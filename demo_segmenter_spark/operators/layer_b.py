@@ -2910,6 +2910,128 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMMUNITY_ITERS = 3
+COMMUNITY_MIN_QTY = 40  # the denser bulk-co-purchase graph (same slice
+# as triangle counting): communities are only interesting when label
+# frequency has something to vote over — the >=48 components graph is
+# too fragmented for majorities to differ from min-labels
+
+
+_COMMUNITY_EDGES_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_quantity >= {COMMUNITY_MIN_QTY}
+), half AS (
+    SELECT o * 2 AS src, p * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT p * 2 + 1 AS src, o * 2 AS dst FROM pairs
+), edges AS (
+    SELECT src, dst FROM half
+    UNION ALL
+    SELECT DISTINCT src, src FROM half
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS lbl FROM half
+)
+"""
+
+
+def _community_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+, c{i} AS (
+    SELECT e.dst AS node, p.lbl, count(*) AS cnt
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst, p.lbl
+), l{i} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl
+               ) AS rn
+        FROM c{i}
+    ) WHERE rn = 1
+)"""
+
+
+@query(
+    "b_graph_community",
+    oracle=_COMMUNITY_EDGES_SQL
+    + "".join(_community_iter_sql(i) for i in range(1, COMMUNITY_ITERS + 1))
+    + f"""
+SELECT lbl AS community, count(*) AS n_nodes, min(node) AS min_node
+FROM l{COMMUNITY_ITERS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+LIMIT 100
+""",
+)
+def b_graph_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007's LPA, the deterministic fixed-round relational form) —
+    b_graph_components' sibling with a DIFFERENT vote: each round every
+    node adopts the MOST FREQUENT label among itself and its neighbors
+    (components takes the MINIMUM — a reachability fold that always
+    floods a whole component; frequency voting stops at density
+    boundaries, which is what makes it a community algorithm).
+    Synchronous LPA is order-independent, so three unrolled rounds are
+    exactly replayable by the DuckDB oracle — all-integer state (label
+    counts, node ids), ZERO floats anywhere. Two deterministic choices
+    close LPA's two classic nondeterminisms: ties break (count DESC,
+    label ASC) via one row_number per round, and the self-loop keeps
+    each node's own label in its vote (the damping that prevents the
+    bipartite two-coloring oscillation pure synchronous LPA exhibits).
+    Scale: per round ONE groupBy(node, lbl) count and ONE per-node
+    argmax window — both keyed on the node the edge list already
+    carries; labels live in a node-count table joined against the
+    persisted edge list (broadcast at fixture sf, co-partitioned
+    shuffle at 100 TB). Rounds are a constant, not a convergence loop —
+    the bounded-round contract that makes the plan static."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(F.col("l_quantity") >= COMMUNITY_MIN_QTY)
+        .select(
+            (F.col("l_orderkey") * 2).alias("o"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
+        F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
+    )
+    half = persist(
+        pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    )
+    nodes = half.select("src").distinct()
+    edges = persist(
+        half.unionByName(nodes.select("src", F.col("src").alias("dst")))
+    )
+    lbl = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+    for _ in range(COMMUNITY_ITERS):
+        lbl = (
+            edges.join(
+                lbl.select(
+                    F.col("node").alias("src"), F.col("lbl").alias("src_lbl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("src_lbl").alias("lbl"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting with degree-ordered orientation — the classic
 # "count without exploding" graph join: orient every undirected edge

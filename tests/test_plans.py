@@ -649,6 +649,10 @@ def test_shuffle_budgets_table(spark):
         # the label table referenced once per round); the persisted
         # half/edges subtrees repeat in the static plan like pagerank's
         "b_graph_components": 15,
+        # frequency-vote LPA: 3 unrolled rounds, each a groupBy(node,lbl)
+        # count + the per-node argmax window (two node-keyed exchanges vs
+        # components' one min-agg), over the same persisted edge subtrees
+        "b_graph_community": 18,
         # 3 unrolled power iterations, each: posexplode+groupBy(dim)
         # collapsing map-side to 64 rows, a single-partition window for
         # the norm, and the 1-row component rebuild — all intermediates
