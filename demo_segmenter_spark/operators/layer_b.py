@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_segmenter_spark.functions.compat import (
+    EPS,
     cents,
     money_avg,
     money_sum,
@@ -1676,6 +1677,233 @@ def b_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "src", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance under a retraction changelog — the
+# Materialize/Flink-retract-stream contract: a grouped aggregate view
+# is maintained from signed deltas (insert = +1, delete = -1, update =
+# a delete+insert retraction PAIR), never recomputed from the base
+# table. SUM/COUNT/AVG are self-maintainable because signed increments
+# commute (MIN/MAX are the known exceptions — a retraction of the
+# current extremum needs per-group multiset state, which is why real
+# engines demote them to "recompute on retract"). The fixture derives
+# a deterministic changelog from `orders`, folds it, and certifies the
+# maintained view against the direct recompute over net-surviving rows
+# IN-SCHEMA — the equality that defines IVM correctness.
+# ---------------------------------------------------------------------------
+
+_IVM_NEW_CENTS = f"CAST(round({sql_cents('o_totalprice')} * 1.1 + {EPS[0]!r}) AS BIGINT)"
+
+_IVM_ORACLE = f"""
+WITH ch AS (
+    SELECT o_orderstatus, o_orderpriority, 1 AS op,
+           {sql_cents("o_totalprice")} AS c
+    FROM orders
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, -1, {sql_cents("o_totalprice")}
+    FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, -1, {sql_cents("o_totalprice")}
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, 1, {_IVM_NEW_CENTS}
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+), m AS (
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(op) AS BIGINT) AS n_rows,
+           CAST(sum(op * c) AS BIGINT) AS cents
+    FROM ch GROUP BY o_orderstatus, o_orderpriority
+), d AS (
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_direct,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN {_IVM_NEW_CENTS}
+                         ELSE {sql_cents("o_totalprice")} END) AS BIGINT)
+               AS dcents
+    FROM orders WHERE o_orderkey % 7 <> 3
+    GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT m.o_orderstatus, m.o_orderpriority, m.n_rows,
+       {sql_rnd("m.cents / 100.0", 2)} AS sum_price,
+       {sql_rnd("m.cents / 100.0 / m.n_rows", 2)} AS avg_price,
+       d.n_direct,
+       {sql_rnd("d.dcents / 100.0", 2)} AS sum_direct
+FROM m JOIN d USING (o_orderstatus, o_orderpriority)
+"""
+
+
+def _ivm_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic retraction changelog over `orders`: seq 0
+    inserts every row, seq 1 deletes keys ≡3 (mod 7), seq 2 updates
+    keys ≡0 (mod 10) among survivors (price +10%) as delete+insert
+    pairs — exact integer cents throughout."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    new_c = F.round(F.col("c") * 1.1 + F.lit(EPS[0])).cast("long")
+    deleted = F.col("o_orderkey") % 7 == 3
+    updated = (F.col("o_orderkey") % 10 == 0) & ~deleted
+    ins = o.select(
+        "o_orderstatus", "o_orderpriority",
+        F.lit(1).alias("op"), "c", F.lit(0).alias("seq"),
+    )
+    dels = o.filter(deleted).select(
+        "o_orderstatus", "o_orderpriority",
+        F.lit(-1).alias("op"), "c", F.lit(1).alias("seq"),
+    )
+    upd_out = o.filter(updated).select(
+        "o_orderstatus", "o_orderpriority",
+        F.lit(-1).alias("op"), "c", F.lit(2).alias("seq"),
+    )
+    upd_in = o.filter(updated).select(
+        "o_orderstatus", "o_orderpriority",
+        F.lit(1).alias("op"), new_c.alias("c"), F.lit(2).alias("seq"),
+    )
+    return ins.unionByName(dels).unionByName(upd_out).unionByName(upd_in)
+
+
+def _ivm_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct recompute over net-surviving rows — the ground truth the
+    maintained view must equal."""
+    o = load_table(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    new_c = F.round(c * 1.1 + F.lit(EPS[0])).cast("long")
+    return (
+        o.filter(F.col("o_orderkey") % 7 != 3)
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            F.when(F.col("o_orderkey") % 10 == 0, new_c)
+            .otherwise(c)
+            .alias("dc"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_direct"),
+            F.sum("dc").cast("long").alias("dcents"),
+        )
+    )
+
+
+def _ivm_finish(maintained: DataFrame, direct: DataFrame) -> DataFrame:
+    """Join the maintained signed-fold state to the direct recompute
+    and render the certified output columns (shared by the batch query
+    and its streaming twin)."""
+    return (
+        maintained.join(
+            F.broadcast(direct), ["o_orderstatus", "o_orderpriority"]
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_rows",
+            rnd(F.col("cents") / 100.0, 2).alias("sum_price"),
+            rnd(F.col("cents") / 100.0 / F.col("n_rows"), 2).alias(
+                "avg_price"
+            ),
+            "n_direct",
+            rnd(F.col("dcents") / 100.0, 2).alias("sum_direct"),
+        )
+    )
+
+
+@query("b_ivm_agg", oracle=_IVM_ORACLE)
+def b_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a grouped SUM/COUNT/AVG view
+    under an insert/update/delete changelog with retractions — the
+    capability that separates a batch engine from one that can keep a
+    100 TB materialized view fresh: updates arrive as delete+insert
+    PAIRS (the retract-stream encoding), and the view is maintained
+    purely from signed deltas — sum(op) is the live row count,
+    sum(op·cents) the live total, avg their quotient (algebraic
+    decomposition) — without ever touching the base table. The direct
+    recompute over net-surviving rows rides IN-SCHEMA (n_direct /
+    sum_direct) so the hash certifies the defining IVM equality, not
+    just plausible numbers. Scale: the fold is ONE map-side-partial
+    aggregation over the changelog scan — commutative signed BIGINT
+    sums, so no sequencing, no per-key ordering, no base-table read;
+    exactly why Materialize/Flink retract streams incrementalize
+    SUM/COUNT/AVG for free while MIN/MAX need multiset state. The
+    15-row maintained state broadcast-joins the (equally tiny) direct
+    recompute."""
+    ch = _ivm_changelog(spark, sf_dir)
+    m = ch.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum("op").cast("long").alias("n_rows"),
+        F.sum(F.col("op") * F.col("c")).cast("long").alias("cents"),
+    )
+    return _ivm_finish(m, _ivm_direct(spark, sf_dir))
+
+
+@query("b_ivm_agg_stream", oracle=_IVM_ORACLE)
+def b_ivm_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of b_ivm_agg, SAME oracle: the retraction
+    changelog arrives as seq-ordered micro-batches (inserts, then
+    deletes, then the update retraction pairs — six files via
+    maxFilesPerTrigger=1) and the view is maintained as complete-mode
+    aggregation state: one state row per realized group holding the
+    running (sum(op), sum(op·cents)) — the live view after every
+    micro-batch, final snapshot certified against the batch oracle.
+    This is the retract-stream path end-to-end: a CDC feed keyed by
+    nothing but group columns and signed deltas, state bounded at the
+    group count (≤15 — status × priority), stream-length-independent.
+    The /tmp feed dir is removed before returning (the no-leak
+    convention); state budget pinned in test_stream_state_budgets."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    base = f"/tmp/dss_ivm_stream/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    ch = _ivm_changelog(spark, sf_dir)
+    try:
+        src = f"{base}/src"
+        os.makedirs(src)
+        now = _time.time()
+        i = 0
+        for seq in (0, 1, 2):
+            for half in (0, 1):
+                d = f"{base}/b{i}"
+                ch.filter(
+                    (F.col("seq") == seq)
+                    & (F.abs(F.col("c")) % 2 == half)
+                ).drop("seq").coalesce(1).write.parquet(d)
+                for fname in os.listdir(d):
+                    if fname.endswith(".parquet"):
+                        os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
+                        os.utime(
+                            f"{src}/{i}_{fname}",
+                            (now + i * 10, now + i * 10),
+                            follow_symlinks=False,
+                        )
+                i += 1
+        schema = ch.drop("seq").schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.sum("op").cast("long").alias("n_rows"),
+                F.sum(F.col("op") * F.col("c")).cast("long").alias("cents"),
+            )
+        )
+        name = f"ivm_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = spark.table(name).collect()
+        m = spark.createDataFrame(snap, spark.table(name).schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _ivm_finish(m, _ivm_direct(spark, sf_dir))
 
 
 @query(

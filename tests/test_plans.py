@@ -873,6 +873,9 @@ def test_shuffle_budgets_table(spark):
         "b_join_skew_salted": 2,  # salted re-key + unsalt rollup; measured 0
         # at fixture sf (AQE broadcasts) — budget documents the scale shape
         "b_upsert": 1,  # priority-merge window on the key
+        "b_ivm_agg": 2,  # the signed-delta fold (ONE map-side-partial agg
+        # over the changelog union) + the direct-recompute agg it is
+        # certified against; the 15-row view join broadcasts
         "b_agg_distinct": 2,  # countDistinct expand + regroup pair
         "b_agg_cube": 1,
         "b_agg_cube_rollup": 1,

@@ -88,6 +88,10 @@ STATE_BUDGETS = {
     "a_tumbling_window_stream": 150,
     "a_window_dau_stream": 575,
     "b_agg_bitmap_distinct_stream": 5,
+    # IVM retract stream: complete-mode agg state == one row per
+    # realized (status, priority) group — bounded at 15 by the view's
+    # group domain, stream-length-independent
+    "b_ivm_agg_stream": 15,
     # streaming native HLL: complete-mode state == the register
     # maxima — realized (type, register) keys, hard-bounded at
     # types x HLL_M = 320 regardless of stream length (70 realized at
