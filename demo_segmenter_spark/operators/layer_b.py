@@ -5940,6 +5940,136 @@ def b_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPIRE_SLICE = "o_orderkey % 5"
+
+_EXPIRE_ORACLE = f"""
+WITH s AS (
+    SELECT {_EXPIRE_SLICE} AS k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS c
+    FROM orders GROUP BY {_EXPIRE_SLICE}
+), v AS (
+    SELECT 1 AS version, 0 AS retained, 1 AS n_files,
+           (SELECT n FROM s WHERE k = 0) AS n_rows
+    UNION ALL SELECT 2, 0, 2,
+           (SELECT n FROM s WHERE k = 0) + (SELECT n FROM s WHERE k = 1)
+    UNION ALL SELECT 3, 0, 1, (SELECT n FROM s WHERE k = 2)
+    UNION ALL SELECT 4, 1, 2,
+           (SELECT n FROM s WHERE k = 2) + (SELECT n FROM s WHERE k = 3)
+    UNION ALL SELECT 5, 1, 3,
+           (SELECT n FROM s WHERE k = 2) + (SELECT n FROM s WHERE k = 3)
+           + (SELECT n FROM s WHERE k = 4)
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(retained AS BIGINT) AS retained,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS files_removed,
+       CAST(3 AS BIGINT) AS files_live,
+       CAST((SELECT sum(n) FROM s WHERE k IN (2, 3, 4)) AS BIGINT)
+           AS n_latest,
+       {sql_rnd("(SELECT sum(c) FROM s WHERE k IN (2, 3, 4)) / 100.0", 2)}
+           AS sum_latest
+FROM v
+"""
+
+
+@query("b_snapshot_expire", oracle=_EXPIRE_ORACLE)
+def b_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY / VACUUM — b_layout_compaction's operational
+    sibling and the missing third of the table-maintenance triad
+    (compact, re-cluster, EXPIRE): five real commits go through the
+    versioned jsonl_dir manifest sink (overwrite v1, append v2,
+    overwrite v3 — which orphans v1/v2's files from every LATER
+    snapshot — append v4, append v5), then
+    ``expire_snapshots(retain=2)`` drops manifests v1–v3 and deletes
+    exactly the data files no retained snapshot references (the two
+    orphans), while v4's and v5's shared files survive untouched.
+    The certified table is the whole audit: per version its recorded
+    file/row accounting AS THE SINK COMMITTED IT (not recomputed),
+    the expiry counts, and the post-expiry READ-BACK aggregate of the
+    latest snapshot — so the hash proves retention removed the right
+    files and ONLY the right files, with the surviving data
+    bit-intact, against a DuckDB oracle that derives every number
+    closed-form from `orders`. Scale: expiry is manifest-sized driver
+    metadata work (reachability over retained file lists — O(files),
+    no data scan), the same contract as Iceberg expire_snapshots /
+    Delta VACUUM; the five commits and the read-back are the only
+    distributed passes here, and the final 5-row audit is
+    driver-assembled like the stream twins' snapshots."""
+    import json
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import (
+        expire_snapshots,
+        manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    base = f"/tmp/dss_expire/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = f"{base}/t"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("k"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    try:
+        for version, (k, mode) in enumerate(
+            [(0, "overwrite"), (1, "append"), (2, "overwrite"),
+             (3, "append"), (4, "append")],
+            start=1,
+        ):
+            (
+                o.filter(F.col("k") == k)
+                .select("o_orderkey", "c")
+                .coalesce(1)
+                .write.format("jsonl_dir")
+                .option("path", tbl)
+                .mode(mode)
+                .save()
+            )
+        mans = []
+        for v in range(1, 6):
+            with open(f"{tbl}/_MANIFEST.v{v}.json") as f:
+                mans.append(json.load(f))
+        acct = expire_snapshots(tbl, retain=2)
+        back = (
+            spark.read.schema("o_orderkey long, c long")
+            .json(manifest_files(tbl))
+            .agg(F.count("*").cast("long"), F.sum("c").cast("long"))
+            .first()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    retained = {4, 5}
+    rows = [
+        (
+            v,
+            1 if v in retained else 0,
+            len(mans[v - 1]["files"]),
+            mans[v - 1]["rows"],
+            acct["files_removed"],
+            acct["files_live"],
+            back[0],
+            back[1],
+        )
+        for v in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "version long, retained long, n_files long, n_rows long, "
+        "files_removed long, files_live long, n_latest long, "
+        "cents_latest long",
+    )
+    return df.select(
+        "version", "retained", "n_files", "n_rows", "files_removed",
+        "files_live", "n_latest",
+        rnd(F.col("cents_latest") / 100.0, 2).alias("sum_latest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Histogram quantile sketch (round-10 widening): mergeable approximate
 # quantiles — the streaming/partitioned answer to "p50/p95 per key"

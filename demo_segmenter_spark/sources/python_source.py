@@ -333,5 +333,54 @@ def manifest_files_pruned(
     return [f for f in m["files"] if may_match(f)]
 
 
+def expire_snapshots(path: str, retain: int) -> dict:
+    """SNAPSHOT EXPIRY / VACUUM for the versioned manifest table —
+    the retention sibling of compaction (Iceberg `expire_snapshots`,
+    Delta `VACUUM`): drop every versioned manifest except the newest
+    ``retain``, then delete the data files NO retained snapshot
+    references. Two-phase on purpose: the reachability set is computed
+    from the retained manifests alone (manifest-sized driver work, no
+    data scan — at 100 TB this is O(files) metadata, exactly like the
+    writers), and a file is only unlinked when it is provably
+    unreachable from every surviving snapshot, so time travel within
+    the retention window keeps working and the latest pointer is never
+    touched (it always names the newest — retained — version).
+    Returns accounting: ``versions_removed`` (sorted list),
+    ``files_removed``, ``files_live``."""
+    import json
+    import os
+    import re
+
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(path)
+        if (m := re.fullmatch(r"_MANIFEST\.v(\d+)\.json", f))
+    )
+    if retain < 1:
+        raise ValueError("retain must be >= 1 (the latest pointer's "
+                         "snapshot must survive)")
+    keep = set(versions[-retain:])
+    live: set = set()
+    for v in keep:
+        with open(f"{path}/_MANIFEST.v{v}.json") as f:
+            live |= set(json.load(f)["files"])
+    removed_versions = [v for v in versions if v not in keep]
+    for v in removed_versions:
+        os.unlink(f"{path}/_MANIFEST.v{v}.json")
+    files_removed = 0
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_MANIFEST"):
+            continue
+        full = f"{path}/{f}"
+        if full not in live:
+            os.unlink(full)
+            files_removed += 1
+    return {
+        "versions_removed": removed_versions,
+        "files_removed": files_removed,
+        "files_live": len(live),
+    }
+
+
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlDirSink)

@@ -876,6 +876,10 @@ def test_shuffle_budgets_table(spark):
         "b_ivm_agg": 2,  # the signed-delta fold (ONE map-side-partial agg
         # over the changelog union) + the direct-recompute agg it is
         # certified against; the 15-row view join broadcasts
+        "b_snapshot_expire": 0,  # the returned audit is a driver-assembled
+        # 5-row table (manifest-sized metadata, like the stream twins'
+        # snapshots); the five sink commits and the read-back run
+        # coalesced inside the query body, off the static plan
         "b_agg_distinct": 2,  # countDistinct expand + regroup pair
         "b_agg_cube": 1,
         "b_agg_cube_rollup": 1,
