@@ -1906,6 +1906,152 @@ def b_ivm_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivm_finish(m, _ivm_direct(spark, sf_dir))
 
 
+JB_M = 131072  # join-bloom bits: ~0.13 load (k=3) at the sf0.1 build
+# side (~5.7k keys), fp ~0.2% — the filter is 2081 words (~16 KB)
+JB_W = 63  # bits per word, sign bit never touched (c_dedup_bloom's rule)
+
+_JB_PRED = "o_orderdate >= TIMESTAMP '1998-05-01'"
+
+
+@query(
+    "b_join_bloom_pushdown",
+    oracle=f"""
+WITH sel AS (
+    SELECT o_orderkey FROM orders WHERE {_JB_PRED}
+), spos AS (
+    SELECT DISTINCT
+           CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                    8 * j - 7, 8)) AS BIGINT) % {JB_M}
+               AS pos
+    FROM sel CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+), bloom AS (
+    SELECT pos // {JB_W} AS wi,
+           bit_or(1::BIGINT << CAST(pos % {JB_W} AS INT)) AS w
+    FROM spos GROUP BY pos // {JB_W}
+), probe AS (
+    SELECT l_orderkey,
+           CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                    8 * j - 7, 8)) AS BIGINT) % {JB_M}
+               AS pos
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+    CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+), flags AS (
+    SELECT p.l_orderkey,
+           min(CASE WHEN b.w IS NOT NULL
+                     AND ((b.w >> CAST(pos % {JB_W} AS INT)) & 1) = 1
+                    THEN 1 ELSE 0 END) AS hit
+    FROM probe p LEFT JOIN bloom b ON pos // {JB_W} = b.wi
+    GROUP BY p.l_orderkey
+), cand AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates
+    FROM lineitem l JOIN flags f USING (l_orderkey)
+    WHERE f.hit = 1
+), joined AS (
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_joined,
+           {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+    GROUP BY l_returnflag
+)
+SELECT j.l_returnflag, j.n_joined, j.revenue,
+       (SELECT n_candidates FROM cand) AS n_candidates,
+       CAST((SELECT count(*) FROM sel) AS BIGINT) AS n_build_keys
+FROM joined j
+""",
+)
+def b_join_bloom_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER JOIN PUSHDOWN — the runtime-filter optimization
+    every warehouse engine applies to selective joins, made explicit:
+    the build side (orders after a selective date predicate) is folded
+    into a {JB_M}-bit k=3 Bloom filter (c_dedup_bloom's word-packed
+    bit_or build, md5 hex-window hashes), broadcast as ONE map column,
+    and every lineitem row probes it MAP-SIDE — three element_at bit
+    tests inside the scan, no explode, no shuffle — so only candidate
+    rows (true matches + the measured fp sliver) ever reach the
+    verification semi join. No false negatives by construction, and
+    the hash certifies it: the rollup (n_joined, revenue per
+    returnflag) is computed from the BLOOM-GATED path in Spark but
+    from the PLAIN semi join in the oracle — any dropped match would
+    hash-mismatch — while n_candidates replays the filter itself
+    bit-exactly in DuckDB (the filter is deterministic, so even the
+    false positives are certified). Scale: this is Spark's own
+    spark.sql.optimizer.runtime.bloomFilter shape done by hand — at
+    100 TB the ~16 KB filter rides the broadcast while the probe stays
+    inside whole-stage codegen, cutting the shuffle to candidate-sized;
+    the 1-row filter build is the only driver-adjacent state and it is
+    an aggregate, never a collect of keys."""
+    from demo_segmenter_spark.functions.cache import persist
+
+    o = load_table(spark, sf_dir, "orders")
+    sel = persist(o.filter(F.expr(_JB_PRED)).select("o_orderkey"))
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    spos = (
+        sel.select(F.md5(F.col("o_orderkey").cast("string")).alias("h"), j)
+        .select(
+            (
+                F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast(
+                    "long"
+                )
+                % JB_M
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bloom = spos.groupBy(F.expr(f"pos DIV {JB_W}").alias("wi")).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {JB_W} AS INT))"
+            )
+        ).alias("w")
+    )
+    bmap = bloom.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("wi").cast("int"), F.col("w")))
+        ).alias("bm")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        F.md5(F.col("l_orderkey").cast("string")).alias("h"),
+    )
+    bit_tests = " AND ".join(
+        f"((coalesce(element_at(bm, CAST(p{i} DIV {JB_W} AS INT)),"
+        f" CAST(0 AS BIGINT)) >> CAST(p{i} % {JB_W} AS INT)) & 1) = 1"
+        for i in (1, 2, 3)
+    )
+    cand = (
+        li.crossJoin(F.broadcast(bmap))
+        .withColumns(
+            {
+                f"p{i}": F.conv(
+                    F.expr(f"substr(h, {8 * i - 7}, 8)"), 16, 10
+                ).cast("long")
+                % JB_M
+                for i in (1, 2, 3)
+            }
+        )
+        .filter(F.expr(bit_tests))
+    )
+    cand = persist(cand)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_keys = sel.agg(F.count("*").cast("long").alias("n_build_keys"))
+    joined = (
+        cand.join(F.broadcast(sel), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_joined"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+    return joined.crossJoin(F.broadcast(n_cand)).crossJoin(
+        F.broadcast(n_keys)
+    )
+
+
 @query(
     "b_pipeline_tpch_q3",
     oracle=f"""
@@ -5971,6 +6117,127 @@ SELECT CAST(version AS BIGINT) AS version,
            AS sum_latest
 FROM v
 """
+
+
+_TTD_ORACLE = f"""
+WITH s AS (
+    SELECT {_EXPIRE_SLICE} AS k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS c
+    FROM orders GROUP BY {_EXPIRE_SLICE}
+), agg AS (
+    SELECT
+        (SELECT sum(n) FROM s WHERE k IN (2, 3, 4)) AS n234,
+        (SELECT sum(c) FROM s WHERE k IN (2, 3, 4)) AS c234,
+        (SELECT n FROM s WHERE k = 0) AS n0,
+        (SELECT c FROM s WHERE k = 0) AS c0,
+        (SELECT sum(n) FROM s) AS nall,
+        (SELECT sum(c) FROM s) AS call
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS from_version, CAST(3 AS BIGINT) AS to_version,
+           CAST(2 AS BIGINT) AS files_added, CAST(0 AS BIGINT) AS files_removed,
+           CAST(n234 AS BIGINT) AS rows_added,
+           {sql_rnd("c234 / 100.0", 2)} AS sum_added,
+           CAST(0 AS BIGINT) AS rows_removed,
+           {sql_rnd("0 / 100.0", 2)} AS sum_removed
+    FROM agg
+    UNION ALL
+    SELECT 3, 4, 1, 3,
+           CAST(n0 AS BIGINT), {sql_rnd("c0 / 100.0", 2)},
+           CAST(nall AS BIGINT), {sql_rnd("call / 100.0", 2)}
+    FROM agg
+)
+"""
+
+
+@query("b_time_travel_diff", oracle=_TTD_ORACLE)
+def b_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF / CDC READ between manifest versions — the reader
+    that makes a lake table's history queryable (Delta CDF / Iceberg
+    incremental scan at file granularity): four commits go through the
+    versioned sink (v1 = slices 0∪1, v2 appends slice 2, v3 appends
+    slices 3∪4, v4 OVERWRITES with slice 0 alone), then two diffs are
+    materialized — the append window v1→v3 (two added files, nothing
+    removed) and the overwrite v3→v4 (one added, ALL three removed).
+    ``manifest_diff`` is pure set algebra over two immutable file
+    lists (O(files) metadata, no scan), and the changed ROWS are then
+    aggregated by scanning ONLY the added/removed files — the whole
+    point of CDC-reading: the cost is proportional to the change, not
+    the table. Both the file counts and the changed-row aggregates
+    (rows/sum per direction, exact cents) hash-certify against a
+    closed-form DuckDB oracle over `orders`. The removed-file read
+    works because expiry hasn't run — time travel and VACUUM are
+    separate operators by design (b_snapshot_expire is the one that
+    makes removed files unreadable)."""
+    import shutil
+    import uuid
+
+    from demo_segmenter_spark.sources.python_source import (
+        manifest_diff,
+        register_sink,
+    )
+
+    register_sink(spark)
+    base = f"/tmp/dss_ttd/{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = f"{base}/t"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("k"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    try:
+        for ks, mode in [
+            ((0, 1), "overwrite"),
+            ((2,), "append"),
+            ((3, 4), "append"),
+            ((0,), "overwrite"),
+        ]:
+            (
+                o.filter(F.col("k").isin(*ks))
+                .select("o_orderkey", "c")
+                .coalesce(1)
+                .write.format("jsonl_dir")
+                .option("path", tbl)
+                .mode(mode)
+                .save()
+            )
+
+        def change(files):
+            if not files:
+                return (0, 0)
+            r = (
+                spark.read.schema("o_orderkey long, c long")
+                .json(files)
+                .agg(F.count("*").cast("long"), F.sum("c").cast("long"))
+                .first()
+            )
+            return (r[0], r[1] or 0)
+
+        rows = []
+        for v_from, v_to in [(1, 3), (3, 4)]:
+            d = manifest_diff(tbl, v_from, v_to)
+            na, ca = change(d["added"])
+            nr, cr = change(d["removed"])
+            rows.append(
+                (v_from, v_to, len(d["added"]), len(d["removed"]),
+                 na, ca, nr, cr)
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    df = spark.createDataFrame(
+        rows,
+        "from_version long, to_version long, files_added long, "
+        "files_removed long, rows_added long, cents_added long, "
+        "rows_removed long, cents_removed long",
+    )
+    return df.select(
+        "from_version", "to_version", "files_added", "files_removed",
+        "rows_added",
+        rnd(F.col("cents_added") / 100.0, 2).alias("sum_added"),
+        "rows_removed",
+        rnd(F.col("cents_removed") / 100.0, 2).alias("sum_removed"),
+    )
 
 
 @query("b_snapshot_expire", oracle=_EXPIRE_ORACLE)

@@ -382,5 +382,22 @@ def expire_snapshots(path: str, retain: int) -> dict:
     }
 
 
+def manifest_diff(path: str, v_from: int, v_to: int) -> dict:
+    """SNAPSHOT DIFF between two committed versions — the metadata half
+    of CDC-reading a lake table (Delta CDF / Iceberg incremental scan,
+    file granularity): files present in ``v_to`` but not ``v_from``
+    were added, files present in ``v_from`` but not ``v_to`` were
+    removed (an overwrite commit shows up as remove-all + add). Because
+    snapshots are immutable file LISTS, the diff is pure set algebra
+    over two manifests — O(files) driver work, no data scan — and a
+    reader materializes the change by scanning ONLY the added/removed
+    files, never the table."""
+    added = sorted(set(manifest_files(path, v_to))
+                   - set(manifest_files(path, v_from)))
+    removed = sorted(set(manifest_files(path, v_from))
+                     - set(manifest_files(path, v_to)))
+    return {"added": added, "removed": removed}
+
+
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlDirSink)

@@ -876,6 +876,14 @@ def test_shuffle_budgets_table(spark):
         "b_ivm_agg": 2,  # the signed-delta fold (ONE map-side-partial agg
         # over the changelog union) + the direct-recompute agg it is
         # certified against; the 15-row view join broadcasts
+        "b_join_bloom_pushdown": 7,  # filter-build chain (distinct pos +
+        # word bit_or + the 1-row map fold) + the candidate count, the
+        # build-key count and the returnflag rollup — every exchange is
+        # filter-sized or 3-group-sized except the one candidate-row
+        # count; the probe itself is map-side (broadcast map, no explode)
+        "b_time_travel_diff": 0,  # the 2-row diff audit is
+        # driver-assembled from manifest set algebra; the commits and
+        # the change-sized read-backs run inside the query body
         "b_snapshot_expire": 0,  # the returned audit is a driver-assembled
         # 5-row table (manifest-sized metadata, like the stream twins'
         # snapshots); the five sink commits and the read-back run

@@ -14,6 +14,7 @@ import pytest
 
 from demo_segmenter_spark.sources.python_source import (
     expire_snapshots,
+    manifest_diff,
     manifest_files,
     register_sink,
 )
@@ -85,6 +86,29 @@ def test_expire_is_idempotent_and_retain_validates(spark, table):
     }
     with pytest.raises(ValueError):
         expire_snapshots(table, retain=0)
+
+
+def test_manifest_diff_appends_and_overwrites(spark, table):
+    # v1(ovw) -> v2(app): exactly one file added, nothing removed, and
+    # reading ONLY the added files yields exactly v2's new rows
+    d12 = manifest_diff(table, 1, 2)
+    assert len(d12["added"]) == 1 and d12["removed"] == []
+    added_ids = sorted(
+        r.id
+        for r in spark.read.schema("id long, v long")
+        .json(d12["added"])
+        .collect()
+    )
+    assert added_ids == list(range(10, 20))
+    # v2(app) -> v3(OVERWRITE): remove-all + add — the overwrite signature
+    d23 = manifest_diff(table, 2, 3)
+    assert len(d23["added"]) == 1 and len(d23["removed"]) == 2
+    # a diff is antisymmetric: reversing swaps added/removed
+    d32 = manifest_diff(table, 3, 2)
+    assert d32["added"] == d23["removed"]
+    assert d32["removed"] == d23["added"]
+    # identity diff is empty
+    assert manifest_diff(table, 4, 4) == {"added": [], "removed": []}
 
 
 def test_retain_one_collapses_to_latest(spark, table):
