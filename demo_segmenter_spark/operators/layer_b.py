@@ -1906,6 +1906,90 @@ def b_ivm_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivm_finish(m, _ivm_direct(spark, sf_dir))
 
 
+@query(
+    "b_agg_linreg",
+    oracle=f"""
+WITH pts AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           {sql_cents("l_extendedprice")} // 100 AS y
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {sql_rnd("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 6)}
+           AS slope,
+       {sql_rnd("(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy"
+                " - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 2)}
+           AS intercept,
+       {sql_rnd("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))"
+                " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6)}
+           AS r2
+FROM s
+""",
+)
+def b_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED LINEAR REGRESSION — the SQL-standard REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 aggregate family (price-per-unit fit of
+    extendedprice on quantity per returnflag), done the only way that
+    hash-certifies across engines: the six sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) are EXACT BIGINTs (y floored to whole
+    dollars from exact cents so Σy² stays inside int64 at sf0.1), and
+    only the closed-form combination runs in doubles — each BIGINT is
+    < 2⁵³ so the casts are exact, and the combination expressions are
+    written with IDENTICAL association on both engines, so every IEEE
+    multiply/divide matches bit-for-bit before the final 6dp
+    quantization. This is also the 100 TB shape: one map-side-partial
+    aggregation (the statistics are commutative sums — they merge
+    across partitions, days, micro-batches like every sketch here),
+    no second pass, no centering (the textbook two-pass mean-centered
+    form needs the mean first; the sufficient-statistic form does
+    not). A deployment whose Σy² outgrows int64 swaps the sums to
+    DECIMAL(38,0) — b_agg_decimal's ledger discipline."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(
+            f"CAST(round(l_extendedprice * 100 + {EPS[0]!r}) AS BIGINT)"
+            " DIV 100"
+        ).alias("y"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    var_x = nd * F.col("sxx") - sxd * F.col("sx")
+    var_y = nd * F.col("syy") - syd * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        rnd(cov_n / var_x, 6).alias("slope"),
+        rnd((syd - cov_n / var_x * sxd) / nd, 2).alias("intercept"),
+        rnd((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
 JB_M = 131072  # join-bloom bits: ~0.13 load (k=3) at the sf0.1 build
 # side (~5.7k keys), fp ~0.2% — the filter is 2081 words (~16 KB)
 JB_W = 63  # bits per word, sign bit never touched (c_dedup_bloom's rule)

@@ -876,6 +876,8 @@ def test_shuffle_budgets_table(spark):
         "b_ivm_agg": 2,  # the signed-delta fold (ONE map-side-partial agg
         # over the changelog union) + the direct-recompute agg it is
         # certified against; the 15-row view join broadcasts
+        "b_agg_linreg": 1,  # the six sufficient statistics collapse
+        # map-side; ONE 3-group exchange, combination is projection-only
         "b_join_bloom_pushdown": 7,  # filter-build chain (distinct pos +
         # word bit_or + the 1-row map fold) + the candidate count, the
         # build-key count and the returnflag rollup — every exchange is
