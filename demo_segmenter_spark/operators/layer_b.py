@@ -1990,11 +1990,11 @@ def b_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JB_M = 131072  # join-bloom bits: ~0.13 load (k=3) at the sf0.1 build
-# side (~5.7k keys), fp ~0.2% — the filter is 2081 words (~16 KB)
+JB_M = 131072  # join-bloom bits: ~0.09 load (k=3) at the sf0.1 build
+# side (~3.9k keys), fp ~0.1% — the filter is <=2081 words (<=16 KB)
 JB_W = 63  # bits per word, sign bit never touched (c_dedup_bloom's rule)
 
-_JB_PRED = "o_orderdate >= TIMESTAMP '1998-05-01'"
+_JB_PRED = "o_orderdate >= TIMESTAMP '2001-06-01'"
 
 
 @query(
@@ -2117,6 +2117,12 @@ def b_join_bloom_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         .filter(F.expr(bit_tests))
+        # project the filter map + probe scratch away BEFORE persist:
+        # the bm column is ~16 KB PER ROW if it survives into the
+        # materialized candidates (measured 1.1 GiB/partition at the
+        # 10M-row smoke before this select)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount")
     )
     cand = persist(cand)
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))

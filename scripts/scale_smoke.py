@@ -131,6 +131,128 @@ def main() -> None:
     graph_layers_stress(spark)
     bloom_stress(spark)
     logreg_stress(spark)
+    ivm_stress(spark)
+    bloom_join_stress(spark)
+
+
+def ivm_stress(spark, replicas: int = 64) -> None:
+    """b_ivm_agg at a ~12M-row retraction changelog: replicate sf0.1
+    orders with DISJOINT orderkey spaces on a stride that is a
+    multiple of 70, so every replica key keeps its base residues mod 7
+    (deletes) and mod 10 (updates) and the maintained view must be
+    EXACTLY replicas x the base view — the linearity any signed-fold
+    bug (a retraction pairing lost, a delta double-counted) would
+    break. The in-schema direct recompute must equal the maintained
+    fold on every group at this scale, same as at fixture sf."""
+    import shutil
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base = {
+        (r.o_orderstatus, r.o_orderpriority): (r.n_rows, r.sum_price)
+        for r in REGISTRY["b_ivm_agg"].fn(spark, sf).collect()
+    }
+    o = load_table(spark, sf, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0] + 1
+    stride = ((mx + 69) // 70) * 70
+    out = "/tmp/dss_scale/ivm"
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        o.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * stride).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    n_orders = spark.read.parquet(f"{out}/orders.parquet").count()
+    # the changelog is ~131% of the base table (inserts + n/7 deletes +
+    # retraction pairs for the 6/70 updated keys) — the unit the fold's
+    # throughput is quoted in; approximate only in the last digit
+    # (residue classes of the real keyspace vs uniform)
+    n_changes = round(n_orders * (1 + 1 / 7 + 2 * (1 / 10 - 1 / 70)))
+    t0 = time.time()
+    rows = REGISTRY["b_ivm_agg"].fn(spark, out).collect()
+    dt = time.time() - t0
+    for r in rows:
+        assert r.n_rows == r.n_direct, r
+        assert r.sum_price == r.sum_direct, r
+        bn, _ = base[(r.o_orderstatus, r.o_orderpriority)]
+        assert r.n_rows == replicas * bn, (r, bn)
+    print(
+        f"ivm {n_changes} changelog rows over {n_orders} orders "
+        f"({replicas}x disjoint keys, stride%70==0): maintained == "
+        f"direct == exactly {replicas}x base on all {len(rows)} groups "
+        f"in {dt:.1f}s ({n_changes / dt / 1e6:.2f}M deltas/s)"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.catalog.clearCache()
+
+
+def bloom_join_stress(spark, replicas: int = 17) -> None:
+    """b_join_bloom_pushdown at a ~10M-row probe side: lineitem
+    replicated with DISJOINT orderkey spaces while orders stays base —
+    the steady-state crawl shape where almost every probe row is
+    novel. The gated rollup must EXACTLY equal the base run's rollup
+    (replica keys can only be false positives, never joins — any
+    fp leaking through the verification join would change revenue),
+    and the filter must hold its design point: candidates ~ matches +
+    fp x novel rows, a ~100x reduction of what reaches the join."""
+    import shutil
+
+    from demo_segmenter_spark.registry import REGISTRY
+    from demo_segmenter_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    base_rows = {
+        r.l_returnflag: (r.n_joined, r.revenue)
+        for r in REGISTRY["b_join_bloom_pushdown"].fn(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0] + 1
+    out = "/tmp/dss_scale/bloomjoin"
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        li.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * mx).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    n_probe = spark.read.parquet(f"{out}/lineitem.parquet").count()
+    t0 = time.time()
+    rows = REGISTRY["b_join_bloom_pushdown"].fn(spark, out).collect()
+    dt = time.time() - t0
+    n_cand = rows[0].n_candidates
+    n_matches = sum(r.n_joined for r in rows)
+    for r in rows:
+        bj, brev = base_rows[r.l_returnflag]
+        assert (r.n_joined, r.revenue) == (bj, brev), (r, bj, brev)
+    fp_rows = n_cand - n_matches
+    print(
+        f"bloom_join {n_probe} probe rows x {rows[0].n_build_keys} build "
+        f"keys ({replicas}x novel-key probe): gated rollup == base "
+        f"exactly on all {len(rows)} flags, candidates {n_cand} "
+        f"({n_cand / n_probe:.4f}x of probe, {fp_rows} fp rows) "
+        f"in {dt:.1f}s ({n_probe / dt / 1e6:.2f}M rows/s)"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.catalog.clearCache()
 
 
 def nndescent_stress(
