@@ -164,6 +164,14 @@ HEADLINE = [
     "c_quality_logreg_stream",
     "a_drift_report_stream",
     "b_layout_compaction",
+    # round 12 continuation: Kneser-Ney scoring (the three-aggregate
+    # LM-model class), frequency-vote label propagation (argmax-window
+    # graph rounds), the map-side bloom join pushdown, and the
+    # retraction-changelog IVM stream (complete-mode signed-fold class)
+    "c_quality_kneser_ney",
+    "b_graph_community",
+    "b_join_bloom_pushdown",
+    "b_ivm_agg_stream",
 ]
 
 # Queries whose correctness mode embeds an exact-twin invariant pass;
