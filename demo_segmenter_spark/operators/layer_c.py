@@ -15191,7 +15191,157 @@ def _nd_sym(ps: DataFrame) -> DataFrame:
     )
 
 
-def _nd_build_graph(base: DataFrame, rounds: int | None = None) -> DataFrame:
+# Single-TASK block lane (round-12 optimization): below this many
+# vectors the whole NN-descent refinement (and the beam walk) runs as
+# ONE executor-side numpy pass against the broadcast block matrix,
+# instead of ~6 exchanges + 2 eager checkpoints per round — measured
+# ~1.3-2.0 s of pure scheduling overhead per round on micro data (the
+# guide §1.2 "distributed algorithm first" point: the per-round data is
+# node-sized, so the shuffles bought nothing). This is the innermost
+# tier of the documented shard hierarchy: at 100 TB NN-descent runs per
+# IVF/LSH shard, and a shard small enough for the _nd_matrix gather is
+# also small enough to refine inside the task holding it (the FAISS
+# per-shard build). Between ND_BLOCK_CAP and ND_MAT_CAP the distributed
+# rounds + gather scoring run unchanged; beyond ND_MAT_CAP, the join
+# path. Row-identity of the three lanes is pinned in tests/test_ann.py.
+ND_BLOCK_CAP = 20_000
+
+
+def _nd_block_fns():
+    """Worker-side numpy kernels for the block lane, built in the
+    driver and captured BY VALUE in mapInPandas closures (house style:
+    no module references inside task functions). Each kernel is the
+    bit-exact twin of its distributed counterpart:
+
+    - round_half_up: F.round(double)'s HALF_UP (away from zero) —
+      vectorized floor(|x|+0.5) with a Decimal audit of knife-edge
+      values (|frac−.5| < 1e-6), where a binary +0.5 could disagree
+      with Spark's decimal-string BigDecimal reading. The audit set is
+      empty on every fixture (the +EPS nudge keeps scores off exact
+      halves); it exists so the lane can never silently diverge.
+    - sm_of: _nd_sm's micro-unit quantization.
+    - score: _nd_score_pairs' gather arithmetic — per-row product,
+      cumulative-sum fold (the left fold's exact value), one divide.
+    - topk: _nd_topk's per-group sorted slice under the (sm DESC, id)
+      total order (lexsort's last key is primary)."""
+    eps = EPS[0]
+    np = __import__("numpy")
+
+    def round_half_up(x):
+        ax = np.abs(x)
+        y = np.floor(ax + 0.5)
+        risky = np.flatnonzero(np.abs((ax - np.floor(ax)) - 0.5) < 1e-6)
+        if len(risky):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            for i in risky:
+                y[i] = float(
+                    Decimal(repr(float(ax[i]))).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+        return np.where(x < 0, -y, y)
+
+    def sm_of(cos):
+        return round_half_up(cos * 1_000_000.0 + eps).astype(np.int64)
+
+    def score(ids, V, N, va, vb, chunk=262_144):
+        out = np.empty(len(va), dtype=np.int64)
+        for s in range(0, len(va), chunk):
+            e = min(s + chunk, len(va))
+            ia = np.searchsorted(ids, va[s:e])
+            ib = np.searchsorted(ids, vb[s:e])
+            dp = np.cumsum(V[ia] * V[ib], axis=1)[:, -1]
+            out[s:e] = sm_of(dp / (N[ia] * N[ib]))
+        return out
+
+    def topk(v, u, sm, k):
+        order = np.lexsort((u, -sm, v))
+        v, u, sm = v[order], u[order], sm[order]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        sizes = np.diff(np.r_[starts, len(v)])
+        rank = np.arange(len(v)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return v[keep], u[keep], sm[keep]
+
+    return round_half_up, sm_of, score, topk
+
+
+def _nd_build_block(ps0: DataFrame, mat, rounds: int) -> DataFrame:
+    """Block-lane NN-descent build: the SCORED LSH seed pairs
+    (``ps0`` = _nd_score_pairs' output, whose quantization stays on
+    the certified distributed gather path, 32-way parallel) coalesce
+    into ONE partition whose task replays g0 + every refinement round
+    in numpy against the broadcast block matrix — g0 = top-K of the
+    symmetrized scored seeds, then per round: reverse-capped
+    adjacency, neighbor-of-neighbor proposals through each middle (a
+    pandas hash join stands in for the in/out-list cross product),
+    anti-set against the cumulative scored keys (each unordered pair
+    scored at most once — Dong §2.3 unchanged), fresh-pair scoring
+    through the bit-exact numpy kernel, top-K fold-in. Same graph as
+    the distributed rounds (pinned row-identical in
+    tests/test_ann.py; same oracle hash at 3 sfs)."""
+    ids_b, mat_b, nrm_b = mat
+    _, _, score, topk = _nd_block_fns()
+    nd_k, nd_rcap = ND_K, ND_RCAP
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, V, N = ids_b.value, mat_b.value, nrm_b.value
+        vas, vbs, sms = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                vas.append(pdf["va"].to_numpy(dtype=np.int64))
+                vbs.append(pdf["vb"].to_numpy(dtype=np.int64))
+                sms.append(pdf["sm"].to_numpy(dtype=np.int64))
+        empty = np.empty(0, dtype=np.int64)
+        va = np.concatenate(vas) if vas else empty
+        vb = np.concatenate(vbs) if vbs else empty
+        sm = np.concatenate(sms) if sms else empty
+        key_mod = int(ids[-1]) + 1 if len(ids) else 1
+        gv = np.r_[va, vb]
+        gu = np.r_[vb, va]
+        gs = np.r_[sm, sm]
+        gv, gu, gs = topk(gv, gu, gs, nd_k)
+        scored = np.unique(va * key_mod + vb)
+        for _ in range(rounds):
+            rv, ru, _ = topk(gu, gv, gs, nd_rcap)  # per-u rev edges
+            akey = np.unique(
+                np.r_[gv * key_mod + gu, rv * key_mod + ru]
+            )
+            av, au = akey // key_mod, akey % key_mod
+            prop = pd.DataFrame({"m": au, "x": av}).merge(
+                pd.DataFrame({"m": av, "y": au}), on="m"
+            )
+            x = prop["x"].to_numpy()
+            y = prop["y"].to_numpy()
+            okm = x != y
+            pa = np.minimum(x[okm], y[okm])
+            pb = np.maximum(x[okm], y[okm])
+            cand = np.unique(
+                np.r_[
+                    np.minimum(av, au) * key_mod + np.maximum(av, au),
+                    pa * key_mod + pb,
+                ]
+            )
+            fresh = cand[~np.isin(cand, scored)]
+            fva, fvb = fresh // key_mod, fresh % key_mod
+            fsm = score(ids, V, N, fva, fvb)
+            gv = np.r_[gv, fva, fvb]
+            gu = np.r_[gu, fvb, fva]
+            gs = np.r_[gs, fsm, fsm]
+            gv, gu, gs = topk(gv, gu, gs, nd_k)
+            scored = np.unique(np.r_[scored, fresh])
+        yield pd.DataFrame({"v": gv, "u": gu, "sm": gs})
+
+    return ps0.coalesce(1).mapInPandas(build, "v long, u long, sm long")
+
+
+def _nd_build_graph(
+    base: DataFrame, rounds: int | None = None, with_mat: bool = False
+):
     """LSH-seeded NN-descent graph over ``base`` (vec_id, v, nrm):
     score the RHP candidate pairs once, symmetrize, keep top-ND_K,
     then ``rounds`` (default ND_ROUNDS) incremental _nd_round
@@ -15203,10 +15353,22 @@ def _nd_build_graph(base: DataFrame, rounds: int | None = None) -> DataFrame:
     Returned graph is a tracked local_checkpoint (node-sized). The
     explicit ``rounds`` parameter exists so tests can build a
     rounds=0 (LSH-init only) graph without patching the module global
-    (ADVICE r11)."""
+    (ADVICE r11).
+
+    Lane selection (round-12 optimization, see ND_BLOCK_CAP): blocks
+    of ≤ ND_BLOCK_CAP vectors run init + all rounds in ONE task
+    (_nd_build_block); up to ND_MAT_CAP the distributed rounds score
+    through the broadcast gather; beyond that, the join path. With
+    ``with_mat=True`` returns (graph, mat) so serve-side callers can
+    reuse the block artifacts without a second gather."""
     if rounds is None:
         rounds = ND_ROUNDS
-    mat = _nd_matrix(base) if base.count() <= ND_MAT_CAP else None
+    n = base.count()
+    mat = _nd_matrix(base) if n <= ND_MAT_CAP else None
+    if mat is not None and n <= ND_BLOCK_CAP:
+        ps0 = _nd_score_pairs(base, _rhp_candidate_pairs(base), mat)
+        g = local_checkpoint(_nd_build_block(ps0, mat, rounds))
+        return (g, mat) if with_mat else g
     ps0 = local_checkpoint(
         _nd_score_pairs(base, _rhp_candidate_pairs(base), mat)
     )
@@ -15214,7 +15376,7 @@ def _nd_build_graph(base: DataFrame, rounds: int | None = None) -> DataFrame:
     scored = ps0
     for _ in range(rounds):
         g, scored = _nd_round(base, g, scored, mat)
-    return g
+    return (g, mat) if with_mat else g
 
 
 def _nd_exact_sample(base: DataFrame) -> DataFrame:
@@ -15479,8 +15641,10 @@ def c_sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is certified here and exercised at scale on both
     geometries."""
     base = _nd_base(spark, sf_dir)
-    g = _nd_build_graph(base)
-    return _gs_serve(base, g, GS_HOPS)
+    g, mat = _nd_build_graph(base, with_mat=True)
+    if base.count() > ND_BLOCK_CAP:
+        mat = None  # block serve only at the single-task tier
+    return _gs_serve(base, g, GS_HOPS, mat=mat)
 
 
 def _nd_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15498,15 +15662,112 @@ def _nd_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gs_serve(base: DataFrame, g: DataFrame, hops: int) -> DataFrame:
+def _gs_serve_block(base: DataFrame, g: DataFrame, hops: int, mat) -> DataFrame:
+    """Block-lane beam serve (round-12 optimization): the graph is a
+    node-sized artifact (≤ n×(ND_K+2·|scales|) edges), so instead of
+    one shuffle join + window + eager checkpoint PER HOP (~0.8 s of
+    scheduling each on micro data), the edge list rides one broadcast
+    next to the block matrix and the queries fan out through ONE
+    mapInPandas whose task walks its queries hop by hop in numpy —
+    the literal production serving shape (a serving node holds the
+    index shard; per-query work is O(hops × beam × degree), corpus
+    independent). The walk replays the JVM beam exactly: same fold,
+    same micro-unit quantization (audited HALF_UP), same
+    (sm DESC, vec_id) total orders, candidate set = beam ∪ expansions
+    minus the query, monotone by construction; the hit flag is the
+    same exact-sample probe computed from the same matrix. Pinned
+    row-identical against the join-path serve in tests/test_ann.py."""
+    ids_b, mat_b, nrm_b = mat
+    edges = g.select("v", "u").toPandas()
+    sc = base.sparkSession.sparkContext
+    ev_b = sc.broadcast(edges["v"].to_numpy())
+    eu_b = sc.broadcast(edges["u"].to_numpy())
+    _, sm_of, _, _ = _nd_block_fns()
+    knn_q, n_ent, beam_w, nd_k = KNN_QUERIES, GS_ENTRIES, GS_BEAM, ND_K
+
+    def walk(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, V, N = ids_b.value, mat_b.value, nrm_b.value
+        ev, eu = ev_b.value, eu_b.value
+        o = np.argsort(ev, kind="stable")
+        ev_s, eu_s = ev[o], eu[o]
+        ent = ids[(ids >= knn_q) & (ids < knn_q + n_ent)]
+        cols = ("query_id", "rank", "neighbor_id", "sim_micro", "hit")
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for q in pdf["vec_id"]:
+                q = int(q)
+                iq = int(np.searchsorted(ids, q))
+
+                def sco(cand):
+                    ic = np.searchsorted(ids, cand)
+                    dp = np.cumsum(V[iq] * V[ic], axis=1)[:, -1]
+                    return sm_of(dp / (N[iq] * N[ic]))
+
+                cand = ent[ent != q]
+                sm = sco(cand)
+                o2 = np.lexsort((cand, -sm))[:beam_w]
+                beam_ids, beam_sm = cand[o2], sm[o2]
+                for _ in range(hops):
+                    lo = np.searchsorted(ev_s, beam_ids, side="left")
+                    hi = np.searchsorted(ev_s, beam_ids, side="right")
+                    nbr = (
+                        np.concatenate(
+                            [eu_s[a:b] for a, b in zip(lo, hi)]
+                        )
+                        if len(beam_ids)
+                        else beam_ids
+                    )
+                    nbr = nbr[nbr != q]
+                    cand = np.unique(np.r_[beam_ids, nbr])
+                    sm = sco(cand)
+                    o2 = np.lexsort((cand, -sm))[:beam_w]
+                    beam_ids, beam_sm = cand[o2], sm[o2]
+                others = ids[ids != q]
+                xsm = sco(others)
+                o3 = np.lexsort((others, -xsm))[:nd_k]
+                exact = set(others[o3].tolist())
+                kk = min(nd_k, len(beam_ids))
+                for r in range(kk):
+                    out["query_id"].append(q)
+                    out["rank"].append(r + 1)
+                    out["neighbor_id"].append(int(beam_ids[r]))
+                    out["sim_micro"].append(int(beam_sm[r]))
+                    out["hit"].append(1 if int(beam_ids[r]) in exact else 0)
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out.astype(
+                {c: "int64" for c in cols[:-1]} | {"hit": "int32"}
+            )
+
+    qs = (
+        base.filter(F.col("vec_id") < KNN_QUERIES)
+        .select("vec_id")
+        .coalesce(4)
+    )
+    return qs.mapInPandas(
+        walk,
+        "query_id long, rank long, neighbor_id long, sim_micro long, hit int",
+    )
+
+
+def _gs_serve(
+    base: DataFrame, g: DataFrame, hops: int, mat=None
+) -> DataFrame:
     """Shared beam-serving machinery (c_sim_graph_search and
     c_sim_graph_layers run the IDENTICAL walk, differing only in the
     graph ``g`` they expand over and the hop budget): fixed entry
     points, exact micro-cosine beam of GS_BEAM per query, bounded
-    ``hops`` expansions, each hop's beam a tracked local_checkpoint
-    (the plan references f several times per hop — the lineage
-    compounding lesson), final top-ND_K per query with the in-schema
-    exact-sample recall flag."""
+    ``hops`` expansions, final top-ND_K per query with the in-schema
+    exact-sample recall flag. With ``mat`` (the broadcast block
+    artifacts, available below ND_BLOCK_CAP) the walk runs in the
+    block lane (_gs_serve_block — one mapInPandas, zero per-hop
+    shuffles); otherwise each hop is one bounded join + window with a
+    tracked local_checkpoint per beam (the plan references f several
+    times per hop — the lineage compounding lesson)."""
+    if mat is not None:
+        return _gs_serve_block(base, g, hops, mat)
     qs = base.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -15672,10 +15933,12 @@ def c_sim_graph_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     same union serves from the sharded NN-descent blocks, with skip
     targets fetched by key exactly like graph edges."""
     base = _nd_base(spark, sf_dir)
-    g = _nd_build_graph(base)
+    g, mat = _nd_build_graph(base, with_mat=True)
     n = base.count()  # scalar block size (base is persisted)
+    if n > ND_BLOCK_CAP:
+        mat = None  # block serve only at the single-task tier
     gl = g.select("v", "u").unionByName(_gl_skip_edges(base, n)).distinct()
-    return _gs_serve(base, gl, GL_HOPS)
+    return _gs_serve(base, gl, GL_HOPS, mat=mat)
 
 
 # ---------------------------------------------------------------------------

@@ -694,6 +694,38 @@ def test_nd_incremental_round_matches_full_rescore(spark):
     base.unpersist()
 
 
+def test_gs_serve_block_matches_join_path(spark):
+    # Round-12 block lane: the single-task numpy beam walk
+    # (_gs_serve_block — broadcast matrix + edge list, zero exchanges)
+    # must be ROW-identical to the join-path serve it replaced on the
+    # same graph: same fold, same HALF_UP quantization, same
+    # (sm DESC, id) total orders, same exact-sample hit flag.
+    from pyspark.sql import functions as F
+
+    from demo_segmenter_spark.functions.vectors import as_double, dot
+    from demo_segmenter_spark.operators.layer_c import (
+        GS_HOPS,
+        _gs_serve,
+        _nd_build_graph,
+    )
+    from demo_segmenter_spark.sources import load_table, spread
+
+    emb = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    vec = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", "embedding", vec.alias("v"), F.sqrt(dot(vec, vec)).alias("nrm")
+    ).persist()
+    g, mat = _nd_build_graph(base, with_mat=True)
+    via_join = _gs_serve(base, g, GS_HOPS)
+    via_block = _gs_serve(base, g, GS_HOPS, mat=mat)
+    diff = (
+        via_join.exceptAll(via_block).count()
+        + via_block.exceptAll(via_join).count()
+    )
+    assert diff == 0
+    base.unpersist()
+
+
 def test_graph_layers_beats_flat_search_and_edge_ceiling(spark):
     # Round-12 (verdict r11 ask #1): the layered skip-edge graph must
     # lift SEARCH recall above BOTH the flat graph's search recall and

@@ -1078,14 +1078,15 @@ def test_shuffle_budgets_table(spark):
         # rank window, the exact-sample probe's rank window (broadcast
         # query block), the sample score rollup and the hit join
         "c_sim_nndescent": 4,
-        # graph search: per-hop beams are tracked localCheckpoints (the
-        # nndescent lesson), so the returned plan is the final beam's
-        # rank window + the exact-probe windows + the hit join — all
-        # query-sample-sized
-        "c_sim_graph_search": 4,
+        # graph search: below ND_BLOCK_CAP the whole walk (entry beam,
+        # hops, exact-sample probe) runs inside ONE mapInPandas task
+        # against the broadcast block matrix + edge list (r12 block
+        # lane) — zero exchanges; the join-path serve (4 exchanges,
+        # all query-sample-sized) takes over past the cap
+        "c_sim_graph_search": 0,
         # layered skip-edge serve: identical returned plan to the flat
-        # graph search (the skips only change the checkpointed walk)
-        "c_sim_graph_layers": 4,
+        # graph search (the skips only change the broadcast edge list)
+        "c_sim_graph_layers": 0,
         # OOV encode: the returned plan is ONE scan-local mapInPandas
         # pass over the held-out half with the capped vocab broadcast
         # (training runs at construction, vocabulary-bounded collect) —
