@@ -6192,9 +6192,13 @@ def _psi_chunked_src(
 ) -> tuple[str, int]:
     """Events replayed as n_chunks event-time-range micro-batches
     (ascending mtimes, maxFilesPerTrigger=1 — the chunked-source
-    idiom); returns (src dir, configured midpoint us)."""
-    import os
-    import time as _time
+    idiom); returns (src dir, configured midpoint us). Round-12: the
+    chunk files are written in ONE job (chunked_parquet_src) instead
+    of n_chunks sequential filtered scans."""
+    from demo_segmenter_spark.streaming.sources import (
+        chunked_parquet_src,
+        range_chunk_col,
+    )
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("us"), "value"
@@ -6203,21 +6207,7 @@ def _psi_chunked_src(
     mid = (lo + hi) // 2  # positive operands: // == Spark/DuckDB DIV
     cuts = [lo + i * (hi - lo + 1) // n_chunks for i in range(n_chunks)]
     cuts.append(hi + 1)
-    src = f"{base}/src"
-    os.makedirs(src)
-    now = _time.time()
-    for i in range(n_chunks):
-        d = f"{base}/b{i}"
-        e.filter(
-            (F.col("us") >= cuts[i]) & (F.col("us") < cuts[i + 1])
-        ).coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            if fname.endswith(".parquet"):
-                link = f"{src}/{i}_{fname}"
-                os.symlink(f"{d}/{fname}", link)
-                os.utime(
-                    link, (now + i * 10, now + i * 10), follow_symlinks=False
-                )
+    src = chunked_parquet_src(e, range_chunk_col("us", cuts), n_chunks, base)
     return src, mid
 
 
@@ -6232,8 +6222,11 @@ def run_psi_stream(spark: SparkSession, src: str, mid: int, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # grid-bounded snapshot: one writer task, one file (r12 — the
+        # sink used to fan out one Python worker per state partition)
         (
-            batch_df.write.format("jsonl_dir")
+            batch_df.coalesce(1)
+            .write.format("jsonl_dir")
             .option("path", f"{base}/cnts")
             .option("batch_id", str(batch_id))
             .mode("overwrite")
@@ -6260,9 +6253,11 @@ def run_psi_stream(spark: SparkSession, src: str, mid: int, base: str):
         .outputMode("complete")
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import stream_state_parts
+
+    with stream_state_parts(spark):
+        q.start().awaitTermination()
 
 
 def _psi_stream_cnts(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:

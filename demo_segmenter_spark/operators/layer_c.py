@@ -10320,29 +10320,19 @@ def _incdedup_chunked_src(
 ) -> str:
     """doc_id-range-chunked parquet files with increasing mtimes so
     maxFilesPerTrigger=1 delivers them as ordered micro-batches (the
-    pretrain-stream source idiom)."""
-    import os
-    import time as _time
+    pretrain-stream source idiom). Round-12: written in ONE job
+    (chunked_parquet_src) instead of n_chunks sequential filtered
+    scans."""
+    from demo_segmenter_spark.streaming.sources import (
+        chunked_parquet_src,
+        range_chunk_col,
+    )
 
-    src = f"{base}/src"
-    os.makedirs(src)
     hi = df.agg(F.max("doc_id")).first()[0] + 1
     cuts = [i * hi // n_chunks for i in range(n_chunks)] + [hi]
-    now = _time.time()
-    for i in range(n_chunks):
-        d = f"{base}/b{i}"
-        df.filter(
-            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-        ).coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            if fname.endswith(".parquet"):
-                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
-                os.utime(
-                    f"{src}/{i}_{fname}",
-                    (now + i * 10, now + i * 10),
-                    follow_symlinks=False,
-                )
-    return src
+    return chunked_parquet_src(
+        df, range_chunk_col("doc_id", cuts), n_chunks, base
+    )
 
 
 def run_incdedup_stream(spark: SparkSession, sf_dir: str, base: str) -> None:
@@ -13589,8 +13579,10 @@ def run_nb_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # bucket-bounded snapshot: one writer task, one file (r12)
         (
-            batch_df.write.format("jsonl_dir")
+            batch_df.coalesce(1)
+            .write.format("jsonl_dir")
             .option("path", f"{base}/cnts")
             .option("batch_id", str(batch_id))
             .mode("overwrite")
@@ -13622,9 +13614,11 @@ def run_nb_stream(spark: SparkSession, src: str, schema, base: str):
         .outputMode("complete")
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import stream_state_parts
+
+    with stream_state_parts(spark):
+        q.start().awaitTermination()
 
 
 from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
@@ -13700,8 +13694,10 @@ def run_bloom_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def words_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # 261-word-bounded snapshot: one writer task, one file (r12)
         (
-            batch_df.write.format("jsonl_dir")
+            batch_df.coalesce(1)
+            .write.format("jsonl_dir")
             .option("path", f"{base}/words")
             .option("batch_id", str(batch_id))
             .mode("overwrite")
@@ -13737,9 +13733,11 @@ def run_bloom_stream(spark: SparkSession, src: str, schema, base: str):
         .outputMode("complete")
         .option("checkpointLocation", f"{base}/ckpt_a")
         .trigger(availableNow=True)
-        .start()
     )
-    qa.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import stream_state_parts
+
+    with stream_state_parts(spark):
+        qa.start().awaitTermination()
     qb = (
         corpus(
             spark.readStream.schema(schema)
@@ -14423,8 +14421,10 @@ def run_dsir_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # DSIR_BUCKETS-bounded snapshot: one writer task, one file (r12)
         (
-            batch_df.write.format("jsonl_dir")
+            batch_df.coalesce(1)
+            .write.format("jsonl_dir")
             .option("path", f"{base}/cnts")
             .option("batch_id", str(batch_id))
             .mode("overwrite")
@@ -14451,9 +14451,11 @@ def run_dsir_stream(spark: SparkSession, src: str, schema, base: str):
         .outputMode("complete")
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import stream_state_parts
+
+    with stream_state_parts(spark):
+        q.start().awaitTermination()
 
 
 @query("c_select_dsir_stream", oracle=_REGISTRY["c_select_dsir"].oracle)
@@ -16099,73 +16101,57 @@ def c_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone train-logloss and held-out accuracy floors pinned in
     tests/test_quality_nb.py.
 
-    Scale (100 TB): each round is one broadcast of the 4-row weight
-    table, one doc-keyed micro-logit aggregation over the persisted
-    doc-feature table (4 rows/doc, scan-local to build), and one 4-row
-    gradient collapse (map-side partials); the weight vector is
-    localCheckpoint'ed per round (the c_mix_doremi lesson) so the
-    unrolled plan stays flat. No driver loop over data, nothing
-    corpus-quadratic."""
+    Scale (100 TB): ONE corpus pass collapses the training set to the
+    realized margin-profile grid (map-side partial aggregation to ≤ a
+    few hundred cells — the same sufficient statistic the streaming
+    twin accumulates as state), the GD rounds replay driver-side on
+    that bounded table (_lr_gd_local, bit-exact: JVM exp via the
+    gateway, BigDecimal HALF_UP, BIGINT sums), and scoring is one
+    broadcast of the 4-row weights over the corpus. No per-round
+    corpus joins, no driver loop over data, nothing corpus-quadratic."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     lab = persist(_lr_lab(docs))
-    feat = persist(
-        lab.selectExpr(
-            "doc_id",
-            "stack(4,"
-            " CAST(-1 AS BIGINT), CAST(1 AS BIGINT),"
-            " CAST(-2 AS BIGINT), least(nt, 100) - 20,"
-            " CAST(-3 AS BIGINT), (1000 * nd) DIV nt - 400,"
-            " CAST(-4 AS BIGINT), (1000 * ns) DIV nt - 10"
-            ") AS (b, xb)",
-        )
-    )
-    trn = persist(
-        lab.filter("is_train").select(
-            "doc_id",
+    # Round-12 (guide §2.3 "aggregate before you shuffle"): full-batch
+    # GD on these margin features depends on the corpus ONLY through
+    # the per-profile (x2, x3, x4, y) counts — the exact sufficient
+    # statistic the streaming twin already accumulates (every doc with
+    # the same profile contributes the identical logit, residual and
+    # gradient term at every round, so the cnt-weighted profile sum IS
+    # the doc sum). Training is therefore ONE map-side-partial
+    # aggregation to the realized margin grid (≤ a few hundred cells —
+    # a bounded monitoring-sized collect) + the driver-side bit-exact
+    # replay, instead of LR_ROUNDS × (two corpus-keyed joins + two
+    # aggregations). Same oracle hash; the profile-replay ≡ per-doc
+    # loop identity is what the streaming twin's shared oracle already
+    # certifies, and _lr_gd_local ≡ _lr_gd_profiles is pinned in
+    # tests/test_logreg_stream.py.
+    prof_rows = (
+        lab.filter("is_train")
+        .select(
+            F.expr("least(nt, 100) - 20").alias("x2"),
+            F.expr("(1000 * nd) DIV nt - 400").alias("x3"),
+            F.expr("(1000 * ns) DIV nt - 10").alias("x4"),
             F.when(F.col("label") == "pass", 1_000_000)
             .otherwise(0)
             .cast("long")
             .alias("y"),
         )
+        .groupBy("x2", "x3", "x4", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
     )
-    ntr = trn.agg(F.count("*").alias("ntr"))
-    w = spark.range(-4, 0).select(
-        F.col("id").alias("b"), F.lit(0).cast("long").alias("wm")
+    w = _lr_gd_local(
+        spark, [(r.x2, r.x3, r.x4, r.y, r.c) for r in prof_rows]
     )
-    for _ in range(LR_ROUNDS):
-        lm = (
-            feat.join(F.broadcast(w), "b")
-            .join(trn.select("doc_id"), "doc_id")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("xb") * F.col("wm")).alias("lm"))
-        )
-        pm = lm.select(
-            "doc_id",
-            F.round(
-                F.lit(1000000.0)
-                / (F.lit(1.0) + F.exp(-(F.col("lm") / 1000000.0)))
-                + F.lit(EPS[0])
-            )
-            .cast("long")
-            .alias("pm"),
-        )
-        rs = pm.join(trn, "doc_id").select(
-            "doc_id", (F.col("y") - F.col("pm")).alias("rr")
-        )
-        gr = (
-            feat.join(rs, "doc_id")
-            .groupBy("b")
-            .agg(F.sum(F.col("xb") * F.col("rr")).alias("g"))
-        )
-        w = local_checkpoint(
-            w.join(gr, "b", "left")
-            .na.fill(0, ["g"])
-            .crossJoin(F.broadcast(ntr))
-            .select(
-                "b",
-                F.expr(f"wm + g DIV ({LR_ETA_DEN} * ntr)").alias("wm"),
-            )
-        )
+    feat = lab.selectExpr(
+        "doc_id",
+        "stack(4,"
+        " CAST(-1 AS BIGINT), CAST(1 AS BIGINT),"
+        " CAST(-2 AS BIGINT), least(nt, 100) - 20,"
+        " CAST(-3 AS BIGINT), (1000 * nd) DIV nt - 400,"
+        " CAST(-4 AS BIGINT), (1000 * ns) DIV nt - 10"
+        ") AS (b, xb)",
+    )
     return _lr_score(lab, feat, w)
 
 
@@ -16215,8 +16201,10 @@ def run_logreg_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # profile-grid-bounded snapshot: one writer task, one file (r12)
         (
-            batch_df.write.format("jsonl_dir")
+            batch_df.coalesce(1)
+            .write.format("jsonl_dir")
             .option("path", f"{base}/cnts")
             .option("batch_id", str(batch_id))
             .mode("overwrite")
@@ -16247,9 +16235,11 @@ def run_logreg_stream(spark: SparkSession, src: str, schema, base: str):
         .outputMode("complete")
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import stream_state_parts
+
+    with stream_state_parts(spark):
+        q.start().awaitTermination()
 
 
 def _lr_gd_profiles(spark: SparkSession, prof: DataFrame) -> DataFrame:
@@ -16303,6 +16293,65 @@ def _lr_gd_profiles(spark: SparkSession, prof: DataFrame) -> DataFrame:
     return w
 
 
+def _lr_gd_local(spark: SparkSession, profs: list) -> DataFrame:
+    """Driver-side bit-exact GD replay over the (x2, x3, x4, y, c)
+    profile list (round-12 optimization, guide §1.2: the per-round
+    data is ≤ the realized margin grid — a few hundred integers — so
+    LR_ROUNDS of Spark jobs with per-round localCheckpoints were pure
+    scheduling overhead; ~3 s measured at sf0.1). Every operation
+    replays the Catalyst expression exactly:
+
+    - logits/residuals/gradients/steps are BIGINT arithmetic
+      (order-free, exact in Python ints — no overflow by construction
+      since Python ints are unbounded and the JVM values fit long);
+    - the ONE float op per profile, exp, is delegated through the
+      gateway to java.lang.Math.exp — the SAME function Catalyst's
+      Exp codegen calls, so the double is bit-identical by definition
+      (libm exp can differ from Math.exp in the last ulp, which is
+      why numpy/math.exp are NOT used here);
+    - F.round(double)'s HALF_UP via BigDecimal.valueOf semantics =
+      Decimal(repr(x)) (the _nd_block_fns lesson); operands are
+      positive so HALF_UP == away-from-zero == toward +inf here;
+    - `g DIV d` (IntegralDivide on BIGINT) truncates toward zero;
+      Python // floors, so negative gradients go through an explicit
+      trunc division.
+
+    Pinned equal to the Spark replay (_lr_gd_profiles) in
+    tests/test_logreg_stream.py; the queries stay hash-green at 3 sfs.
+    Returns the 4-row weight DataFrame the scoring tail broadcasts."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    jexp = spark.sparkContext._jvm.java.lang.Math.exp
+    eps = EPS[0]
+
+    def trunc_div(a: int, d: int) -> int:
+        q = abs(a) // d
+        return -q if a < 0 else q
+
+    ntr = sum(p[4] for p in profs)
+    w = [0, 0, 0, 0]  # b = -1, -2, -3, -4
+    for _ in range(LR_ROUNDS):
+        g = [0, 0, 0, 0]
+        for x2, x3, x4, y, c in profs:
+            lm = w[0] + w[1] * x2 + w[2] * x3 + w[3] * x4
+            v = 1000000.0 / (1.0 + jexp(-(lm / 1000000.0))) + eps
+            pm = int(
+                Decimal(repr(v)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            rr = y - pm
+            g[0] += c * rr
+            g[1] += c * x2 * rr
+            g[2] += c * x3 * rr
+            g[3] += c * x4 * rr
+        d = LR_ETA_DEN * ntr
+        w = [w[i] + trunc_div(g[i], d) for i in range(4)]
+    return spark.createDataFrame(
+        [(-1 - i, w[i]) for i in range(4)], "b long, wm long"
+    )
+
+
 @query("c_quality_logreg_stream", oracle=_LR_ORACLE)
 def c_quality_logreg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of c_quality_logreg, SAME oracle (round-12,
@@ -16346,8 +16395,7 @@ def c_quality_logreg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    prof = spark.createDataFrame(rows, _LRS_CNT_SCHEMA)
-    w = _lr_gd_profiles(spark, prof)
+    w = _lr_gd_local(spark, [(r.x2, r.x3, r.x4, r.y, r.c) for r in rows])
     sdocs = spread(docs)
     lab = persist(_lr_lab(sdocs))
     feat = lab.selectExpr(

@@ -115,3 +115,100 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+def chunked_parquet_src(
+    df: DataFrame, chunk: "F.Column", n_chunks: int, base: str
+) -> str:
+    """Replay ``df`` as ``n_chunks`` ordered micro-batches: write one
+    parquet file per chunk id, symlink them into ``base``/src with
+    ascending mtimes so ``maxFilesPerTrigger=1`` delivers them in
+    chunk order (the chunked-source idiom shared by every *_stream
+    twin).
+
+    Round-12 optimization (guide §2.4): ONE Spark job — the chunk id
+    is computed as a column and the write is ``partitionBy`` on it
+    (hash repartition sends all rows of a chunk to exactly one task,
+    so each chunk directory holds exactly one file) — instead of
+    n_chunks sequential filtered scans + coalesce(1) writes, which
+    re-read the source n_chunks times for one comparison per row.
+    Rows inside a chunk land in shuffle order rather than scan order;
+    every consumer aggregates per micro-batch (counts / profile sums /
+    state updates keyed independently of row order), so batch contents
+    and final state are unchanged. A chunk with zero rows (degenerate
+    fixture) still gets an empty schema-bearing file so the batch
+    COUNT never changes."""
+    import os
+    import time as _time
+
+    src = f"{base}/src"
+    os.makedirs(src)
+    cdir = f"{base}/chunkpq"
+    (
+        df.withColumn("__chunk", chunk)
+        .repartition(n_chunks, "__chunk")
+        .write.partitionBy("__chunk")
+        .parquet(cdir)
+    )
+    now = _time.time()
+    for i in range(n_chunks):
+        d = f"{cdir}/__chunk={i}"
+        parq = (
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if not parq:
+            d = f"{base}/empty{i}"
+            df.limit(0).coalesce(1).write.mode("overwrite").parquet(d)
+            parq = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        for fname in parq:
+            link = f"{src}/{i}_{fname}"
+            os.symlink(f"{d}/{fname}", link)
+            os.utime(
+                link, (now + i * 10, now + i * 10), follow_symlinks=False
+            )
+    return src
+
+
+def range_chunk_col(col: str, cuts: list[int]) -> "F.Column":
+    """Chunk id for ``cuts``-bounded half-open ranges as a column
+    expression: chunk i ⟺ cuts[i] <= col < cuts[i+1] (the exact
+    per-chunk filters the sequential writer used — comparisons, not a
+    closed-form division, because floor-division cut sequences are not
+    inverted exactly by floor(x·n/W))."""
+    n = len(cuts) - 1
+    c = F.when(F.col(col) < F.lit(cuts[1]), 0)
+    for i in range(1, n - 1):
+        c = c.when(F.col(col) < F.lit(cuts[i + 1]), i)
+    return c.otherwise(n - 1)
+
+
+class stream_state_parts:
+    """Context manager pinning ``spark.sql.shuffle.partitions`` for
+    the duration of a bounded-state stream run (state-store partition
+    count is fixed at query start from this conf). The twins' state is
+    grid-/profile-bounded (≤ a few hundred rows) by construction, so
+    a handful of state partitions is the right number at ANY corpus
+    scale — the scan side's parallelism is governed by the file
+    source, and the map-side partial aggregation still runs at scan
+    parallelism; only the bounded reduce/state layer narrows (guide
+    §2.2: fewer, larger reduce partitions). Override via
+    SPARK_GRAFT_STREAM_STATE_PARTS for stress runs."""
+
+    def __init__(self, spark: SparkSession, parts: int | None = None):
+        import os
+
+        self.spark = spark
+        self.parts = parts or int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+        )
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False

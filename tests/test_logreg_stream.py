@@ -171,6 +171,21 @@ def test_profile_replay_equals_doc_batch_weights(spark):
         )
     w_doc = {r["b"]: r["wm"] for r in w.collect()}
     assert w_prof == w_doc, (w_prof, w_doc)
+
+    # Round-12: the driver-side replay (_lr_gd_local — JVM exp via the
+    # gateway, BigDecimal HALF_UP, BIGINT sums, trunc DIV) must land on
+    # the SAME weights as the Spark profile replay, closing the chain
+    # per-doc loop ≡ Spark profile replay ≡ local replay.
+    from demo_segmenter_spark.operators.layer_c import _lr_gd_local
+
+    w_loc = {
+        r["b"]: r["wm"]
+        for r in _lr_gd_local(
+            spark,
+            [(r.x2, r.x3, r.x4, r.y, r.c) for r in prof.collect()],
+        ).collect()
+    }
+    assert w_loc == w_prof, (w_loc, w_prof)
     lab.unpersist()
     feat.unpersist()
     trn.unpersist()
