@@ -5993,8 +5993,15 @@ def fkjoin_stream_sink(orders: DataFrame, base: str):
         )
         l_sink(left_new, batch_id)
         r_sink(right_new, batch_id)
-        left_state = _state(spark, f"{base}/left", _FKJ_LEFT_SCHEMA)
-        right_state = _state(spark, f"{base}/right", _FKJ_RIGHT_SCHEMA)
+        # persist: each state is referenced twice below (delta
+        # restriction + the opposite side's fan-out/emit join) — one
+        # json parse per store per batch instead of two (r12)
+        left_state = persist(
+            _state(spark, f"{base}/left", _FKJ_LEFT_SCHEMA)
+        )
+        right_state = persist(
+            _state(spark, f"{base}/right", _FKJ_RIGHT_SCHEMA)
+        )
         # Post-merge current values for the keys touched this batch:
         # even a batch row that LOST the version tiebreak re-emits the
         # (unchanged) current row — idempotent under last-writer-wins.
@@ -6041,6 +6048,8 @@ def fkjoin_stream_sink(orders: DataFrame, base: str):
             )
         )
         o_sink(emit, batch_id)
+        left_state.unpersist()
+        right_state.unpersist()
         batch_df.unpersist()
 
     return sink
@@ -6090,9 +6099,6 @@ def _fkjoin_chunked_src(spark: SparkSession, sf_dir: str, base: str) -> str:
     supplier only at R1/R2 (right-delta fan-out) while L2 rows meet
     R0 suppliers through the left-delta path — both propagation
     directions exercised by the fixture itself."""
-    import os
-    import time as _time
-
     li = load_table(spark, sf_dir, "lineitem").select(
         F.lit("L").alias("side"),
         "l_orderkey",
@@ -6117,31 +6123,21 @@ def _fkjoin_chunked_src(spark: SparkSession, sf_dir: str, base: str) -> str:
     hi_s = sup.agg(F.max("s_suppkey")).first()[0] + 1
     vcuts = [i * hi_v // 3 for i in range(3)] + [hi_v]
     scuts = [i * hi_s // 3 for i in range(3)] + [hi_s]
-    src = f"{base}/src"
-    os.makedirs(src)
-    now = _time.time()
-    for i in range(3):
-        chunks = [
-            ("L", li.filter(
-                (F.col("version") >= vcuts[i]) & (F.col("version") < vcuts[i + 1])
-            )),
-            ("R", sup.filter(
-                (F.col("s_suppkey") >= scuts[i]) & (F.col("s_suppkey") < scuts[i + 1])
-            )),
-        ]
-        for j, (tag, df) in enumerate(chunks):
-            d = f"{base}/b{2 * i + j}_{tag}"
-            df.coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                if fname.endswith(".parquet"):
-                    link = f"{src}/{2 * i + j}_{fname}"
-                    os.symlink(f"{d}/{fname}", link)
-                    os.utime(
-                        link,
-                        (now + (2 * i + j) * 10, now + (2 * i + j) * 10),
-                        follow_symlinks=False,
-                    )
-    return src
+    # Round-12 (guide §2.4): the six interleaved chunk files are
+    # written in ONE job — chunk id 2i for the L version-range i,
+    # 2i+1 for the R suppkey-range i — instead of six sequential
+    # filtered scans + coalesce(1) writes.
+    from demo_segmenter_spark.streaming.sources import (
+        chunked_parquet_src,
+        range_chunk_col,
+    )
+
+    chunk = (
+        F.when(
+            F.col("side") == "L", range_chunk_col("version", vcuts) * 2
+        ).otherwise(range_chunk_col("s_suppkey", scuts) * 2 + 1)
+    )
+    return chunked_parquet_src(li.unionByName(sup), chunk, 6, base)
 
 
 from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
@@ -6222,16 +6218,14 @@ def run_psi_stream(spark: SparkSession, src: str, mid: int, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # grid-bounded snapshot: one writer task, one file (r12 — the
-        # sink used to fan out one Python worker per state partition)
-        (
-            batch_df.coalesce(1)
-            .write.format("jsonl_dir")
-            .option("path", f"{base}/cnts")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # grid-bounded snapshot: driver-local commit, one job per
+        # batch (r12 — the jsonl_dir save paid a Python planner +
+        # worker round-trip per micro-batch for a ≤100-row table)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(batch_df, f"{base}/cnts", batch_id)
 
     tagged = (
         spark.readStream.schema(_PSI_STREAM_SCHEMA)

@@ -1850,35 +1850,27 @@ def b_ivm_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     group count (≤15 — status × priority), stream-length-independent.
     The /tmp feed dir is removed before returning (the no-leak
     convention); state budget pinned in test_stream_state_budgets."""
-    import os
     import shutil
-    import time as _time
     import uuid
 
     base = f"/tmp/dss_ivm_stream/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     ch = _ivm_changelog(spark, sf_dir)
     try:
-        src = f"{base}/src"
-        os.makedirs(src)
-        now = _time.time()
-        i = 0
-        for seq in (0, 1, 2):
-            for half in (0, 1):
-                d = f"{base}/b{i}"
-                ch.filter(
-                    (F.col("seq") == seq)
-                    & (F.abs(F.col("c")) % 2 == half)
-                ).drop("seq").coalesce(1).write.parquet(d)
-                for fname in os.listdir(d):
-                    if fname.endswith(".parquet"):
-                        os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
-                        os.utime(
-                            f"{src}/{i}_{fname}",
-                            (now + i * 10, now + i * 10),
-                            follow_symlinks=False,
-                        )
-                i += 1
+        # Round-12 (guide §2.4): the six seq/parity chunk files are
+        # written in ONE job instead of six filtered changelog scans.
+        from demo_segmenter_spark.streaming.sources import (
+            chunked_parquet_src,
+            stream_state_parts,
+        )
+
+        src = chunked_parquet_src(
+            ch,
+            F.col("seq") * 2 + F.abs(F.col("c")) % 2,
+            6,
+            base,
+            drop_cols=("seq",),
+        )
         schema = ch.drop("seq").schema
         agg = (
             spark.readStream.schema(schema)
@@ -1896,9 +1888,10 @@ def b_ivm_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        # ≤15-group state: a handful of state partitions (guide §2.2)
+        with stream_state_parts(spark):
+            q.start().awaitTermination()
         snap = spark.table(name).collect()
         m = spark.createDataFrame(snap, spark.table(name).schema)
     finally:
@@ -5547,32 +5540,21 @@ def _events_chunked_src(
     increasing mtimes so maxFilesPerTrigger=1 delivers ordered
     micro-batches (the _incdedup_chunked_src idiom on the events
     table; ts is projected away up front so the ns-encoding question
-    never reaches the stream reader)."""
-    import os
-    import time as _time
+    never reaches the stream reader). Round-12: written in ONE job
+    (chunked_parquet_src) instead of n_chunks filtered scans."""
+    from demo_segmenter_spark.streaming.sources import (
+        chunked_parquet_src,
+        range_chunk_col,
+    )
 
     df = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", _res_rank().alias("rk")
     )
-    src = f"{base}/src"
-    os.makedirs(src)
     hi = df.agg(F.max("event_id")).first()[0] + 1
     cuts = [i * hi // n_chunks for i in range(n_chunks)] + [hi]
-    now = _time.time()
-    for i in range(n_chunks):
-        d = f"{base}/b{i}"
-        df.filter(
-            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        ).coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            if fname.endswith(".parquet"):
-                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
-                os.utime(
-                    f"{src}/{i}_{fname}",
-                    (now + i * 10, now + i * 10),
-                    follow_symlinks=False,
-                )
-    return src
+    return chunked_parquet_src(
+        df, range_chunk_col("event_id", cuts), n_chunks, base
+    )
 
 
 def run_reservoir_stream(spark: SparkSession, src: str, base: str) -> None:
@@ -5607,13 +5589,12 @@ def run_reservoir_stream(spark: SparkSession, src: str, base: str) -> None:
             prev = sp.read.schema(_RES_STATE_SCHEMA).json(prev_files)
             cand = prev.unionByName(cand).distinct()
         merged = cand.orderBy("rk", "event_id").limit(RES_K)
-        (
-            merged.write.format("jsonl_dir")
-            .option("path", f"{base}/res")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # k-row-bounded snapshot: driver-local commit, one job (r12)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(merged, f"{base}/res", batch_id)
 
     q = (
         spark.readStream.schema(schema)

@@ -8463,32 +8463,23 @@ def c_pipeline_pretrain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exactly: incremental first-writer-wins block ownership ==
     the batch rn=1 rule, because arrival order is doc_id order (the
     production contract for append-only corpus ingestion)."""
-    import os
     import shutil
-    import time as _time
     import uuid
+
+    from demo_segmenter_spark.streaming.sources import (
+        chunked_parquet_src,
+        range_chunk_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     base = f"/tmp/dss_pretrain_stream/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
-    src = f"{base}/src"
-    os.makedirs(src)
     hi = docs.agg(F.max("doc_id")).first()[0] + 1
     cuts = [0, hi // 3, (2 * hi) // 3, hi]
-    now = _time.time()
-    for i in range(3):
-        d = f"{base}/b{i}"
-        docs.filter(
-            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-        ).coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            if fname.endswith(".parquet"):
-                os.symlink(f"{d}/{fname}", f"{src}/{i}_{fname}")
-                os.utime(
-                    f"{src}/{i}_{fname}",
-                    (now + i * 10, now + i * 10),
-                    follow_symlinks=False,
-                )
+    # Round-12: ONE chunk-prep job (chunked_parquet_src idiom)
+    src = chunked_parquet_src(
+        docs, range_chunk_col("doc_id", cuts), 3, base
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -13579,15 +13570,12 @@ def run_nb_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # bucket-bounded snapshot: one writer task, one file (r12)
-        (
-            batch_df.coalesce(1)
-            .write.format("jsonl_dir")
-            .option("path", f"{base}/cnts")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # bucket-bounded snapshot: driver-local commit, one job (r12)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(batch_df, f"{base}/cnts", batch_id)
 
     raw = (
         spark.readStream.schema(schema)
@@ -13694,15 +13682,12 @@ def run_bloom_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def words_sink(batch_df: DataFrame, batch_id: int) -> None:
-        # 261-word-bounded snapshot: one writer task, one file (r12)
-        (
-            batch_df.coalesce(1)
-            .write.format("jsonl_dir")
-            .option("path", f"{base}/words")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # 261-word-bounded snapshot: driver-local commit, one job (r12)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(batch_df, f"{base}/words", batch_id)
 
     corpus = lambda df: df.filter(F.col("doc_id") % 3 != 2).select(  # noqa: E731
         "doc_id", F.md5("text").alias("h")
@@ -14421,15 +14406,12 @@ def run_dsir_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # DSIR_BUCKETS-bounded snapshot: one writer task, one file (r12)
-        (
-            batch_df.coalesce(1)
-            .write.format("jsonl_dir")
-            .option("path", f"{base}/cnts")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # DSIR_BUCKETS-bounded snapshot: driver-local commit, one job (r12)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(batch_df, f"{base}/cnts", batch_id)
 
     raw = (
         spark.readStream.schema(schema)
@@ -16201,15 +16183,12 @@ def run_logreg_stream(spark: SparkSession, src: str, schema, base: str):
     register_sink(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # profile-grid-bounded snapshot: one writer task, one file (r12)
-        (
-            batch_df.coalesce(1)
-            .write.format("jsonl_dir")
-            .option("path", f"{base}/cnts")
-            .option("batch_id", str(batch_id))
-            .mode("overwrite")
-            .save()
+        # profile-grid-bounded snapshot: driver-local commit, one job (r12)
+        from demo_segmenter_spark.sources.python_source import (
+            snapshot_write_local,
         )
+
+        snapshot_write_local(batch_df, f"{base}/cnts", batch_id)
 
     raw = (
         spark.readStream.schema(schema)

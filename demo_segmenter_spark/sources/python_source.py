@@ -154,9 +154,6 @@ class JsonlDirWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         os.makedirs(self.path, exist_ok=True)
         fname = f"{self.path}/part-{uuid.uuid4().hex}.jsonl"
         n = 0
@@ -170,31 +167,7 @@ class JsonlDirWriter(DataSourceArrowWriter):
                 rows = batch.to_pylist()
                 f.writelines(json.dumps(d) + "\n" for d in rows)
                 n += len(rows)
-                for k, col in zip(batch.schema.names, batch.columns):
-                    t = col.type
-                    if (
-                        pa.types.is_boolean(t)
-                        or k in nonfinite
-                        or col.null_count == len(col)
-                    ):
-                        continue
-                    if pa.types.is_floating(t):
-                        finite = pc.is_finite(col)
-                        if not pc.min(finite).as_py():  # any NaN/±inf
-                            lo.pop(k, None)
-                            hi.pop(k, None)
-                            nonfinite.add(k)
-                            continue
-                    elif not (
-                        pa.types.is_integer(t) or pa.types.is_string(t)
-                    ):
-                        continue
-                    mm = pc.min_max(col)
-                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
-                    if k not in lo or bl < lo[k]:
-                        lo[k] = bl
-                    if k not in hi or bh > hi[k]:
-                        hi[k] = bh
+                _arrow_stats_update(batch, lo, hi, nonfinite)
         stats = {k: [lo[k], hi[k]] for k in lo} if n else {}
         return _FileCommit(file=fname, rows=n, stats=stats)
 
@@ -260,6 +233,73 @@ class JsonlDirSink(DataSource):
         return JsonlDirWriter(self.options, overwrite=overwrite)
 
 
+def _arrow_stats_update(batch, lo: dict, hi: dict, nonfinite: set) -> None:
+    """Fold one Arrow RecordBatch into a running [lo, hi] zone map —
+    the single implementation of the writer stats contract (bools
+    skipped, nulls skipped, any NaN/±inf in a float column drops that
+    column's stats entirely; only int/float/string columns carry
+    stats). Shared by the jsonl_dir Python DataSource writer and the
+    one-job fast_snapshot_write task function."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for k, col in zip(batch.schema.names, batch.columns):
+        t = col.type
+        if (
+            pa.types.is_boolean(t)
+            or k in nonfinite
+            or col.null_count == len(col)
+        ):
+            continue
+        if pa.types.is_floating(t):
+            finite = pc.is_finite(col)
+            if not pc.min(finite).as_py():  # any NaN/±inf
+                lo.pop(k, None)
+                hi.pop(k, None)
+                nonfinite.add(k)
+                continue
+        elif not (pa.types.is_integer(t) or pa.types.is_string(t)):
+            continue
+        mm = pc.min_max(col)
+        bl, bh = mm["min"].as_py(), mm["max"].as_py()
+        if k not in lo or bl < lo[k]:
+            lo[k] = bl
+        if k not in hi or bh > hi[k]:
+            hi[k] = bh
+
+
+def _commit_manifest(
+    path: str,
+    version: int,
+    files: list[str],
+    rows: int,
+    fstats: dict,
+    batch_id: int | None,
+) -> None:
+    """Write OVERWRITE snapshot manifest ``version`` under the exact
+    jsonl_dir protocol: immutable _MANIFEST.v{N}.json history,
+    tmp+os.replace atomic pointers."""
+    import json
+    import os
+
+    manifest = {
+        "version": version,
+        "files": files,
+        "rows": rows,
+        "file_stats": fstats,
+    }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    vtmp = f"{path}/_MANIFEST.v{version}.json.tmp"
+    with open(vtmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(vtmp, f"{path}/_MANIFEST.v{version}.json")
+    tmp = f"{path}/_MANIFEST.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, f"{path}/_MANIFEST.json")
+
+
 def fast_snapshot_write(
     df, path: str, batch_id: int | None = None, n_files: int = 8
 ) -> None:
@@ -287,99 +327,132 @@ def fast_snapshot_write(
 
     The jsonl_dir Python DataSource itself is unchanged (it is the
     certified b_source_* surface and supports append/time-travel
-    writers); this is the hot-loop twin for overwrite snapshots."""
-    import glob
-    import json
+    writers); this is the hot-loop twin for overwrite snapshots.
+
+    Round-12, second pass (guide §1.2 measured: the first cut — JVM
+    json write job + zone-map aggregation job over a persisted copy —
+    still cost 0.3–1.4 s PER STORE PER BATCH in the fk-join stream,
+    ~15 s of its 19.5 s total, nearly all fixed per-job overhead ×
+    3 jobs). Now ONE job: ``mapInArrow`` tasks write their partition's
+    jsonl file AND fold its zone map in the same pass (Arrow batches,
+    the shared ``_arrow_stats_update``), yielding one
+    (file, rows, stats) row each — the collect is bounded by
+    ``n_files``, never data-sized. json.dumps per row produces the
+    IDENTICAL bytes the certified Python writer emits (repr-shortest
+    doubles, NaN/Infinity literals, raw UTF-8). A task retry can leave
+    an orphan file not referenced by any manifest — harmless under the
+    manifest-reader contract (same property as the DataSource's abort
+    path leaving nothing referenced)."""
+    import json as _json
     import os
 
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
     prev = latest_manifest(path)
     version = (prev.get("version", 0) + 1) if prev else 1
     snap = f"{path}/snap-v{version}"
-    df = df.coalesce(n_files).persist()
-    try:
-        df.write.mode("overwrite").json(snap)
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        statcols = []
-        for fld in df.schema.fields:
-            c = fld.name
-            t = fld.dataType
-            numeric = isinstance(
-                t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                    T.FloatType, T.DoubleType)
-            )
-            if isinstance(t, T.BooleanType) or not (
-                numeric or isinstance(t, T.StringType)
-            ):
-                continue
-            if isinstance(t, (T.FloatType, T.DoubleType)):
-                bad = F.max(
-                    F.when(
-                        F.isnan(c) | F.col(c).isin(
-                            float("inf"), float("-inf")
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias(f"__bad_{c}")
-            else:
-                bad = F.max(F.lit(0)).alias(f"__bad_{c}")
-            aggs += [
-                F.min(c).alias(f"__lo_{c}"),
-                F.max(c).alias(f"__hi_{c}"),
-                bad,
-            ]
-            statcols.append(c)
-        part_rows = (
-            df.groupBy(F.spark_partition_id().alias("__pid"))
-            .agg(*aggs)
-            .collect()
+    os.makedirs(snap, exist_ok=True)
+
+    def _write_part(batches):
+        import json
+        import uuid
+
+        import pyarrow as pa
+
+        fname = None
+        fh = None
+        n = 0
+        lo: dict = {}
+        hi: dict = {}
+        nonfinite: set = set()
+        for batch in batches:
+            if batch.num_rows and fh is None:
+                fname = f"{snap}/part-{uuid.uuid4().hex}.jsonl"
+                fh = open(fname, "w")
+            if batch.num_rows:
+                rows = batch.to_pylist()
+                fh.writelines(json.dumps(d) + "\n" for d in rows)
+                n += len(rows)
+                _arrow_stats_update(batch, lo, hi, nonfinite)
+        if fh is not None:
+            fh.close()
+        stats = {k: [lo[k], hi[k]] for k in lo} if n else {}
+        yield pa.RecordBatch.from_pylist(
+            [{"file": fname or "", "rows": n, "stats": json.dumps(stats)}]
         )
-    finally:
-        df.unpersist()
-    by_pid = {r["__pid"]: r for r in part_rows}
-    rows = sum(r["__n"] for r in part_rows)
-    files = sorted(glob.glob(f"{snap}/part-*"))
+
+    commits = df.coalesce(n_files).mapInArrow(
+        _write_part, "file string, rows long, stats string"
+    ).collect()
+    files = sorted(c["file"] for c in commits if c["rows"])
+    rows = sum(c["rows"] for c in commits)
     if not files:  # 0-row snapshot: keep >=1 schema-less empty file
         empty = f"{snap}/part-00000-empty.jsonl"
-        os.makedirs(snap, exist_ok=True)
         open(empty, "w").close()
         files = [empty]
-    fstats = {}
-    for f in files:
-        name = os.path.basename(f)
-        try:
-            pid = int(name.split("-")[1])
-        except (IndexError, ValueError):
-            continue
-        r = by_pid.get(pid)
-        if r is None or not r["__n"]:
-            continue
-        st = {
-            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]]
-            for c in statcols
-            if not r[f"__bad_{c}"] and r[f"__lo_{c}"] is not None
-        }
-        if st:
-            fstats[f] = st
-    manifest = {
-        "version": version,
-        "files": files,
-        "rows": rows,
-        "file_stats": fstats,
+    fstats = {
+        c["file"]: _json.loads(c["stats"]) for c in commits
+        if c["rows"] and _json.loads(c["stats"])
     }
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    vtmp = f"{path}/_MANIFEST.v{version}.json.tmp"
-    with open(vtmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(vtmp, f"{path}/_MANIFEST.v{version}.json")
-    tmp = f"{path}/_MANIFEST.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, f"{path}/_MANIFEST.json")
+    _commit_manifest(path, version, files, rows, fstats, batch_id)
+
+
+def snapshot_write_local(df, path: str, batch_id: int | None = None) -> None:
+    """Driver-side OVERWRITE snapshot commit for GRID-BOUNDED state
+    tables (streaming monitor/count snapshots whose row count is
+    bounded by construction — PSI grid ≤ types×2×bins, NB buckets,
+    DSIR cells, logreg profiles, bloom words: ≤ a few hundred rows at
+    ANY corpus scale, the same bound that already justifies the
+    *_stream readout collects). Identical manifest protocol and jsonl
+    bytes as the certified Python writer (row.asDict() in schema
+    order + json.dumps; same stats contract via per-row updates).
+
+    Round-12 optimization (guide §4/§1.2): the per-batch Python
+    DataSource save cost ~0.3–0.5 s of planner + worker round-trips
+    even for a 10-row snapshot; complete-mode twins pay it every
+    micro-batch. Collecting ≤ a few hundred rows and writing the file
+    in the driver is one job (the collect — unavoidable anyway to
+    surface the snapshot) and microseconds of I/O. NOT for data-sized
+    tables — use fast_snapshot_write there."""
+    import json
+    import math
+    import os
+    import uuid
+
+    rows = [r.asDict() for r in df.collect()]
+    os.makedirs(path, exist_ok=True)
+    prev = latest_manifest(path)
+    version = (prev.get("version", 0) + 1) if prev else 1
+    snap = f"{path}/snap-v{version}"
+    os.makedirs(snap, exist_ok=True)
+    fname = f"{snap}/part-{uuid.uuid4().hex}.jsonl"
+    lo: dict = {}
+    hi: dict = {}
+    nonfinite: set = set()
+    with open(fname, "w") as f:
+        for d in rows:
+            f.write(json.dumps(d) + "\n")
+            for k, v in d.items():
+                if v is None or isinstance(v, bool) or k in nonfinite:
+                    continue
+                if isinstance(v, float) and not math.isfinite(v):
+                    lo.pop(k, None)
+                    hi.pop(k, None)
+                    nonfinite.add(k)
+                    continue
+                if isinstance(v, (int, float, str)):
+                    if k not in lo or v < lo[k]:
+                        lo[k] = v
+                    if k not in hi or v > hi[k]:
+                        hi[k] = v
+    stats = {k: [lo[k], hi[k]] for k in lo} if rows else {}
+    _commit_manifest(
+        path,
+        version,
+        [fname],
+        len(rows),
+        {fname: stats} if stats else {},
+        batch_id,
+    )
 
 
 def latest_manifest(path: str) -> dict | None:

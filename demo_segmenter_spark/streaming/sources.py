@@ -118,7 +118,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunked_parquet_src(
-    df: DataFrame, chunk: "F.Column", n_chunks: int, base: str
+    df: DataFrame,
+    chunk: "F.Column",
+    n_chunks: int,
+    base: str,
+    drop_cols: tuple = (),
 ) -> str:
     """Replay ``df`` as ``n_chunks`` ordered micro-batches: write one
     parquet file per chunk id, symlink them into ``base``/src with
@@ -146,6 +150,7 @@ def chunked_parquet_src(
     cdir = f"{base}/chunkpq"
     (
         df.withColumn("__chunk", chunk)
+        .drop(*drop_cols)
         .repartition(n_chunks, "__chunk")
         .write.partitionBy("__chunk")
         .parquet(cdir)
@@ -160,11 +165,22 @@ def chunked_parquet_src(
         )
         if not parq:
             d = f"{base}/empty{i}"
-            df.limit(0).coalesce(1).write.mode("overwrite").parquet(d)
+            df.drop(*drop_cols).limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
             parq = [f for f in os.listdir(d) if f.endswith(".parquet")]
         for fname in parq:
             link = f"{src}/{i}_{fname}"
             os.symlink(f"{d}/{fname}", link)
+            # Retime the TARGET file, not (only) the symlink: Hadoop's
+            # local filesystem stat() FOLLOWS symlinks, so the stream
+            # source orders micro-batches by the target's mtime. The
+            # sequential writer got ascending target mtimes for free
+            # (one job per chunk, seconds apart); the one-job write
+            # stamps all chunks within the same few ms, leaving
+            # delivery order to the listing tiebreak — set it
+            # explicitly so chunk order IS batch order.
+            os.utime(f"{d}/{fname}", (now + i * 10, now + i * 10))
             os.utime(
                 link, (now + i * 10, now + i * 10), follow_symlinks=False
             )
