@@ -4760,6 +4760,238 @@ def bpe_encode_tokens(
     return toks
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer-train BLOCK LANE (round-12 optimization; guide §1.2 "fix the
+# distributed algorithm first", §4.2 "hand whole batches to native code
+# inside the task"): below TOK_BLOCK_CAP documents, the merge-training
+# replay (BPE count rule / WordPiece likelihood rule) runs inside ONE
+# mapInPandas task over the corpus block, emitting only the BOUNDED
+# artifacts (per-round argmax rows, t0 unit counts, final vocabulary) —
+# zero window chains, zero per-round exchanges. The distributed lanes
+# above the cap are unchanged and remain the certified 100 TB dataflow
+# for corpus-scale ENCODE; tokenizer TRAINING at 100 TB runs on a
+# bounded sample/shard (the SentencePiece/HuggingFace reality), which is
+# exactly the shape this lane realizes below the cap. All arithmetic is
+# integer/string (counts, BIGINT floor division, lexicographic (a, b)
+# tiebreaks on the pure-ASCII corpus — Python code-point order equals
+# the engines' binary collation there), so the replay is bit-exact vs
+# the window chain; tests/test_tok_block.py pins the two lanes
+# row-identical on the fixture and the oracles certify the block lane
+# at all three scale factors.
+# ---------------------------------------------------------------------------
+
+TOK_BLOCK_CAP = 200_000  # documents; above this the distributed lanes run
+
+_TOK_ART_SCHEMA = (
+    "kind string, rnd long, a string, b string, c long, ca long,"
+    " cb long, sq long, n_merges long, tok string, cnt long"
+)
+
+
+def _bpe_apply_py(words: list, a: str, b: str) -> tuple[list, int]:
+    """Pure-python twin of one _bpe_apply pass over ONE document:
+    greedy left-to-right merge of non-overlapping (a, b) occurrences.
+    Equivalent to the SQL odd-indexed-run rule: occurrences at
+    consecutive positions form a run (rungrp = pos - cum is constant
+    exactly there), and taking every other member of a run IS what a
+    left-to-right walk that skips the consumed right token does."""
+    out: list = []
+    m = 0
+    ab = f"{a}_{b}"
+    i, n = 0, len(words)
+    while i < n:
+        if words[i] == a and i + 1 < n and words[i + 1] == b:
+            out.append(ab)
+            i += 2
+            m += 1
+        else:
+            out.append(words[i])
+            i += 1
+    return out, m
+
+
+def _tok_replay_py(doc_toks: list, rule: str, rounds: int):
+    """Replay `rounds` greedy merge-training rounds over the tokenized
+    block (list of per-doc word lists, MUTATED in place to the final
+    tokenization). rule='bpe': argmax pair count, (c DESC, a, b)
+    total order. rule='wp': argmax integer likelihood
+    (c*WP_SCALE) // (ca*cb), (sq DESC, a, b) total order. Returns
+    (bests, t0_units): per-round argmax dicts and the pre-merge unit
+    counts (the _wp_vocab_set / _wp_capped_vocab input). Counts are
+    ints, scores BIGINT floor divisions — bit-exact vs the engines."""
+    from collections import Counter
+
+    units = Counter()
+    for ws in doc_toks:
+        units.update(ws)
+    t0_units = dict(units)
+    bests = []
+    for r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for ws in doc_toks:
+            pc.update(zip(ws, ws[1:]))
+        if rule == "wp":
+            uc: Counter = Counter()
+            for ws in doc_toks:
+                uc.update(ws)
+            sq = {
+                ab: (c * WP_SCALE) // (uc[ab[0]] * uc[ab[1]])
+                for ab, c in pc.items()
+            }
+            a, b = min(sq, key=lambda ab: (-sq[ab], ab[0], ab[1]))
+            best = {
+                "rnd": r, "a": a, "b": b, "c": pc[(a, b)],
+                "ca": uc[a], "cb": uc[b], "sq": sq[(a, b)],
+            }
+        else:
+            a, b = min(pc, key=lambda ab: (-pc[ab], ab[0], ab[1]))
+            best = {"rnd": r, "a": a, "b": b, "c": pc[(a, b)]}
+        nm = 0
+        for k, ws in enumerate(doc_toks):
+            doc_toks[k], m = _bpe_apply_py(ws, a, b)
+            nm += m
+        best["n_merges"] = nm
+        bests.append(best)
+    return bests, t0_units
+
+
+def _tok_train_block(docs: DataFrame, rule: str, rounds: int):
+    """Block-lane artifact job: ONE single-partition mapInPandas task
+    replays the whole training and emits only the bounded artifacts —
+    per-round argmax rows, t0 unit counts (vocabulary-bounded: the
+    same collect volume _wp_vocab_set already materializes on the
+    distributed lane) and the distinct final tokens. Returns
+    (bests, units, fvocab) or None when the block exceeds
+    TOK_BLOCK_CAP documents (the distributed lanes take over)."""
+    if docs.count() > TOK_BLOCK_CAP:
+        return None
+
+    def replay(batches):
+        texts: list = []
+        for pdf in batches:
+            texts.extend(pdf["text"])
+        doc_toks = [t.split(" ") for t in texts]
+        bests, t0_units = _tok_replay_py(doc_toks, rule, rounds)
+        fvocab = set()
+        for ws in doc_toks:
+            fvocab.update(ws)
+        rows = {k: [] for k in (
+            "kind", "rnd", "a", "b", "c", "ca", "cb", "sq", "n_merges",
+            "tok", "cnt",
+        )}
+
+        def emit(kind, **kv):
+            rows["kind"].append(kind)
+            for k in ("rnd", "a", "b", "c", "ca", "cb", "sq", "n_merges",
+                      "tok", "cnt"):
+                rows[k].append(kv.get(k))
+
+        for bdict in bests:
+            emit("best", **bdict)
+        for t, cn in t0_units.items():
+            emit("unit", tok=t, cnt=cn)
+        for t in fvocab:
+            emit("fvocab", tok=t)
+        yield pd.DataFrame(rows)
+
+    art = (
+        docs.select("doc_id", "text")
+        .coalesce(1)
+        .mapInPandas(replay, _TOK_ART_SCHEMA)
+        .collect()
+    )
+    bests = sorted(
+        (
+            {
+                "rnd": r["rnd"], "a": r["a"], "b": r["b"], "c": r["c"],
+                "ca": r["ca"], "cb": r["cb"], "sq": r["sq"],
+                "n_merges": r["n_merges"],
+            }
+            for r in art
+            if r["kind"] == "best"
+        ),
+        key=lambda d: d["rnd"],
+    )
+    units = {r["tok"]: r["cnt"] for r in art if r["kind"] == "unit"}
+    fvocab = {r["tok"] for r in art if r["kind"] == "fvocab"}
+    return bests, units, fvocab
+
+
+def _bpe_encode_block(
+    docs: DataFrame,
+    merges: list,
+    vid: dict | None = None,
+    with_n_tokens: bool = False,
+) -> DataFrame:
+    """Block-lane ENCODE: one Arrow-batched mapInPandas pass that
+    replays the (tiny, broadcast) ranked merge list per document with
+    the shared _bpe_apply_py walk — the production encode shape
+    (tokenizer artifact broadcast, per-doc pointer chase, scan-local).
+    Emits (doc_id, pos, tok) plus token_id / n_tokens when requested;
+    a doc is one input row, so its whole stream stays in-task and both
+    extras are computed without any corpus join or window."""
+    sc = docs.sparkSession.sparkContext
+    bm = sc.broadcast(list(merges))
+    bvid = sc.broadcast(vid or {})
+    schema = "doc_id long, pos long, tok string"
+    if vid is not None:
+        schema += ", token_id long"
+    if with_n_tokens:
+        schema += ", n_tokens long"
+
+    def enc(batches):
+        merges_l = bm.value
+        vid_l = bvid.value
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "pos", "tok", "token_id", "n_tokens")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                for a, b in merges_l:
+                    ws, _ = _bpe_apply_py(ws, a, b)
+                n = len(ws)
+                for p, t in enumerate(ws, start=1):
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(p)
+                    out["tok"].append(t)
+                    if vid_l:
+                        out["token_id"].append(vid_l[t])
+                    out["n_tokens"].append(n)
+            cols = {"doc_id": out["doc_id"], "pos": out["pos"],
+                    "tok": out["tok"]}
+            if vid_l:
+                cols["token_id"] = out["token_id"]
+            if with_n_tokens:
+                cols["n_tokens"] = out["n_tokens"]
+            yield pd.DataFrame(cols)
+
+    return docs.select("doc_id", "text").mapInPandas(enc, schema)
+
+
+def _bpe_final_toks(spark: SparkSession, sf_dir: str):
+    """Shared BPE train→final-tokenization entry: below TOK_BLOCK_CAP
+    the block lanes run (one artifact task + one encode pass, zero
+    window chains); above it the certified distributed rounds run
+    unchanged. Returns (toks DataFrame of (doc_id, pos, tok), art)
+    where art = (bests, units, fvocab) on the block lane, None on the
+    distributed lane."""
+    art = _tok_train_block(load_table(spark, sf_dir, "documents"),
+                           "bpe", BPE_ROUNDS)
+    if art is not None:
+        bests, _, _ = art
+        merges = [(d["a"], d["b"]) for d in bests]
+        toks = _bpe_encode_block(
+            spread(load_table(spark, sf_dir, "documents")), merges
+        )
+        return toks, art
+    toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
+    for _ in range(BPE_ROUNDS):
+        aug = _bpe_aug(toks)
+        best = _bpe_argmax(aug)
+        _, toks = _bpe_apply(aug, best)
+    return toks, None
+
+
 def _bpe_round_sql(r: int) -> str:
     prev = f"t{r - 1}"
     return f"""
@@ -4843,7 +5075,22 @@ def c_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a driver loop, never a per-row UDF; real BPE training at
     100 TB runs precisely this dataflow with rounds as the driver
     loop (unrolled here so Catalyst sees one plan and the oracle can
-    replay it)."""
+    replay it). Below TOK_BLOCK_CAP docs the block lane replays the
+    identical integer dataflow in one task (see _tok_train_block)."""
+    art = _tok_train_block(load_table(spark, sf_dir, "documents"),
+                           "bpe", BPE_ROUNDS)
+    if art is not None:
+        bests, _, _ = art
+        rows = [
+            (d["rnd"], d["a"], d["b"], d["c"], d["n_merges"],
+             f'{d["a"]}_{d["b"]}')
+            for d in bests
+        ]
+        return spark.createDataFrame(
+            rows,
+            "round int, tok_a string, tok_b string, pair_count long,"
+            " n_merges long, new_token string",
+        ).orderBy("round")
     toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
     summaries = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -4920,7 +5167,20 @@ def c_token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY size (≤ a few 10⁵ at any corpus scale — the tokenizer
     artifact itself), never corpus size, and the id assignment joins
     back via broadcast. n_tokens rides the existing doc_id
-    partitioning (window count, no extra exchange)."""
+    partitioning (window count, no extra exchange). Below
+    TOK_BLOCK_CAP docs the block lane runs: one artifact task trains
+    the merges, then ONE mapInPandas pass replays them per doc with
+    ids and counts attached in-task — zero exchanges end to end."""
+    art = _tok_train_block(load_table(spark, sf_dir, "documents"),
+                           "bpe", BPE_ROUNDS)
+    if art is not None:
+        bests, _, fvocab = art
+        merges = [(d["a"], d["b"]) for d in bests]
+        vid = {t: i for i, t in enumerate(sorted(fvocab), start=1)}
+        return _bpe_encode_block(
+            spread(load_table(spark, sf_dir, "documents")),
+            merges, vid, with_n_tokens=True,
+        ).select("doc_id", "pos", "token_id", "tok", "n_tokens")
     toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
     for _ in range(BPE_ROUNDS):
         aug = _bpe_aug(toks)
@@ -5494,11 +5754,7 @@ def c_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts collapse to one row per doc before the lang-partitioned
     packing window — the window never sees token-level rows."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = _bpe_tokenize0(docs)
-    for _ in range(BPE_ROUNDS):
-        aug = _bpe_aug(toks)
-        best = _bpe_argmax(aug)
-        _, toks = _bpe_apply(aug, best)
+    toks, _ = _bpe_final_toks(spark, sf_dir)
     nt = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
     sized = docs.select("doc_id", "lang").join(nt, "doc_id")
     binned = sized.withColumn(
@@ -7348,22 +7604,37 @@ def c_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fan-out is a constant 2x map-side explode; the rollup
     clusters on (doc_id, win_id), which the encode chain's doc_id
     partitioning already satisfies — the window pass itself adds ZERO
-    exchanges, so the cost at 100 TB is the encode pass it rides."""
-    toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
-    for _ in range(BPE_ROUNDS):
-        aug = _bpe_aug(toks)
-        best = _bpe_argmax(aug)
-        _, toks = _bpe_apply(aug, best)
-    toks = persist(toks)
-    wv = Window.orderBy("tok")  # vocab-sized, not corpus-sized
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .select("tok", F.row_number().over(wv).cast("long").alias("token_id"))
-    )
-    enc = toks.join(F.broadcast(vocab), "tok").select(
-        "doc_id", (F.col("pos") - 1).alias("idx0"), "token_id"
-    )
+    exchanges, so the cost at 100 TB is the encode pass it rides.
+    Below TOK_BLOCK_CAP docs the block encode lane feeds the cover
+    (ids attached in-task; the rollup's one exchange remains)."""
+    art = _tok_train_block(load_table(spark, sf_dir, "documents"),
+                           "bpe", BPE_ROUNDS)
+    if art is not None:
+        bests, _, fvocab = art
+        merges = [(d["a"], d["b"]) for d in bests]
+        vid = {t: i for i, t in enumerate(sorted(fvocab), start=1)}
+        enc = _bpe_encode_block(
+            spread(load_table(spark, sf_dir, "documents")), merges, vid
+        ).select("doc_id", (F.col("pos") - 1).alias("idx0"), "token_id")
+    else:
+        toks = _bpe_tokenize0(spread(load_table(spark, sf_dir, "documents")))
+        for _ in range(BPE_ROUNDS):
+            aug = _bpe_aug(toks)
+            best = _bpe_argmax(aug)
+            _, toks = _bpe_apply(aug, best)
+        toks = persist(toks)
+        wv = Window.orderBy("tok")  # vocab-sized, not corpus-sized
+        vocab = (
+            toks.select("tok")
+            .distinct()
+            .select(
+                "tok",
+                F.row_number().over(wv).cast("long").alias("token_id"),
+            )
+        )
+        enc = toks.join(F.broadcast(vocab), "tok").select(
+            "doc_id", (F.col("pos") - 1).alias("idx0"), "token_id"
+        )
     k_min = F.greatest(
         F.lit(0).cast("long"),
         F.expr(f"(idx0 - {TOKWIN_W - TOKWIN_S}) DIV {TOKWIN_S}"),
@@ -8574,11 +8845,7 @@ def c_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤(5 langs x 2) agg."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     t0 = _bpe_tokenize0(docs)
-    toks = t0
-    for _ in range(BPE_ROUNDS):
-        aug = _bpe_aug(toks)
-        best = _bpe_argmax(aug)
-        _, toks = _bpe_apply(aug, best)
+    toks, _ = _bpe_final_toks(spark, sf_dir)
     words = t0.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     ntoks = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     utoks, uwords, _, uvocabs = _unigram_train(spark, sf_dir)
@@ -11695,12 +11962,7 @@ def c_token_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost + one ordered doc rollup (the array_sort(collect_list)
     rebuild idiom)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    t0 = _bpe_tokenize0(docs)
-    toks = t0
-    for _ in range(BPE_ROUNDS):
-        aug = _bpe_aug(toks)
-        best = _bpe_argmax(aug)
-        _, toks = _bpe_apply(aug, best)
+    toks, _ = _bpe_final_toks(spark, sf_dir)
     dec = toks.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
@@ -12477,6 +12739,34 @@ def _wp_train_docs(docs: DataFrame):
     return docs, t0, toks, bests, ms
 
 
+def _wp_artifacts(docs: DataFrame):
+    """WordPiece block-lane artifacts (see _tok_train_block): below
+    TOK_BLOCK_CAP docs, ONE task replays the WP_ROUNDS likelihood-
+    argmax training and returns (bests, units) — the per-round argmax
+    dicts and the t0 unit counts (the _wp_vocab_set/_wp_capped_vocab
+    inputs, vocabulary-bounded). None above the cap."""
+    art = _tok_train_block(docs, "wp", WP_ROUNDS)
+    if art is None:
+        return None
+    bests, units, _ = art
+    return bests, units
+
+
+def _wp_vocab_py(units: dict, bests: list) -> set:
+    """_wp_vocab_set twin over block-lane artifacts."""
+    return set(units) | {f'{d["a"]}_{d["b"]}' for d in bests}
+
+
+def _wp_capped_vocab_py(units: dict, bests: list) -> set:
+    """_wp_capped_vocab twin over block-lane artifacts: top
+    WP_VOCAB_CAP units by (count DESC, token) + the trained merges —
+    the same total order as the oracle's LIMIT."""
+    top = sorted(units.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {t for t, _ in top[:WP_VOCAB_CAP]} | {
+        f'{d["a"]}_{d["b"]}' for d in bests
+    }
+
+
 def _wp_vocab_set(t0: DataFrame, bests: list) -> set:
     """The trained vocabulary as the broadcastable tokenizer artifact:
     every initial word unit plus the WP_ROUNDS merged pieces. Bounded
@@ -12516,8 +12806,13 @@ def wordpiece_encode_docs(
     import pandas as pd
 
     if vocab is None:
-        _, t0, _, bests, _ = _wp_train_docs(docs)
-        vocab = _wp_vocab_set(t0, bests)
+        art = _wp_artifacts(docs)
+        if art is not None:
+            bests_d, units = art
+            vocab = _wp_vocab_py(units, bests_d)
+        else:
+            _, t0, _, bests, _ = _wp_train_docs(docs)
+            vocab = _wp_vocab_set(t0, bests)
     sc = docs.sparkSession.sparkContext
     bv = sc.broadcast(vocab)
 
@@ -12767,7 +13062,23 @@ def c_token_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_count, cnt_a, cnt_b, score_q, n_merges, new_token). Scale:
     identical dataflow to c_token_bpe plus one vocab-sized unit-count
     aggregate per round (map-side partial, broadcast into the argmax) —
-    nothing corpus-quadratic, no driver loop."""
+    nothing corpus-quadratic, no driver loop. Below TOK_BLOCK_CAP docs
+    the block lane replays the identical integer dataflow in one task
+    (see _tok_train_block)."""
+    art = _wp_artifacts(load_table(spark, sf_dir, "documents"))
+    if art is not None:
+        bests_d, _ = art
+        rows = [
+            (d["rnd"], d["a"], d["b"], d["c"], d["ca"], d["cb"], d["sq"],
+             d["n_merges"], f'{d["a"]}_{d["b"]}')
+            for d in bests_d
+        ]
+        return spark.createDataFrame(
+            rows,
+            "round int, tok_a string, tok_b string, pair_count long,"
+            " cnt_a long, cnt_b long, score_q long, n_merges long,"
+            " new_token string",
+        ).orderBy("round")
     docs = spread(load_table(spark, sf_dir, "documents"))
     _, _, _, bests, ms = _wp_train_docs(docs)
     outs = []
@@ -12829,8 +13140,13 @@ def c_token_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-local pass + one broadcast vocab join; the artifact is
     vocabulary-bounded, never corpus-sized."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    _, t0, _, bests, _ = _wp_train_docs(docs)
-    vocab = _wp_vocab_set(t0, bests)
+    art = _wp_artifacts(load_table(spark, sf_dir, "documents"))
+    if art is not None:
+        bests_d, units = art
+        vocab = _wp_vocab_py(units, bests_d)
+    else:
+        _, t0, _, bests, _ = _wp_train_docs(docs)
+        vocab = _wp_vocab_set(t0, bests)
     enc = persist(wordpiece_encode_docs(docs, vocab))
     vocab_rows = [(p,) for p in sorted(vocab)]
     vid = spark.createDataFrame(vocab_rows, "piece string").select(
@@ -14621,6 +14937,18 @@ FROM bexp
 """
 
 
+def _wp_capped_vocab_for(train: DataFrame) -> set:
+    """Capped trained vocabulary for a train split, lane-dispatched:
+    block-lane artifacts below TOK_BLOCK_CAP (one task + one
+    vocabulary-bounded collect), the distributed chain above."""
+    art = _wp_artifacts(train)
+    if art is not None:
+        bests_d, units = art
+        return _wp_capped_vocab_py(units, bests_d)
+    _, t0, _, bests, _ = _wp_train_docs(train)
+    return _wp_capped_vocab(t0, bests)
+
+
 def _wp_capped_vocab(t0: DataFrame, bests: list) -> set:
     """The CAPPED trained vocabulary (production vocab_size knob):
     top WP_VOCAB_CAP train-half units by count (count desc, token
@@ -14666,8 +14994,7 @@ def c_token_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     held = docs.filter(F.col("doc_id") % 2 == 1)
-    _, t0, _, bests, _ = _wp_train_docs(train)
-    vocab = _wp_capped_vocab(t0, bests)
+    vocab = _wp_capped_vocab_for(train)
     enc = wordpiece_encode_docs(held, vocab, unk=WP_UNK)
     return enc.select(
         "doc_id",
@@ -14706,8 +15033,7 @@ def c_token_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     held = docs.filter(F.col("doc_id") % 2 == 1)
-    _, t0, _, bests, _ = _wp_train_docs(train)
-    vocab = _wp_capped_vocab(t0, bests)
+    vocab = _wp_capped_vocab_for(train)
     return wordpiece_encode_docs_bytes(held, vocab)
 
 
@@ -14771,8 +15097,7 @@ def c_token_byte_fallback_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     held = docs.filter(F.col("doc_id") % 2 == 1)
-    _, t0, _, bests, _ = _wp_train_docs(train)
-    vocab = _wp_capped_vocab(t0, bests)
+    vocab = _wp_capped_vocab_for(train)
     enc = persist(wordpiece_encode_docs_bytes(held, vocab))
     seg = enc.select(
         "doc_id",

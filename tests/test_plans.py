@@ -440,10 +440,11 @@ def test_shuffle_budgets_table(spark):
         "c_span_corruption": 1,
         # grouped k-fold: fold rollup + countDistinct expand phase
         "c_grouped_kfold": 2,
-        # fertility: now BOTH tokenizer families (r8) — the BPE train
-        # passes + the unigram chain's word/seed/Viterbi exchanges +
-        # the word/token doc rollups per branch + the ≤10-row lang agg
-        "c_tokenizer_fertility": 20,
+        # fertility: BOTH tokenizer families (r8); r12 block lane —
+        # the BPE train chain collapsed to the one-task replay +
+        # mapInPandas encode, leaving the unigram chain's word/seed/
+        # Viterbi exchanges + the doc rollups + the ≤10-row lang agg
+        "c_tokenizer_fertility": 8,
         # pretrain pipeline: scrub keep-window + doc rollup + the
         # lang packing window — each stage's standalone cost, fused
         "c_pipeline_pretrain": 3,
@@ -548,9 +549,9 @@ def test_shuffle_budgets_table(spark):
         "c_dedup_exact_normalized": 1,
         # Holt: the a_ewma segmented-scan shape (one user repartition)
         "a_forecast_holt": 1,
-        # BPE decode: the encode chain's static repeats (persisted)
-        # + the ordered doc-rebuild rollup
-        "c_token_bpe_decode": 13,
+        # BPE decode (r12 block lane): the one-task train replay +
+        # mapInPandas encode leave only the ordered doc-rebuild rollup
+        "c_token_bpe_decode": 1,
         # weighted hybrid: both retriever plans + two pool limits,
         # two 2-scalar broadcasts, the 20-row fusion join
         "c_rag_hybrid_weighted": 16,
@@ -679,16 +680,19 @@ def test_shuffle_budgets_table(spark):
         # doc_id window chain (lead/cumsum/lag share one exchange at
         # runtime), the run-group window, the pair-count partials, the
         # 1-row argmax sort, and the re-densify — aug/best/m persist
-        # per round so runtime pays each subtree once
-        "c_token_bpe": 26,
+        # per round so runtime pays each subtree once. r12 block lane:
+        # the whole train replays in ONE task; only the 2-row result
+        # sort remains
+        "c_token_bpe": 1,
         # WordPiece train: the BPE dataflow + one unit-count aggregate
         # per round, with the 1-row argmax (now carrying two ucnt-join
         # lineages) re-referenced by both the merge pass and the round
         # summary — the STATIC count multiplies those persisted
         # subtrees per reference; at runtime each executes once
         # (persisted) and the unique-exchange set is BPE's + 2 ucnt
-        # aggregates per round
-        "c_token_wordpiece": 64,
+        # aggregates per round. r12 block lane: one-task replay; only
+        # the 2-row result sort remains
+        "c_token_wordpiece": 1,
         # greedy longest-match encode: the mapInPandas segmented scan
         # re-exchanges (planner loses partitioning info) + the n_tokens
         # rollup; the vocab id join broadcasts
@@ -725,9 +729,9 @@ def test_shuffle_budgets_table(spark):
         "a_session_entropy": 1,
         # Q12: pruned-lineitem join broadcasts; 3-group conditional agg
         "b_pipeline_tpch_q12": 1,
-        # BPE-count packing: the 2 training-round window chains (persisted)
+        # BPE-count packing (r12 block lane): the mapInPandas encode
         # + the per-doc count agg + the lang packing window
-        "c_pack_sequences_bpe": 14,
+        "c_pack_sequences_bpe": 2,
         # train (2 PCA chains, 7 exchanges/round unrolled, persisted) +
         # the map-side apply; static count compounds like pca_deflate's
         "c_embed_pca_project": 47,
@@ -750,15 +754,17 @@ def test_shuffle_budgets_table(spark):
         # machinery, minus nothing statically since the merge table is
         # derived in-plan) + the vocab distinct/row_number (bounded by
         # VOCAB size) + the broadcast id join; persisted subtrees pay
-        # once at runtime
-        "c_token_bpe_encode": 29,
+        # once at runtime. r12 block lane: ids and counts attach
+        # in-task — ZERO exchanges end to end
+        "c_token_bpe_encode": 0,
         # embed outliers: dim rollup (static plan re-reads it on the
         # norm side; AQE reuses) + 1-row norm + the vec_id rollup
         "c_embed_outliers": 4,
-        # context windows: SAME 29 as the encode chain it rides — the
-        # cover explode is map-side and the (doc_id, win_id) rollup is
-        # satisfied by the chain's doc_id partitioning (zero added)
-        "c_token_windows": 29,
+        # context windows (r12 block lane): the mapInPandas encode +
+        # the (doc_id, win_id) rollup's one exchange (the block encode
+        # does not pre-partition by doc_id — strictly cheaper than the
+        # 29-exchange chain it replaced)
+        "c_token_windows": 1,
         # 1-row watermark broadcast + the window aggregation; the
         # closed-window filter adds no exchange
         "a_suppress_emit_final": 2,
@@ -1009,9 +1015,11 @@ def test_shuffle_budgets_table(spark):
         # bit_or build (broadcast), the per-doc probe rollup, the
         # hit-only verification semi-join, and the final assemble join
         "c_dedup_bloom": 5,
-        # wordpiece fertility: encode segmented-scan exchange + the
-        # doc rollup/lang agg chain
-        "c_token_wordpiece_fertility": 2,
+        # wordpiece fertility (r12 block lane): the token and word
+        # doc rollups + the lang agg — one more exchange than before
+        # because the train chain's doc_id partitioning is gone, but
+        # the chain itself (dozens of window exchanges) went with it
+        "c_token_wordpiece_fertility": 3,
         # binary-signature ANN: signatures are expression-only over
         # the scan, queries broadcast, and the Hamming-shortlist and
         # cosine-refine windows SHARE the one query_id exchange
