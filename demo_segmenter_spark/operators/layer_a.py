@@ -5971,8 +5971,16 @@ def fkjoin_stream_sink(orders: DataFrame, base: str):
     from demo_segmenter_spark.streaming.sinks import cdc_upsert_sink
 
     register_sink(orders.sparkSession)
-    l_sink = cdc_upsert_sink(f"{base}/left", ["l_orderkey"], "version")
-    r_sink = cdc_upsert_sink(f"{base}/right", ["s_suppkey"], "supp_name")
+    # return_merged (r12): the emit joins below need the post-merge
+    # state of BOTH stores in the same batch; reusing the sink's
+    # merged table (already materialized by its snapshot write) saves
+    # one full jsonl store parse per store per batch.
+    l_sink = cdc_upsert_sink(
+        f"{base}/left", ["l_orderkey"], "version", return_merged=True
+    )
+    r_sink = cdc_upsert_sink(
+        f"{base}/right", ["s_suppkey"], "supp_name", return_merged=True
+    )
     o_sink = cdc_upsert_sink(f"{base}/out", ["l_orderkey"], "ver")
     od = orders.select("o_orderkey", "o_totalprice")
 
@@ -5991,16 +5999,21 @@ def fkjoin_stream_sink(orders: DataFrame, base: str):
         right_new = batch_df.filter(F.col("side") == "R").select(
             "s_suppkey", "supp_name", "supp_nation"
         )
-        l_sink(left_new, batch_id)
-        r_sink(right_new, batch_id)
-        # persist: each state is referenced twice below (delta
-        # restriction + the opposite side's fan-out/emit join) — one
-        # json parse per store per batch instead of two (r12)
-        left_state = persist(
-            _state(spark, f"{base}/left", _FKJ_LEFT_SCHEMA)
+        lm = l_sink(left_new, batch_id)
+        rm = r_sink(right_new, batch_id)
+        # The sinks return their merged (persisted, already-written)
+        # state tables — zero re-parse on the normal path; on the
+        # idempotent-replay path (None) fall back to reading the
+        # committed store. persist: each state is referenced twice
+        # below (delta restriction + the opposite side's fan-out/emit
+        # join).
+        left_state = (
+            lm if lm is not None
+            else persist(_state(spark, f"{base}/left", _FKJ_LEFT_SCHEMA))
         )
-        right_state = persist(
-            _state(spark, f"{base}/right", _FKJ_RIGHT_SCHEMA)
+        right_state = (
+            rm if rm is not None
+            else persist(_state(spark, f"{base}/right", _FKJ_RIGHT_SCHEMA))
         )
         # Post-merge current values for the keys touched this batch:
         # even a batch row that LOST the version tiebreak re-emits the

@@ -301,7 +301,11 @@ def _commit_manifest(
 
 
 def fast_snapshot_write(
-    df, path: str, batch_id: int | None = None, n_files: int = 8
+    df,
+    path: str,
+    batch_id: int | None = None,
+    n_files: int = 8,
+    pre_persisted: bool = False,
 ) -> None:
     """Commit one OVERWRITE snapshot of ``df`` under the SAME
     versioned-manifest protocol as the jsonl_dir Python sink —
@@ -342,7 +346,17 @@ def fast_snapshot_write(
     doubles, NaN/Infinity literals, raw UTF-8). A task retry can leave
     an orphan file not referenced by any manifest — harmless under the
     manifest-reader contract (same property as the DataSource's abort
-    path leaving nothing referenced)."""
+    path leaving nothing referenced).
+
+    ``pre_persisted``: the caller already coalesced and persisted the
+    frame (and keeps using it — the fk-join emit reuse); the one-task
+    write then reads the cache instead of recomputing the merge. A
+    JVM-writer twin (write job + spark_partition_id zone-map job) was
+    A/B'd here in round 12: it wins isolated microbenches at 600 k
+    rows (1.1 s vs 4.4 s) but LOST end-to-end in the fk-join stream
+    (49.7 s vs 34.9 s stream total) — the second pass over the just-
+    written store and the commit-protocol renames cost more than the
+    Python serialization saves at micro-batch cadence."""
     import json as _json
     import os
 
@@ -358,6 +372,18 @@ def fast_snapshot_write(
 
         import pyarrow as pa
 
+        # orjson when present (round-12, guide §4.2: C-speed
+        # serialization — measured ~6x on the 150 k-row CDC stores;
+        # shortest-round-trip float repr, so re-parsed values are
+        # identical). Per-batch fallback to json.dumps for payloads
+        # orjson rejects (NaN/Infinity literals, big ints): same
+        # parsed values, only whitespace/spelling differ — and no fsw
+        # reader byte-compares (docstring contract).
+        try:
+            import orjson
+        except ImportError:
+            orjson = None
+
         fname = None
         fh = None
         n = 0
@@ -367,10 +393,23 @@ def fast_snapshot_write(
         for batch in batches:
             if batch.num_rows and fh is None:
                 fname = f"{snap}/part-{uuid.uuid4().hex}.jsonl"
-                fh = open(fname, "w")
+                fh = open(fname, "wb")
             if batch.num_rows:
                 rows = batch.to_pylist()
-                fh.writelines(json.dumps(d) + "\n" for d in rows)
+                if orjson is not None:
+                    try:
+                        fh.write(
+                            b"\n".join(orjson.dumps(d) for d in rows)
+                            + b"\n"
+                        )
+                    except (TypeError, ValueError):
+                        fh.writelines(
+                            json.dumps(d).encode() + b"\n" for d in rows
+                        )
+                else:
+                    fh.writelines(
+                        json.dumps(d).encode() + b"\n" for d in rows
+                    )
                 n += len(rows)
                 _arrow_stats_update(batch, lo, hi, nonfinite)
         if fh is not None:

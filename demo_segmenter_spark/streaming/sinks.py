@@ -37,7 +37,12 @@ def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str)
     )
 
 
-def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
+def cdc_upsert_sink(
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+    return_merged: bool = False,
+):
     """Streaming CDC upsert into the versioned-manifest table — the
     lakehouse MERGE story composed from two proven parts: b_upsert's
     last-writer-wins priority merge (operators/layer_b.py) applied per
@@ -64,7 +69,16 @@ def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
     Scale: the merge is one shuffle on the key; copy-on-write rewrites
     the table per batch, which is the correct model for a demo-scale
     jsonl sink — a partitioned production table would prune the
-    rewrite to touched key-buckets, same plan shape."""
+    rewrite to touched key-buckets, same plan shape.
+
+    ``return_merged`` (round-12, guide §1.2): a caller that needs the
+    post-merge state in the SAME batch (the fk-join emit joins) used
+    to re-read the store it just wrote — one extra full jsonl parse
+    per store per batch. With return_merged=True the sink persists the
+    merged table (already materialized by the snapshot write) and the
+    per-batch callable returns it; the caller unpersists when done.
+    On the idempotent-replay path (batch already committed) it returns
+    None and the caller falls back to reading the committed store."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -73,14 +87,14 @@ def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
         manifest_files,
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int):
         prev = latest_manifest(path)
         if (
             prev is not None
             and prev.get("batch_id") is not None
             and batch_id <= prev["batch_id"]
         ):
-            return  # replayed micro-batch: snapshot already committed
+            return None  # replayed micro-batch: snapshot already committed
         spark = batch_df.sparkSession
         # Total-order compaction: order_col alone leaves a nondeterministic
         # winner when two CDC rows for one key share the same version, so
@@ -136,10 +150,18 @@ def cdc_upsert_sink(path: str, key_cols: list[str], order_col: str):
             fast_snapshot_write,
         )
 
+        if return_merged:
+            # coalesce + persist ONCE: the snapshot write materializes
+            # this cache and the caller's emit joins reuse it — zero
+            # recomputation of the merge (and zero store re-parse)
+            merged = merged.coalesce(8).persist()
         try:
-            fast_snapshot_write(merged, path, batch_id=batch_id)
+            fast_snapshot_write(
+                merged, path, batch_id=batch_id, pre_persisted=return_merged
+            )
         finally:
             compacted.unpersist()
+        return merged if return_merged else None
 
     return sink
 

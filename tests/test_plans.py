@@ -645,7 +645,10 @@ def test_shuffle_budgets_table(spark):
         # pays each once), plus 3 unrolled share-join + rank-groupBy
         # rounds and the final top-100 sort; the share table is
         # node-sized so AQE broadcasts the per-iteration join
-        "b_graph_pagerank": 12,
+        # r12 block lane at fixture scale: the pairs distinct is the
+        # only exchange (iterations replay in one task); above
+        # GRAPH_BLOCK_EDGES the distributed rounds run (~12)
+        "b_graph_pagerank": 1,
         # linear unrolled min-label rounds (self-loop edge list keeps
         # the label table referenced once per round); the persisted
         # half/edges subtrees repeat in the static plan like pagerank's
@@ -653,7 +656,8 @@ def test_shuffle_budgets_table(spark):
         # frequency-vote LPA: 3 unrolled rounds, each a groupBy(node,lbl)
         # count + the per-node argmax window (two node-keyed exchanges vs
         # components' one min-agg), over the same persisted edge subtrees
-        "b_graph_community": 18,
+        # r12 block lane: pairs distinct only (votes replay in-task)
+        "b_graph_community": 1,
         # 3 unrolled power iterations, each: posexplode+groupBy(dim)
         # collapsing map-side to 64 rows, a single-partition window for
         # the norm, and the 1-row component rebuild — all intermediates
@@ -803,7 +807,9 @@ def test_shuffle_budgets_table(spark):
         # stat can't be a single reference — so the static plan
         # compounds ~2x/round; every round's edges persist, so runtime
         # executes each subtree once (measured 3.3 s at sf0.1)
-        "b_graph_kcore": 134,
+        # r12 block lane: op distinct + wedge join + edge distinct;
+        # the peels replay in-task
+        "b_graph_kcore": 3,
         "c_text_bm25": 6,
         "c_pipeline_retrieval": 1,
         "b_null_semantics": 1,
