@@ -3067,7 +3067,14 @@ PAGERANK_DAMP = 0.85
 # 100 TB answer.
 # ---------------------------------------------------------------------------
 
-GRAPH_BLOCK_EDGES = 250_000
+import os as _os  # noqa: E402 — cap override, see below
+
+# Env-overridable (SPARK_GRAFT_GRAPH_BLOCK_EDGES): production tuning
+# knob for the lane tier, and -1 forces the distributed rounds (used
+# by plan dumps / A-B equivalence runs).
+GRAPH_BLOCK_EDGES = int(
+    _os.environ.get("SPARK_GRAFT_GRAPH_BLOCK_EDGES", "250000")
+)
 
 
 def _np_half_up6():
@@ -3467,11 +3474,13 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by (size desc, label). Scale story: identical to
     pagerank's — labels live in a node-count table that AQE broadcasts
     against the persisted edge list, one groupBy(dst) shuffle per
-    round with map-side MIN partials; never a driver-side loop."""
+    round with map-side MIN partials; never a driver-side loop. Below
+    GRAPH_BLOCK_EDGES pairs the block lane replays the rounds in one
+    task — integer min-labels, bit-exact by construction."""
     from demo_segmenter_spark.functions.cache import persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
+    pairs = persist(
         li.filter(F.col("l_quantity") >= LABELPROP_MIN_QTY)
         .select(
             (F.col("l_orderkey") * 2).alias("o"),
@@ -3479,6 +3488,44 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    iters = LABELPROP_ITERS
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        o, p = _np_gather(batches, ["o", "p"])
+        src = np.concatenate([o, p])
+        dst = np.concatenate([p, o])
+        nodes = np.unique(src)
+        # self-loops ride the index arrays, exactly as the distributed
+        # lane unions (src, src) edges into the edge list
+        sidx = np.searchsorted(nodes, np.concatenate([src, nodes]))
+        didx = np.searchsorted(nodes, np.concatenate([dst, nodes]))
+        lbl = nodes.copy()
+        for _ in range(iters):
+            new = np.full(len(nodes), np.iinfo(np.int64).max)
+            np.minimum.at(new, didx, lbl[sidx])
+            lbl = new  # every node has a self-loop, so none stays at max
+        order = np.lexsort((nodes, lbl))  # by label, nodes asc within
+        l2, n2 = lbl[order], nodes[order]
+        starts = np.flatnonzero(np.r_[True, l2[1:] != l2[:-1]])
+        n_nodes = np.diff(np.r_[starts, len(l2)])
+        comp, min_node = l2[starts], n2[starts]
+        top = np.lexsort((comp, -n_nodes))[:100]
+        yield pd.DataFrame(
+            {
+                "component": comp[top],
+                "n_nodes": n_nodes[top],
+                "min_node": min_node[top],
+            }
+        )
+
+    blk = _graph_block(
+        pairs, kern, "component long, n_nodes long, min_node long"
+    )
+    if blk is not None:
+        return blk
     both = F.array(
         F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
         F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
@@ -3740,7 +3787,10 @@ def b_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-part with 10k co-purchases contributes wedges only from edges
     where it is the LARGER endpoint). All-integer, total-order
     tiebreaks everywhere — the oracle replays the identical
-    orientation and wedge ordering."""
+    orientation and wedge ordering. Below GRAPH_BLOCK_EDGES edges the
+    orientation + wedge close replay in one task (the co-purchase
+    self-join that BUILDS the edge list stays distributed — it is the
+    corpus-sized step); integer degrees and ids, bit-exact."""
     from demo_segmenter_spark.functions.cache import persist
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -3755,6 +3805,56 @@ def b_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        u, v = _np_gather(batches, ["u", "v"])
+        nodes = np.unique(np.r_[u, v])
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        deg = np.bincount(np.r_[ui, vi], minlength=len(nodes))
+        du, dv = deg[ui], deg[vi]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddeg = np.where(u_first, dv, du)
+        # wedges at each src over its (ddeg, dst)-sorted out-edges:
+        # within a group, position i pairs with every later position —
+        # exactly the struct(bdeg,b) < struct(cdeg,c) filter, since
+        # (ddeg, dst) is strictly increasing within a src group
+        order = np.lexsort((dst, ddeg, src))
+        s2, d2 = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, s2[1:] != s2[:-1]])
+        sizes = np.diff(np.r_[starts, len(s2)])
+        loc = np.arange(len(s2)) - np.repeat(starts, sizes)
+        cnt_i = np.repeat(sizes, sizes) - 1 - loc  # later partners
+        first = np.repeat(np.arange(len(s2)), cnt_i)
+        csum = np.cumsum(cnt_i)
+        offs = np.arange(int(csum[-1]) if len(csum) else 0) - np.repeat(
+            csum - cnt_i, cnt_i
+        )
+        second = first + offs + 1
+        wa, wb, wc = s2[first], d2[first], d2[second]
+        # close the wedge against the oriented edge set via sorted keys
+        big = np.int64(len(nodes))
+        ek = np.sort(
+            np.searchsorted(nodes, src) * big + np.searchsorted(nodes, dst)
+        )
+        wk = np.searchsorted(nodes, wb) * big + np.searchsorted(nodes, wc)
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+        tri = np.r_[wa[hit], wb[hit], wc[hit]]
+        tn, cnt = np.unique(tri, return_counts=True)
+        top = np.lexsort((tn, -cnt))[:20]
+        yield pd.DataFrame(
+            {"node": tn[top], "n_triangles": cnt[top].astype(np.int64)}
+        )
+
+    blk = _graph_block(e, kern, "node long, n_triangles long")
+    if blk is not None:
+        return blk
     # explode-array instead of unionAll-of-projections: references the
     # persisted e subtree ONCE (the union form doubled the static plan)
     deg = (
@@ -3865,11 +3965,14 @@ def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every round with zero tolerance. Scale story: one
     groupBy(dst) shuffle per round with map-side MIN partials against
     the persisted edge list — textbook distributed frontier expansion
-    (Pregel's BFS) as pure dataflow."""
+    (Pregel's BFS) as pure dataflow. Below GRAPH_BLOCK_EDGES pairs the
+    block lane replays the rounds in one task — +inf stands for the
+    NULL "unreached" distance (min over all-inf stays inf, exactly
+    NULL-skipping MIN), distances stay exact small integers."""
     from demo_segmenter_spark.functions.cache import persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
+    pairs = persist(
         li.filter(F.col("l_quantity") >= LABELPROP_MIN_QTY)
         .select(
             (F.col("l_orderkey") * 2).alias("o"),
@@ -3877,6 +3980,46 @@ def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    rounds, src_max = BFS_ROUNDS, 2 * BFS_SOURCE_MAX_PARTKEY + 1
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        o, p = _np_gather(batches, ["o", "p"])
+        src = np.concatenate([o, p])
+        dst = np.concatenate([p, o])
+        nodes = np.unique(src)
+        sidx = np.searchsorted(nodes, np.concatenate([src, nodes]))
+        didx = np.searchsorted(nodes, np.concatenate([dst, nodes]))
+        # real edges w=1, self-loops w=0 (keep-my-distance)
+        w = np.r_[
+            np.ones(len(src)), np.zeros(len(nodes))
+        ]
+        dist = np.where(
+            (nodes % 2 == 1) & (nodes <= src_max), 0.0, np.inf
+        )
+        for _ in range(rounds):
+            new = np.full(len(nodes), np.inf)
+            np.minimum.at(new, didx, dist[sidx] + w)
+            dist = new
+        reach = np.isfinite(dist)
+        d = dist[reach].astype(np.int64)
+        n = nodes[reach]
+        order = np.lexsort((n, d))
+        d2, n2 = d[order], n[order]
+        starts = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+        yield pd.DataFrame(
+            {
+                "dist": d2[starts],
+                "n_nodes": np.diff(np.r_[starts, len(d2)]),
+                "min_node": n2[starts],  # nodes asc within dist
+            }
+        )
+
+    blk = _graph_block(pairs, kern, "dist long, n_nodes long, min_node long")
+    if blk is not None:
+        return blk
     both = F.array(
         F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
         F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
@@ -5142,11 +5285,14 @@ def b_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round with zero tolerance. Scale story: one groupBy(dst)
     shuffle per round with map-side MIN partials against the persisted
     weighted edge list — Pregel's SSSP as pure dataflow; rounds at
-    100 TB are the driver loop with the same per-round cost."""
+    100 TB are the driver loop with the same per-round cost. Below
+    GRAPH_BLOCK_EDGES pairs the block lane replays the rounds in one
+    task — integer weights, +inf for the NULL "unreached" distance
+    (the b_graph_bfs kernel generalized to w in 1..3)."""
     from demo_segmenter_spark.functions.cache import persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
+    pairs = persist(
         li.filter(F.col("l_quantity") <= SSSP_MAX_QTY)
         .groupBy(
             (F.col("l_orderkey") * 2).alias("o"),
@@ -5154,6 +5300,46 @@ def b_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("l_quantity").cast("long").alias("w"))
     )
+    rounds, src_max = SSSP_ROUNDS, 2 * SSSP_SOURCE_MAX_PARTKEY + 1
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        o, p, ew = _np_gather(batches, ["o", "p", "w"])
+        src = np.concatenate([o, p])
+        dst = np.concatenate([p, o])
+        nodes = np.unique(src)
+        sidx = np.searchsorted(nodes, np.concatenate([src, nodes]))
+        didx = np.searchsorted(nodes, np.concatenate([dst, nodes]))
+        # both directions carry the pair weight; self-loops w=0
+        w = np.r_[ew, ew, np.zeros(len(nodes), dtype=np.int64)].astype(
+            np.float64
+        )
+        dist = np.where(
+            (nodes % 2 == 1) & (nodes <= src_max), 0.0, np.inf
+        )
+        for _ in range(rounds):
+            new = np.full(len(nodes), np.inf)
+            np.minimum.at(new, didx, dist[sidx] + w)
+            dist = new
+        reach = np.isfinite(dist)
+        d = dist[reach].astype(np.int64)
+        n = nodes[reach]
+        order = np.lexsort((n, d))
+        d2, n2 = d[order], n[order]
+        starts = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+        yield pd.DataFrame(
+            {
+                "dist": d2[starts],
+                "n_nodes": np.diff(np.r_[starts, len(d2)]),
+                "min_node": n2[starts],
+            }
+        )
+
+    blk = _graph_block(pairs, kern, "dist long, n_nodes long, min_node long")
+    if blk is not None:
+        return blk
     both = F.array(
         F.struct(F.col("o").alias("src"), F.col("p").alias("dst"), F.col("w")),
         F.struct(F.col("p").alias("src"), F.col("o").alias("dst"), F.col("w")),

@@ -933,7 +933,35 @@ def c_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a corpus shuffle, which is exactly how production Lloyd runs
     on 100 TB (the iteration count is the driver loop; here it is
     unrolled to keep the whole plan visible to Catalyst and the
-    oracle)."""
+    oracle). Below EMB_BLOCK_CAP vectors the embedding block lane
+    replays both Lloyd rounds in one task (_kmeans_block_fns)."""
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    _, cent_sims, train = _kmeans_block_fns()
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        U, cids, C1, cn1 = train(ids, X)
+        sims = cent_sims(U, C1, cn1)
+        k = np.argmax(sims, axis=1)
+        yield pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": cids[k],
+                "cos_sim": r4(sims[np.arange(len(ids)), k]),
+            }
+        )
+
+    blk = _emb_block(
+        raw, kern, "vec_id long, cluster_id long, cos_sim double"
+    )
+    if blk is not None:
+        return blk
     base, c1 = _kmeans_train(spark, sf_dir)
     return _kmeans_assign(base, c1, out_sim=True)
 
@@ -1075,7 +1103,65 @@ def c_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector store exposes. Probe sets of different queries reuse the
     same cluster-keyed candidate table (one shuffle key: cluster_id).
     Recall vs exact at 200k vectors is measured in the scale smoke
-    (trained centroids, nprobe=2)."""
+    (trained centroids, nprobe=2). Below EMB_BLOCK_CAP vectors the
+    embedding block lane replays train + probe + search in one task
+    (per-query cumsum-fold dots over the probed cells' members)."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    _, cent_sims, train = _kmeans_block_fns()
+    nq, nk, nprobe = KNN_QUERIES, KNN_K, IVF_NPROBE
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        U, cids, C1, cn1 = train(ids, X)
+        sims = cent_sims(U, C1, cn1)
+        cluster = cids[np.argmax(sims, axis=1)]
+        nrm = np.sqrt(_np_cumdot(X, X))
+        out = []
+        for qi in np.flatnonzero(ids < nq):
+            probe = cids[np.argsort(-sims[qi], kind="stable")[:nprobe]]
+            cand = np.flatnonzero(np.isin(cluster, probe))
+            cand = cand[cand != qi]
+            if not len(cand):
+                continue
+            cos = r4(
+                _np_cumdot(X[cand], X[qi]) / (nrm[qi] * nrm[cand])
+            )
+            order = np.lexsort((ids[cand], -cos))[:nk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), ids[qi]),
+                        "neighbor_id": ids[cand][order],
+                        "cluster_id": cluster[cand][order],
+                        "cos_sim": cos[order],
+                        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        yield pd.concat(out) if out else pd.DataFrame(
+            {
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "cluster_id": np.empty(0, np.int64),
+                "cos_sim": np.empty(0, np.float64),
+                "rank": np.empty(0, np.int64),
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "query_id long, neighbor_id long, cluster_id long, "
+        "cos_sim double, rank long",
+    )
+    if blk is not None:
+        return blk
     base, c1 = _kmeans_train(spark, sf_dir)
     sim = rnd(dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -1494,7 +1580,57 @@ def c_sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     full banding, so the query keeps its FULL hash oracle. Emits
     (dropped vec, its label, kept duplicate-of = the best earlier
     candidate, cos). Deterministic: rounded cosine + total-order
-    tiebreak."""
+    tiebreak. Below EMB_BLOCK_CAP vectors the embedding block lane
+    replays banding + verify + keep-rule in one task (_rhp_cand_np is
+    the identical plane matmul the certified pandas_udf runs)."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    r4 = _np_rnd(4)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_l, labs_l, rows = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_l.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+                labs_l.append(pdf["label"].to_numpy(dtype=np.int32))
+                rows.append(
+                    np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                )
+        ids = np.concatenate(ids_l)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        labs = np.concatenate(labs_l)[order]
+        X = np.concatenate(rows)[order]
+        va, vb = _rhp_cand_np(ids, X)
+        ia = np.searchsorted(ids, va)
+        ib = np.searchsorted(ids, vb)
+        nrm = np.sqrt(_np_cumdot(X, X))
+        cos = r4(_np_pair_cos(X, ia, ib) / (nrm[ia] * nrm[ib]))
+        keep = cos >= 0.35
+        va, vb, cos, ib = va[keep], vb[keep], cos[keep], ib[keep]
+        o = np.lexsort((va, -cos, vb))  # per-vb best (cos DESC, va)
+        first = np.r_[True, vb[o][1:] != vb[o][:-1]]
+        sel = o[first]
+        yield pd.DataFrame(
+            {
+                "vec_id": vb[sel],
+                "label": labs[ib[sel]],
+                "dup_of": va[sel],
+                "cos_sim": cos[sel],
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "vec_id long, label int, dup_of long, cos_sim double",
+    )
+    if blk is not None:
+        return blk
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = persist(
@@ -1610,7 +1746,62 @@ def c_sim_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The within-cluster quadratic is the ALGORITHM'S contract (the
     paper's pairwise similarity matrix per cluster), bounded by the
     knob production actually turns: K. Measured at 200k vectors with
-    K=512 + planted duplicates in tests/test_ann.py."""
+    K=512 + planted duplicates in tests/test_ann.py. Below
+    EMB_BLOCK_CAP vectors the embedding block lane replays train +
+    scan order + pairwise verdicts in one task."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    _, cent_sims, train = _kmeans_block_fns()
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        U, cids, C1, cn1 = train(ids, X)
+        sims = cent_sims(U, C1, cn1)
+        k = np.argmax(sims, axis=1)
+        cluster, cs = cids[k], sims[np.arange(len(ids)), k]
+        # SemDeDup scan order within each cluster: (cent_sim ASC, id)
+        o = np.lexsort((ids, cs, cluster))
+        cl2, cs2, id2 = cluster[o], cs[o], ids[o]
+        starts = np.flatnonzero(np.r_[True, cl2[1:] != cl2[:-1]])
+        sizes = np.diff(np.r_[starts, len(cl2)])
+        loc = np.arange(len(cl2)) - np.repeat(starts, sizes)
+        cnt_i = np.repeat(sizes, sizes) - 1 - loc
+        pa = np.repeat(np.arange(len(cl2)), cnt_i)
+        csum = np.cumsum(cnt_i)
+        offs = np.arange(int(csum[-1]) if len(csum) else 0) - np.repeat(
+            csum - cnt_i, cnt_i
+        )
+        pb = pa + offs + 1
+        cos = r4(_np_pair_cos(U, o[pa], o[pb]))
+        keep = cos >= 0.35
+        pa, pb, cos = pa[keep], pb[keep], cos[keep]
+        va, vb = id2[pa], id2[pb]
+        best = np.lexsort((va, -cos, vb))  # per-vb best (cos DESC, va)
+        first = np.r_[True, vb[best][1:] != vb[best][:-1]]
+        sel = best[first]
+        yield pd.DataFrame(
+            {
+                "vec_id": vb[sel],
+                "cluster_id": cl2[pb[sel]],
+                "dup_of": va[sel],
+                "cent_sim": r4(cs2[pb[sel]]),
+                "cos_sim": cos[sel],
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "vec_id long, cluster_id long, dup_of long, "
+        "cent_sim double, cos_sim double",
+    )
+    if blk is not None:
+        return blk
     base, c1 = _kmeans_train(spark, sf_dir)
     return _semdedup_kmeans(base, c1)
 
@@ -4229,6 +4420,218 @@ def c_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-corpus BLOCK LANE (round-12 optimization; guide §1.2 "fix
+# the distributed algorithm first" — the graph/NN-descent/tokenizer
+# lanes' tier applied to the vector family): the unrolled-iterative
+# embedding queries (power-iteration PCA, Lloyd k-means and the
+# serving indexes trained on it) run 4-46 static exchanges of
+# broadcast joins, posexplode+groupBy(dim) passes and K-row rebuilds
+# over a corpus that fits one task by orders of magnitude at fixture
+# scale (sf0.1 = 2 000 × 64 doubles ≈ 1 MB). Below EMB_BLOCK_CAP
+# vectors, ONE coalesced mapInPandas task scans the corpus once and
+# replays the whole chain in numpy with the house bit-exactness
+# discipline: cumulative-sum folds (the left fold's exact value),
+# elementwise IEEE twins of transform/zip_with, _np_rnd's HALF_UP +
+# Decimal-audit quantization (the _np_half_up6 / _nd_block_fns
+# kernel, generalized over the rounding scale), lexsort total orders.
+# Row-sum reorderings (X'c, centroid means) ride the same noise-floor
+# argument that already certifies the DuckDB oracle's float sums
+# under the EPS nudge — with the Decimal audit catching any
+# knife-edge loudly. Above the cap the distributed chains run
+# unchanged — also the correct 100 TB answer (fit-small/
+# transform-everything: PCA/k-means TRAINING at corpus scale runs on
+# a bounded sample/shard; the apply passes stay corpus-parallel).
+# Equivalence pinned in tests/test_emb_block.py (block vs distributed
+# lane row-identity on the live fixture) + oracle hash-match at
+# three scale factors.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402 — cap override, see below
+
+# Env-overridable (SPARK_GRAFT_EMB_BLOCK_CAP): production tuning knob
+# for the lane tier, and -1 forces the distributed chains (plan dumps
+# / A-B equivalence runs).
+EMB_BLOCK_CAP = int(_os.environ.get("SPARK_GRAFT_EMB_BLOCK_CAP", "20000"))
+
+
+def _np_rnd(n: int):
+    """numpy twin of rnd(col, n): HALF_UP (away-from-zero) rounding of
+    x + EPS[n] to n decimals, with a Decimal audit of knife-edge
+    values (|scaled frac − .5| < 1e-6) where binary floor(+0.5) could
+    disagree with Spark's BigDecimal(shortest-repr) reading. The audit
+    set is empty on every fixture (the EPS nudge keeps true values off
+    exact halves); it exists so the lane can never silently diverge.
+    (The layer_b pagerank kernel is the n=6 instance of this.)"""
+    import numpy as np
+
+    eps = EPS[n]
+    scale = 10.0 ** n
+
+    def r(x):
+        y = np.asarray(x, dtype=np.float64) + eps
+        ay = np.abs(y)
+        scaled = ay * scale
+        out = np.floor(scaled + 0.5)
+        # audit on raveled views so n-dim inputs (the (n, K) sim
+        # matrices) index correctly
+        flat_s, flat_a, flat_o = scaled.ravel(), ay.ravel(), out.reshape(-1)
+        risky = np.flatnonzero(
+            np.abs((flat_s - np.floor(flat_s)) - 0.5) < 1e-6
+        )
+        if len(risky):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal(1).scaleb(-n)
+            for i in risky:
+                flat_o[i] = float(
+                    Decimal(repr(float(flat_a[i]))).quantize(
+                        q, rounding=ROUND_HALF_UP
+                    )
+                ) * scale
+        return np.where(y < 0, -out, out) / scale + 0.0
+
+    return r
+
+
+def _emb_block(raw: DataFrame, kernel, schema: str) -> DataFrame | None:
+    """Gate + dispatch of the embedding block lane: ``raw`` must be
+    the (vec_id, embedding) corpus projection. Returns None above
+    EMB_BLOCK_CAP (the distributed chains run)."""
+    if raw.count() > EMB_BLOCK_CAP:
+        return None
+    return raw.coalesce(1).mapInPandas(kernel, schema)
+
+
+def _emb_gather_np(batches):
+    """vec_id-ascending (ids, X float64 matrix) from a partition's
+    pandas batches — float32→float64 elementwise (exact, the
+    as_double twin)."""
+    import numpy as np
+
+    ids_l, rows = [], []
+    for pdf in batches:
+        if len(pdf):
+            ids_l.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+            rows.append(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+    if not ids_l:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    ids = np.concatenate(ids_l)
+    X = np.concatenate(rows)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], X[order]
+
+
+def _np_cumdot(A, v):
+    """Exact twin of dot(col, broadcast-row): per-element product then
+    cumulative sum, whose last element IS the left fold's value (every
+    prefix is sequential, so the addition order is bit-identical)."""
+    import numpy as np
+
+    return np.cumsum(A * v, axis=1)[:, -1]
+
+
+def _pca_power_np(X, r6):
+    """PCA_ITERS power iterations, the _power_iterations twin:
+    v0 = exact 1/sqrt(64); per round coef = fold(x·v) (cumsum), the
+    64-row update sum X'c (noise-floor row order, like the oracle),
+    v = rnd6(s/nrm). Returns (v, nrm) after the last round."""
+    import numpy as np
+
+    v = np.full(X.shape[1], _PCA_V0)
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        coef = _np_cumdot(X, v)
+        s = X.T @ coef
+        nrm = float(np.sqrt(np.sum(s * s)))
+        v = r6(s / nrm)
+    return v, nrm
+
+
+def _kmeans_block_fns():
+    """numpy twins of the _kmeans_train chain + shared assignment:
+    unit vectors by elementwise IEEE divide (the transform twin),
+    per-centroid similarity columns through the cumsum fold + one
+    divide + rnd6 (exactly _kmeans_assign's expression), argmax rows
+    with numpy's first-max = the (sim DESC, cent_id) window tiebreak
+    (centroid columns are cent_id-ascending), centroid means under
+    the noise-floor row-sum argument (the oracle's own tolerance)."""
+    import numpy as np
+
+    r6 = _np_rnd(6)
+
+    def unitize(X):
+        nrm = np.sqrt(_np_cumdot(X, X))
+        return X / nrm[:, None], nrm
+
+    def cent_sims(U, C, cn):
+        out = np.empty((U.shape[0], len(C)))
+        for k in range(len(C)):
+            out[:, k] = _np_cumdot(U, C[k]) / (1.0 * cn[k])
+        return r6(out)
+
+    def train(ids, X):
+        """(ids asc, X raw) -> (U unit vectors, cids ascending trained
+        cluster ids, C1 6dp-mean centroids, cn1 norms)."""
+        U, _ = unitize(X)
+        seed = ids < KMEANS_K
+        C0, cid0 = U[seed], ids[seed]
+        cn0 = np.sqrt(_np_cumdot(C0, C0))
+        lab = cid0[np.argmax(cent_sims(U, C0, cn0), axis=1)]
+        cids = np.unique(lab)
+        C1 = np.stack([r6(U[lab == c].mean(axis=0)) for c in cids])
+        cn1 = np.sqrt(_np_cumdot(C1, C1))
+        return U, cids, C1, cn1
+
+    return unitize, cent_sims, train
+
+
+def _rhp_cand_np(ids, X):
+    """numpy twin of _rhp_candidate_pairs: the identical plane matmul
+    the certified pandas_udf runs (same margin argument pins the sign
+    bits), band bucket keys, the 2..SHINGLE_DF_CAP size cap, and the
+    distinct (va < vb) pair set. Returns (va, vb) int64 arrays."""
+    import numpy as np
+
+    w = np.array([_rhp_plane(h) for h in range(RHP_ROWS * RHP_BANDS)])
+    bits = (X @ w.T) > 0
+    weights = 1 << np.arange(RHP_ROWS)
+    bk = (bits.reshape(len(X), RHP_BANDS, RHP_ROWS) * weights).sum(axis=2)
+    key_mod = np.int64(ids.max()) + 1 if len(ids) else np.int64(1)
+    keys = []
+    for b in range(RHP_BANDS):
+        order = np.argsort(bk[:, b], kind="stable")
+        bb = bk[order, b]
+        mids = ids[order]
+        starts = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        sizes = np.diff(np.r_[starts, len(bb)])
+        for s, k in zip(starts, sizes):
+            if 2 <= k <= SHINGLE_DF_CAP:
+                m = np.sort(mids[s : s + k])
+                ia, ib = np.triu_indices(k, 1)
+                keys.append(m[ia] * key_mod + m[ib])
+    if not keys:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    allk = np.unique(np.concatenate(keys))
+    return allk // key_mod, allk % key_mod
+
+
+def _np_pair_cos(X, ia, ib, chunk=65_536):
+    """Exact-cosine numerator Σ x_a·x_b per (ia, ib) index pair, in
+    bounded chunks (row-wise einsum dots; the noise-floor row-order
+    argument that certifies the oracle's float sums covers the
+    pairwise-vs-fold sum order here — outputs pass through rnd(·,4)
+    with the EPS nudge and the Decimal audit)."""
+    import numpy as np
+
+    out = np.empty(len(ia))
+    for s in range(0, len(ia), chunk):
+        e = min(s + chunk, len(ia))
+        out[s:e] = np.einsum("ij,ij->i", X[ia[s:e]], X[ib[s:e]])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Power-iteration PCA over the embedding corpus — the fourth iterative
 # showcase (after kmeans / pagerank / label-prop CC), on the vector
 # side: top principal direction of the (uncentered) Gram matrix,
@@ -4448,7 +4851,32 @@ def c_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE tiny shuffle, never a corpus shuffle, never a driver-side loop
     (the 64-float component travels as a broadcast row, not a
     collect()). At 100 TB this is exactly distributed power iteration:
-    deflate and repeat for the top-k components."""
+    deflate and repeat for the top-k components. Below EMB_BLOCK_CAP
+    vectors the block lane replays the iterations in one task (cumsum
+    folds + noise-floor row sums under _np_rnd's audited HALF_UP)."""
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r2 = _np_rnd(6), _np_rnd(2)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, X = _emb_gather_np(batches)
+        v, nrm = _pca_power_np(X, r6)
+        dim = np.arange(1, X.shape[1] + 1, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "dim": dim,
+                "loading": v,
+                "eig_norm": np.full(len(dim), r2(np.array([nrm]))[0]),
+            }
+        )
+
+    blk = _emb_block(raw, kern, "dim long, loading double, eig_norm double")
+    if blk is not None:
+        return blk
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     base = persist(
         emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
@@ -4506,7 +4934,45 @@ def c_embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, NOT per element); each extra component costs one more
     deflation pass + the same per-iteration tiny (64-row) shuffles —
     top-k PCA at 100 TB is k chained copies of this plan, never a
-    covariance materialization."""
+    covariance materialization. Below EMB_BLOCK_CAP vectors the block
+    lane replays both component chains + the deflation in one task
+    (the deflation zip_with is the elementwise IEEE twin
+    X − c[:,None]·v1)."""
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r4, r2 = _np_rnd(6), _np_rnd(4), _np_rnd(2)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, X = _emb_gather_np(batches)
+        v1, _ = _pca_power_np(X, r6)
+        c = _np_cumdot(X, v1)
+        Xd = X - c[:, None] * v1
+        v2, nrm2 = _pca_power_np(Xd, r6)
+        dim = np.arange(1, X.shape[1] + 1, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "dim": dim,
+                "loading1": v1,
+                "loading2": v2,
+                "eig_norm2": np.full(len(dim), r2(np.array([nrm2]))[0]),
+                "ortho": np.full(
+                    len(dim), r4(np.array([np.sum(v1 * v2)]))[0]
+                ),
+            }
+        )
+
+    blk = _emb_block(
+        raw,
+        kern,
+        "dim long, loading1 double, loading2 double, "
+        "eig_norm2 double, ortho double",
+    )
+    if blk is not None:
+        return blk
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     base = persist(
         emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
@@ -4603,7 +5069,43 @@ def c_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan per row against two broadcast 64-float components — two
     folds, one zip_with chain, zero shuffles beyond training. At
     100 TB this is the classic fit-small/transform-everything split:
-    the transform dominates and is embarrassingly parallel."""
+    the transform dominates and is embarrassingly parallel. Below
+    EMB_BLOCK_CAP vectors the block lane replays train + apply in one
+    task (the residual chain is the elementwise IEEE twin of the
+    nested zip_with)."""
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r4 = _np_rnd(6), _np_rnd(4)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        v1, _ = _pca_power_np(X, r6)
+        c = _np_cumdot(X, v1)
+        Xd = X - c[:, None] * v1
+        v2, _ = _pca_power_np(Xd, r6)
+        p1 = r6(_np_cumdot(X, v1))
+        p2 = r6(_np_cumdot(X, v2))
+        r = (X - p1[:, None] * v1) - p2[:, None] * v2
+        yield pd.DataFrame(
+            {
+                "vec_id": ids,
+                "p1": r4(p1),
+                "p2": r4(p2),
+                "resid_norm": r4(np.sqrt(_np_cumdot(r, r))),
+            }
+        )
+
+    blk = _emb_block(
+        raw,
+        kern,
+        "vec_id long, p1 double, p2 double, resid_norm double",
+    )
+    if blk is not None:
+        return blk
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     base = persist(
         emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
@@ -10150,7 +10652,114 @@ def c_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups. The corpus floats are never read at query time; the
     fixture's isotropic spectrum keeps absolute recall modest (the
     c_sim_rq_adc caveat), and the 200k-vector scale smoke measures
-    recall on clusterable planted data."""
+    recall on clusterable planted data. Below EMB_BLOCK_CAP vectors
+    the embedding block lane replays the full train + LUT + ADC serve
+    chain in one task — all candidate scores stay exact integer
+    micro-sums (the _micro twin), so the replay is bit-exact past the
+    quantization points."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r4, r0 = _np_rnd(6), _np_rnd(4), _np_rnd(0)
+    _, cent_sims, train = _kmeans_block_fns()
+    nq, nk, nprobe, m, pqk = KNN_QUERIES, KNN_K, IVF_NPROBE, PQ_M, PQ_K
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        def micro(x):
+            return r0(r6(x) * 1_000_000.0).astype(np.int64)
+
+        ids, X = _emb_gather_np(batches)
+        n, dim = X.shape
+        sub = dim // m
+        U, cids, C1, cn1 = train(ids, X)
+        sims = cent_sims(U, C1, cn1)
+        k1 = np.argmax(sims, axis=1)
+        R3 = (U - C1[k1]).reshape(n, m, sub)
+        # PQ seed books on the residuals (cent_id = vec_id < PQ_K)
+        seed_ids = ids[ids < pqk]
+        pc0 = R3[ids < pqk]  # (S, m, sub)
+        d1 = r6(((R3[:, None, :, :] - pc0[None, :, :, :]) ** 2).sum(axis=3))
+        a1 = np.argmin(d1, axis=1)  # (n, m) -> seed index (ties: low id)
+        # one Euclidean Lloyd update: per (s, code) 6dp-rounded means
+        books = []  # per s: (code_ids asc, (C, sub) book)
+        for s in range(m):
+            codes_s = np.unique(a1[:, s])
+            cb = np.stack(
+                [r6(R3[a1[:, s] == c, s].mean(axis=0)) for c in codes_s]
+            )
+            books.append((seed_ids[codes_s], cb))
+        code2_idx = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            _, cb = books[s]
+            d2 = r6(((R3[:, None, s, :] - cb[None, :, :]) ** 2).sum(axis=2))
+            code2_idx[:, s] = np.argmin(d2, axis=1)
+        # serve: probes, integer micro LUTs, cell-routed ADC, exact twin
+        out = []
+        for qi in np.flatnonzero(ids < nq):
+            qu = U[qi]
+            probe_cols = np.argsort(-sims[qi], kind="stable")[:nprobe]
+            lutc = np.array(
+                [micro(np.array([np.cumsum(qu * C1[c])[-1]]))[0]
+                 for c in range(len(cids))],
+                dtype=np.int64,
+            )
+            qsub = qu.reshape(m, sub)
+            luts = [
+                micro((qsub[s] * books[s][1]).sum(axis=1)) for s in range(m)
+            ]
+            cand = np.flatnonzero(np.isin(k1, probe_cols))
+            cand = cand[cand != qi]
+            if not len(cand):
+                continue
+            vsm = np.zeros(len(cand), dtype=np.int64)
+            for s in range(m):
+                vsm += luts[s][code2_idx[cand, s]]
+            score = lutc[k1[cand]] + vsm
+            order = np.lexsort((ids[cand], -score))[:nk]
+            top_ids = ids[cand][order]
+            # exact unit-vector top-k twin + recall
+            dots = np.cumsum(U * qu, axis=1)[:, -1]
+            cosx = r4(dots)
+            mask = ids != ids[qi]
+            ex = np.flatnonzero(mask)
+            exo = np.lexsort((ids[ex], -cosx[ex]))[:nk]
+            exact_ids = set(ids[ex][exo].tolist())
+            hits = sum(1 for t in top_ids if t in exact_ids)
+            rec = r4(np.array([hits * 1.0 / nk]))[0]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), ids[qi]),
+                        "neighbor_id": top_ids,
+                        "rank": np.arange(
+                            1, len(order) + 1, dtype=np.int64
+                        ),
+                        "adc_score": r4(score[order] / 1_000_000.0),
+                        "recall_at_k": np.full(len(order), rec),
+                    }
+                )
+            )
+        yield pd.concat(out) if out else pd.DataFrame(
+            {
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "rank": np.empty(0, np.int64),
+                "adc_score": np.empty(0, np.float64),
+                "recall_at_k": np.empty(0, np.float64),
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "query_id long, neighbor_id long, rank long, "
+        "adc_score double, recall_at_k double",
+    )
+    if blk is not None:
+        return blk
     top, exact_top = _ivfpq_scored(spark, sf_dir)
     top = top.filter(F.col("rank") <= KNN_K)
     rec = (
@@ -10260,7 +10869,81 @@ def c_sim_dedup_kmeans_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ C({SHINGLE_DF_CAP},2) per bucket) that already serves
     c_sim_lsh_native; no all-pairs stage anywhere. At 200k vectors the
     scale smoke's hybrid pass recovers the boundary straddlers the
-    cluster-only pass provably misses."""
+    cluster-only pass provably misses. Below EMB_BLOCK_CAP vectors the
+    embedding block lane replays train + both pair sources + the one
+    keep rule in one task."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    _, cent_sims, train = _kmeans_block_fns()
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        U, cids, C1, cn1 = train(ids, X)
+        sims = cent_sims(U, C1, cn1)
+        k = np.argmax(sims, axis=1)
+        cluster, cs = cids[k], sims[np.arange(len(ids)), k]
+        # within-cluster pairs in SemDeDup scan order (cent_sim ASC, id)
+        o = np.lexsort((ids, cs, cluster))
+        cl2 = cluster[o]
+        starts = np.flatnonzero(np.r_[True, cl2[1:] != cl2[:-1]])
+        sizes = np.diff(np.r_[starts, len(cl2)])
+        loc = np.arange(len(cl2)) - np.repeat(starts, sizes)
+        cnt_i = np.repeat(sizes, sizes) - 1 - loc
+        pa = np.repeat(np.arange(len(cl2)), cnt_i)
+        csum = np.cumsum(cnt_i)
+        offs = np.arange(int(csum[-1]) if len(csum) else 0) - np.repeat(
+            csum - cnt_i, cnt_i
+        )
+        pb = pa + offs + 1
+        ra_w, rb_w = o[pa], o[pb]
+        # cross-cluster pairs from the certified RHP banding, oriented
+        # by the global (cent_sim, vec_id) scan order
+        cva, cvb = _rhp_cand_np(ids, X)
+        ia = np.searchsorted(ids, cva)
+        ib = np.searchsorted(ids, cvb)
+        diff = cluster[ia] != cluster[ib]
+        ia, ib = ia[diff], ib[diff]
+        a_first = (cs[ia] < cs[ib]) | (
+            (cs[ia] == cs[ib]) & (ids[ia] < ids[ib])
+        )
+        ra_x = np.where(a_first, ia, ib)
+        rb_x = np.where(a_first, ib, ia)
+        ra = np.r_[ra_w, ra_x]
+        rb = np.r_[rb_w, rb_x]
+        via = np.r_[
+            np.full(len(ra_w), "cluster", dtype=object),
+            np.full(len(ra_x), "lsh", dtype=object),
+        ]
+        cos = r4(_np_pair_cos(U, ra, rb))
+        keep = cos >= 0.35
+        ra, rb, cos, via = ra[keep], rb[keep], cos[keep], via[keep]
+        best = np.lexsort((ids[ra], -cos, ids[rb]))
+        first = np.r_[True, ids[rb][best][1:] != ids[rb][best][:-1]]
+        sel = best[first]
+        yield pd.DataFrame(
+            {
+                "vec_id": ids[rb[sel]],
+                "cluster_id": cluster[rb[sel]],
+                "dup_of": ids[ra[sel]],
+                "cent_sim": r4(cs[rb[sel]]),
+                "cos_sim": cos[sel],
+                "via": via[sel],
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "vec_id long, cluster_id long, dup_of long, "
+        "cent_sim double, cos_sim double, via string",
+    )
+    if blk is not None:
+        return blk
     base, c1 = _kmeans_train(spark, sf_dir)
     sim = rnd(dot(F.col("u"), F.col("cv")) / (F.lit(1.0) * F.col("cn")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -13228,6 +13911,13 @@ def c_token_wordpiece_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DOREMI_ROUNDS = 3
+# Block-lane gate for the DoReMi weight algebra: (domain, token) count
+# rows — vocabulary×domains-sized, NOT corpus-sized, so the cap is
+# about per-task numpy working set, same tier as GRAPH_BLOCK_EDGES.
+# Env-overridable like the other lane caps.
+DOREMI_BLOCK_CAP = int(
+    _os.environ.get("SPARK_GRAFT_DOREMI_BLOCK_CAP", "500000")
+)
 # eta = 0.1: factor = exp(loss_micro / 1e7). Smoothing c = 1/10:
 # alpha <- (9 * alpha_norm) DIV 10 + (1e5 DIV n_domains) — pure-integer
 # arithmetic, so only ln/exp (quantized once each) ever touch floats.
@@ -13325,7 +14015,12 @@ def c_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight vector localCheckpoint'ed per round to keep the unrolled
     static plan linear, the c_rag_mmr lesson). Real DoReMi spends its
     cost training the proxy; the weight algebra — what this query
-    certifies — is exactly this dataflow."""
+    certifies — is exactly this dataflow. Round-12: below
+    DOREMI_BLOCK_CAP (domain, token) rows the weight algebra replays
+    in ONE task off the distributed count table (the corpus pass
+    stays the certified dataflow) — integer micro-unit arithmetic
+    throughout, ln/exp under the same noise-floor + _np_rnd audit
+    that certifies the DuckDB replay's libm."""
     from demo_segmenter_spark.functions.cache import local_checkpoint
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -13335,6 +14030,69 @@ def c_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcnt = persist(
         tok.groupBy("source", "t").agg(F.count("*").alias("ckt"))
     )
+    r0 = _np_rnd(0)
+    rounds = DOREMI_ROUNDS
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        src_l, t_l, c_l = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                src_l.append(pdf["source"].to_numpy())
+                t_l.append(pdf["t"].to_numpy())
+                c_l.append(pdf["ckt"].to_numpy(dtype=np.int64))
+        src = np.concatenate(src_l)
+        t = np.concatenate(t_l)
+        ckt = np.concatenate(c_l)
+
+        def r0i(x):
+            return r0(x).astype(np.int64)
+
+        sources, sidx = np.unique(src, return_inverse=True)
+        kk = len(sources)
+        tk = np.zeros(kk, dtype=np.int64)
+        np.add.at(tk, sidx, ckt)
+        _, tidx = np.unique(t, return_inverse=True)
+        n_tok = tidx.max() + 1 if len(tidx) else 0
+        am = np.full(kk, 1_000_000 // kk, dtype=np.int64)
+        uni = 100_000 // kk
+        out = []
+        for r in range(1, rounds + 1):
+            tp = r0i(
+                (am[sidx] * ckt).astype(np.float64) / tk[sidx] * 1_000_000
+            )
+            pm = np.zeros(n_tok, dtype=np.int64)
+            np.add.at(pm, tidx, tp)
+            lpm = r0i(np.log(pm / 1_000_000_000_000.0) * 1_000_000)
+            ln_num = np.zeros(kk, dtype=np.int64)
+            np.add.at(ln_num, sidx, -ckt * lpm[tidx])
+            lmic = r0i(ln_num.astype(np.float64) / tk)
+            fmic = r0i(np.exp(lmic / 10_000_000.0) * 1_000_000)
+            rw = am * fmic
+            sr = rw.sum()
+            am = (9 * r0i(rw.astype(np.float64) / sr * 1_000_000)) // 10 + uni
+            out.append(
+                pd.DataFrame(
+                    {
+                        "round": np.full(kk, r, dtype=np.int32),
+                        "source": sources,
+                        "n_tokens": tk,
+                        "loss_micro": lmic,
+                        "factor_micro": fmic,
+                        "alpha_micro": am,
+                    }
+                )
+            )
+        yield pd.concat(out)
+
+    if dcnt.count() <= DOREMI_BLOCK_CAP:
+        return dcnt.coalesce(1).mapInPandas(
+            kern,
+            "round int, source string, n_tokens long, "
+            "loss_micro long, factor_micro long, alpha_micro long",
+        )
     dtot = persist(
         dcnt.groupBy("source").agg(F.sum("ckt").cast("long").alias("tk"))
     )

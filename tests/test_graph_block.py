@@ -154,3 +154,38 @@ def test_live_queries_use_block_lane_and_match_committed_shapes(spark):
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, q
         n = df.count()
         assert 0 < n <= 100, (q, n)
+
+
+def test_new_block_lanes_match_distributed_lane_on_fixture(
+    spark, monkeypatch
+):
+    """Round-12 continuation lanes (components, bfs, sssp, triangles):
+    run each registered query at sf0.001 twice — block lane live
+    (plan must carry the mapInPandas kernel) and with the lane gated
+    OFF (GRAPH_BLOCK_EDGES = -1 forces the distributed rounds) — and
+    pin row-identity between the two. This is the same-fixture A/B
+    the community/kcore crafted references approximate, end to end."""
+    from demo_segmenter_spark.functions.cache import release_persisted
+    from demo_segmenter_spark.plans.inspect import explain_str
+
+    for q in (
+        "b_graph_components",
+        "b_graph_bfs",
+        "b_graph_sssp",
+        "b_graph_triangles",
+    ):
+        df = lb.__dict__[q](spark, SF_DIR)
+        plan = explain_str(df)
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, q
+        got = sorted(tuple(r) for r in df.collect())
+        release_persisted(spark, owner=True)
+        monkeypatch.setattr(lb, "GRAPH_BLOCK_EDGES", -1)
+        try:
+            ref_df = lb.__dict__[q](spark, SF_DIR)
+            ref_plan = explain_str(ref_df)
+            assert "MapInPandas" not in ref_plan, q
+            ref = sorted(tuple(r) for r in ref_df.collect())
+        finally:
+            monkeypatch.undo()
+            release_persisted(spark, owner=True)
+        assert got == ref, q

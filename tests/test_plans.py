@@ -499,12 +499,16 @@ def test_shuffle_budgets_table(spark):
         # results), so the POST-TRUNCATION plan shows only the serving
         # exchanges — ADC rollup, rank window, recall rollup — with
         # codebooks/LUTs/probes broadcast
-        "c_sim_ivfpq_adc": 5,
+        # r12 emb block lane at fixture scale: zero exchanges (one
+        # coalesced corpus scan; train+LUT+ADC replay in-task);
+        # distributed chain above EMB_BLOCK_CAP measured 5
+        "c_sim_ivfpq_adc": 0,
         # hybrid SemDeDup: the kmeans-train chain + assignment window
         # + the within-cluster pair join + the RHP banding join (both
         # bounded shapes) + the per-victim best window; training
         # subtrees persisted (runtime once)
-        "c_sim_dedup_kmeans_hybrid": 42,
+        # r12 emb block lane: zero exchanges; distributed chain ~42
+        "c_sim_dedup_kmeans_hybrid": 0,
         # IVFADC + refine: the checkpointed _ivfpq_scored chain + the
         # query-proportional shortlist re-rank joins
         "c_sim_ivfpq_refine": 2,
@@ -634,12 +638,14 @@ def test_shuffle_budgets_table(spark):
         # exchange + capped self-join inside _rhp_candidate_pairs, the
         # best-dup window on vec_id, plus the spread repartition — the
         # exact-cosine joins broadcast the bounded candidate set
-        "c_sim_dedup_semantic": 4,
+        # r12 emb block lane: zero exchanges; distributed chain 4
+        "c_sim_dedup_semantic": 0,
         # two unrolled Lloyd iterations: per iteration the assignment
         # is a broadcast join (no corpus shuffle) and the centroid
         # update collapses map-side to K x dim partials — one tiny
         # exchange each, plus the K-row array rebuilds
-        "c_sim_kmeans": 4,
+        # r12 emb block lane: zero exchanges; distributed chain 4
+        "c_sim_kmeans": 0,
         # iterative: the STATIC plan repeats the persisted edge/degree
         # subtrees (they cache at first materialization, so runtime
         # pays each once), plus 3 unrolled share-join + rank-groupBy
@@ -652,7 +658,10 @@ def test_shuffle_budgets_table(spark):
         # linear unrolled min-label rounds (self-loop edge list keeps
         # the label table referenced once per round); the persisted
         # half/edges subtrees repeat in the static plan like pagerank's
-        "b_graph_components": 15,
+        # r12 block lane at fixture scale: pairs distinct only (the
+        # min-label rounds replay in one task); above GRAPH_BLOCK_EDGES
+        # the distributed rounds run (~15)
+        "b_graph_components": 1,
         # frequency-vote LPA: 3 unrolled rounds, each a groupBy(node,lbl)
         # count + the per-node argmax window (two node-keyed exchanges vs
         # components' one min-agg), over the same persisted edge subtrees
@@ -662,13 +671,15 @@ def test_shuffle_budgets_table(spark):
         # collapsing map-side to 64 rows, a single-partition window for
         # the norm, and the 1-row component rebuild — all intermediates
         # referenced once, so the static plan is linear in rounds
-        "c_embed_pca": 7,
+        # r12 emb block lane: zero exchanges; distributed chain 7
+        "c_embed_pca": 0,
         # deflation doubles the chain: v1's 3-iteration subtree appears
         # under BOTH the deflation pass and the output join, and the
         # deflated matrix feeds 3 more iterations — v1full/based/base
         # all persist, so runtime executes each subtree once (the
         # kcore precedent: static count compounds, runtime is linear)
-        "c_embed_pca_deflate": 46,
+        # r12 emb block lane: zero exchanges; distributed chain ~46
+        "c_embed_pca_deflate": 0,
         # MMR greedy selection: the selected-set accumulator grows by
         # union each round, and each round re-references the persisted
         # pool/psims/sel subtrees — static count compounds like
@@ -738,7 +749,8 @@ def test_shuffle_budgets_table(spark):
         "c_pack_sequences_bpe": 2,
         # train (2 PCA chains, 7 exchanges/round unrolled, persisted) +
         # the map-side apply; static count compounds like pca_deflate's
-        "c_embed_pca_project": 47,
+        # r12 emb block lane: zero exchanges; distributed chain ~47
+        "c_embed_pca_project": 0,
         # robust MAD: two per-type median passes + the broadcast score
         # join's exchange; per-type stats broadcast
         "a_anomaly_mad": 3,
@@ -753,7 +765,8 @@ def test_shuffle_budgets_table(spark):
         # K×dim centroid-update shuffles, persisted), the assignment
         # window, and the per-query rank window; candidate scoring
         # itself broadcasts — no corpus self-join exchange
-        "c_sim_ivf_trained": 9,
+        # r12 emb block lane: zero exchanges; distributed chain 9
+        "c_sim_ivf_trained": 0,
         # encoding = the 2 training rounds' window chains (shared
         # machinery, minus nothing statically since the merge table is
         # derived in-plan) + the vocab distinct/row_number (bounded by
@@ -790,18 +803,18 @@ def test_shuffle_budgets_table(spark):
         "a_cogroup": 1,
         # the applyInPandas cogroup API shuffles each side on the key
         "c_udf_cogroup": 2,
-        # oriented triangle join: the persisted e/oe subtrees repeat in
-        # the static plan (oe is read 3x: two wedge sides + the closing
-        # edge), runtime pays each once via the caches; explode-array
-        # degree/role counting keeps the count at 44 (the unionAll
-        # formulation measured 184)
-        "b_graph_triangles": 44,
-        # min-plus BFS: same linear unrolled shape as components
-        # (self-loops carry w=0 so dist is referenced once per round)
-        "b_graph_bfs": 16,
-        # weighted Bellman-Ford: same linear shape as BFS — weighted
-        # pair rollup replaces the distinct, cost is unchanged
-        "b_graph_sssp": 16,
+        # oriented triangle join: r12 block lane at fixture scale —
+        # the distributed steps left are op distinct + the co-purchase
+        # wedge join + e distinct (the kcore trio); orientation, wedge
+        # enumeration and the close replay in one task (the distributed
+        # lane above GRAPH_BLOCK_EDGES measured 44 static exchanges)
+        "b_graph_triangles": 3,
+        # min-plus BFS: r12 block lane — pairs distinct only (the
+        # relaxation rounds replay in one task; distributed lane ~16)
+        "b_graph_bfs": 1,
+        # weighted Bellman-Ford: same lane as BFS — the weighted pair
+        # rollup (groupBy min) is the one exchange
+        "b_graph_sssp": 1,
         # k-core peeling: each round's edge set is read TWICE (degree
         # pass + restriction base) by construction — filter-by-derived-
         # stat can't be a single reference — so the static plan
@@ -982,7 +995,8 @@ def test_shuffle_budgets_table(spark):
         # the assignment window + the cluster-keyed member self-join +
         # the best-dup window; pair space is cluster-bounded, K ∝ n at
         # scale (see docstring)
-        "c_sim_dedup_kmeans": 13,
+        # r12 emb block lane: zero exchanges; distributed chain ~13
+        "c_sim_dedup_kmeans": 0,
         # unigram tokenizer: ONE corpus word groupBy, then everything is
         # distinct-word / vocab-sized — the seed rank window, the
         # mapInPandas Viterbi exchange, the M-step piece rollup (the EM
@@ -1010,7 +1024,9 @@ def test_shuffle_budgets_table(spark):
         # round (the c_rag_mmr lesson), so the returned plan only sees
         # the final round's persisted raw table + summary joins; the
         # per-round vocab joins execute during construction
-        "c_mix_doremi": 2,
+        # r12 block lane: the dcnt corpus groupBy is the only
+        # exchange (weight algebra replays in-task)
+        "c_mix_doremi": 1,
         # MaxSim: static recount of the persisted int8-code /
         # BM25-pool / chunk-address subtrees across their references
         # (codes feed both vector sides, the pool feeds chunks and the
