@@ -4585,6 +4585,41 @@ def _kmeans_block_fns():
     return unitize, cent_sims, train
 
 
+def _rq_train_np(ids, X):
+    """numpy twin of _rq_train (the shared RVQ chain): stage-1 on the
+    trained k-means centroids, residuals, seed assignment by the
+    cumsum-fold squared distance (the F.aggregate twin), one Euclidean
+    Lloyd update (noise-floor means + rnd6), reassignment. Returns
+    (U, C1 ids+mat, code1 values, R residuals, rc ids+mat,
+    code2 values, final d2)."""
+    import numpy as np
+
+    r6 = _np_rnd(6)
+    _, cent_sims, train = _kmeans_block_fns()
+    U, cids, C1, cn1 = train(ids, X)
+    sims = cent_sims(U, C1, cn1)
+    k1 = np.argmax(sims, axis=1)
+    code1 = cids[k1]
+    R = U - C1[k1]
+
+    def fold_d2(M, cents):
+        out = np.empty((len(M), len(cents)))
+        for c in range(len(cents)):
+            out[:, c] = np.cumsum((M - cents[c]) ** 2, axis=1)[:, -1]
+        return r6(out)
+
+    seed_ids = ids[ids < KMEANS_K]
+    ri = np.argmin(fold_d2(R, R[ids < KMEANS_K]), axis=1)
+    rcl_present = np.unique(ri)
+    rc_ids = seed_ids[rcl_present]
+    RC = np.stack([r6(R[ri == c].mean(axis=0)) for c in rcl_present])
+    d2b = fold_d2(R, RC)
+    c2i = np.argmin(d2b, axis=1)
+    code2 = rc_ids[c2i]
+    d2fin = d2b[np.arange(len(R)), c2i]
+    return U, cids, C1, code1, R, rc_ids, RC, c2i, code2, d2fin
+
+
 def _rhp_cand_np(ids, X):
     """numpy twin of _rhp_candidate_pairs: the identical plane matmul
     the certified pandas_udf runs (same margin argument pins the sign
@@ -7458,7 +7493,37 @@ def c_embed_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact IEEE differences of already-quantized operands. Scale:
     both codebooks are K×dim broadcasts over one corpus scan each —
     map-side assignment, never a corpus shuffle (the c_sim_kmeans
-    argument); real RVQ adds stages as a driver loop."""
+    argument); real RVQ adds stages as a driver loop. Below
+    EMB_BLOCK_CAP vectors the embedding block lane replays the full
+    two-stage chain in one task (_rq_train_np)."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        _, _, _, code1, R, _, _, _, code2, d2fin = _rq_train_np(ids, X)
+        yield pd.DataFrame(
+            {
+                "vec_id": ids,
+                "code1": code1,
+                "code2": code2,
+                "err1": r4(_np_cumdot(R, R)),
+                "err2": r4(d2fin),
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "vec_id long, code1 long, code2 long, err1 double, err2 double",
+    )
+    if blk is not None:
+        return blk
     _, _, _, r, a2 = _rq_train(spark, sf_dir)
     e1 = r.select("vec_id", rnd(dot(F.col("r"), F.col("r")), 4).alias("err1"))
     return a2.join(e1, "vec_id").select(
@@ -7528,7 +7593,63 @@ def c_sim_rq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUTs are (queries × K) rows — broadcast; the scoring join touches
     only the CODES table (2 longs/vector), and the per-query rank
     window is the one exchange. The corpus floats are never read at
-    query time — that is the entire point."""
+    query time — that is the entire point. Below EMB_BLOCK_CAP vectors
+    the embedding block lane replays train + LUT + ADC in one task."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r4 = _np_rnd(6), _np_rnd(4)
+    nq, nk = KNN_QUERIES, KNN_K
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        U, cids, C1, code1, _, rc_ids, RC, c2i, _, _ = _rq_train_np(ids, X)
+        k1i = np.searchsorted(cids, code1)
+        out = []
+        for qi in np.flatnonzero(ids < nq):
+            qu = U[qi]
+            lut1 = r6(
+                np.array([np.cumsum(qu * C1[c])[-1] for c in range(len(cids))])
+            )
+            lut2 = r6(
+                np.array(
+                    [np.cumsum(qu * RC[c])[-1] for c in range(len(rc_ids))]
+                )
+            )
+            score = lut1[k1i] + lut2[c2i]
+            mask = ids != ids[qi]
+            cand = np.flatnonzero(mask)
+            order = np.lexsort((ids[cand], -score[cand]))[:nk]
+            sel = cand[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), ids[qi]),
+                        "neighbor_id": ids[sel],
+                        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                        "adc_score": r4(score[sel]),
+                    }
+                )
+            )
+        yield pd.concat(out) if out else pd.DataFrame(
+            {
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "rank": np.empty(0, np.int64),
+                "adc_score": np.empty(0, np.float64),
+            }
+        )
+
+    blk = _emb_block(
+        raw0,
+        kern,
+        "query_id long, neighbor_id long, rank long, adc_score double",
+    )
+    if blk is not None:
+        return blk
     base, c1, rc1, _, a2 = _rq_train(spark, sf_dir)
     qv = base.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")

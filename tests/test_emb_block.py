@@ -26,6 +26,8 @@ EMB_QUERIES = [
     "c_sim_dedup_kmeans",
     "c_sim_dedup_kmeans_hybrid",
     "c_sim_ivfpq_adc",
+    "c_embed_rq",
+    "c_sim_rq_adc",
 ]
 
 

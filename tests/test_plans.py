@@ -488,11 +488,13 @@ def test_shuffle_budgets_table(spark):
         # (residual explode/regroup pair + K-row array rebuild) — the
         # persisted subtrees repeat in the static plan (pca/kcore
         # precedent), runtime pays each once; codebooks broadcast
-        "c_embed_rq": 42,
+        # r12 emb block lane: zero exchanges; distributed chain ~42
+        "c_embed_rq": 0,
         # RVQ-ADC search: the shared _rq_train chain's static repeats
         # (persisted — runtime once) + the LUT crossJoins (broadcast)
         # + the per-query rank window over the CODES table
-        "c_sim_rq_adc": 62,
+        # r12 emb block lane: zero exchanges; distributed chain ~62
+        "c_sim_rq_adc": 0,
         # IVFADC: the deepest composition in the suite; every
         # accumulation point is a tracked local_checkpoint (lineage
         # truncation measured 7.8-9.3s -> 5.0-6.2s at sf0.1, identical
