@@ -4620,6 +4620,43 @@ def _rq_train_np(ids, X):
     return U, cids, C1, code1, R, rc_ids, RC, c2i, code2, d2fin
 
 
+def _pq_train_np(ids, X):
+    """numpy twin of _pq_train: raw-X subspace split, seed books
+    (vec_id < PQ_K subvectors), one Lloyd update (6dp noise-floor
+    means), reassignment by 6dp grouped squared distance. Returns
+    (books [(code_ids asc, mat)] per s, code_idx (n,m), code_vals
+    (n,m), d2fin (n,m))."""
+    import numpy as np
+
+    r6 = _np_rnd(6)
+    n, dim = X.shape
+    m = PQ_M
+    sub = dim // m
+    X3 = X.reshape(n, m, sub)
+    seed_ids = ids[ids < PQ_K]
+    S0 = X3[ids < PQ_K]
+    d1 = r6(((X3[:, None, :, :] - S0[None]) ** 2).sum(axis=3))
+    a1 = np.argmin(d1, axis=1)  # ties -> lowest seed id (ids asc)
+    books = []
+    for s in range(m):
+        present = np.unique(a1[:, s])
+        cb = np.stack(
+            [r6(X3[a1[:, s] == c, s].mean(axis=0)) for c in present]
+        )
+        books.append((seed_ids[present], cb))
+    code_idx = np.empty((n, m), dtype=np.int64)
+    code_vals = np.empty((n, m), dtype=np.int64)
+    d2fin = np.empty((n, m))
+    for s in range(m):
+        cid_s, cb = books[s]
+        d2 = r6(((X3[:, None, s, :] - cb[None]) ** 2).sum(axis=2))
+        ki = np.argmin(d2, axis=1)
+        code_idx[:, s] = ki
+        code_vals[:, s] = cid_s[ki]
+        d2fin[:, s] = d2[np.arange(n), ki]
+    return books, code_idx, code_vals, d2fin
+
+
 def _rhp_cand_np(ids, X):
     """numpy twin of _rhp_candidate_pairs: the identical plane matmul
     the certified pandas_udf runs (same margin argument pins the sign
@@ -7717,7 +7754,36 @@ def c_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines. Scale: codebooks are K×dim rows broadcast over
     one corpus scan per round (the kmeans shape); the encode output
     is 4 rows/vector, and ADC query scoring against it is a
-    codes-join — never a corpus shuffle."""
+    codes-join — never a corpus shuffle. Below EMB_BLOCK_CAP vectors
+    the embedding block lane replays both rounds in one task
+    (_pq_train_np)."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    m, sub = PQ_M, 16
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        _, _, code_vals, d2fin = _pq_train_np(ids, X)
+        n = len(ids)
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, m),
+                "subspace": np.tile(np.arange(m, dtype=np.int64), n),
+                "code": code_vals.reshape(-1),
+                "qerr": r4(d2fin.reshape(-1)),
+            }
+        )
+
+    blk = _emb_block(
+        raw0, kern, "vec_id long, subspace long, code long, qerr double"
+    )
+    if blk is not None:
+        return blk
     _, _, final = _pq_train(spark, sf_dir)
     return final.select(
         "vec_id",
@@ -7870,7 +7936,59 @@ def c_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, so the whole search path hash-certifies against the
     SQL replay. Scale: LUT is queries×{PQ_M}×{PQ_K} rows (broadcast);
     the codes join shuffles the 4-row-per-vector index, not vectors —
-    the memory/IO win that is the entire point of PQ."""
+    the memory/IO win that is the entire point of PQ. Below
+    EMB_BLOCK_CAP vectors the embedding block lane replays train +
+    LUT + ADC in one task."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r6, r4 = _np_rnd(6), _np_rnd(4)
+    nq, m = PQ_QUERIES, PQ_M
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        n, dim = X.shape
+        sub = dim // m
+        X3 = X.reshape(n, m, sub)
+        books, code_idx, _, _ = _pq_train_np(ids, X)
+        out = []
+        for qi in np.flatnonzero(ids < nq):
+            adc = np.zeros(n)
+            for s in range(m):
+                _, cb = books[s]
+                lut = r6(((X3[qi, s] - cb) ** 2).sum(axis=1))
+                adc = adc + lut[code_idx[:, s]]
+            adc = r4(adc)
+            cand = np.flatnonzero(ids != ids[qi])
+            order = np.lexsort((ids[cand], adc[cand]))[:5]
+            sel = cand[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), ids[qi]),
+                        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                        "vec_id": ids[sel],
+                        "adc_dist": adc[sel],
+                    }
+                )
+            )
+        yield pd.concat(out) if out else pd.DataFrame(
+            {
+                "query_id": np.empty(0, np.int64),
+                "rank": np.empty(0, np.int64),
+                "vec_id": np.empty(0, np.int64),
+                "adc_dist": np.empty(0, np.float64),
+            }
+        )
+
+    blk = _emb_block(
+        raw0, kern, "query_id long, rank long, vec_id long, adc_dist double"
+    )
+    if blk is not None:
+        return blk
     sx, c1, codes = _pq_train(spark, sf_dir)
     qs = sx.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("qid"), "s", "j", F.col("x").alias("qx")

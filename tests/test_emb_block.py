@@ -28,6 +28,8 @@ EMB_QUERIES = [
     "c_sim_ivfpq_adc",
     "c_embed_rq",
     "c_sim_rq_adc",
+    "c_embed_pq",
+    "c_sim_pq_adc",
 ]
 
 

@@ -424,7 +424,8 @@ def test_shuffle_budgets_table(spark):
         # ADC: PQ training chain (5) + LUT groupBy + adc groupBy +
         # per-query rank window + static-plan re-reads of the shared
         # codes subtree (AQE reuses at runtime)
-        "c_sim_pq_adc": 11,
+        # r12 emb block lane: zero exchanges; distributed chain ~11
+        "c_sim_pq_adc": 0,
         # hard negatives: scored-scan window (its subtree re-read on
         # the pos and neg sides of the final join; AQE reuses)
         "c_mine_hard_negatives": 4,
@@ -453,7 +454,8 @@ def test_shuffle_budgets_table(spark):
         "c_embed_sim_hist": 4,
         # PQ: per-round assignment groupBy + argmin window (x2
         # rounds) + the codebook update rollup; codebooks broadcast
-        "c_embed_pq": 5,
+        # r12 emb block lane: zero exchanges; distributed chain 5
+        "c_embed_pq": 0,
         # corpus report: md5 copies window + its re-read on the total
         # side (static plan; AQE reuses), 1-row token total, source
         # rollup with countDistinct expand
