@@ -5797,6 +5797,9 @@ UNI_LMAX = 8  # DP unroll depth == max word length (fixture max is 8;
 # guarded by an assertion test — a longer word would need a deeper chain)
 UNI_ROUNDS = 2  # EM rounds unrolled
 UNI_SEED = 256  # seed vocab cap: top substrings by count (+ all chars)
+# Train block-lane gate: DISTINCT WORDS (the DP's work unit — vocab-
+# bounded, not corpus-bounded). Env-overridable like the other caps.
+UNI_BLOCK_CAP = int(_os.environ.get("SPARK_GRAFT_UNI_BLOCK_CAP", "200000"))
 
 _UNI_BASE_SQL = f"""
 WITH utoks AS MATERIALIZED (
@@ -5960,6 +5963,35 @@ def _unigram_ilogp(cnts: DataFrame) -> DataFrame:
     )
 
 
+def _uni_viterbi_word(w: str, lpd: dict) -> list:
+    """One word's maximum-likelihood segmentation under micro-nat
+    log-probs `lpd`: the exact DP both the distributed Viterbi pass
+    and the train block lane run — (score DESC, piece_len, piece)
+    total-order tiebreaks on bit-exact integer scores. Returns
+    [(end_pos, piece, l)] in backtrack order (descending end_pos)."""
+    n = len(w)
+    dp: list = [None] * (n + 1)
+    dp[0] = (0, None, 0)
+    for pos in range(1, n + 1):
+        best = None
+        for l in range(1, min(UNI_MAXP, pos) + 1):
+            piece = w[pos - l : pos]
+            il = lpd.get(piece)
+            if il is not None and dp[pos - l] is not None:
+                cand = (-(dp[pos - l][0] + il), l, piece)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            dp[pos] = (-best[0], best[2], best[1])
+    out = []
+    cur = n
+    while cur >= 1:
+        _, piece, l = dp[cur]
+        out.append((cur, piece, l))
+        cur -= l
+    return out
+
+
 def _unigram_viterbi(uwords: DataFrame, vocab: DataFrame) -> DataFrame:
     """Viterbi segmentation of every distinct word under `vocab`'s
     micro-nat log-probs: returns paths (word, end_pos, piece, l) of
@@ -5992,28 +6024,11 @@ def _unigram_viterbi(uwords: DataFrame, vocab: DataFrame) -> DataFrame:
             out_p: list = []
             out_l: list = []
             for w in pdf["word"]:
-                n = len(w)
-                dp: list = [None] * (n + 1)
-                dp[0] = (0, None, 0)
-                for pos in range(1, n + 1):
-                    best = None
-                    for l in range(1, min(UNI_MAXP, pos) + 1):
-                        piece = w[pos - l : pos]
-                        il = lpd.get(piece)
-                        if il is not None and dp[pos - l] is not None:
-                            cand = (-(dp[pos - l][0] + il), l, piece)
-                            if best is None or cand < best:
-                                best = cand
-                    if best is not None:
-                        dp[pos] = (-best[0], best[2], best[1])
-                cur = n
-                while cur >= 1:
-                    _, piece, l = dp[cur]
+                for e, piece, l in _uni_viterbi_word(w, lpd):
                     out_w.append(w)
-                    out_e.append(cur)
+                    out_e.append(e)
                     out_p.append(piece)
                     out_l.append(l)
-                    cur -= l
             yield pd.DataFrame(
                 {"word": out_w, "end_pos": out_e, "piece": out_p, "l": out_l}
             )
@@ -6053,13 +6068,110 @@ def _unigram_train(
     per-round vocabs) — the exact Spark twin of _UNI_TRAIN_CHAIN_SQL,
     shared by c_token_unigram and c_token_unigram_encode so the
     trained artifact cannot drift between the two queries (the
-    _kmeans_train discipline)."""
+    _kmeans_train discipline).
+
+    Round-12 optimization (the tokenizer block-lane tier): below
+    UNI_BLOCK_CAP distinct words, ONE mapInPandas task replays the
+    whole chain — seed substring counts, the (cnt DESC, piece) seed
+    rank, and every hard-EM round's Viterbi/M-step/ilogp — emitting
+    the bounded per-round vocabulary tables. The per-word DP is the
+    SAME _uni_viterbi_word the distributed pass runs; counts are
+    exact integers; ilogp rides _np_rnd(0)'s audited HALF_UP (ln
+    under the noise-floor argument that already certifies the DuckDB
+    replay). Above the cap the distributed rounds run unchanged —
+    the 100 TB answer is also that unigram training runs on a
+    bounded sample/shard (the SentencePiece reality)."""
     toks = _unigram_corpus(spark, sf_dir)
     uwords = persist(
         toks.groupBy("word")
         .agg(F.count("*").cast("long").alias("wfreq"))
         .withColumn("wlen", F.length("word").cast("long"))
     )
+    if uwords.count() <= UNI_BLOCK_CAP:
+        r0 = _np_rnd(0)
+        maxp, seed_cap, rounds = UNI_MAXP, UNI_SEED, UNI_ROUNDS
+
+        def kern(batches):
+            import numpy as np
+            import pandas as pd
+
+            words, freqs = [], []
+            for pdf in batches:
+                if len(pdf):
+                    words.extend(pdf["word"].tolist())
+                    freqs.extend(pdf["wfreq"].tolist())
+
+            def ilogp_of(c):
+                tot, nv = sum(c.values()), len(c)
+                ps = sorted(c)
+                arr = (
+                    np.log(
+                        (np.array([c[p] for p in ps]) + 1.0) / (tot + nv)
+                    )
+                    * 1_000_000
+                )
+                return dict(zip(ps, r0(arr).astype(np.int64).tolist()))
+
+            cnt: dict = {}
+            for w, f in zip(words, freqs):
+                n = len(w)
+                for s in range(n):
+                    for l in range(1, min(maxp, n - s) + 1):
+                        p = w[s : s + l]
+                        cnt[p] = cnt.get(p, 0) + f
+            ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            keep = {p for p, _ in ranked[:seed_cap]} | {
+                p for p in cnt if len(p) == 1
+            }
+            cur = {p: cnt[p] for p in keep}
+            lp = ilogp_of(cur)
+            out = []
+            for rd in range(rounds + 1):
+                ps = sorted(cur)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "round": np.full(len(ps), rd, dtype=np.int32),
+                            "piece": ps,
+                            "l": np.array(
+                                [len(p) for p in ps], dtype=np.int64
+                            ),
+                            "cnt": np.array(
+                                [cur[p] for p in ps], dtype=np.int64
+                            ),
+                            "ilogp": np.array(
+                                [lp[p] for p in ps], dtype=np.int64
+                            ),
+                        }
+                    )
+                )
+                if rd == rounds:
+                    break
+                used: dict = {}
+                for w, f in zip(words, freqs):
+                    for _, piece, _l in _uni_viterbi_word(w, lp):
+                        used[piece] = used.get(piece, 0) + f
+                cur = {p: used.get(p, 0) for p in keep}
+                lp = ilogp_of(cur)
+            yield pd.concat(out)
+
+        allr = persist(
+            uwords.select("word", "wfreq")
+            .coalesce(1)
+            .mapInPandas(
+                kern,
+                "round int, piece string, l long, cnt long, ilogp long",
+            )
+        )
+        cnts = [
+            allr.filter(F.col("round") == i).select("piece", "l", "cnt")
+            for i in range(UNI_ROUNDS + 1)
+        ]
+        vocabs = [
+            allr.filter(F.col("round") == i).select("piece", "l", "ilogp")
+            for i in range(UNI_ROUNDS + 1)
+        ]
+        return toks, uwords, cnts, vocabs
     s_l = uwords.select(
         "word",
         "wfreq",

@@ -45,6 +45,7 @@ def set_lanes(on: bool) -> None:
     lb.GRAPH_BLOCK_EDGES = 250_000 if on else -1
     lc.EMB_BLOCK_CAP = 20_000 if on else -1
     lc.DOREMI_BLOCK_CAP = 500_000 if on else -1
+    lc.UNI_BLOCK_CAP = 200_000 if on else -1
 
 
 def run_once(name: str, spark, sf_dir: str) -> float:

@@ -59,6 +59,8 @@ def main() -> None:
             "run_logreg_stream", "_incdedup_chunked_src", "_wp_train_docs",
             "wordpiece_encode_docs", "wordpiece_encode_docs_bytes",
             "_kmeans_train", "_ivfpq_scored",
+            "_unigram_corpus", "_unigram_train", "_unigram_viterbi",
+            "_unigram_ilogp", "_unigram_counts",
         ]),
         (lb, []),
     ):
