@@ -2062,17 +2062,17 @@ def b_join_bloom_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     sel = persist(o.filter(F.expr(_JB_PRED)).select("o_orderkey"))
     j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
-    spos = (
-        sel.select(F.md5(F.col("o_orderkey").cast("string")).alias("h"), j)
-        .select(
-            (
-                F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast(
-                    "long"
-                )
-                % JB_M
-            ).alias("pos")
-        )
-        .distinct()
+    # NOTE no distinct() on pos: bit_or is idempotent, so duplicate
+    # positions change nothing — the dedup exchange bought nothing
+    # (round-12, guide §2.4; the map-side partial bit_or collapses
+    # duplicates inside each task anyway)
+    spos = sel.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"), j
+    ).select(
+        (
+            F.conv(F.expr("substr(h, 8 * j - 7, 8)"), 16, 10).cast("long")
+            % JB_M
+        ).alias("pos")
     )
     bloom = spos.groupBy(F.expr(f"pos DIV {JB_W}").alias("wi")).agg(
         F.bit_or(
@@ -3056,15 +3056,18 @@ PAGERANK_DAMP = 0.85
 # Row-identity of the two lanes is pinned in tests/test_graph_block.py
 # and every oracle hash is re-certified at three scale factors.
 #
-# Cap sizing (measured, guide §1.1): this sandbox charges ~150 ms/MB of
-# first-touch page faults to FRESH allocations in a cold Python worker
-# (Firecracker lazy memory), and the one-task lane lands on an
-# arbitrary worker — a 600 k-pair pagerank gather paid ~10 s of fault
-# cost and LOST to the 3-exchange-per-round distributed lane. 250 k
-# edges (~4 MB payload, ~40 MB working set) keeps the lane's worst
-# cold-worker cost well under the distributed lane's scheduling cost;
-# bigger graphs take the distributed rounds, which is also the correct
-# 100 TB answer.
+# Cap sizing (measured, guide §1.1 — twice, on two different boxes):
+# session 4's sandbox charged ~150 ms/MB of first-touch page faults to
+# FRESH allocations in a cold Python worker (Firecracker lazy memory),
+# so a 600 k-pair pagerank gather paid ~10 s of fault cost and LOST to
+# the 3-exchange-per-round distributed lane — the cap was set to 250 k
+# there. Session 5's box shows NO such pathology (healthy page-in):
+# the same pagerank at sf0.1 (590 k pairs) reads 1.65 s via the block
+# lane vs 2.91 s distributed (solo warm best-of-3), so the default cap
+# is 1 M edges (~16 MB payload — still a trivially task-sized block).
+# A box with the lazy-memory pathology tunes it back down via the env
+# knob; bigger graphs take the distributed rounds, which is also the
+# correct 100 TB answer.
 # ---------------------------------------------------------------------------
 
 import os as _os  # noqa: E402 — cap override, see below
@@ -3073,7 +3076,7 @@ import os as _os  # noqa: E402 — cap override, see below
 # knob for the lane tier, and -1 forces the distributed rounds (used
 # by plan dumps / A-B equivalence runs).
 GRAPH_BLOCK_EDGES = int(
-    _os.environ.get("SPARK_GRAFT_GRAPH_BLOCK_EDGES", "250000")
+    _os.environ.get("SPARK_GRAFT_GRAPH_BLOCK_EDGES", "1000000")
 )
 
 

@@ -42,7 +42,7 @@ def set_lanes(on: bool) -> None:
     import demo_segmenter_spark.operators.layer_b as lb
     import demo_segmenter_spark.operators.layer_c as lc
 
-    lb.GRAPH_BLOCK_EDGES = 250_000 if on else -1
+    lb.GRAPH_BLOCK_EDGES = 1_000_000 if on else -1
     lc.EMB_BLOCK_CAP = 20_000 if on else -1
     lc.DOREMI_BLOCK_CAP = 500_000 if on else -1
     lc.UNI_BLOCK_CAP = 200_000 if on else -1
