@@ -16685,39 +16685,42 @@ def _nd_block_fns():
     return round_half_up, sm_of, score, topk
 
 
-def _nd_build_block(ps0: DataFrame, mat, rounds: int) -> DataFrame:
-    """Block-lane NN-descent build: the SCORED LSH seed pairs
-    (``ps0`` = _nd_score_pairs' output, whose quantization stays on
-    the certified distributed gather path, 32-way parallel) coalesce
-    into ONE partition whose task replays g0 + every refinement round
-    in numpy against the broadcast block matrix — g0 = top-K of the
-    symmetrized scored seeds, then per round: reverse-capped
-    adjacency, neighbor-of-neighbor proposals through each middle (a
-    pandas hash join stands in for the in/out-list cross product),
-    anti-set against the cumulative scored keys (each unordered pair
-    scored at most once — Dong §2.3 unchanged), fresh-pair scoring
-    through the bit-exact numpy kernel, top-K fold-in. Same graph as
-    the distributed rounds (pinned row-identical in
-    tests/test_ann.py; same oracle hash at 3 sfs)."""
+def _nd_build_block(base: DataFrame, mat, rounds: int) -> DataFrame:
+    """Block-lane NN-descent build, FULLY fused (round-12 pass 2):
+    ONE task generates the LSH seed pairs (_rhp_cand_np — the
+    identical plane matmul the certified pandas_udf runs, same
+    size-capped banding, same distinct (va < vb) set), scores them
+    through the bit-exact numpy kernel (the SAME `score` closure the
+    refinement rounds already used — _nd_score_pairs' cumsum-fold
+    twin, pinned row-identical in tests/test_ann.py), then replays
+    g0 + every refinement round against the broadcast block matrix —
+    g0 = top-K of the symmetrized scored seeds, then per round:
+    reverse-capped adjacency, neighbor-of-neighbor proposals through
+    each middle (a pandas hash join stands in for the in/out-list
+    cross product), anti-set against the cumulative scored keys (each
+    unordered pair scored at most once — Dong §2.3 unchanged),
+    fresh-pair scoring, top-K fold-in. Fusing the seed phase in-task
+    (previous form: a pandas_udf banding job + window cap + self-join
+    + a 32-task scoring gather, coalesced into the block task) removes
+    ~2 s of pure job scheduling + a 458 k-row Arrow transfer per build
+    at sf0.1 — measured, guide §1.2/§2.4. Same graph as the
+    distributed rounds (pinned row-identical against the full
+    distributed reference replay in tests/test_ann.py; same oracle
+    hash at 3 sfs)."""
     ids_b, mat_b, nrm_b = mat
     _, _, score, topk = _nd_block_fns()
     nd_k, nd_rcap = ND_K, ND_RCAP
+    rhp_cand = _rhp_cand_np
 
     def build(batches):
         import numpy as np
         import pandas as pd
 
+        for _ in batches:  # drain the 1-row host; inputs ride the broadcasts
+            pass
         ids, V, N = ids_b.value, mat_b.value, nrm_b.value
-        vas, vbs, sms = [], [], []
-        for pdf in batches:
-            if len(pdf):
-                vas.append(pdf["va"].to_numpy(dtype=np.int64))
-                vbs.append(pdf["vb"].to_numpy(dtype=np.int64))
-                sms.append(pdf["sm"].to_numpy(dtype=np.int64))
-        empty = np.empty(0, dtype=np.int64)
-        va = np.concatenate(vas) if vas else empty
-        vb = np.concatenate(vbs) if vbs else empty
-        sm = np.concatenate(sms) if sms else empty
+        va, vb = rhp_cand(ids, V)
+        sm = score(ids, V, N, va, vb)
         key_mod = int(ids[-1]) + 1 if len(ids) else 1
         gv = np.r_[va, vb]
         gu = np.r_[vb, va]
@@ -16754,7 +16757,8 @@ def _nd_build_block(ps0: DataFrame, mat, rounds: int) -> DataFrame:
             scored = np.unique(np.r_[scored, fresh])
         yield pd.DataFrame({"v": gv, "u": gu, "sm": gs})
 
-    return ps0.coalesce(1).mapInPandas(build, "v long, u long, sm long")
+    host = base.sparkSession.range(1).coalesce(1)
+    return host.mapInPandas(build, "v long, u long, sm long")
 
 
 def _nd_build_graph(
@@ -16784,8 +16788,7 @@ def _nd_build_graph(
     n = base.count()
     mat = _nd_matrix(base) if n <= ND_MAT_CAP else None
     if mat is not None and n <= ND_BLOCK_CAP:
-        ps0 = _nd_score_pairs(base, _rhp_candidate_pairs(base), mat)
-        g = local_checkpoint(_nd_build_block(ps0, mat, rounds))
+        g = local_checkpoint(_nd_build_block(base, mat, rounds))
         return (g, mat) if with_mat else g
     ps0 = local_checkpoint(
         _nd_score_pairs(base, _rhp_candidate_pairs(base), mat)
