@@ -6297,6 +6297,147 @@ def _psi_stream_cnts(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame
     return spark.createDataFrame(rows, _PSI_CNTS_SCHEMA)
 
 
+def _drift_local_fns():
+    """Driver-local numpy twins of the three bounded drift scoring
+    tails (_psi_from_cnts / _chi2_from_piv / _ks_binned_from_cnts),
+    used by the STREAMING twins only (round-12 optimization pass 2,
+    measured): their final snapshot is ALREADY a driver-local
+    ≤ types×2×PSI_BINS row list (_psi_stream_cnts collects it by
+    design — a constant-sized monitoring readout), yet each twin
+    re-entered Spark for a grid-sized plan of 4-7 micro exchanges
+    costing ~1.5-2.5 s of pure scheduling per query AT ANY DATA SIZE
+    (the tail input is the bounded sufficient statistic, so this cost
+    never amortizes with scale). The replay is the house bit-exactness
+    discipline: identical IEEE expression order, layer_c's _np_rnd
+    audited-HALF_UP kernel for every round (the ln() ulp risk rides
+    the same EPS-nudge + knife-edge-audit argument that certifies the
+    committed pagerank/unigram/doremi lanes), exact BIGINT cumsums and
+    cross-multiplied KS, inner-join window-presence semantics
+    replicated (a type missing one window is absent from the PSI leg,
+    ks = 1.0 in the KS leg, guarded zero terms in chi2 — unchanged
+    conventions). Row-identity vs the distributed tails is pinned in
+    tests/test_psi_stream.py; the BATCH queries keep their distributed
+    tails (there the tail fuses into the corpus-sized plan).
+
+    Returns (psi_rows, chi2_rows, ksb_rows): each takes the collected
+    (event_type, wnd, bin, n) rows and returns plain-python tuples in
+    the registered queries' exact column orders."""
+    import numpy as np
+
+    from demo_segmenter_spark.operators.layer_c import _np_rnd
+
+    r0, r6 = _np_rnd(0), _np_rnd(6)
+
+    def arrays(rows):
+        et = [r[0] for r in rows]
+        wnd = np.array([int(r[1]) for r in rows], dtype=np.int64)
+        bn = np.array([int(r[2]) for r in rows], dtype=np.int64)
+        n = np.array([int(r[3]) for r in rows], dtype=np.int64)
+        return np.array(et, dtype=object), wnd, bn, n
+
+    def per_type(rows):
+        et, wnd, bn, n = arrays(rows)
+        for t in sorted(set(et.tolist())):
+            m = et == t
+            yield t, wnd[m], bn[m], n[m]
+
+    def psi_rows(rows):
+        out = []
+        for t, wnd, bn, n in per_type(rows):
+            m0, m1 = wnd == 0, wnd == 1
+            if not (m0.any() and m1.any()):
+                continue  # inner join vs tot: one-sided type absent
+            nt0, nt1 = int(n[m0].sum()), int(n[m1].sum())
+            c0 = np.zeros(PSI_BINS, dtype=np.int64)
+            c1 = np.zeros(PSI_BINS, dtype=np.int64)
+            # grid LEFT JOIN cnts: only in-grid bins land in shares
+            # (an out-of-grid bin — impossible under least(), kept for
+            # exact join semantics — still counts toward nt)
+            g0 = m0 & (bn >= 0) & (bn < PSI_BINS)
+            g1 = m1 & (bn >= 0) & (bn < PSI_BINS)
+            c0[bn[g0]] = n[g0]  # bins unique per (type, wnd)
+            c1[bn[g1]] = n[g1]
+            p = (c0 + 1.0) / (nt0 + PSI_BINS)
+            q = (c1 + 1.0) / (nt1 + PSI_BINS)
+            term = r0((q - p) * np.log(q / p) * 1_000_000_000).astype(
+                np.int64
+            )
+            psi = float(r6(term.sum() / 1_000_000_000.0))
+            out.append((t, nt0, nt1, psi))
+        return out
+
+    def chi2_rows(rows):
+        out = []
+        for t, wnd, bn, n in per_type(rows):
+            bins = np.unique(bn)
+            o0 = np.zeros(len(bins), dtype=np.int64)
+            o1 = np.zeros(len(bins), dtype=np.int64)
+            m0, m1 = wnd == 0, wnd == 1
+            o0[np.searchsorted(bins, bn[m0])] = n[m0]
+            o1[np.searchsorted(bins, bn[m1])] = n[m1]
+            n0, n1 = int(o0.sum()), int(o1.sum())
+            ntot, ob = n0 + n1, o0 + o1
+
+            def term(o, nw):
+                if nw == 0:  # guarded zero (brand-new-type window)
+                    return np.zeros(len(bins), dtype=np.int64)
+                d = (o * ntot - nw * ob).astype(np.float64)
+                return r0(
+                    d * d / (float(ntot) * nw * ob) * 1_000_000_000
+                ).astype(np.int64)
+
+            chi = int((term(o0, n0) + term(o1, n1)).sum())
+            out.append(
+                (
+                    t,
+                    n0,
+                    n1,
+                    len(bins) - 1,
+                    float(r6(chi / 1_000_000_000.0)),
+                )
+            )
+        return out
+
+    def ksb_rows(rows):
+        out = []
+        for t, wnd, bn, n in per_type(rows):
+            bins = np.unique(bn)
+            n0 = np.zeros(len(bins), dtype=np.int64)
+            n1 = np.zeros(len(bins), dtype=np.int64)
+            m0, m1 = wnd == 0, wnd == 1
+            n0[np.searchsorted(bins, bn[m0])] = n[m0]
+            n1[np.searchsorted(bins, bn[m1])] = n[m1]
+            nt0, nt1 = int(n0.sum()), int(n1.sum())
+            cum0, cum1 = np.cumsum(n0), np.cumsum(n1)
+            dint = np.abs(nt1 * cum0 - nt0 * cum1)
+            i = int(np.argmax(dint))  # first max == (dint desc, bin)
+            ks = (
+                1.0
+                if nt0 == 0 or nt1 == 0
+                else int(dint[i]) * 1.0 / (nt0 * nt1)
+            )
+            out.append(
+                (t, nt0, nt1, int(bins[i]), float(r6(ks)))
+            )
+        return out
+
+    return psi_rows, chi2_rows, ksb_rows
+
+
+_PSI_OUT_SCHEMA = "event_type string, n_ref long, n_cur long, psi double"
+_CHI2_OUT_SCHEMA = (
+    "event_type string, n_ref long, n_cur long, df long, chi2 double"
+)
+_KSB_OUT_SCHEMA = (
+    "event_type string, n_ref long, n_cur long, ks_at_bin long,"
+    " ks_binned double"
+)
+_REPORT_OUT_SCHEMA = (
+    "event_type string, n_ref long, n_cur long, statistic string,"
+    " value double, detail long, degenerate long"
+)
+
+
 @query("a_drift_psi_stream", oracle=_REGISTRY["a_drift_psi"].oracle)
 def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of a_drift_psi, SAME oracle (round-9 verdict ask
@@ -6311,8 +6452,9 @@ def a_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor's memory), scoring is constant-sized; at 100 TB/day the
     same query runs with a processing-time trigger and the boundary
     as config."""
-    cnts = _psi_stream_cnts(spark, sf_dir, "dss_psi_stream")
-    return _psi_from_cnts(spark, cnts)
+    psi_rows, _, _ = _drift_local_fns()
+    rows = _psi_stream_cnts(spark, sf_dir, "dss_psi_stream").collect()
+    return spark.createDataFrame(psi_rows(rows), _PSI_OUT_SCHEMA)
 
 
 
@@ -6617,18 +6759,9 @@ def a_drift_chi2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin; chi2-specific equality with the batch query is pinned
     in tests/test_psi_stream.py. Scale: identical to
     a_drift_psi_stream — grid-sized state, constant-sized scoring."""
-    cnts = _psi_stream_cnts(spark, sf_dir, "dss_chi2_stream")
-    piv = persist(
-        cnts.groupBy("event_type", "bin").agg(
-            F.sum(F.when(F.col("wnd") == 0, F.col("n")).otherwise(0)).alias(
-                "o0"
-            ),
-            F.sum(F.when(F.col("wnd") == 1, F.col("n")).otherwise(0)).alias(
-                "o1"
-            ),
-        )
-    )
-    return _chi2_from_piv(piv)
+    _, chi2_rows, _ = _drift_local_fns()
+    rows = _psi_stream_cnts(spark, sf_dir, "dss_chi2_stream").collect()
+    return spark.createDataFrame(chi2_rows(rows), _CHI2_OUT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -6785,8 +6918,9 @@ def a_drift_ks_binned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic) and scores the final snapshot through the shared
     _ks_binned_from_cnts tail. State bounded at the grid, multibatch
     accumulation pinned by the PSI snapshot-history tests."""
-    cnts = _psi_stream_cnts(spark, sf_dir, "dss_ksb_stream")
-    return _ks_binned_from_cnts(cnts)
+    _, _, ksb_rows = _drift_local_fns()
+    rows = _psi_stream_cnts(spark, sf_dir, "dss_ksb_stream").collect()
+    return spark.createDataFrame(ksb_rows(rows), _KSB_OUT_SCHEMA)
 
 
 @query(
@@ -6949,19 +7083,22 @@ def a_drift_report_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard for the cost of ONE histogram. This is the deployment
     form: the batch a_drift_report is the offline audit (it adds the
     exact KS); this is what pages the on-call."""
-    cnts = persist(_psi_stream_cnts(spark, sf_dir, "dss_report_stream"))
-    piv = persist(
-        cnts.groupBy("event_type", "bin").agg(
-            F.sum(F.when(F.col("wnd") == 0, F.col("n")).otherwise(0)).alias(
-                "o0"
-            ),
-            F.sum(F.when(F.col("wnd") == 1, F.col("n")).otherwise(0)).alias(
-                "o1"
-            ),
-        )
-    )
-    return _drift_report_from_legs(
-        _psi_from_cnts(spark, cnts),
-        _ks_binned_from_cnts(cnts),
-        _chi2_from_piv(piv),
-    )
+    psi_rows, chi2_rows, ksb_rows = _drift_local_fns()
+    rows = _psi_stream_cnts(spark, sf_dir, "dss_report_stream").collect()
+    # assemble the long table driver-side in _drift_report_from_legs'
+    # exact column order (psi leg, ksb leg, chi2 leg; degenerate =
+    # one-sided-window flag) — ONE LocalTableScan instead of three
+    # grid-sized tails + a union plan
+    out = [
+        (t, nr, nc, "psi", v, None, int(nr == 0 or nc == 0))
+        for (t, nr, nc, v) in psi_rows(rows)
+    ]
+    out += [
+        (t, nr, nc, "ks_binned", v, at, int(nr == 0 or nc == 0))
+        for (t, nr, nc, at, v) in ksb_rows(rows)
+    ]
+    out += [
+        (t, nr, nc, "chi2", v, df, int(nr == 0 or nc == 0))
+        for (t, nr, nc, df, v) in chi2_rows(rows)
+    ]
+    return spark.createDataFrame(out, _REPORT_OUT_SCHEMA)

@@ -210,14 +210,23 @@ class stream_state_parts:
     source, and the map-side partial aggregation still runs at scan
     parallelism; only the bounded reduce/state layer narrows (guide
     §2.2: fewer, larger reduce partitions). Override via
-    SPARK_GRAFT_STREAM_STATE_PARTS for stress runs."""
+    SPARK_GRAFT_STREAM_STATE_PARTS for stress runs.
+
+    Default 1 (round-12 pass 2, measured): for a ≤ few-hundred-row
+    complete-mode state, every extra state partition is a per-batch
+    HDFSBackedStateStore instance + delta file + task for rows that
+    fit one partition a thousand times over — a_drift_psi_stream solo
+    warm best-of-3 read 4.7 s at 1 part vs 6.5 s at the previous 4.
+    A stream whose state is NOT grid-bounded must not use this
+    manager (none of the callers qualify; the fk-join/cdc twins run
+    their own partitioning)."""
 
     def __init__(self, spark: SparkSession, parts: int | None = None):
         import os
 
         self.spark = spark
         self.parts = parts or int(
-            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "1")
         )
 
     def __enter__(self):

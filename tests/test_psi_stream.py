@@ -74,3 +74,26 @@ def test_chi2_stream_twin_equals_batch(spark):
     got = _rows(REGISTRY["a_drift_chi2_stream"].fn(spark, SF_SMOKE))
     want = _rows(REGISTRY["a_drift_chi2"].fn(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_ksb_stream_twin_equals_batch(spark):
+    # Round-12 pass 2: the binned-KS streaming twin scores its final
+    # snapshot through the DRIVER-LOCAL numpy tail (_drift_local_fns);
+    # the batch query keeps the distributed _ks_binned_from_cnts tail,
+    # so row equality here pins the two tails against each other.
+    got = _rows(REGISTRY["a_drift_ks_binned_stream"].fn(spark, SF_SMOKE))
+    want = _rows(REGISTRY["a_drift_ks_binned"].fn(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_report_stream_equals_batch_bounded_legs(spark):
+    # The streaming report (driver-local assembly of all three local
+    # tails) must equal the batch report restricted to the bounded
+    # legs — the same restriction its oracle encodes.
+    got = _rows(REGISTRY["a_drift_report_stream"].fn(spark, SF_SMOKE))
+    want = _rows(
+        REGISTRY["a_drift_report"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("statistic") != "ks")
+    )
+    assert got == want and len(got) > 0
