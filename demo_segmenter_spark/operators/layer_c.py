@@ -1513,7 +1513,41 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins — one map-side pass computes all bucket keys (zero
     shuffle for hashing), one band-key exchange makes candidates, one
     bounded verify; at 100 TB, RHP_ROWS grows ~log2(n) to keep buckets
-    under the cap, exactly like any production SimHash index."""
+    under the cap, exactly like any production SimHash index. Below
+    EMB_BLOCK_CAP vectors the embedding block lane (round-12 pass 2)
+    replays banding + exact verify in ONE task — _rhp_cand_np is the
+    identical plane matmul, the pair dots are the cumsum fold's exact
+    value (same kernel discipline as _nd_block_fns.score), and the
+    threshold + rnd(·,4) run on the same doubles; row identity vs the
+    distributed lane is pinned in tests/test_emb_block.py."""
+    raw0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    r4 = _np_rnd(4)
+    thr = RHP_COS_THRESHOLD
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, X = _emb_gather_np(batches)
+        va, vb = _rhp_cand_np(ids, X)
+        ia = np.searchsorted(ids, va)
+        ib = np.searchsorted(ids, vb)
+        nrm = np.sqrt(_np_cumdot(X, X))
+        dp = np.empty(len(ia))
+        for s in range(0, len(ia), 65_536):
+            e = min(s + 65_536, len(ia))
+            dp[s:e] = np.cumsum(X[ia[s:e]] * X[ib[s:e]], axis=1)[:, -1]
+        cos = dp / (nrm[ia] * nrm[ib])
+        keep = cos >= thr
+        yield pd.DataFrame(
+            {"va": va[keep], "vb": vb[keep], "cos_sim": r4(cos[keep])}
+        )
+
+    blk = _emb_block(raw0, kern, "va long, vb long, cos_sim double")
+    if blk is not None:
+        return blk
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     vec = as_double(F.col("embedding"))
     base = persist(

@@ -30,6 +30,8 @@ EMB_QUERIES = [
     "c_sim_rq_adc",
     "c_embed_pq",
     "c_sim_pq_adc",
+    # round-12 pass 2: native RHP-LSH banding + exact verify in-task
+    "c_sim_lsh_native",
 ]
 
 
