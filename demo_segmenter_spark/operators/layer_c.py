@@ -1535,10 +1535,23 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ia = np.searchsorted(ids, va)
         ib = np.searchsorted(ids, vb)
         nrm = np.sqrt(_np_cumdot(X, X))
+        # preallocated gather buffers (the _nd_block_fns.score
+        # first-touch discipline): bit-identical per-row cumsum fold,
+        # bounded fresh pages per task
         dp = np.empty(len(ia))
-        for s in range(0, len(ia), 65_536):
-            e = min(s + 65_536, len(ia))
-            dp[s:e] = np.cumsum(X[ia[s:e]] * X[ib[s:e]], axis=1)[:, -1]
+        chunk = 16_384
+        if len(ia):
+            m0 = min(chunk, len(ia))
+            bufa = np.empty((m0, X.shape[1]))
+            bufb = np.empty((m0, X.shape[1]))
+            for s in range(0, len(ia), chunk):
+                e = min(s + chunk, len(ia))
+                m = e - s
+                a = np.take(X, ia[s:e], axis=0, out=bufa[:m])
+                b = np.take(X, ib[s:e], axis=0, out=bufb[:m])
+                np.multiply(a, b, out=a)
+                np.cumsum(a, axis=1, out=a)
+                dp[s:e] = a[:, -1]
         cos = dp / (nrm[ia] * nrm[ib])
         keep = cos >= thr
         yield pd.DataFrame(
@@ -4722,7 +4735,7 @@ def _rhp_cand_np(ids, X):
     return allk // key_mod, allk % key_mod
 
 
-def _np_pair_cos(X, ia, ib, chunk=65_536):
+def _np_pair_cos(X, ia, ib, chunk=16_384):
     """Exact-cosine numerator Σ x_a·x_b per (ia, ib) index pair, in
     bounded chunks (row-wise einsum dots; the noise-floor row-order
     argument that certifies the oracle's float sums covers the
@@ -4731,9 +4744,19 @@ def _np_pair_cos(X, ia, ib, chunk=65_536):
     import numpy as np
 
     out = np.empty(len(ia))
+    if not len(ia):
+        return out
+    # preallocated gather buffers (the _nd_block_fns.score first-touch
+    # discipline): same row-wise einsum dots, bounded fresh pages
+    m0 = min(chunk, len(ia))
+    bufa = np.empty((m0, X.shape[1]))
+    bufb = np.empty((m0, X.shape[1]))
     for s in range(0, len(ia), chunk):
         e = min(s + chunk, len(ia))
-        out[s:e] = np.einsum("ij,ij->i", X[ia[s:e]], X[ib[s:e]])
+        m = e - s
+        a = np.take(X, ia[s:e], axis=0, out=bufa[:m])
+        b = np.take(X, ib[s:e], axis=0, out=bufb[:m])
+        np.einsum("ij,ij->i", a, b, out=out[s:e])
     return out
 
 
@@ -16697,14 +16720,33 @@ def _nd_block_fns():
     def sm_of(cos):
         return round_half_up(cos * 1_000_000.0 + eps).astype(np.int64)
 
-    def score(ids, V, N, va, vb, chunk=262_144):
+    def score(ids, V, N, va, vb, chunk=16_384):
+        # Two preallocated gather buffers, reused across chunks: the
+        # previous fresh-per-chunk form (262 k-pair chunks) touched
+        # ~540 MB of NEW pages per task — ~27 s of first-touch faults
+        # on a lazy-memory sandbox (measured ~40-55 ms/MB, the
+        # GRAPH_BLOCK_EDGES cap story) whenever the one-task lane
+        # landed on a cold worker, e.g. every bench pass. Buffered +
+        # in-place multiply/cumsum is bit-identical (same per-row
+        # fold; out= aliasing verified) and ~10x faster even warm
+        # (2.35 s -> 0.25 s for 458 k pairs — cache locality).
         out = np.empty(len(va), dtype=np.int64)
+        if not len(va):
+            return out
+        d = V.shape[1]
+        m0 = min(chunk, len(va))
+        bufa = np.empty((m0, d))
+        bufb = np.empty((m0, d))
         for s in range(0, len(va), chunk):
             e = min(s + chunk, len(va))
+            m = e - s
             ia = np.searchsorted(ids, va[s:e])
             ib = np.searchsorted(ids, vb[s:e])
-            dp = np.cumsum(V[ia] * V[ib], axis=1)[:, -1]
-            out[s:e] = sm_of(dp / (N[ia] * N[ib]))
+            a = np.take(V, ia, axis=0, out=bufa[:m])
+            b = np.take(V, ib, axis=0, out=bufb[:m])
+            np.multiply(a, b, out=a)
+            np.cumsum(a, axis=1, out=a)
+            out[s:e] = sm_of(a[:, -1] / (N[ia] * N[ib]))
         return out
 
     def topk(v, u, sm, k):
