@@ -3245,9 +3245,14 @@ def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         didx = np.searchsorted(nodes, dst)
         deg = np.bincount(sidx, minlength=len(nodes)).astype(np.float64)
         pr = None
+        # one reused edge-sized gather buffer for share[sidx] (the
+        # _nd_block_fns.score first-touch discipline): same values,
+        # 2/3 fewer fresh edge-sized pages per build
+        wbuf = np.empty(len(sidx))
         for _ in range(iters):
             share = (1.0 / deg) if pr is None else (pr / deg)
-            s = np.bincount(didx, weights=share[sidx], minlength=len(nodes))
+            np.take(share, sidx, out=wbuf)
+            s = np.bincount(didx, weights=wbuf, minlength=len(nodes))
             pr = r6(0.15 + damp * s)
         order = np.lexsort((nodes, -pr))[:100]
         yield pd.DataFrame(
