@@ -483,25 +483,53 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "drift": headline_drift,
-                "streaming": streaming,
-                "secondary": secondary,
-                "sf": sf,
-                "cpus": int(cpus),
-                "warmed": warm,
-                "runs": runs,
-                "machine_before": stamp_before,
-                "machine_after": _machine_stamp(),
-            }
-        )
+    full_doc = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "drift": headline_drift,
+        "streaming": streaming,
+        "secondary": secondary,
+        "sf": sf,
+        "cpus": int(cpus),
+        "warmed": warm,
+        "runs": runs,
+        "machine_before": stamp_before,
+        "machine_after": _machine_stamp(),
+    }
+    # Full artifact (3-decimal timings, per-query drift ratios, families,
+    # secondary rotation, machine stamps) goes to a sidecar file; the
+    # PRINTED line is kept as small as the 86 fixed query names permit.
+    # Round-12 PERF lost its round-over-round comparison because the
+    # driver's capture kept only the tail of a tens-of-KB line; the
+    # compact line (~2.2 KB) survives any reasonable capture window.
+    # Same keys the driver parses (metric/value/unit/queries/sf/cpus),
+    # 2-decimal query seconds (<=0.005 s quantization; full precision in
+    # the sidecar), nothing printed after it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_detail.json")
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full_doc, f)
+    except OSError:
+        detail_path = None
+    compact = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "drift": {"median_ratio": headline_drift.get("median_ratio")},
+        "streaming": streaming,
+        "sf": sf,
+        "cpus": int(cpus),
+        "warmed": warm,
+        "runs": runs,
+        "detail": detail_path,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

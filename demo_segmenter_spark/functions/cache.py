@@ -33,6 +33,20 @@ _TRACK_LOCK = threading.Lock()
 _PERSISTED: list[DataFrame] = []
 
 
+def exceeds_cap(df: DataFrame, cap: int) -> bool:
+    """True when ``df`` holds more than ``cap`` rows — WITHOUT a full
+    scan above the cap. ``count(limit(cap+1)) == min(total, cap+1)``,
+    so the lane decision is identical to ``df.count() > cap``, but
+    LocalLimit stops each partition's iteration at cap+1 rows and the
+    optimizer prunes every column below the aggregate, so an above-cap
+    table (the 100 TB case) pays a bounded probe instead of one full
+    pass whose result is thrown away (guide §1.2). ``cap < 0`` (the
+    forced-distributed A/B knob) short-circuits without any job."""
+    if cap < 0:
+        return True
+    return df.limit(cap + 1).count() > cap
+
+
 def persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` + register for later bulk release."""
     with _TRACK_LOCK:

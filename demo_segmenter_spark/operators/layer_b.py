@@ -3117,8 +3117,13 @@ def _graph_block(pairs: DataFrame, kernel, schema: str) -> DataFrame | None:
     """Gate + gather of the block lane: ``pairs`` (persisted by the
     caller) must hold at most GRAPH_BLOCK_EDGES rows; its single
     coalesced partition feeds ``kernel`` (an iterator-of-pandas
-    replay). Returns None above the cap (distributed rounds run)."""
-    if pairs.count() > GRAPH_BLOCK_EDGES:
+    replay). Returns None above the cap (distributed rounds run).
+    The gate is a bounded probe, not a full count — above the cap
+    (the 100 TB tier) deciding the lane must not cost a pass over
+    the edge list (round-13, guide §1.2)."""
+    from demo_segmenter_spark.functions.cache import exceeds_cap
+
+    if exceeds_cap(pairs, GRAPH_BLOCK_EDGES):
         return None
     return pairs.coalesce(1).mapInPandas(kernel, schema)
 

@@ -34,7 +34,11 @@ from demo_segmenter_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features_batches,
 )
-from demo_segmenter_spark.functions.cache import local_checkpoint, persist
+from demo_segmenter_spark.functions.cache import (
+    exceeds_cap,
+    local_checkpoint,
+    persist,
+)
 from demo_segmenter_spark.functions.vectors import as_double, dot
 from demo_segmenter_spark.registry import query
 from demo_segmenter_spark.sources import load_table, spread
@@ -4543,8 +4547,10 @@ def _np_rnd(n: int):
 def _emb_block(raw: DataFrame, kernel, schema: str) -> DataFrame | None:
     """Gate + dispatch of the embedding block lane: ``raw`` must be
     the (vec_id, embedding) corpus projection. Returns None above
-    EMB_BLOCK_CAP (the distributed chains run)."""
-    if raw.count() > EMB_BLOCK_CAP:
+    EMB_BLOCK_CAP (the distributed chains run). Bounded-probe gate
+    (round-13): above the cap the decision costs a LocalLimit probe,
+    not a full corpus pass (guide §1.2)."""
+    if exceeds_cap(raw, EMB_BLOCK_CAP):
         return None
     return raw.coalesce(1).mapInPandas(kernel, schema)
 
@@ -5493,8 +5499,10 @@ def _tok_train_block(docs: DataFrame, rule: str, rounds: int):
     same collect volume _wp_vocab_set already materializes on the
     distributed lane) and the distinct final tokens. Returns
     (bests, units, fvocab) or None when the block exceeds
-    TOK_BLOCK_CAP documents (the distributed lanes take over)."""
-    if docs.count() > TOK_BLOCK_CAP:
+    TOK_BLOCK_CAP documents (the distributed lanes take over).
+    Bounded-probe gate (round-13): above the cap the decision costs
+    a LocalLimit probe, not a full corpus pass (guide §1.2)."""
+    if exceeds_cap(docs, TOK_BLOCK_CAP):
         return None
 
     def replay(batches):
@@ -6144,7 +6152,7 @@ def _unigram_train(
         .agg(F.count("*").cast("long").alias("wfreq"))
         .withColumn("wlen", F.length("word").cast("long"))
     )
-    if uwords.count() <= UNI_BLOCK_CAP:
+    if not exceeds_cap(uwords, UNI_BLOCK_CAP):
         r0 = _np_rnd(0)
         maxp, seed_cap, rounds = UNI_MAXP, UNI_SEED, UNI_ROUNDS
 
@@ -14495,7 +14503,7 @@ def c_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         yield pd.concat(out)
 
-    if dcnt.count() <= DOREMI_BLOCK_CAP:
+    if not exceeds_cap(dcnt, DOREMI_BLOCK_CAP):
         return dcnt.coalesce(1).mapInPandas(
             kern,
             "round int, source string, n_tokens long, "
@@ -16861,7 +16869,11 @@ def _nd_build_graph(
     reuse the block artifacts without a second gather."""
     if rounds is None:
         rounds = ND_ROUNDS
-    n = base.count()
+    # One bounded probe decides BOTH cap tiers: min(total, MAT_CAP+1)
+    # equals the true count whenever it is <= ND_MAT_CAP, and above the
+    # cap (the 100 TB tier) the lane decision must not cost a full
+    # corpus pass (round-13, guide §1.2).
+    n = base.limit(ND_MAT_CAP + 1).count()
     mat = _nd_matrix(base) if n <= ND_MAT_CAP else None
     if mat is not None and n <= ND_BLOCK_CAP:
         g = local_checkpoint(_nd_build_block(base, mat, rounds))
@@ -17139,7 +17151,7 @@ def c_sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometries."""
     base = _nd_base(spark, sf_dir)
     g, mat = _nd_build_graph(base, with_mat=True)
-    if base.count() > ND_BLOCK_CAP:
+    if exceeds_cap(base, ND_BLOCK_CAP):
         mat = None  # block serve only at the single-task tier
     return _gs_serve(base, g, GS_HOPS, mat=mat)
 

@@ -34,7 +34,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     load_all_operators()

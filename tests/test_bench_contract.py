@@ -31,24 +31,34 @@ def test_bench_runs_and_emits_contract_json():
         timeout=420,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    # ONE JSON line on stdout (the driver parses the last line).
-    d = json.loads(out.stdout.strip().splitlines()[-1])
+    # ONE JSON line on stdout (the driver parses the last line). Round
+    # 13 made the printed line COMPACT (the r12 driver capture lost the
+    # round-over-round comparison to tail truncation of a tens-of-KB
+    # line); everything bulky lives in the BENCH_detail.json sidecar.
+    last = out.stdout.strip().splitlines()[-1]
+    d = json.loads(last)
     assert d["metric"] == "headline_total_wall"
     assert d["unit"] == "sec"
     assert d["sf"] == 0.001
     assert d["value"] > 0
     assert d["queries"] and all(v >= 0 for v in d["queries"].values())
-    assert abs(sum(d["queries"].values()) - d["value"]) < 0.01 * len(d["queries"])
-    # machine stamps present (contended-run adjudication from artifact)
-    assert len(d["machine_before"]["loadavg"]) == 3
-    assert len(d["machine_after"]["loadavg"]) == 3
+    # printed per-query values are 2-decimal; tolerate the quantization
+    assert abs(sum(d["queries"].values()) - d["value"]) < 0.02 * len(d["queries"])
     assert d["warmed"] is False and d["runs"] == 1
-    # drift self-adjudication block (round-8): always present; at
-    # sf0.001 no committed artifact matches the sf, so ratios are
-    # empty and median is None — the shape contract still holds
-    drift = d["drift"]
+    assert "median_ratio" in d["drift"]
+    # the compact line must survive a small capture window: names are
+    # fixed (86 entries ~= 2.2 KB at sf0.1) so pin a generous ceiling
+    # that still catches any reintroduction of the bulky sub-objects
+    assert len(last) < 3500, len(last)
+    # sidecar carries the full artifact (machine stamps, drift ratios,
+    # families, secondary) in the pre-r13 shape _committed_minima reads
+    full = json.load(open(d["detail"]))
+    assert len(full["machine_before"]["loadavg"]) == 3
+    assert len(full["machine_after"]["loadavg"]) == 3
+    drift = full["drift"]
     assert set(drift) >= {"ratios", "median_ratio", "outliers"}
     assert isinstance(drift["ratios"], dict)
+    assert full["queries"].keys() == d["queries"].keys()
 
 
 def test_secondary_anchor_drift_gate(tmp_path):
