@@ -6285,7 +6285,19 @@ def _psi_stream_cnts(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame
     base = f"/tmp/{prefix}/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     try:
-        src, mid = _psi_chunked_src(spark, sf_dir, base)
+        # 3 event-time chunks (round-13, measured): the per-batch floor
+        # is ~0.45 s of WAL/offset-log/planning/state-commit machinery
+        # AT ANY DATA SIZE (profiled per-batch durationMs; a /dev/shm
+        # checkpoint A/B showed the cost is Hadoop-filesystem fixed
+        # overhead, not disk), so six batches paid ~1.3 s of pure
+        # replay framing over three. Three ordered batches keep a
+        # genuine multi-batch accumulation story (monotone state
+        # growth is pinned on an explicit 6-chunk drive in
+        # tests/test_psi_stream.py) and the complete-mode final
+        # snapshot — the query's declared result — is chunking-
+        # independent (counts are additive; equality asserted in the
+        # same test).
+        src, mid = _psi_chunked_src(spark, sf_dir, base, n_chunks=3)
         run_psi_stream(spark, src, mid, base)
         rows = (
             spark.read.schema(_PSI_CNTS_SCHEMA)

@@ -1545,6 +1545,9 @@ def c_sim_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         dp = np.empty(len(ia))
         chunk = 16_384
         if len(ia):
+            # float64 precondition (ADVICE r12): np.take(out=) needs
+            # the source dtype to match the preallocated buffers
+            assert X.dtype == np.float64, X.dtype
             m0 = min(chunk, len(ia))
             bufa = np.empty((m0, X.shape[1]))
             bufb = np.empty((m0, X.shape[1]))
@@ -4746,9 +4749,15 @@ def _np_pair_cos(X, ia, ib, chunk=16_384):
     bounded chunks (row-wise einsum dots; the noise-floor row-order
     argument that certifies the oracle's float sums covers the
     pairwise-vs-fold sum order here — outputs pass through rnd(·,4)
-    with the EPS nudge and the Decimal audit)."""
+    with the EPS nudge and the Decimal audit).
+
+    ``X`` MUST be float64 (ADVICE r12): ``np.take(..., out=buf)``
+    requires the source dtype to exactly match the preallocated
+    buffers — a float32 caller gets a TypeError here, where the old
+    fancy-indexing form silently upcast."""
     import numpy as np
 
+    assert X.dtype == np.float64, X.dtype
     out = np.empty(len(ia))
     if not len(ia):
         return out
@@ -16742,6 +16751,9 @@ def _nd_block_fns():
         if not len(va):
             return out
         d = V.shape[1]
+        # float64 precondition (ADVICE r12): np.take(out=) needs the
+        # source dtype to match the preallocated buffers
+        assert V.dtype == np.float64, V.dtype
         m0 = min(chunk, len(va))
         bufa = np.empty((m0, d))
         bufb = np.empty((m0, d))
@@ -17890,7 +17902,12 @@ def c_quality_logreg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     try:
-        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+        # 3 doc-id-range chunks (round-13, measured): ~0.45 s/batch of
+        # WAL/planning/state-commit floor at any data size; the final
+        # complete-mode profile snapshot is chunking-independent.
+        # Multibatch accumulation stays pinned on an explicit 6-chunk
+        # drive in tests/test_logreg_stream.py.
+        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=3)
         run_logreg_stream(spark, src, docs.schema, base)
         rows = (
             spark.read.schema(_LRS_CNT_SCHEMA)
