@@ -544,14 +544,19 @@ def a_stream_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        ev.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            ev.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -613,14 +618,19 @@ def a_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -667,14 +677,19 @@ def a_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -783,14 +798,19 @@ def a_stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("c_ts").alias("click_ts_us"),
     )
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -890,14 +910,19 @@ def a_stream_table_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
     ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment", "c_acctbal")
     name = f"stjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1254,13 +1279,18 @@ def a_gapfill_locf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("value"))).alias("cents"))
     )
     out = f"/tmp/dss_locf/{uuid.uuid4().hex[:8]}"
-    q = (
-        daily.writeStream.outputMode("complete")
-        .foreachBatch(lambda df, bid: df.write.mode("overwrite").parquet(out))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from demo_segmenter_spark.streaming.sources import memsink_state_parts
+
+    with memsink_state_parts(spark):
+        q = (
+            daily.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return locf_grid(spark.read.parquet(out))
 
 
@@ -1525,14 +1555,19 @@ def a_anomaly_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", rnd(z, 4).alias("z")
     )
     name = f"anom_{uuid.uuid4().hex[:8]}"
-    q = (
-        scored.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1693,14 +1728,19 @@ def a_window_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"dau_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1867,29 +1907,34 @@ def a_retention_cohorts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/dss_retention/{uuid.uuid4().hex[:8]}"
     ev = stream_events(spark, sf_dir)
-    coh_q = (
-        ev.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"))
-        .writeStream.outputMode("complete")
-        .foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(f"{base}/coh")
+    from demo_segmenter_spark.streaming.sources import memsink_state_parts
+
+    with memsink_state_parts(spark):
+        coh_q = (
+            ev.groupBy("user_id")
+            .agg(F.min("ts").alias("first_ts"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    f"{base}/coh"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    act_q = (
-        stream_events(spark, sf_dir)
-        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
-        .dropDuplicates(["user_id", "wk"])
-        .writeStream.format("parquet")
-        .option("path", f"{base}/act")
-        .option("checkpointLocation", f"{base}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    coh_q.awaitTermination()
-    act_q.awaitTermination()
+        act_q = (
+            stream_events(spark, sf_dir)
+            .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+            .dropDuplicates(["user_id", "wk"])
+            .writeStream.format("parquet")
+            .option("path", f"{base}/act")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        coh_q.awaitTermination()
+        act_q.awaitTermination()
     coh = spark.read.parquet(f"{base}/coh").select(
         "user_id",
         F.unix_micros(F.date_trunc("week", "first_ts")).alias("cohort_us"),
@@ -2095,14 +2140,19 @@ def a_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"trending_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("window_start_us").orderBy(
         F.col("n_events").desc(), "event_type"
     )
@@ -2313,14 +2363,19 @@ def a_suppress_emit_final_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"suppress_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -2668,14 +2723,19 @@ def a_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"cogroup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -2792,14 +2852,19 @@ def a_stream_stream_join_outer_stream(
 
     out = _outer_join_parts(stream_events(spark, sf_dir), streaming=True)
     name = f"ssouter_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -2885,14 +2950,19 @@ def a_session_suppress_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sesssup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3051,14 +3121,19 @@ def a_stream_stream_join_outer_full_stream(
         )
     )
     name = f"ssfull_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3191,14 +3266,19 @@ def a_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"ohlc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -4345,14 +4425,19 @@ def a_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"dynsess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -4553,14 +4638,19 @@ def a_new_vs_returning_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"nvr_{uuid.uuid4().hex[:8]}"
-    q = (
-        per_user.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            per_user.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -4767,14 +4857,19 @@ def a_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"burn_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            hourly.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     grid = spark.table(name).withColumn(
         "hour_idx", (F.col("hour_us") / F.lit(3600000000)).cast("long")
     )
@@ -5542,14 +5637,19 @@ def a_stickiness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stick_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("dau") >= 1)

@@ -608,14 +608,19 @@ def b_rollup_hierarchy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w", "event_type", "n_events", "sum_cents", "n_purchases")
     )
     name = f"rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            hourly.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(
@@ -5684,14 +5689,19 @@ def b_agg_bitmap_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"bmd_{uuid.uuid4().hex[:8]}"
-    q = (
-        words.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            words.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -6100,14 +6110,19 @@ def b_agg_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     name = f"cms_{uuid.uuid4().hex[:8]}"
-    q = (
-        grid.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            grid.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sketch = spark.table(name)
     ev = load_table(spark, sf_dir, "events").select("user_id")
     probes = (
@@ -6314,14 +6329,19 @@ def b_agg_hll_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir).select("event_type", "user_id")
     )
     name = f"hll_{uuid.uuid4().hex[:8]}"
-    q = (
-        reg_s.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            reg_s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
@@ -7050,14 +7070,19 @@ def b_agg_quantile_sketch_stream(
         )
     )
     name = f"qsk_{uuid.uuid4().hex[:8]}"
-    q = (
-        hist_s.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from demo_segmenter_spark.streaming.sources import (
+        memsink_state_parts,
     )
-    q.awaitTermination()
+
+    with memsink_state_parts(spark):
+        q = (
+            hist_s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", cents(F.col("value")).alias("c")
     )

@@ -200,6 +200,26 @@ def range_chunk_col(col: str, cuts: list[int]) -> "F.Column":
     return c.otherwise(n - 1)
 
 
+def memsink_state_parts(spark: SparkSession) -> "stream_state_parts":
+    """State-partition context for the availableNow memory-sink twins
+    (round-13, measured): their stateful aggregations ran at the
+    session shuffle-partition count (32), paying one near-empty
+    HDFSBackedStateStore instance + per-batch commit per partition —
+    a_ohlc_stream read 6.6 s at 32 parts vs 1.9 s at 4 (rows
+    identical); sessionize-class state (~48 k rows) measured BEST at 4
+    (1 part is worse: one big store commits single-threaded). 4 is the
+    robust right-size across both grid-bounded and session-scale
+    fixture state; production cardinalities override via env. Scan
+    parallelism is unaffected (file source + map-side partial
+    aggregation, guide §2.2); AQE cannot coalesce stateful streaming
+    exchanges, which is why this needs a knob at all."""
+    import os
+
+    return stream_state_parts(
+        spark, parts=int(os.environ.get("SPARK_GRAFT_MEMSINK_STATE_PARTS", "4"))
+    )
+
+
 class stream_state_parts:
     """Context manager pinning ``spark.sql.shuffle.partitions`` for
     the duration of a bounded-state stream run (state-store partition
