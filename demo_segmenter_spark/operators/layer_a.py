@@ -6234,12 +6234,21 @@ def _fkjoin_chunked_src(spark: SparkSession, sf_dir: str, base: str) -> str:
     )
     hi_v = li.agg(F.max("version")).first()[0] + 1
     hi_s = sup.agg(F.max("s_suppkey")).first()[0] + 1
-    vcuts = [i * hi_v // 3 for i in range(3)] + [hi_v]
-    scuts = [i * hi_s // 3 for i in range(3)] + [hi_s]
-    # Round-12 (guide §2.4): the six interleaved chunk files are
-    # written in ONE job — chunk id 2i for the L version-range i,
-    # 2i+1 for the R suppkey-range i — instead of six sequential
-    # filtered scans + coalesce(1) writes.
+    # Round-13: 4 interleaved chunks (L0,R0,L1,R1) instead of 6 — the
+    # sink runs ~8 jobs of store-merge/delta-join work per batch, so
+    # two fewer batches remove pure replay framing while BOTH
+    # propagation directions stay exercised by the fixture: L0 rows
+    # whose fk lands in the R1 suppkey range are tombstoned first and
+    # re-emitted by R1's arrival (right-delta fan-out), L1 rows whose
+    # fk lands in the R0 range join through the left-delta path.
+    # Cross-batch FK-change/retraction semantics are pinned on
+    # hand-built 4-batch feeds in tests/test_fkjoin_stream.py; the
+    # final compacted out-table is arrival-order-independent
+    # (last-writer-wins by version) and hash-matches the batch oracle.
+    vcuts = [0, hi_v // 2, hi_v]
+    scuts = [0, hi_s // 2, hi_s]
+    # One chunk-prep job (r12, guide §2.4): chunk id 2i for the L
+    # version-range i, 2i+1 for the R suppkey-range i.
     from demo_segmenter_spark.streaming.sources import (
         chunked_parquet_src,
         range_chunk_col,
@@ -6250,7 +6259,7 @@ def _fkjoin_chunked_src(spark: SparkSession, sf_dir: str, base: str) -> str:
             F.col("side") == "L", range_chunk_col("version", vcuts) * 2
         ).otherwise(range_chunk_col("s_suppkey", scuts) * 2 + 1)
     )
-    return chunked_parquet_src(li.unionByName(sup), chunk, 6, base)
+    return chunked_parquet_src(li.unionByName(sup), chunk, 4, base)
 
 
 from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
@@ -6259,8 +6268,8 @@ from demo_segmenter_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 @query("a_ktable_fk_join_stream", oracle=_REGISTRY["a_ktable_fk_join"].oracle)
 def a_ktable_fk_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of a_ktable_fk_join, SAME oracle (round-9
-    verdict ask #2): the two changelogs replayed as six interleaved
-    micro-batches through the KIP-213 foreachBatch topology
+    verdict ask #2): the two changelogs replayed as interleaved
+    micro-batches (L0,R0,L1,R1) through the KIP-213 foreachBatch topology
     (fkjoin_stream_sink) — per-key version stores on both sides,
     two-sided delta propagation incl. right-update fan-out and
     tombstone retraction, exactly-once by batchId on every manifest

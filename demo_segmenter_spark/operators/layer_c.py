@@ -15136,7 +15136,7 @@ def c_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side so the /tmp stream dir can be removed before
     # returning — the no-leak convention from the drift twins (r12)
     try:
-        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=3)
         run_nb_stream(spark, src, docs.schema, base)
         rows = (
             spark.read.schema(_NB_CNT_SCHEMA)
@@ -15259,7 +15259,7 @@ def c_dedup_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/dss_bloom_stream/{uuid.uuid4().hex[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+    src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=3)
     run_bloom_stream(spark, src, docs.schema, base)
     bloom = spark.read.schema(_BLOOM_WORDS_SCHEMA).json(
         manifest_files(f"{base}/words")
@@ -15965,7 +15965,7 @@ def c_select_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side so the /tmp stream dir can be removed before
     # returning — the no-leak convention from the drift twins (r12)
     try:
-        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=6)
+        src = _incdedup_chunked_src(spark, docs, f"{base}/feed", n_chunks=3)
         run_dsir_stream(spark, src, docs.schema, base)
         rows = (
             spark.read.schema(_DSIR_CNT_SCHEMA)
