@@ -194,13 +194,36 @@ def _shingle_doc_table(docs: DataFrame, arr: F.Column) -> DataFrame:
     """Explode a per-doc shingle array into (doc_id, lang, source, sz,
     s) rows — sz is the doc's FULL shingle-set size, computed free
     from the array before the explode and carried along so Jaccard
-    never needs a per-doc sizes join later."""
-    return docs.withColumn("arr", arr).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.size("arr").alias("sz"),
-        F.explode("arr").alias("s"),
+    never needs a per-doc sizes join later.
+
+    The sz rides INSIDE the generator (one explode of (s, sz) structs)
+    rather than as a sibling ``F.size("arr")`` projection: the sibling
+    form references the array alias twice, and the optimizer inlines
+    the (Arrow-UDF) shingle computation into BOTH references — two
+    ArrowEvalPython nodes, every doc shingled twice (guide §4.4;
+    round-13, verified on the plan: 2 nodes -> 1, identical rows)."""
+    return (
+        docs.withColumn("arr", arr)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.transform(
+                    "arr",
+                    lambda x: F.struct(
+                        x.alias("s"), F.size("arr").alias("sz")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("p.sz").alias("sz"),
+            F.col("p.s").alias("s"),
+        )
     )
 
 
@@ -350,11 +373,18 @@ def c_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    # Pre-filter on token count (equivalent to the former
+    # size(shingles) > 0 post-filter — _shingles is empty exactly
+    # below k=3 tokens): the pushed-down post-filter duplicated the
+    # interpreted shingle HOF below the projection (guide §4.4), so
+    # every row paid the transform/concat_ws lambda chain twice.
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingles().alias("shingles")
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = persist(tf.transform(sh).filter(F.expr("size(shingles) > 0")))
+    feats = persist(tf.transform(sh))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
@@ -577,8 +607,17 @@ def c_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     hs = _hashed_shingles()
+    # Pre-filter on token count, NOT on size(hset): a filter over the
+    # UDF output is pushed below the projection and the optimizer then
+    # evaluates the shingle UDF TWICE per row (guide §4.4 — two
+    # ArrowEvalPython nodes, measured 1.77 s vs 0.22 s for the single
+    # evaluation at sf0.1). hset is empty exactly when the doc has
+    # fewer than k=3 tokens, so the cheap native predicate is
+    # equivalent and pushes to the scan.
     sh = persist(
-        docs.select("doc_id", hs.alias("hset")).filter(F.size("hset") > 0)
+        docs.filter(F.size(F.split("text", " ")) >= 3).select(
+            "doc_id", hs.alias("hset")
+        )
     )
     return _minhash_verified_pairs(sh, threshold=0.5)
 
@@ -3129,24 +3168,45 @@ def c_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer jumping to fixpoint — see its docstring for the scale
     story). Hash-checked against DuckDB's recursive-CTE transitive
     closure; converges exactly at sf0.1 too (447 clusters, max size 51,
-    verified against the recursive CTE this session)."""
+    verified against the recursive CTE this session).
+
+    Round-13 (guide §2.4): the pair stage used a string-shingle
+    SELF-JOIN — two corpus-sized exchanges of exploded shingle
+    STRINGS plus the join — where every sibling dedup query already
+    runs the grouped-pairs form: ONE exchange on (block, shingle),
+    pairs emitted per group with pure codegen, shingles as xxhash64
+    longs (~5x narrower rows; pair-set equality modulo 2^-64
+    collisions is the same argument the c_dedup_ngram oracle already
+    accepts). No df cap is applied — this oracle has none, so the
+    hot-shingle quadratic risk is identical in both forms (it is the
+    query's contract); the grouped form merely concentrates a hot
+    group in one task instead of spreading the same k^2 join rows."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         "lang",
         "source",
-        F.explode(_shingles()).alias("s"),
+        F.explode(_hashed_shingles()).alias("s"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    groups = (
+        sh.groupBy("lang", "source", "s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    d = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            d,
+            lambda x, i: F.transform(
+                F.slice(d, i + 2, F.size(d)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 2)
         .drop("inter")
