@@ -3704,6 +3704,16 @@ def c_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak for the deterministic top-k cut."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # Round-13 NOTE (guide §2.3, r12 section-11 re-measured at a 200 k
+    # doc corpus fixture as the r12 verdict asked): the tf-derived
+    # dl/df index (persist tf, derive dl = Σ tf and df = row count)
+    # LOSES here at corpus scale — caching the ~8 M-row (doc, t)
+    # table costs more than the explode+partial-agg passes it saves,
+    # because THIS query reads each derived table once (old 3.9-4.7 s
+    # vs new 5.0-5.9 s at 200 k docs, stash-alternated). The rewrite
+    # IS adopted in c_rag_query_expansion / c_rag_maxsim, whose
+    # retrieval rounds read tf 4+ times. Kept as the straight
+    # pipelined form on purpose.
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -14839,15 +14849,19 @@ def c_rag_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = emb.agg(F.count("*").alias("n_vecs"))
 
     # --- candidate generation: c_text_bm25's machinery, integer sum ---
+    # Round-13 (guide §2.3): ONE corpus tokenize pass — tf is persisted
+    # and dl/dfreq derive from it (len = Σ tf, df = distinct-(doc,t)
+    # row count per term), instead of three independent explodes of
+    # the token stream.
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    tf = persist(tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     bstats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
     )
-    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     qry = persist(dfreq.orderBy(F.col("df").desc(), "t").limit(3))
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     idf = F.ln(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -15882,15 +15896,19 @@ def c_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the plan)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    dl = persist(tok.groupBy("doc_id").agg(F.count("*").alias("len")))
+    # Round-13 (guide §2.3): ONE corpus tokenize pass. tf is the only
+    # table built from the exploded tokens; dl and df derive from the
+    # PERSISTED tf — len = Σ tf per doc (exact integers), df = row
+    # count per term (tf rows are distinct (doc, t) by construction,
+    # so no countDistinct machinery). Previously each of the three
+    # persists materialized from its own corpus explode.
+    tf = persist(tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    dl = persist(tf.groupBy("doc_id").agg(F.sum("tf").alias("len")))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("len") * 1.0 / F.count("*")).alias("avgdl"),
     )
-    df_ = persist(
-        tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    )
-    tf = persist(tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    df_ = persist(tf.groupBy("t").agg(F.count("*").alias("df")))
     idf = F.ln(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

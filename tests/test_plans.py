@@ -954,8 +954,11 @@ def test_shuffle_budgets_table(spark):
         # explodes + self-joins hash buckets); the certified native twin
         # c_dedup_minhash_native does the same job in 2 — kept as the API row
         "c_dedup_simhash": 2,  # band-key exchange + pair rollup (blocked)
-        "c_dedup_cluster": 1,  # union-find finish is bounded-driver; the one
-        # exchange is the edge rollup feeding it
+        "c_dedup_cluster": 2,  # grouped-pairs form (r13): one (block,
+        # shingle) exchange + the pair-count rollup; the old budget-1
+        # plan got there by AQE broadcasting one side of a corpus-sized
+        # shingle self-join — impossible at scale. Union-find finish
+        # stays bounded-driver.
         "c_sim_knn": 1,  # per-query rank window; query block broadcasts
         "c_sim_ivf": 3,  # cell assignment + probe rollup + rank window
         "c_sim_lsh": 2,  # ml BucketedRandomProjectionLSH bucket join pair
@@ -1036,7 +1039,11 @@ def test_shuffle_budgets_table(spark):
         # (codes feed both vector sides, the pool feeds chunks and the
         # count rollup); at runtime each persisted stage executes once
         # and all late-interaction work is pool-bounded
-        "c_rag_maxsim": 24,
+        "c_rag_maxsim": 28,  # r13: dl/df now derive from the persisted
+        # tf (one corpus tokenize instead of three); the static count
+        # RISES because the cached tf lineage reprints under each
+        # derived table, but each stage executes once — the
+        # stash-alternated A/B reads 4.2-6.6 s -> 4.1-4.7 s at sf0.1
         # bloom pre-filter: corpus position distinct + the 256-word
         # bit_or build (broadcast), the per-doc probe rollup, the
         # hit-only verification semi-join, and the final assemble join
@@ -1139,7 +1146,10 @@ def test_shuffle_budgets_table(spark):
         # mining (the c_rag_maxsim accounting); at runtime each
         # persisted stage executes once and every round is a broadcast
         # posting-list join, never a corpus re-scan
-        "c_rag_query_expansion": 31,
+        "c_rag_query_expansion": 38,  # r13: same tf-derived dl/df as
+        # c_rag_maxsim — static recount of the cached tf lineage under
+        # the derived tables; measured 4.0-4.5 s -> 3.5 s at sf0.1 and
+        # 8.2-9.1 s -> 6.2-7.4 s on a 200 k-doc corpus fixture
     }
     # REGISTRY-COMPLETE enforcement (round-8): every registered
     # non-streaming query MUST carry a budget — a new query without one
