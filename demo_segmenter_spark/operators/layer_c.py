@@ -5496,7 +5496,10 @@ def bpe_encode_tokens(
 # at all three scale factors.
 # ---------------------------------------------------------------------------
 
-TOK_BLOCK_CAP = 200_000  # documents; above this the distributed lanes run
+# documents; above this the distributed lanes run. Env-overridable
+# (round-13) so the committed lane-off guard bench can force the
+# distributed tokenizer chains from the environment (-1 = always off).
+TOK_BLOCK_CAP = int(_os.environ.get("SPARK_GRAFT_TOK_BLOCK_CAP", "200000"))
 
 _TOK_ART_SCHEMA = (
     "kind string, rnd long, a string, b string, c long, ca long,"
@@ -16774,7 +16777,9 @@ def _nd_sym(ps: DataFrame) -> DataFrame:
 # per-shard build). Between ND_BLOCK_CAP and ND_MAT_CAP the distributed
 # rounds + gather scoring run unchanged; beyond ND_MAT_CAP, the join
 # path. Row-identity of the three lanes is pinned in tests/test_ann.py.
-ND_BLOCK_CAP = 20_000
+# Env-overridable (round-13): -1 forces the distributed NN-descent
+# rounds for the lane-off guard bench.
+ND_BLOCK_CAP = int(_os.environ.get("SPARK_GRAFT_ND_BLOCK_CAP", "20000"))
 
 
 def _nd_block_fns():
